@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing: the sliding-window access stats + denial-rate
+  * circuit breaker (reference services/user_feature.py:57-73,98-126) and
+  * the grant-flip CDC (user_feature.py:32-44), re-expressed as
+  * event-time operators (SURVEY.md A5/A6/R7).
+  *
+  * The reference trims a processing-time deque and has an eviction bug
+  * (`discard` drops a user who still has in-window entries,
+  * user_feature.py:66-69); the event-time sliding `window()` is the
+  * correct semantics and what we implement (documented divergence).
+  */
+object Windowed {
+
+  /** Per (sliding window, ) distinct-user stats over the event stream,
+    * treating `error` events as denials (A5). One shuffle on the window
+    * key; distinct counts use Spark's Expand+partial-agg, which scales
+    * out (state is per (window,gid) — no driver-side collection). */
+  def slidingStats(events: DataFrame, size: String = "10 minutes",
+                   slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "error", col("user_id"))).as("n_denied_users"),
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", lit(1))).as("n_denials"))
+      .select(
+        col("window.start").as("win_start"),
+        col("n_users"), col("n_denied_users"), col("n_events"), col("n_denials"))
+
+  /** Circuit breaker (A6): denial rate > threshold opens the circuit
+    * (allow-all), reference user_feature.py:106-126. */
+  def circuit(events: DataFrame, threshold: Double = 0.05): DataFrame =
+    slidingStats(events)
+      .withColumn("denial_rate",
+        col("n_denials").cast("double") / col("n_events"))
+      .withColumn("circuit_open", col("denial_rate") > lit(threshold))
+      .select(col("win_start"), col("n_events"), col("n_denials"),
+        round(col("denial_rate"), 6).as("denial_rate"), col("circuit_open"))
+
+  /** Grant-flip CDC (R7): evaluate the grant after every event in
+    * per-user time order (running aggregates), emit only the rows where
+    * the grant CHANGED (reference user_feature.py:32-44 acts only on
+    * state change). Batch formulation of the streaming
+    * flatMapGroupsWithState semantics: lag() over a per-user window.
+    *
+    * One shuffle+sort on user_id; running sums and lag share the same
+    * window spec, so Catalyst plans a single Window operator.
+    */
+  def grantFlips(events: DataFrame, ratioThreshold: Double = 1.0): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("run_purchase",
+        sum(when(col("event_type") === "purchase", col("value"))).over(running))
+      .withColumn("run_error",
+        sum(when(col("event_type") === "error", col("value"))).over(running))
+      .withColumn("granted",
+        coalesce(
+          col("run_error") / when(col("run_purchase") =!= 0, col("run_purchase"))
+            < lit(ratioThreshold),
+          lit(true)))
+      .withColumn("prev_granted", lag(col("granted"), 1).over(byUser))
+      .filter(col("prev_granted").isNotNull && col("prev_granted") =!= col("granted"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("granted"))
+  }
+}

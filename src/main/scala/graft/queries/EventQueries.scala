@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.config.DefaultConfig
+import graft.operators.{AsOf, EventAggregates, Grants, Windowed}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's core event pipeline as batch queries over the
+  * driver's `events` table — every [S] operator from SURVEY.md §2.2-2.5
+  * (schema filter, JSON property extraction, the three aggregate types,
+  * the aggregate-aggregate join, null-safe DIVIDE, denom_min, feature
+  * conjunction grants, default-grant lookup, sliding-window stats,
+  * circuit breaker, grant-flip CDC, access check).
+  */
+object EventQueries extends QueryModule {
+  private val cfg = DefaultConfig.config
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** Shared oracle CTE: the per-user aggregate frame, mirroring
+    * EventAggregates.perUser. event_id is unique in the test data, so
+    * the dedup is a no-op there (dedup itself is unit-tested). */
+  private val aggCte =
+    """WITH agg AS (
+      |  SELECT user_id,
+      |         count(CASE WHEN event_type = 'signup' THEN event_id END) AS total_signups,
+      |         count(DISTINCT CASE WHEN event_type = 'click' THEN CAST(props::JSON->>'k' AS BIGINT) END) AS distinct_click_keys,
+      |         coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0.0) AS total_purchase_amount,
+      |         coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0.0) AS total_error_amount,
+      |         count(CASE WHEN event_type = 'error' THEN event_id END) AS total_errors
+      |  FROM events GROUP BY user_id)""".stripMargin
+
+  private val registered = cfg.aggregates.map(_.eventType).distinct
+
+  val all: Seq[Q] = Seq(
+
+    // P1: schema registry filter — unregistered event names rejected
+    // (reference app.py:19-28). 'view' is the unregistered type here.
+    Q("p1_filter_registered",
+      (s, dir) => events(s, dir)
+        .filter(col("event_type").isin(registered: _*))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      Some(s"""SELECT event_type, count(*) AS n FROM events
+              |WHERE event_type IN (${registered.map(r => s"'$r'").mkString(",")})
+              |GROUP BY event_type""".stripMargin)),
+
+    // P2: JSON property parse/validate (reference app.py:30-41);
+    // integer sums keep the oracle comparison exact.
+    Q("p2_props_extract",
+      (s, dir) => events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some("""SELECT event_type,
+             |       count(CAST(props::JSON->>'k' AS BIGINT)) AS n_k,
+             |       sum(CAST(props::JSON->>'k' AS BIGINT))   AS sum_k,
+             |       min(CAST(props::JSON->>'k' AS BIGINT))   AS min_k,
+             |       max(CAST(props::JSON->>'k' AS BIGINT))   AS max_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // A1: COUNT aggregate, dedup-by-uuid (reference aggregate.py:52-54)
+    Q("a1_count_dedup",
+      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
+        .select(col("user_id"), col("total_signups")),
+      Some(aggCte + "\nSELECT user_id, total_signups FROM agg")),
+
+    // A2: DISTINCT_COUNT(field) (reference aggregate.py:59-60)
+    Q("a2_distinct_count",
+      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
+        .select(col("user_id"), col("distinct_click_keys")),
+      Some(aggCte + "\nSELECT user_id, distinct_click_keys FROM agg")),
+
+    // A3: SUM(field) dedup-by-uuid (reference aggregate.py:55-58)
+    Q("a3_sum_dedup",
+      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
+        .select(col("user_id"),
+          round(col("total_purchase_amount"), 4).as("total_purchase_amount")),
+      Some(aggCte +
+        "\nSELECT user_id, round(total_purchase_amount, 4) AS total_purchase_amount FROM agg")),
+
+    // J4: the one real data-data join of the core — numerator frame ⨝
+    // denominator frame per user (reference rules.py:56-62 reads two
+    // aggregates for the same user). Built as an explicit full-outer
+    // join of two independently-aggregated frames.
+    Q("j4_agg_join",
+      (s, dir) => {
+        val e = events(s, dir)
+        val p = e.filter(col("event_type") === "purchase").groupBy(col("user_id"))
+          .agg(sum(col("value")).as("purchase_sum"))
+        val x = e.filter(col("event_type") === "error").groupBy(col("user_id"))
+          .agg(sum(col("value")).as("error_sum"))
+        p.join(x, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            round(coalesce(col("purchase_sum"), lit(0.0)), 4).as("purchase_sum"),
+            round(coalesce(col("error_sum"), lit(0.0)), 4).as("error_sum"))
+      },
+      Some("""SELECT coalesce(p.user_id, x.user_id) AS user_id,
+             |       round(coalesce(p.purchase_sum, 0.0), 4) AS purchase_sum,
+             |       round(coalesce(x.error_sum, 0.0), 4)    AS error_sum
+             |FROM (SELECT user_id, sum(value) AS purchase_sum FROM events
+             |      WHERE event_type = 'purchase' GROUP BY user_id) p
+             |FULL OUTER JOIN
+             |     (SELECT user_id, sum(value) AS error_sum FROM events
+             |      WHERE event_type = 'error' GROUP BY user_id) x
+             |ON p.user_id = x.user_id""".stripMargin)),
+
+    // R2: null-safe DIVIDE (reference rules.py:56-62; divergence doc'd)
+    Q("r2_divide_nullsafe",
+      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
+        .select(col("user_id"),
+          round(Grants.ruleValue(cfg.rule("error_ratio_low")), 6).as("error_ratio")),
+      Some(aggCte +
+        "\nSELECT user_id, round(total_error_amount / nullif(total_purchase_amount, 0), 6) AS error_ratio FROM agg")),
+
+    // R3+R4: denom_min small-sample override + LT condition
+    // (reference rules.py:34,58-59,68-75)
+    Q("r3_denom_min",
+      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
+        .select(col("user_id"), col("total_signups").as("denom"),
+          Grants.ruleAbides(cfg.rule("click_key_spread")).as("abides")),
+      Some(aggCte +
+        """
+          |SELECT user_id, total_signups AS denom,
+          |       CASE WHEN coalesce(total_signups, 0) < 3.0 THEN TRUE
+          |            ELSE coalesce(distinct_click_keys / nullif(total_signups, 0) < 2.5, TRUE)
+          |       END AS abides
+          |FROM agg""".stripMargin)),
+
+    // R5 (+R1,R2,R3): features = AND of rules, long-form grants view
+    // (reference event_processer.py:50-63)
+    Q("r5_feature_grants",
+      (s, dir) => Grants.long(
+        EventAggregates.perUser(events(s, dir), cfg.aggregates), cfg),
+      Some(aggCte + ",\n" +
+        """g AS (
+          |  SELECT user_id,
+          |    (CASE WHEN coalesce(total_purchase_amount, 0) < 500.0 THEN TRUE
+          |          ELSE coalesce(total_error_amount / nullif(total_purchase_amount, 0) < 1.0, TRUE) END
+          |     AND coalesce(total_errors < 15.0, TRUE)) AS purchase,
+          |    coalesce(total_errors < 15.0, TRUE) AS message
+          |  FROM agg)
+          |SELECT user_id, 'purchase' AS feature, purchase AS has_grant FROM g
+          |UNION ALL
+          |SELECT user_id, 'message' AS feature, message AS has_grant FROM g""".stripMargin)),
+
+    // J5+R9: grant point-lookup with default-grant for unseen users
+    // (reference user_feature.py:75-79, rules.py:112). The orders
+    // custkey universe is wider than the events user universe, so the
+    // coalesce(default TRUE) branch is genuinely exercised.
+    Q("j5_grant_lookup",
+      (s, dir) => {
+        val universe = Tables.orders(s, dir)
+          .select(col("o_custkey").as("user_id")).distinct()
+        val g = Grants.wide(
+          EventAggregates.perUser(events(s, dir), cfg.aggregates), cfg)
+          .select(col("user_id"), col("purchase"))
+        universe.join(g, Seq("user_id"), "left_outer")
+          .select(col("user_id"),
+            coalesce(col("purchase"), lit(true)).as("has_grant"))
+      },
+      Some(aggCte + ",\n" +
+        """g AS (
+          |  SELECT user_id,
+          |    (CASE WHEN coalesce(total_purchase_amount, 0) < 500.0 THEN TRUE
+          |          ELSE coalesce(total_error_amount / nullif(total_purchase_amount, 0) < 1.0, TRUE) END
+          |     AND coalesce(total_errors < 15.0, TRUE)) AS purchase
+          |  FROM agg),
+          |u AS (SELECT DISTINCT o_custkey AS user_id FROM orders)
+          |SELECT u.user_id, coalesce(g.purchase, TRUE) AS has_grant
+          |FROM u LEFT JOIN g ON u.user_id = g.user_id""".stripMargin)),
+
+    // A5: sliding-window distinct users / denials (reference
+    // user_feature.py:57-73, with its eviction bug fixed by
+    // construction — see Windowed.slidingStats)
+    Q("a5_sliding_window",
+      (s, dir) => Windowed.slidingStats(events(s, dir)),
+      Some("""WITH w AS (
+             |  SELECT make_timestamp(t.s) AS win_start, user_id, event_type
+             |  FROM events,
+             |       unnest([(epoch_us(ts) // 300000000) * 300000000,
+             |               (epoch_us(ts) // 300000000) * 300000000 - 300000000]) AS t(s))
+             |SELECT win_start,
+             |       count(DISTINCT user_id) AS n_users,
+             |       count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS n_denied_users,
+             |       count(*) AS n_events,
+             |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_denials
+             |FROM w GROUP BY win_start""".stripMargin)),
+
+    // A6: denial-rate circuit breaker (reference user_feature.py:106-126)
+    Q("a6_circuit_breaker",
+      (s, dir) => Windowed.circuit(events(s, dir)),
+      Some("""WITH w AS (
+             |  SELECT make_timestamp(t.s) AS win_start, user_id, event_type
+             |  FROM events,
+             |       unnest([(epoch_us(ts) // 300000000) * 300000000,
+             |               (epoch_us(ts) // 300000000) * 300000000 - 300000000]) AS t(s)),
+             |c AS (SELECT win_start, count(*) AS n_events,
+             |             count(CASE WHEN event_type = 'error' THEN 1 END) AS n_denials
+             |      FROM w GROUP BY win_start)
+             |SELECT win_start, n_events, n_denials,
+             |       round(n_denials / (1.0 * n_events), 6) AS denial_rate,
+             |       n_denials / (1.0 * n_events) > 0.05 AS circuit_open
+             |FROM c""".stripMargin)),
+
+    // R7: grant-flip CDC — emit only on state change (reference
+    // user_feature.py:32-44), batch form via running aggs + lag
+    Q("r7_grant_flips",
+      (s, dir) => Windowed.grantFlips(events(s, dir))
+        .select(col("user_id"), col("event_id"), col("granted")),
+      Some("""WITH t AS (
+             |  SELECT user_id, event_id, ts,
+             |    sum(CASE WHEN event_type = 'purchase' THEN value END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_p,
+             |    sum(CASE WHEN event_type = 'error' THEN value END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_e
+             |  FROM events),
+             |g AS (SELECT user_id, event_id, ts,
+             |             coalesce(run_e / nullif(run_p, 0) < 1.0, TRUE) AS granted
+             |      FROM t),
+             |f AS (SELECT *, lag(granted) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |      FROM g)
+             |SELECT user_id, event_id, granted
+             |FROM f WHERE prev IS NOT NULL AND prev <> granted""".stripMargin)),
+
+    // R8: access = circuit_open OR grant (reference user_feature.py:46-55),
+    // joining the latest window's circuit state against the grants view
+    Q("r8_access_check",
+      (s, dir) => {
+        val c = Windowed.circuit(events(s, dir))
+        val latest = c.orderBy(col("win_start").desc).limit(1)
+          .select(col("circuit_open"))
+        val g = Grants.long(
+          EventAggregates.perUser(events(s, dir), cfg.aggregates), cfg)
+          .filter(col("feature") === "purchase")
+        g.crossJoin(latest)
+          .select(col("user_id"), col("has_grant"), col("circuit_open"),
+            (col("circuit_open") || col("has_grant")).as("has_access"))
+      },
+      Some(aggCte + ",\n" +
+        """g AS (
+          |  SELECT user_id,
+          |    (CASE WHEN coalesce(total_purchase_amount, 0) < 500.0 THEN TRUE
+          |          ELSE coalesce(total_error_amount / nullif(total_purchase_amount, 0) < 1.0, TRUE) END
+          |     AND coalesce(total_errors < 15.0, TRUE)) AS has_grant
+          |  FROM agg),
+          |w AS (
+          |  SELECT make_timestamp(t.s) AS win_start, event_type
+          |  FROM events,
+          |       unnest([(epoch_us(ts) // 300000000) * 300000000,
+          |               (epoch_us(ts) // 300000000) * 300000000 - 300000000]) AS t(s)),
+          |c AS (SELECT win_start,
+          |             count(CASE WHEN event_type = 'error' THEN 1 END) / (1.0 * count(*)) > 0.05 AS circuit_open
+          |      FROM w GROUP BY win_start ORDER BY win_start DESC LIMIT 1)
+          |SELECT g.user_id, g.has_grant, c.circuit_open,
+          |       (c.circuit_open OR g.has_grant) AS has_access
+          |FROM g CROSS JOIN c""".stripMargin)),
+
+    // As-of join (extension §7.4): for each purchase event, the most
+    // recent click of the same user at or before it — the
+    // point-in-time attribution join, via AsOf.join (one shuffle).
+    Q("asof_click_attribution",
+      (s, dir) => {
+        val e = events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+        AsOf.join(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
+          .select(col("user_id"), col("event_id"), col("asof_click_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, 1 AS side, event_id, NULL::BIGINT AS click_id
+             |  FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, ts, 0 AS side, NULL::BIGINT, event_id
+             |  FROM events WHERE event_type = 'click'),
+             |w AS (
+             |  SELECT user_id, side, event_id,
+             |         last_value(click_id IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY ts, side
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+             |  FROM u)
+             |SELECT user_id, event_id, asof_click_id
+             |FROM w WHERE side = 1""".stripMargin))
+  )
+}
