@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    EventQueries
+    EventQueries,
+    RelationalQueries
   )
 
   private lazy val registry: Seq[Q] = {

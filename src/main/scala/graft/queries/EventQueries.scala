@@ -268,7 +268,8 @@ object EventQueries extends QueryModule {
           .select(col("user_id"), col("event_id"), col("ts"))
         val clicks = e.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
-        AsOf.join(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
+        AsOf.join(purchases, clicks, "user_id", "ts", "ts",
+          "event_id", "click_id", Seq("click_id"))
           .select(col("user_id"), col("event_id"), col("asof_click_id"))
       },
       Some("""WITH u AS (
@@ -280,7 +281,7 @@ object EventQueries extends QueryModule {
              |w AS (
              |  SELECT user_id, side, event_id,
              |         last_value(click_id IGNORE NULLS)
-             |           OVER (PARTITION BY user_id ORDER BY ts, side
+             |           OVER (PARTITION BY user_id ORDER BY ts, side, coalesce(event_id, click_id)
              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
              |  FROM u)
              |SELECT user_id, event_id, asof_click_id

@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.operators.AsOf
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Standard relational coverage over the TPC-H-ish star schema
+  * (SURVEY.md §7.4): scan+filter+agg, multi-way broadcast joins,
+  * window/top-k, set ops, rollup/cube, semi/anti joins, pivot, scalar
+  * functions, as-of join.
+  *
+  * Oracle-parity rule: any SUM over a double expression is cast to
+  * DECIMAL before aggregation. Decimal addition is exact and
+  * order-independent, so Spark's parallel partial aggregation and
+  * DuckDB's sequential sum produce bit-identical results at any scale —
+  * a double sum would differ in the last ulps depending on partition
+  * order. Per-row double arithmetic (same IEEE ops both engines) is
+  * deterministic, so casting the row expression is enough.
+  */
+object RelationalQueries extends QueryModule {
+
+  private def dec(c: Column): Column = c.cast("decimal(28,6)")
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1-shaped pricing summary: full scan, predicate pushdown,
+    // 4 sums + avg + count per tiny group set. The workhorse agg bench.
+    Q("q1_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       sum(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty,
+             |       sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sum_base_price,
+             |       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS sum_disc_price,
+             |       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS sum_charge,
+             |       count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3-shaped: 3-way join, agg, deterministic top-10
+    // (revenue is an exact decimal, so the ordering is unambiguous;
+    // o_orderkey tiebreak for equal revenues)
+    Q("q3_shipping_topk",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY l_orderkey
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5-shaped: 4-way join through the dimension chain with
+    // broadcast dims, revenue per nation in one region
+    Q("q5_region_revenue",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val sup = Tables.supplier(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+             |       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin)),
+
+    // Window ranking: top-3 orders per customer by totalprice,
+    // orderkey tiebreak (row_number keeps the output deterministic)
+    Q("topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3""".stripMargin)),
+
+    // Running/analytic windows: running order total + rank + lag delta
+    // per customer in orderdate order
+    Q("window_running",
+      (s, dir) => {
+        val byCust = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice")))
+            .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_total"),
+          rank().over(byCust).as("order_rank"),
+          dec(col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(byCust), lit(0.0)))
+            .as("delta_vs_prev"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       sum(CAST(o_totalprice AS DECIMAL(28,6)))
+             |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+             |       rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_rank,
+             |       CAST(o_totalprice - coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0) AS DECIMAL(28,6)) AS delta_vs_prev
+             |FROM orders""".stripMargin)),
+
+    // Set operations: customers segmented by order-status presence
+    Q("set_ops",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+        val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+        open.intersect(done).withColumn("tag", lit("both"))
+          .unionByName(open.except(done).withColumn("tag", lit("open_only")))
+          .unionByName(done.except(open).withColumn("tag", lit("done_only")))
+      },
+      Some("""WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             |done_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM open_c INTERSECT SELECT * FROM done_c)
+             |UNION ALL
+             |SELECT o_custkey, 'open_only' AS tag FROM (SELECT * FROM open_c EXCEPT SELECT * FROM done_c)
+             |UNION ALL
+             |SELECT o_custkey, 'done_only' AS tag FROM (SELECT * FROM done_c EXCEPT SELECT * FROM open_c)""".stripMargin)),
+
+    // Semi/anti joins: order-having vs order-less customers, one frame
+    Q("semi_anti_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey")).withColumn("tag", lit("has_orders"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey")).withColumn("tag", lit("no_orders"))
+        semi.unionByName(anti)
+      },
+      Some("""SELECT c_custkey, 'has_orders' AS tag FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, 'no_orders' AS tag FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // ROLLUP: customer count + balance by region/nation with subtotals
+    Q("rollup_customers",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(dec(col("c_acctbal"))).as("total_acctbal"))
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+             |       sum(CAST(c_acctbal AS DECIMAL(28,6))) AS total_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)),
+
+    // CUBE over order status × priority
+    Q("cube_orders",
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("total_price")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             |       sum(CAST(o_totalprice AS DECIMAL(28,6))) AS total_price
+             |FROM orders
+             |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // Pivot (conditional aggregation under the hood); lowercase aliases
+    // keep column-name parity with the oracle
+    Q("pivot_status",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_finished"),
+          coalesce(col("P"), lit(0L)).as("n_pending")),
+      Some("""SELECT o_orderpriority,
+             |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+             |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+             |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // Correlated-aggregate filter (TPC-H Q18 shape): orders whose total
+    // quantity exceeds a threshold, via join against a grouped frame
+    Q("large_orders",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        o.join(big, o("o_orderkey") === big("l_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(28,6))) AS total_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 150) t
+             |ON o_orderkey = l_orderkey""".stripMargin)),
+
+    // Scalar-function surface (SURVEY.md §2.8): regex extract/match,
+    // string ops, timestamp arithmetic — projection only, no shuffle
+    Q("scalar_functions",
+      (s, dir) => Tables.part(s, dir).select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("long").as("brand_num"),
+        col("p_name").rlike("^(red|blue)").as("is_primary_color"),
+        upper(col("p_type")).as("type_upper"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        (col("p_size") % 7).as("size_mod")),
+      Some("""SELECT p_partkey,
+             |       CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+             |       regexp_matches(p_name, '^(red|blue)') AS is_primary_color,
+             |       upper(p_type) AS type_upper,
+             |       concat_ws('/', p_brand, p_type) AS brand_type,
+             |       length(p_name) AS name_len,
+             |       p_size % 7 AS size_mod
+             |FROM part""".stripMargin)),
+
+    // As-of join on the star schema: each order picks up the customer's
+    // most recent PRIOR order key (point-in-time self-join via AsOf)
+    Q("asof_prev_order",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val probe = o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        val build = o.select(col("o_custkey"),
+          col("o_orderkey").as("prev_orderkey"),
+          // strictly-before semantics: shift build timestamps by +1µs
+          // so an order never matches itself
+          (col("o_orderdate") + expr("INTERVAL 1 MICROSECOND")).as("bdate"))
+        AsOf.join(probe, build, "o_custkey", "o_orderdate", "bdate",
+          "o_orderkey", "prev_orderkey", Seq("prev_orderkey"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("asof_prev_orderkey").as("prev_orderkey"))
+      },
+      Some("""WITH u AS (
+             |  SELECT o_custkey AS k, o_orderdate AS t, 1 AS side,
+             |         o_orderkey, NULL::BIGINT AS prev_orderkey
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_custkey, o_orderdate + INTERVAL 1 MICROSECOND, 0,
+             |         NULL::BIGINT, o_orderkey
+             |  FROM orders),
+             |w AS (
+             |  SELECT k, side, o_orderkey,
+             |         last_value(prev_orderkey IGNORE NULLS)
+             |           OVER (PARTITION BY k ORDER BY t, side, coalesce(o_orderkey, prev_orderkey)
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_orderkey
+             |  FROM u)
+             |SELECT k AS o_custkey, o_orderkey, prev_orderkey
+             |FROM w WHERE side = 1""".stripMargin))
+  )
+}
