@@ -15,7 +15,10 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     EventQueries,
-    RelationalQueries
+    RelationalQueries,
+    TextQueries,
+    EmbeddingQueries,
+    MultimodalQueries
   )
 
   private lazy val registry: Seq[Q] = {

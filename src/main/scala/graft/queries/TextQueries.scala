@@ -1,0 +1,297 @@
+package graft.queries
+
+import graft.functions.TextOps
+import graft.functions.TextOps._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over `documents`
+  * (SURVEY.md §7.4 / builder extension surface): token stats, quality
+  * scoring, language-ID heuristic, fingerprinting, exact dedup,
+  * n-gram-Jaccard near-dup, MinHash+LSH near-dup, SimHash.
+  *
+  * Scale design: every pipeline is shuffle-minimal — shingling is a
+  * projection, signatures are one groupBy(doc_id), candidate
+  * generation joins on (band, signature) buckets rather than doc×doc,
+  * and verification touches only candidate pairs. At 100 TB the
+  * identical plan holds: the only quadratic step (pair verification)
+  * is bounded by LSH bucket collisions, not corpus size.
+  */
+object TextQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  /** doc_id + distinct 3-gram shingle rows; the base of all near-dup
+    * pipelines. */
+  private def shingleRows(d: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    d.select(col("doc_id"), t.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("s"))
+  }
+
+  /** Oracle CTE mirroring shingleRows: `sh(doc_id, s)`. */
+  private val shingleCte =
+    """tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |              unnest(list_distinct(list_transform(
+      |                range(1, len(t) - 1),
+      |                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+      |       FROM tok WHERE len(t) >= 3)""".stripMargin
+
+  /** Shared-shingle counts per (d1 < d2) pair via the inverted-index
+    * self-join — equi-join on the shingle, never doc×doc. Optionally
+    * semi-joined down to `cands` first (the LSH path). */
+  private def sharedCounts(sh: DataFrame, cands: Option[DataFrame]): DataFrame = {
+    val sh1 = sh.select(col("doc_id").as("d1"), col("s"))
+    val sh2 = sh.select(col("doc_id").as("d2"), col("s"))
+    val pairs = cands match {
+      // LSH path: expand only the candidate pairs — (cand ⨝ shingles
+      // of d1) equi-joined on (d2, s). Work is O(candidates), not
+      // O(all pairs sharing a shingle).
+      case Some(c) => c.join(sh1, Seq("d1")).join(sh2, Seq("d2", "s"))
+      // full path: inverted-index self-join on the shingle
+      case None => sh1.join(sh2, Seq("s")).filter(col("d1") < col("d2"))
+    }
+    pairs.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+  }
+
+  /** Exact Jaccard from shared counts + per-doc shingle-set sizes. */
+  private def jaccardOf(shared: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    shared
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Token counting + basic stats (integer sums → exact compare)
+    Q("text_token_stats",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        docs(s, dir).select(
+          col("doc_id"),
+          size(t).as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          size(array_distinct(t)).as("n_distinct_tokens"),
+          round(
+            aggregate(transform(t, x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
+              .cast("double") / size(t), 6).as("avg_token_len"))
+      },
+      Some("""SELECT doc_id,
+             |       len(string_split(trim(text), ' ')) AS n_tokens,
+             |       length(text) AS n_chars,
+             |       len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
+             |       round(list_sum(list_transform(string_split(trim(text), ' '), x -> length(x)))
+             |             / (1.0 * len(string_split(trim(text), ' '))), 6) AS avg_token_len
+             |FROM documents""".stripMargin)),
+
+    // Quality scoring: type-token ratio, stopword ratio, length gates
+    Q("text_quality",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val nTok = size(t)
+        val ttr = size(array_distinct(t)).cast("double") / nTok
+        val stop = markerHits(t, LangMarkers.head._2).cast("double") / nTok
+        docs(s, dir).select(
+          col("doc_id"),
+          round(ttr, 6).as("type_token_ratio"),
+          round(stop, 6).as("stopword_ratio"),
+          (ttr > 0.5 && nTok >= 10 && stop < 0.3).as("is_quality"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+             |SELECT doc_id,
+             |       round(len(list_distinct(toks)) / (1.0 * len(toks)), 6) AS type_token_ratio,
+             |       round(len(list_filter(toks, x -> list_contains(['the','a','and','of'], x)))
+             |             / (1.0 * len(toks)), 6) AS stopword_ratio,
+             |       (len(list_distinct(toks)) / (1.0 * len(toks)) > 0.5
+             |        AND len(toks) >= 10
+             |        AND len(list_filter(toks, x -> list_contains(['the','a','and','of'], x)))
+             |            / (1.0 * len(toks)) < 0.3) AS is_quality
+             |FROM t""".stripMargin)),
+
+    // Language-ID n-gram/stopword heuristic: marker hits per language,
+    // argmax with fixed priority tie-break; output = confusion matrix
+    Q("lang_id_confusion",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val scored = docs(s, dir).select(
+          Seq(col("lang").as("true_lang")) ++
+            LangMarkers.map { case (l, ws) => markerHits(t, ws).as(s"s_$l") }: _*)
+        val langs = LangMarkers.map(_._1)
+        val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+          case ((l, _), els) =>
+            val geAll = langs.filter(_ != l)
+              .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+            when(geAll, lit(l)).otherwise(els)
+        }
+        scored.withColumn("predicted", pred)
+          .groupBy(col("true_lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some {
+        val langs = LangMarkers.map(_._1)
+        val scoreExprs = LangMarkers.map { case (l, ws) =>
+          s"len(list_filter(toks, x -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], x))) AS s_$l"
+        }.mkString(",\n       ")
+        val predCase = langs.init.map { l =>
+          val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $ge THEN '$l'"
+        }.mkString("\n         ")
+        s"""WITH t AS (SELECT lang, string_split(trim(text), ' ') AS toks FROM documents),
+           |sc AS (SELECT lang AS true_lang,
+           |       $scoreExprs
+           |FROM t)
+           |SELECT true_lang,
+           |       CASE $predCase
+           |         ELSE '${langs.last}' END AS predicted,
+           |       count(*) AS n_docs
+           |FROM sc GROUP BY 1, 2""".stripMargin
+      }),
+
+    // Document fingerprint: md5 over lowercased alphanumerics; group
+    // size surfaces exact-normalized dups without a second pass
+    Q("doc_fingerprint",
+      (s, dir) => {
+        val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+        val w = Window.partitionBy(col("fp"))
+        docs(s, dir).select(col("doc_id"), fp.as("fp"))
+          .withColumn("n_same_fp", count(lit(1)).over(w))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |                  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+             |           FROM documents)
+             |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp
+             |FROM f""".stripMargin)),
+
+    // Exact dedup: hash-groupBy on raw text, keep min doc_id
+    Q("dedup_exact",
+      (s, dir) => {
+        val h = md5(col("text"))
+        val w = Window.partitionBy(col("h"))
+        docs(s, dir).select(col("doc_id"), h.as("h"))
+          .withColumn("canonical_id", min(col("doc_id")).over(w))
+          .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+          .select(col("doc_id"), col("canonical_id"), col("is_dup"))
+      },
+      Some("""SELECT doc_id,
+             |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+             |FROM documents""".stripMargin)),
+
+    // n-gram Jaccard near-dup: candidate pairs share >=1 shingle
+    // (inverted-index join — no doc×doc cross product), then exact
+    // Jaccard >= 0.2
+    Q("dedup_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingleRows(docs(s, dir)).cache()
+        jaccardOf(sharedCounts(sh, None), sh)
+          .filter(col("jaccard") >= 0.2)
+          .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some(s"""WITH $shingleCte,
+              |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |j AS (SELECT d1, d2, shared / (1.0 * (n1.n + n2.n - shared)) AS jaccard
+              |      FROM pairs
+              |      JOIN n n1 ON d1 = n1.doc_id
+              |      JOIN n n2 ON d2 = n2.doc_id)
+              |SELECT d1, d2, round(jaccard, 6) AS jaccard
+              |FROM j WHERE jaccard >= 0.2""".stripMargin)),
+
+    // MinHash + LSH near-dup: 16 minhashes from the portable shingle
+    // hash, banded 4×4; only band-collision candidates get exact
+    // Jaccard verification. The scale path for dedup at 100 TB.
+    Q("dedup_minhash_lsh",
+      (s, dir) => {
+        val sh = shingleRows(docs(s, dir)).cache()
+        val hashed = sh.withColumn("h", portableHash(col("s")))
+        val mh = hashed.groupBy(col("doc_id"))
+          .agg(min(minhashExpr(col("h"), 0)).as("mh0"),
+            (1 until MinhashAB.size).map(i =>
+              min(minhashExpr(col("h"), i)).as(s"mh$i")): _*)
+        val banded = (0 until MinhashBands).map { b =>
+          val sig = concat_ws("_",
+            (0 until MinhashRows).map(r => col(s"mh${b * MinhashRows + r}")): _*)
+          mh.select(col("doc_id"), lit(b).as("band"), sig.as("sig"))
+        }.reduce(_ unionByName _)
+        val cands = banded.as("x")
+          .join(banded.as("y"), Seq("band", "sig"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        jaccardOf(sharedCounts(sh, Some(cands)), sh)
+          .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"),
+            (col("jaccard") >= 0.5).as("is_dup"))
+      },
+      Some {
+        val h = "('0x' || substr(md5(s), 1, 15))::BIGINT"
+        val mhExprs = MinhashAB.indices
+          .map(i => s"min(${minhashSql("h", i)}) AS mh$i").mkString(",\n             ")
+        val bandSelects = (0 until MinhashBands).map { b =>
+          val sig = (0 until MinhashRows).map(r => s"mh${b * MinhashRows + r}").mkString(", '_', ")
+          s"SELECT doc_id, $b AS band, concat(${sig}) AS sig FROM mh"
+        }.mkString("\n      UNION ALL\n      ")
+        s"""WITH $shingleCte,
+           |hs AS (SELECT doc_id, $h AS h FROM sh),
+           |mh AS (SELECT doc_id,
+           |             $mhExprs
+           |      FROM hs GROUP BY doc_id),
+           |banded AS (
+           |      $bandSelects),
+           |cands AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |          FROM banded x JOIN banded y
+           |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+           |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |shared AS (SELECT c.d1, c.d2, count(*) AS shared
+           |           FROM cands c
+           |           JOIN sh a ON a.doc_id = c.d1
+           |           JOIN sh b ON b.doc_id = c.d2 AND a.s = b.s
+           |           GROUP BY 1, 2)
+           |SELECT d1, d2,
+           |       round(shared / (1.0 * (n1.n + n2.n - shared)), 6) AS jaccard,
+           |       shared / (1.0 * (n1.n + n2.n - shared)) >= 0.5 AS is_dup
+           |FROM shared
+           |JOIN n n1 ON d1 = n1.doc_id
+           |JOIN n n2 ON d2 = n2.doc_id""".stripMargin
+      }),
+
+    // SimHash: 32-bit signature over the token multiset; docs sharing
+    // a signature are near-dup candidates
+    Q("dedup_simhash",
+      (s, dir) => {
+        val hl = transform(tokens(col("text")), t => portableHash(t))
+        val simhash = (0 until SimhashBits).map { b =>
+          val bitsum = aggregate(col("hl"), lit(0L),
+            (acc, h) => acc + (shiftright(h, b) % lit(2L)) * lit(2L) - lit(1L))
+          when(bitsum > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val w = Window.partitionBy(col("simhash"))
+        docs(s, dir).select(col("doc_id"), hl.as("hl"))
+          .select(col("doc_id"), simhash.as("simhash"))
+          .withColumn("n_same_sig", count(lit(1)).over(w))
+      },
+      Some {
+        val terms = (0 until SimhashBits).map { b =>
+          s"(CASE WHEN list_sum(list_transform(hl, h -> ((h >> $b) % 2) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString("\n         + ")
+        s"""WITH hs AS (SELECT doc_id,
+           |                   list_transform(string_split(trim(text), ' '),
+           |                                  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hl
+           |            FROM documents),
+           |sig AS (SELECT doc_id,
+           |         $terms AS simhash
+           |FROM hs)
+           |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same_sig
+           |FROM sig""".stripMargin
+      })
+  )
+}
