@@ -1,0 +1,47 @@
+package graft
+
+import graft.config.DefaultConfig
+import graft.sources.Tables
+import graft.streaming.EventPipeline
+import graft.streaming.EventPipeline.EventRow
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** End-to-end streaming throughput: events → incremental per-user
+  * aggregates → rules → grant-flip CDC (the reference's full write
+  * path, SURVEY.md §3.1), measured in events/s. The reference's only
+  * published figure is ≈2,000 req/s (BASELINE.md); this must clear it.
+  *
+  * Usage: runMain graft.StreamBench [sfDir] [nChunks]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nChunks = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val events = Tables.events(spark, sfDir).as[EventRow].collect()
+    val chunks = events.grouped(math.max(1, events.length / nChunks)).toSeq
+
+    val ms = MemoryStream[EventRow](spark)
+    val q = EventPipeline.grantChanges(spark, ms.toDS(), DefaultConfig.config)
+      .writeStream.format("memory").queryName("bench_flips")
+      .outputMode("append").start()
+    val t0 = System.nanoTime()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val flips = spark.table("bench_flips").count()
+    println(s"""{"metric":"stream_events_per_sec","value":${events.length / sec},"unit":"events/sec","events":${events.length},"micro_batches":${chunks.length},"flips":$flips,"sec":$sec}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.config.DefaultConfig
+import graft.operators.{EventAggregates, Grants}
+import graft.streaming.EventPipeline
+import graft.streaming.EventPipeline.{EventRow, GrantChange}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's core quality invariant (SURVEY.md §7.5 #5): the
+  * incremental streaming path (flatMapGroupsWithState keyed state) and
+  * the batch compiler produce the SAME grants on the same events —
+  * including uuid dedup across micro-batches. */
+class StreamingParitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val cfg = DefaultConfig.config
+
+  private def ev(id: Long, user: Long, typ: String, value: Double, minute: Int): EventRow =
+    EventRow(id, java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"),
+      user, typ, value, """{"k": 1}""")
+
+  test("streaming grant CDC matches batch compilation, dedups across batches") {
+    import spark.implicits._
+    val batch1 = Seq(
+      ev(1, 1, "purchase", 600.0, 1), // denom 600 ≥ denom_min 500
+      ev(2, 1, "error", 700.0, 2))    // ratio 1.17 ≥ 1.0 → revoke purchase
+    val batch2 = Seq(
+      ev(2, 1, "error", 700.0, 2),    // duplicate uuid → must be ignored
+      ev(3, 1, "purchase", 200.0, 3)) // ratio 700/800 < 1.0 → re-grant
+
+    val ms = MemoryStream[EventRow](spark)
+    val q = EventPipeline.grantChanges(spark, ms.toDS(), cfg)
+      .writeStream.format("memory").queryName("flips").outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+
+    val flips = spark.table("flips").as[GrantChange].collect().toSeq
+    assert(flips == Seq(
+      GrantChange(1, "purchase", false),
+      GrantChange(1, "purchase", true)))
+
+    // batch side on the SAME events (with the duplicate present):
+    val all = (batch1 ++ batch2).toDF()
+    val batchGrants = Grants.long(EventAggregates.perUser(all, cfg.aggregates), cfg)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
+
+    // reconstruct streaming final state: default TRUE + last flip wins
+    val streamFinal = cfg.features.map { f =>
+      val last = flips.filter(c => c.user_id == 1 && c.feature == f.name).lastOption
+      (1L, f.name) -> last.map(_.has_grant).getOrElse(true)
+    }.toMap
+    assert(streamFinal == batchGrants)
+  }
+
+  test("batch mode runs the identical stateful code path") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, 5, "purchase", 600.0, 1),
+      ev(2, 5, "error", 900.0, 2)).toDS()
+    val flips = EventPipeline.grantChanges(spark, events, cfg).collect()
+    assert(flips.toSeq == Seq(GrantChange(5, "purchase", false)))
+  }
+}
