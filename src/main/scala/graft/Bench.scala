@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: every registered query at SPARK_GRAFT_SF_DIR,
+  * one JSON line out (driver contract).
+  *
+  * Each query is forced through the `noop` sink — a plain `.count()`
+  * would let Catalyst prune every projection (a scan-only count reads
+  * parquet footers, not the operators under test). noop executes the
+  * full physical plan and discards rows.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +17,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warmup: JVM/codegen/session init must not be billed to the first
+    // query (it was ~4s of a1's 5.2s before this).
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.sources.Tables.events(spark, sfDir).limit(10).collect()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    // Streaming write-path throughput (baseline parity figure: the
+    // reference publishes ~2,000 req/s, BASELINE.md).
+    val streamEps = try StreamBench.run(spark, sfDir, nChunks = 5)._1
+      catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

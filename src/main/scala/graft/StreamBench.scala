@@ -15,6 +15,26 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * Usage: runMain graft.StreamBench [sfDir] [nChunks]
   */
 object StreamBench {
+
+  /** Feed the sf dir's events through the streaming pipeline in
+    * `nChunks` micro-batches; returns (events/sec, flips). */
+  def run(spark: SparkSession, sfDir: String, nChunks: Int): (Double, Long) = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir).as[EventRow].collect()
+    val chunks = events.grouped(math.max(1, events.length / nChunks)).toSeq
+    val ms = MemoryStream[EventRow](spark)
+    val name = s"bench_flips_${System.nanoTime()}"
+    val q = EventPipeline.grantChanges(spark, ms.toDS(), DefaultConfig.config)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val t0 = System.nanoTime()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (events.length / sec, spark.table(name).count())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nChunks = args.lift(1).map(_.toInt).getOrElse(10)
@@ -26,22 +46,8 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    val events = Tables.events(spark, sfDir).as[EventRow].collect()
-    val chunks = events.grouped(math.max(1, events.length / nChunks)).toSeq
-
-    val ms = MemoryStream[EventRow](spark)
-    val q = EventPipeline.grantChanges(spark, ms.toDS(), DefaultConfig.config)
-      .writeStream.format("memory").queryName("bench_flips")
-      .outputMode("append").start()
-    val t0 = System.nanoTime()
-    try {
-      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
-    } finally q.stop()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val flips = spark.table("bench_flips").count()
-    println(s"""{"metric":"stream_events_per_sec","value":${events.length / sec},"unit":"events/sec","events":${events.length},"micro_batches":${chunks.length},"flips":$flips,"sec":$sec}""")
+    val (eps, flips) = run(spark, sfDir, nChunks)
+    println(s"""{"metric":"stream_events_per_sec","value":$eps,"unit":"events/sec","micro_batches":$nChunks,"flips":$flips}""")
     spark.stop()
   }
 }

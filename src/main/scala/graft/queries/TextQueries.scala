@@ -218,11 +218,15 @@ object TextQueries extends QueryModule {
           .agg(min(minhashExpr(col("h"), 0)).as("mh0"),
             (1 until MinhashAB.size).map(i =>
               min(minhashExpr(col("h"), i)).as(s"mh$i")): _*)
-        val banded = (0 until MinhashBands).map { b =>
+        // one pass over mh: explode the 4 band signatures instead of a
+        // 4-way union (which would recompute the aggregate per branch)
+        val bandStructs = array((0 until MinhashBands).map { b =>
           val sig = concat_ws("_",
             (0 until MinhashRows).map(r => col(s"mh${b * MinhashRows + r}")): _*)
-          mh.select(col("doc_id"), lit(b).as("band"), sig.as("sig"))
-        }.reduce(_ unionByName _)
+          struct(lit(b).as("band"), sig.as("sig"))
+        }: _*)
+        val banded = mh.select(col("doc_id"), explode(bandStructs).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
         val cands = banded.as("x")
           .join(banded.as("y"), Seq("band", "sig"))
           .filter(col("x.doc_id") < col("y.doc_id"))
