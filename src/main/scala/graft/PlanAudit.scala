@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for representative queries and flags
+  * scale smells: missing parquet filter pushdown, missing broadcast on
+  * dimension joins, cartesian products, missing whole-stage codegen.
+  *
+  * Usage: runMain graft.PlanAudit [sfDir] [query ...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_pricing_summary", "q3_shipping_topk", "q5_region_revenue",
+        "a1_count_dedup", "a5_sliding_window", "j5_grant_lookup",
+        "dedup_minhash_lsh", "embed_ann_bucketed", "asof_prev_order",
+        "r5_feature_grants")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // materialize so AQE finalizes and codegen stages appear
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n===== $name =====")
+      println(plan)
+      val smells = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "no-WholeStageCodegen" -> !plan.contains("codegen id"),
+        "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoopJoin")
+      ).collect { case (s, true) => s }
+      println(if (smells.nonEmpty) s"[audit] $name SMELLS: ${smells.mkString(", ")}"
+        else s"[audit] $name clean")
+    }
+    spark.stop()
+  }
+}

@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingQueries extends QueryModule {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
+  /** Native codegen'd expression (CosineSimilarity); semantically
+    * identical to the HOF formulation
+    * `aggregate(zip_with(a,b,_*_),0,_+_) / (√·√)` but fused into one
+    * generated loop. */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.expressions.CosineSimilarity(a, b)
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
