@@ -59,6 +59,28 @@ object EventQueries extends QueryModule {
              |       max(CAST(props::JSON->>'k' AS BIGINT))   AS max_k
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // P1+P2 as the reusable ingest API: schema-registry classification
+    // with dead-letter routing (EventIngest; reference app.py:19-44)
+    Q("ingest_classify",
+      (s, dir) => graft.sources.EventIngest.classify(events(s, dir))
+        .groupBy(col("ingest_status"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("props_parsed.k")).as("n_parsed_k")),
+      Some("""SELECT CASE
+             |         WHEN event_type NOT IN ('click','signup','purchase','error')
+             |           THEN 'unknown_event_type'
+             |         WHEN try_cast(props AS JSON) IS NULL
+             |              OR json_extract(try_cast(props AS JSON), '$.k') IS NULL
+             |           THEN 'invalid_properties'
+             |         ELSE 'valid'
+             |       END AS ingest_status,
+             |       event_type,
+             |       count(*) AS n,
+             |       count(CASE WHEN event_type IN ('click','signup','purchase','error')
+             |                  THEN CAST(try_cast(props AS JSON)->>'k' AS BIGINT) END) AS n_parsed_k
+             |FROM events
+             |GROUP BY 1, 2""".stripMargin)),
+
     // A1: COUNT aggregate, dedup-by-uuid (reference aggregate.py:52-54)
     Q("a1_count_dedup",
       (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
