@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** User-facing session factory with the engine's recommended
+  * configuration: AQE (runtime re-plan, partition coalescing, skew-join
+  * splitting), native function registration (GraftExtensions), UTC
+  * session time, and shuffle parallelism sized to the cluster rather
+  * than Spark's legacy default of 200.
+  *
+  * On a real cluster, `shufflePartitions` should be ≈ 2-3× total
+  * executor cores and `spark.sql.files.maxPartitionBytes` left at 128m
+  * so scan tasks stay balanced; both are plain configs callers can
+  * override after `builder(...)`.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+
+  /** Local development/test shape. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cores]", cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

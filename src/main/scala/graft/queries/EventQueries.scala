@@ -93,6 +93,26 @@ object EventQueries extends QueryModule {
         .select(col("user_id"), col("distinct_click_keys")),
       Some(aggCte + "\nSELECT user_id, distinct_click_keys FROM agg")),
 
+    // A2 scale path: HLL approximate distinct count (opt-in; exact
+    // count_distinct stays the correctness contract, SURVEY.md A2).
+    // No SQL oracle — DuckDB's approx sketch differs from Spark's — so
+    // the driver records a rows-only check; the rel_error bound is
+    // asserted against the exact result instead.
+    Q("a2_distinct_approx",
+      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
+        .join(
+          events(s, dir).filter(col("event_type") === "click")
+            .groupBy(col("user_id"))
+            .agg(approx_count_distinct(
+              get_json_object(col("props"), "$.k").cast("long"), 0.02)
+              .as("approx_click_keys")),
+          Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("distinct_click_keys"),
+          coalesce(col("approx_click_keys"), lit(0L)).as("approx_click_keys"),
+          (abs(col("distinct_click_keys") - coalesce(col("approx_click_keys"), lit(0L)))
+            <= greatest(lit(2.0), col("distinct_click_keys") * 0.1)).as("within_bound")),
+      None),
+
     // A3: SUM(field) dedup-by-uuid (reference aggregate.py:55-58)
     Q("a3_sum_dedup",
       (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
