@@ -55,16 +55,25 @@ object Windowed {
   def grantFlips(events: DataFrame, ratioThreshold: Double = 1.0): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Decimal running sums + multiply-compare instead of a double
+    // division: the test data plants users whose error and purchase
+    // totals are EXACTLY equal, where double accumulation order (which
+    // differs between engines and between partitionings) decides the
+    // grant. Decimal addition is exact and order-independent, and
+    // `run_e < run_p * t` avoids quotient rounding entirely.
     events
       .withColumn("run_purchase",
-        sum(when(col("event_type") === "purchase", col("value"))).over(running))
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(28,6)"))).over(running))
       .withColumn("run_error",
-        sum(when(col("event_type") === "error", col("value"))).over(running))
+        sum(when(col("event_type") === "error",
+          col("value").cast("decimal(28,6)"))).over(running))
       .withColumn("granted",
-        coalesce(
-          col("run_error") / when(col("run_purchase") =!= 0, col("run_purchase"))
-            < lit(ratioThreshold),
-          lit(true)))
+        when(coalesce(col("run_purchase"), lit(0)) === 0, lit(true))
+          .otherwise(coalesce(col("run_error"), lit(0)) <
+            // decimal literal: lit(Double) would demote the whole
+            // comparison to floating point again
+            col("run_purchase") * lit(java.math.BigDecimal.valueOf(ratioThreshold))))
       .withColumn("prev_granted", lag(col("granted"), 1).over(byUser))
       .filter(col("prev_granted").isNotNull && col("prev_granted") =!= col("granted"))
       .select(col("user_id"), col("event_id"), col("ts"), col("granted"))

@@ -252,15 +252,16 @@ object EventQueries extends QueryModule {
         .select(col("user_id"), col("event_id"), col("granted")),
       Some("""WITH t AS (
              |  SELECT user_id, event_id, ts,
-             |    sum(CASE WHEN event_type = 'purchase' THEN value END)
+             |    sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) END)
              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_p,
-             |    sum(CASE WHEN event_type = 'error' THEN value END)
+             |    sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(28,6)) END)
              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_e
              |  FROM events),
              |g AS (SELECT user_id, event_id, ts,
-             |             coalesce(run_e / nullif(run_p, 0) < 1.0, TRUE) AS granted
+             |             CASE WHEN coalesce(run_p, 0) = 0 THEN TRUE
+             |                  ELSE coalesce(run_e, 0) < run_p * 1.0 END AS granted
              |      FROM t),
              |f AS (SELECT *, lag(granted) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
              |      FROM g)

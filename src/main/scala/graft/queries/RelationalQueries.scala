@@ -259,6 +259,62 @@ object RelationalQueries extends QueryModule {
              |       p_size % 7 AS size_mod
              |FROM part""".stripMargin)),
 
+    // Ranking-window family: ntile quartiles, percent_rank, cume_dist
+    Q("window_ranking",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_orderstatus"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+             |       ntile(4) OVER w AS quartile,
+             |       round(percent_rank() OVER w, 6) AS pct_rank,
+             |       round(cume_dist() OVER w, 6) AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus
+             |             ORDER BY o_totalprice, o_orderkey)""".stripMargin)),
+
+    // Time-series rollup: monthly order revenue + cumulative total
+    Q("monthly_revenue",
+      (s, dir) => {
+        val m = Tables.orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).as("revenue"))
+        m.withColumn("cum_revenue",
+          sum(col("revenue")).over(
+            Window.orderBy(col("month"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             |         count(*) AS n_orders,
+             |         sum(CAST(o_totalprice AS DECIMAL(28,6))) AS revenue
+             |  FROM orders GROUP BY 1)
+             |SELECT month, n_orders, revenue,
+             |       sum(revenue) OVER (ORDER BY month
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+             |FROM m""".stripMargin)),
+
+    // Exact interpolated percentiles per group (Spark `percentile` and
+    // DuckDB `quantile_cont` both interpolate linearly)
+    Q("percentiles_by_status",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75")),
+      Some("""SELECT o_orderstatus,
+             |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             |       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+             |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // As-of join on the star schema: each order picks up the customer's
     // most recent PRIOR order key (point-in-time self-join via AsOf)
     Q("asof_prev_order",

@@ -92,6 +92,24 @@ object TextQueries extends QueryModule {
              |             / (1.0 * len(string_split(trim(text), ' '))), 6) AS avg_token_len
              |FROM documents""".stripMargin)),
 
+    // Term frequencies: the canonical explode → count shape; top-50
+    // with token tiebreak for determinism
+    Q("term_frequencies",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(50),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+             |           FROM documents)
+             |SELECT token, count(*) AS n_occurrences,
+             |       count(DISTINCT doc_id) AS n_docs
+             |FROM t GROUP BY token
+             |ORDER BY n_occurrences DESC, token
+             |LIMIT 50""".stripMargin)),
+
     // Quality scoring: type-token ratio, stopword ratio, length gates
     Q("text_quality",
       (s, dir) => {
