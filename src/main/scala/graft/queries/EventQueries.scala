@@ -301,6 +301,36 @@ object EventQueries extends QueryModule {
           |       (c.circuit_open OR g.has_grant) AS has_access
           |FROM g CROSS JOIN c""".stripMargin)),
 
+    // Native as-of join (custom LogicalPlan + Strategy + SparkPlan,
+    // graft.plans): same semantics and oracle as asof_click_attribution,
+    // executed by the co-partitioned linear-merge AsOfJoinExec
+    Q("asof_native_click",
+      (s, dir) => {
+        val e = events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+        graft.operators.AsOfNative
+          .join(purchases, clicks, "user_id", "ts", "cts", "event_id", "click_id")
+          .toDF("user_id", "event_id", "ts", "b_user_id", "asof_click_id", "cts")
+          .select(col("user_id"), col("event_id"), col("asof_click_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, 1 AS side, event_id, NULL::BIGINT AS click_id
+             |  FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, ts, 0 AS side, NULL::BIGINT, event_id
+             |  FROM events WHERE event_type = 'click'),
+             |w AS (
+             |  SELECT user_id, side, event_id,
+             |         last_value(click_id IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY ts, side, coalesce(event_id, click_id)
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+             |  FROM u)
+             |SELECT user_id, event_id, asof_click_id
+             |FROM w WHERE side = 1""".stripMargin)),
+
     // As-of join (extension §7.4): for each purchase event, the most
     // recent click of the same user at or before it — the
     // point-in-time attribution join, via AsOf.join (one shuffle).
