@@ -1,12 +1,14 @@
 package graft
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, HllSketchAgg}
+import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * expressions for SQL use. Attach with
+  * expressions (SQL: cosine_sim, hll_distinct) and the as-of join
+  * planner strategy. Attach with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
@@ -17,5 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_distinct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllSketchAgg(exprs.head).toAggregateExpression()))
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

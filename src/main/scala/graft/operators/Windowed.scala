@@ -43,6 +43,23 @@ object Windowed {
       .select(col("win_start"), col("n_events"), col("n_denials"),
         round(col("denial_rate"), 6).as("denial_rate"), col("circuit_open"))
 
+  /** Streaming circuit breaker: the same sliding-window denial-rate
+    * computation over an unbounded source, with a watermark bounding
+    * window state (the reference trims its deque manually,
+    * user_feature.py:63-69; the watermark is the principled version).
+    * Append mode emits each window once it is final. */
+  def circuitStream(events: DataFrame, threshold: Double = 0.05,
+                    watermark: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", lit(1))).as("n_denials"))
+      .select(col("window.start").as("win_start"), col("n_events"),
+        col("n_denials"),
+        (col("n_denials").cast("double") / col("n_events") > lit(threshold))
+          .as("circuit_open"))
+
   /** Grant-flip CDC (R7): evaluate the grant after every event in
     * per-user time order (running aggregates), emit only the rows where
     * the grant CHANGED (reference user_feature.py:32-44 acts only on

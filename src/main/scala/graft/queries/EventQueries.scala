@@ -113,6 +113,23 @@ object EventQueries extends QueryModule {
             <= greatest(lit(2.0), col("distinct_click_keys") * 0.1)).as("within_bound")),
       None),
 
+    // A2 scale path #2: the custom TypedImperativeAggregate HLL sketch
+    // (graft.functions.expressions.HllSketchAgg) — mergeable fixed-size
+    // state; bound-checked against the exact count (rows-only gate)
+    Q("a2_distinct_hll",
+      (s, dir) => events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(
+          countDistinct(get_json_object(col("props"), "$.k").cast("long"))
+            .as("exact_keys"),
+          graft.functions.expressions.HllSketchAgg(
+            get_json_object(col("props"), "$.k").cast("long")).as("hll_keys"))
+        .select(col("user_id"), col("exact_keys"), col("hll_keys"),
+          (abs(col("exact_keys") - col("hll_keys"))
+            <= greatest(lit(3.0), col("exact_keys") * 0.1)).as("within_bound")),
+      None),
+
     // A3: SUM(field) dedup-by-uuid (reference aggregate.py:55-58)
     Q("a3_sum_dedup",
       (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.streaming.EventPipeline.GrantChange
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+/** Notification sink (SURVEY.md S3): on every grant flip, synthesize an
+  * `access_granted` / `access_revoked` event envelope and hand it to a
+  * transport — mirroring the reference's outbound webhook
+  * (services/notifications.py:16-25, envelope built in
+  * user_feature.py:81-96, where the transport is a stubbed print).
+  *
+  * The envelope's uuid must be deterministic for exactly-once delivery
+  * under micro-batch retries: a random uuid() would re-randomize on
+  * replay, so it is derived from (user, feature, grant, batch).
+  */
+object NotificationSink {
+
+  final case class Notification(
+      uuid: String, name: String, user_id: Long, feature: String)
+
+  /** Pluggable transport; production = HTTP/Kafka producer per
+    * partition, default = in-memory collector for tests/demos. */
+  trait Transport extends Serializable {
+    def send(batchId: Long, notifications: Iterator[Notification]): Unit
+  }
+
+  /** Batch-shaped envelope synthesis (shared by batch + streaming). */
+  def envelope(changes: DataFrame): DataFrame =
+    changes.select(
+      md5(concat_ws("|", col("user_id"), col("feature"), col("has_grant")))
+        .as("uuid"),
+      when(col("has_grant"), lit("access_granted"))
+        .otherwise(lit("access_revoked")).as("name"),
+      col("user_id"), col("feature"))
+
+  /** foreachBatch writer delivering grant-change notifications. */
+  def writer(changes: Dataset[GrantChange], transport: Transport)
+      : DataStreamWriter[GrantChange] =
+    changes.writeStream.foreachBatch { (batch: Dataset[GrantChange], batchId: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val ns = envelope(batch.toDF()).as[Notification]
+      // per-partition delivery: the transport connects once per
+      // partition, not per notification
+      ns.foreachPartition { it: Iterator[Notification] =>
+        transport.send(batchId, it)
+      }
+    }
+
+  /** Wire events → grant CDC → notifications, started. */
+  def start(spark: org.apache.spark.sql.SparkSession,
+            events: Dataset[EventPipeline.EventRow],
+            cfg: graft.config.EngineConfig,
+            transport: Transport): StreamingQuery =
+    writer(EventPipeline.grantChanges(spark, events, cfg), transport).start()
+}
