@@ -32,6 +32,7 @@ object StreamBench {
       chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
     } finally q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(s"[stream] progress: ${EventPipeline.queueMetrics(q)}")
     (events.length / sec, spark.table(name).count())
   }
 

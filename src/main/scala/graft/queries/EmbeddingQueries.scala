@@ -83,6 +83,31 @@ object EmbeddingQueries extends QueryModule {
               |SELECT $bucketSql AS bucket, count(*) AS n_vecs
               |FROM e GROUP BY 1""".stripMargin)),
 
+    // Embedding-cosine near-dup (the dedup-variant framing of ANN):
+    // LSH-bucketed candidate pairs, exact cosine, threshold. At 100 TB
+    // the bucket join bounds the quadratic step exactly like MinHash
+    // banding does for text.
+    Q("dedup_embedding_cosine",
+      (s, dir) => {
+        val e = vecs(s, dir).withColumn("bucket", bucketCol(col("emb")))
+        val a = e.select(col("bucket"), col("vec_id").as("v1"), col("emb").as("e1"))
+        val b = e.select(col("bucket"), col("vec_id").as("v2"), col("emb").as("e2"))
+        a.join(b, Seq("bucket"))
+          .filter(col("v1") < col("v2"))
+          .withColumn("sim", cosine(col("e1"), col("e2")))
+          .filter(col("sim") >= 0.3)
+          .select(col("v1"), col("v2"), round(col("sim"), 5).as("sim"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, emb, $bucketSql AS bucket
+              |           FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
+              |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+              |             list_dot_product(a.emb, b.emb)
+              |               / (sqrt(list_dot_product(a.emb, a.emb))
+              |                  * sqrt(list_dot_product(b.emb, b.emb))) AS sim
+              |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT v1, v2, round(sim, 5) AS sim
+              |FROM p WHERE sim >= 0.3""".stripMargin)),
+
     // Bucketed ANN: rank only within the query's bucket — approximate
     // (recall < 1) but join-pruned; the plan that survives scale-out
     Q("embed_ann_bucketed",

@@ -97,6 +97,24 @@ object RelationalQueries extends QueryModule {
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name""".stripMargin)),
 
+    // TPC-H Q6-shaped: pure scan + multi-predicate filter + single agg —
+    // the predicate-pushdown showcase (all three filters reach parquet)
+    Q("q6_forecast_revenue",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.02 AND 0.06
+             |  AND l_quantity < 24""".stripMargin)),
+
     // Window ranking: top-3 orders per customer by totalprice,
     // orderkey tiebreak (row_number keeps the output deterministic)
     Q("topk_per_group",

@@ -106,6 +106,21 @@ object EventPipeline {
     changes.iterator
   }
 
+  /** Backlog/observability surface (SURVEY.md S5: the reference's
+    * `GET /queue-size`, app.py:47-60). In Structured Streaming the
+    * "queue" is the source backlog + state store, read from query
+    * progress rather than an in-process counter. */
+  def queueMetrics(q: org.apache.spark.sql.streaming.StreamingQuery): Map[String, Any] = {
+    Option(q.lastProgress).map { p =>
+      Map(
+        "batch_id" -> p.batchId,
+        "num_input_rows" -> p.numInputRows,
+        "input_rows_per_sec" -> p.inputRowsPerSecond,
+        "process_rows_per_sec" -> p.processedRowsPerSecond,
+        "state_rows" -> p.stateOperators.map(_.numRowsTotal).sum)
+    }.getOrElse(Map("batch_id" -> -1L))
+  }
+
   /** Wire the pipeline over any Dataset[EventRow] — a streaming source
     * (MemoryStream, Kafka, file) or a static frame (batch mode runs the
     * same code path: the batch/stream parity guarantee). */
