@@ -262,6 +262,31 @@ object EventQueries extends QueryModule {
              |       n_denials / (1.0 * n_events) > 0.05 AS circuit_open
              |FROM c""".stripMargin)),
 
+    // Sessionization (extension surface): session_window with 30-min
+    // gap vs a gaps-and-islands oracle. Session starts are emitted as
+    // epoch-µs BIGINTs (raw ns timestamps never leave the engine).
+    Q("sessionization",
+      (s, dir) => events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("session"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session.start")).as("session_start_us"),
+          col("n_events")),
+      Some("""WITH o AS (
+             |  SELECT user_id, epoch_us(ts) AS tus,
+             |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |m AS (SELECT user_id, tus,
+             |             CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s
+             |      FROM o),
+             |s AS (SELECT user_id, tus,
+             |             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |      FROM m)
+             |SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     // R7: grant-flip CDC — emit only on state change (reference
     // user_feature.py:32-44), batch form via running aggs + lag
     Q("r7_grant_flips",

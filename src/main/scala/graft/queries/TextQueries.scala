@@ -59,6 +59,66 @@ object TextQueries extends QueryModule {
     pairs.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
   }
 
+  /** The MinHash+LSH candidate pipeline through exact-Jaccard
+    * verification: (d1, d2, jaccard). Shared by dedup_minhash_lsh and
+    * dedup_clusters. */
+  private def minhashPairs(d: DataFrame): DataFrame = {
+    val sh = shingleRows(d).cache()
+    val hashed = sh.withColumn("h", portableHash(col("s")))
+    val mh = hashed.groupBy(col("doc_id"))
+      .agg(min(minhashExpr(col("h"), 0)).as("mh0"),
+        (1 until MinhashAB.size).map(i =>
+          min(minhashExpr(col("h"), i)).as(s"mh$i")): _*)
+    // one pass over mh: explode the 4 band signatures instead of a
+    // 4-way union (which would recompute the aggregate per branch)
+    val bandStructs = array((0 until MinhashBands).map { b =>
+      val sig = concat_ws("_",
+        (0 until MinhashRows).map(r => col(s"mh${b * MinhashRows + r}")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }: _*)
+    val banded = mh.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cands = banded.as("x")
+      .join(banded.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    jaccardOf(sharedCounts(sh, Some(cands)), sh)
+  }
+
+  /** Oracle CTE chain mirroring minhashPairs, ending in
+    * `mh_pairs(d1, d2, jaccard)`. */
+  private val minhashPairsCte: String = {
+    val h = "('0x' || substr(md5(s), 1, 15))::BIGINT"
+    val mhExprs = MinhashAB.indices
+      .map(i => s"min(${minhashSql("h", i)}) AS mh$i").mkString(",\n             ")
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val sig = (0 until MinhashRows).map(r => s"mh${b * MinhashRows + r}").mkString(", '_', ")
+      s"SELECT doc_id, $b AS band, concat(${sig}) AS sig FROM mh"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""$shingleCte,
+       |hs AS (SELECT doc_id, $h AS h FROM sh),
+       |mh AS (SELECT doc_id,
+       |             $mhExprs
+       |      FROM hs GROUP BY doc_id),
+       |banded AS (
+       |      $bandSelects),
+       |cands AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |          FROM banded x JOIN banded y
+       |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (SELECT c.d1, c.d2, count(*) AS shared
+       |           FROM cands c
+       |           JOIN sh a ON a.doc_id = c.d1
+       |           JOIN sh b ON b.doc_id = c.d2 AND a.s = b.s
+       |           GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT d1, d2, shared / (1.0 * (n1.n + n2.n - shared)) AS jaccard
+       |  FROM shared
+       |  JOIN n n1 ON d1 = n1.doc_id
+       |  JOIN n n2 ON d2 = n2.doc_id)""".stripMargin
+  }
+
   /** Exact Jaccard from shared counts + per-doc shingle-set sizes. */
   private def jaccardOf(shared: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -229,62 +289,36 @@ object TextQueries extends QueryModule {
     // hash, banded 4×4; only band-collision candidates get exact
     // Jaccard verification. The scale path for dedup at 100 TB.
     Q("dedup_minhash_lsh",
+      (s, dir) => minhashPairs(docs(s, dir))
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"),
+          (col("jaccard") >= 0.5).as("is_dup")),
+      Some(s"""WITH $minhashPairsCte
+              |SELECT d1, d2,
+              |       round(jaccard, 6) AS jaccard,
+              |       jaccard >= 0.5 AS is_dup
+              |FROM mh_pairs""".stripMargin)),
+
+    // Dedup clustering: verified near-dup pairs → connected components
+    // → one canonical doc per group (iterative min-label propagation;
+    // oracle = recursive-CTE transitive closure)
+    Q("dedup_clusters",
       (s, dir) => {
-        val sh = shingleRows(docs(s, dir)).cache()
-        val hashed = sh.withColumn("h", portableHash(col("s")))
-        val mh = hashed.groupBy(col("doc_id"))
-          .agg(min(minhashExpr(col("h"), 0)).as("mh0"),
-            (1 until MinhashAB.size).map(i =>
-              min(minhashExpr(col("h"), i)).as(s"mh$i")): _*)
-        // one pass over mh: explode the 4 band signatures instead of a
-        // 4-way union (which would recompute the aggregate per branch)
-        val bandStructs = array((0 until MinhashBands).map { b =>
-          val sig = concat_ws("_",
-            (0 until MinhashRows).map(r => col(s"mh${b * MinhashRows + r}")): _*)
-          struct(lit(b).as("band"), sig.as("sig"))
-        }: _*)
-        val banded = mh.select(col("doc_id"), explode(bandStructs).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-        val cands = banded.as("x")
-          .join(banded.as("y"), Seq("band", "sig"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .distinct()
-        jaccardOf(sharedCounts(sh, Some(cands)), sh)
-          .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"),
-            (col("jaccard") >= 0.5).as("is_dup"))
+        val edges = minhashPairs(docs(s, dir))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("d1").as("a"), col("d2").as("b"))
+        graft.operators.ConnectedComponents.components(edges)
+          .select(col("node").as("doc_id"), col("component").as("canonical_id"))
       },
-      Some {
-        val h = "('0x' || substr(md5(s), 1, 15))::BIGINT"
-        val mhExprs = MinhashAB.indices
-          .map(i => s"min(${minhashSql("h", i)}) AS mh$i").mkString(",\n             ")
-        val bandSelects = (0 until MinhashBands).map { b =>
-          val sig = (0 until MinhashRows).map(r => s"mh${b * MinhashRows + r}").mkString(", '_', ")
-          s"SELECT doc_id, $b AS band, concat(${sig}) AS sig FROM mh"
-        }.mkString("\n      UNION ALL\n      ")
-        s"""WITH $shingleCte,
-           |hs AS (SELECT doc_id, $h AS h FROM sh),
-           |mh AS (SELECT doc_id,
-           |             $mhExprs
-           |      FROM hs GROUP BY doc_id),
-           |banded AS (
-           |      $bandSelects),
-           |cands AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-           |          FROM banded x JOIN banded y
-           |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-           |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           |shared AS (SELECT c.d1, c.d2, count(*) AS shared
-           |           FROM cands c
-           |           JOIN sh a ON a.doc_id = c.d1
-           |           JOIN sh b ON b.doc_id = c.d2 AND a.s = b.s
-           |           GROUP BY 1, 2)
-           |SELECT d1, d2,
-           |       round(shared / (1.0 * (n1.n + n2.n - shared)), 6) AS jaccard,
-           |       shared / (1.0 * (n1.n + n2.n - shared)) >= 0.5 AS is_dup
-           |FROM shared
-           |JOIN n n1 ON d1 = n1.doc_id
-           |JOIN n n2 ON d2 = n2.doc_id""".stripMargin
-      }),
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |dup AS (SELECT d1, d2 FROM mh_pairs WHERE jaccard >= 0.5),
+              |e AS (SELECT d1 AS a, d2 AS b FROM dup
+              |      UNION SELECT d2, d1 FROM dup),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM e
+              |  UNION
+              |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+              |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+              |FROM reach GROUP BY a""".stripMargin)),
 
     // SimHash: 32-bit signature over the token multiset; docs sharing
     // a signature are near-dup candidates
