@@ -36,9 +36,22 @@ final class AccessService(
     check(Seq((userId, feature)).toDF("user_id", "feature"))
       .head().getBoolean(3)
   }
+
+  /** `can<feature>` flag lookup, reference route shape (P5). */
+  def canAccessFlag(userId: Long, flag: String): Option[Boolean] =
+    AccessService.parseFlag(flag).map(canAccess(userId, _))
 }
 
 object AccessService {
+
+  /** Feature-flag route parsing (SURVEY.md P5): `can<feature>` with a
+    * lowercase feature of 1-16 chars (reference app.py:65-71; the
+    * reference's possessive quantifier is an anti-backtracking detail,
+    * not a semantic one). P6's `[a-z]+` name validation lives in
+    * FeatureSpec's constructor. */
+  private val FlagPattern = "^can([a-z]{1,16})$".r
+  def parseFlag(flag: String): Option[String] =
+    FlagPattern.findFirstMatchIn(flag).map(_.group(1))
   /** Build from raw events: aggregates → grants view + latest circuit
     * window state. */
   def fromEvents(spark: SparkSession, events: DataFrame,

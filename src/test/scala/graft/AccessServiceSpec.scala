@@ -30,6 +30,15 @@ class AccessServiceSpec extends AnyFunSuite {
     assert(svc.canAccess(999, "purchase")) // unseen → default grant
   }
 
+  test("flag parsing mirrors the reference route regex") {
+    assert(AccessService.parseFlag("canpurchase").contains("purchase"))
+    assert(AccessService.parseFlag("canx").contains("x"))
+    assert(AccessService.parseFlag("can").isEmpty)
+    assert(AccessService.parseFlag("canPurchase").isEmpty)
+    assert(AccessService.parseFlag("cannotanactualfeatureXX").isEmpty)
+    assert(AccessService.parseFlag("canabcdefghijklmnopq").isEmpty) // 17 chars
+  }
+
   test("open circuit allows a revoked user (reference :57-74)") {
     import spark.implicits._
     val grants = Seq((1L, "purchase", false)).toDF("user_id", "feature", "has_grant")
