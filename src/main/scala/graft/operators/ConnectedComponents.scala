@@ -29,17 +29,17 @@ object ConnectedComponents {
       val neighborMin = sym
         .join(labels, sym("b") === labels("node"))
         .groupBy(sym("a").as("n2")).agg(min(col("component")).as("nmin"))
-      val next = labels
+      // carry old + new label through one checkpoint so the
+      // convergence check is a cheap filter over materialized data,
+      // not a second join
+      val step = labels
         .join(neighborMin, labels("node") === neighborMin("n2"), "left_outer")
-        .select(col("node"),
+        .select(col("node"), col("component").as("prev"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels = next
+      converged = step.filter(col("component") =!= col("prev")).isEmpty
+      labels = step.select(col("node"), col("component"))
       i += 1
     }
     labels
