@@ -99,17 +99,17 @@ object EventQueries extends QueryModule {
     // the driver records a rows-only check; the rel_error bound is
     // asserted against the exact result instead.
     Q("a2_distinct_approx",
-      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
-        .join(
-          events(s, dir).filter(col("event_type") === "click")
-            .groupBy(col("user_id"))
-            .agg(approx_count_distinct(
-              get_json_object(col("props"), "$.k").cast("long"), 0.02)
-              .as("approx_click_keys")),
-          Seq("user_id"), "left_outer")
-        .select(col("user_id"), col("distinct_click_keys"),
-          coalesce(col("approx_click_keys"), lit(0L)).as("approx_click_keys"),
-          (abs(col("distinct_click_keys") - coalesce(col("approx_click_keys"), lit(0L)))
+      (s, dir) => events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(
+          countDistinct(get_json_object(col("props"), "$.k").cast("long"))
+            .as("distinct_click_keys"),
+          approx_count_distinct(
+            get_json_object(col("props"), "$.k").cast("long"), 0.02)
+            .as("approx_click_keys"))
+        .select(col("user_id"), col("distinct_click_keys"), col("approx_click_keys"),
+          (abs(col("distinct_click_keys") - col("approx_click_keys"))
             <= greatest(lit(2.0), col("distinct_click_keys") * 0.1)).as("within_bound")),
       None),
 
