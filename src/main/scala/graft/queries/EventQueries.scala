@@ -54,7 +54,7 @@ object EventQueries extends QueryModule {
           min(col("k")).as("min_k"), max(col("k")).as("max_k")),
       Some("""SELECT event_type,
              |       count(CAST(props::JSON->>'k' AS BIGINT)) AS n_k,
-             |       sum(CAST(props::JSON->>'k' AS BIGINT))   AS sum_k,
+             |       CAST(sum(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
              |       min(CAST(props::JSON->>'k' AS BIGINT))   AS min_k,
              |       max(CAST(props::JSON->>'k' AS BIGINT))   AS max_k
              |FROM events GROUP BY event_type""".stripMargin)),

@@ -23,6 +23,15 @@ object RelationalQueries extends QueryModule {
 
   private def dec(c: Column): Column = c.cast("decimal(28,6)")
 
+  /** Canonical final-output form for a decimal aggregate: round in exact
+    * decimal space (both engines round half-away-from-zero; DuckDB's bare
+    * decimal→decimal CAST truncates, so `round` it is), then cast to
+    * DOUBLE. The rounded value ×10⁴ stays < 2⁵³, so the decimal→double
+    * conversion is a single exact-input rounding on both engines →
+    * bit-identical doubles. Raw `sum(decimal)` outputs hash-mismatch in
+    * the driver gate (engines materialize the sum type differently). */
+  private def dbl4(c: Column): Column = round(c, 4).cast("double")
+
   val all: Seq[Q] = Seq(
 
     // TPC-H Q1-shaped pricing summary: full scan, predicate pushdown,
@@ -32,16 +41,16 @@ object RelationalQueries extends QueryModule {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          dbl4(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dbl4(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("sum_disc_price"),
+          dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))).as("sum_charge"),
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       sum(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty,
-             |       sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sum_base_price,
-             |       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS sum_disc_price,
-             |       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS sum_charge,
+             |       CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_qty,
+             |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_base_price,
+             |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_disc_price,
+             |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_charge,
              |       count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -58,12 +67,12 @@ object RelationalQueries extends QueryModule {
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy(col("l_orderkey"))
-          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .agg(dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
       Some("""SELECT l_orderkey,
-             |       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue
+             |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -84,11 +93,11 @@ object RelationalQueries extends QueryModule {
           .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          .agg(dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
             count(lit(1)).as("n_items"))
       },
       Some("""SELECT n_name,
-             |       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue,
+             |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
              |       count(*) AS n_items
              |FROM lineitem
              |JOIN supplier ON l_suppkey = s_suppkey
@@ -105,9 +114,9 @@ object RelationalQueries extends QueryModule {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.02, 0.06) &&
           col("l_quantity") < 24)
-        .agg(sum(dec(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        .agg(dbl4(sum(dec(col("l_extendedprice") * col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_items")),
-      Some("""SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS revenue,
+      Some("""SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
              |       count(*) AS n_items
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -141,19 +150,19 @@ object RelationalQueries extends QueryModule {
           .orderBy(col("o_orderdate"), col("o_orderkey"))
         Tables.orders(s, dir).select(
           col("o_custkey"), col("o_orderkey"),
-          sum(dec(col("o_totalprice")))
-            .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          dbl4(sum(dec(col("o_totalprice")))
+            .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
             .as("running_total"),
-          rank().over(byCust).as("order_rank"),
-          dec(col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(byCust), lit(0.0)))
+          rank().over(byCust).cast("long").as("order_rank"),
+          dbl4(dec(col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(byCust), lit(0.0))))
             .as("delta_vs_prev"))
       },
       Some("""SELECT o_custkey, o_orderkey,
-             |       sum(CAST(o_totalprice AS DECIMAL(28,6)))
+             |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6)))
              |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_total,
              |       rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_rank,
-             |       CAST(o_totalprice - coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0) AS DECIMAL(28,6)) AS delta_vs_prev
+             |       CAST(round(CAST(o_totalprice - coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0) AS DECIMAL(28,6)), 4) AS DOUBLE) AS delta_vs_prev
              |FROM orders""".stripMargin)),
 
     // Set operations: customers segmented by order-status presence
@@ -201,10 +210,10 @@ object RelationalQueries extends QueryModule {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .rollup(col("r_name"), col("n_name"))
           .agg(count(lit(1)).as("n_customers"),
-            sum(dec(col("c_acctbal"))).as("total_acctbal"))
+            dbl4(sum(dec(col("c_acctbal")))).as("total_acctbal"))
       },
       Some("""SELECT r_name, n_name, count(*) AS n_customers,
-             |       sum(CAST(c_acctbal AS DECIMAL(28,6))) AS total_acctbal
+             |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_acctbal
              |FROM customer
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
@@ -215,9 +224,9 @@ object RelationalQueries extends QueryModule {
       (s, dir) => Tables.orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("total_price")),
+          dbl4(sum(dec(col("o_totalprice")))).as("total_price")),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-             |       sum(CAST(o_totalprice AS DECIMAL(28,6))) AS total_price
+             |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_price
              |FROM orders
              |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
 
@@ -248,9 +257,11 @@ object RelationalQueries extends QueryModule {
           .agg(sum(dec(col("l_quantity"))).as("total_qty"))
           .filter(col("total_qty") > 150)
         o.join(big, o("o_orderkey") === big("l_orderkey"))
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            dbl4(col("total_qty")).as("total_qty"))
       },
-      Some("""SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |       CAST(round(total_qty, 4) AS DOUBLE) AS total_qty
              |FROM orders
              |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(28,6))) AS total_qty
              |      FROM lineitem GROUP BY l_orderkey
@@ -304,18 +315,22 @@ object RelationalQueries extends QueryModule {
           .agg(count(lit(1)).as("n_orders"),
             sum(dec(col("o_totalprice"))).as("revenue"))
         m.withColumn("cum_revenue",
-          sum(col("revenue")).over(
-            Window.orderBy(col("month"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            sum(col("revenue")).over(
+              Window.orderBy(col("month"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("month"), col("n_orders"),
+            dbl4(col("revenue")).as("revenue"),
+            dbl4(col("cum_revenue")).as("cum_revenue"))
       },
       Some("""WITH m AS (
              |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              |         count(*) AS n_orders,
              |         sum(CAST(o_totalprice AS DECIMAL(28,6))) AS revenue
              |  FROM orders GROUP BY 1)
-             |SELECT month, n_orders, revenue,
-             |       sum(revenue) OVER (ORDER BY month
-             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+             |SELECT month, n_orders,
+             |       CAST(round(revenue, 4) AS DOUBLE) AS revenue,
+             |       CAST(round(sum(revenue) OVER (ORDER BY month
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS cum_revenue
              |FROM m""".stripMargin)),
 
     // Exact interpolated percentiles per group (Spark `percentile` and
