@@ -5,36 +5,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The read path (SURVEY.md §3.2, S4/J5/R8/R9): materialized grants
-  * view + per-feature circuit state, served as point lookups.
+  * view + PER-FEATURE circuit state, served as point lookups.
   *
   * The reference answers `GET /can<feature>` from in-process dicts
-  * (app.py:63-79, user_feature.py:46-55); here the grants view is a
-  * small hash-joinable table (broadcast against any request batch) and
-  * the circuit is the latest breaker window. `has_access =
-  * circuit_open OR grant`, unseen users default to granted
+  * (app.py:63-79, user_feature.py:46-55) and keys its circuits by
+  * feature (user_feature.py:26, `_circuits = {feature: healthy}`); here
+  * the grants view is a hash-joinable table and the circuits are a tiny
+  * `[feature, circuit_open]` frame (broadcast against any request
+  * batch). `has_access = circuit_open OR grant`; unseen users and
+  * unknown features default to granted/closed
   * (user_feature.py:75-79, rules.py:112).
+  *
+  * Every check also yields the read-path side effect the reference logs
+  * on each call (user_feature.py:52-55): an access-attempt row
+  * `(user_id, feature, success = real grant)` — `has_access` may be
+  * true while `success` is false when the circuit is open. The breaker
+  * consumes THAT attempt stream (`Windowed.featureCircuit`), not the
+  * ingest stream.
   */
 final class AccessService(
     spark: SparkSession,
-    grants: DataFrame,       // [user_id, feature, has_grant]
-    circuitOpen: Boolean) {
+    grants: DataFrame,    // [user_id, feature, has_grant]
+    circuits: DataFrame) { // [feature, circuit_open]
 
   private val g = grants.cache()
+  private val c = circuits.cache()
 
-  /** Batch point-lookup: one row per (user_id, feature) request. */
+  /** Batch point-lookup: one row per (user_id, feature) request, with
+    * the logged-attempt `success` column alongside the served
+    * `has_access`. Both joins broadcast — the request side streams
+    * through without a shuffle. */
   def check(requests: DataFrame): DataFrame =
     requests
       .join(broadcast(g), Seq("user_id", "feature"), "left_outer")
+      .join(broadcast(c), Seq("feature"), "left_outer")
       .select(col("user_id"), col("feature"),
         coalesce(col("has_grant"), lit(true)).as("has_grant"),
-        (lit(circuitOpen) || coalesce(col("has_grant"), lit(true)))
-          .as("has_access"))
+        coalesce(col("circuit_open"), lit(false)).as("circuit_open"),
+        (coalesce(col("circuit_open"), lit(false)) ||
+          coalesce(col("has_grant"), lit(true))).as("has_access"))
+
+  /** The read-path side effect as a frame: requests `[ts, user_id,
+    * feature]` → access log `[ts, user_id, feature, success]`, where
+    * success is the REAL grant regardless of circuit state
+    * (user_feature.py:52-55 logs `success=grant`). */
+  def accessLog(requests: DataFrame): DataFrame =
+    requests
+      .join(broadcast(g), Seq("user_id", "feature"), "left_outer")
+      .select(col("ts"), col("user_id"), col("feature"),
+        coalesce(col("has_grant"), lit(true)).as("success"))
 
   /** Single lookup (the `GET /can<feature>` shape). */
   def canAccess(userId: Long, feature: String): Boolean = {
     import spark.implicits._
     check(Seq((userId, feature)).toDF("user_id", "feature"))
-      .head().getBoolean(3)
+      .head().getBoolean(4)
   }
 
   /** `can<feature>` flag lookup, reference route shape (P5). */
@@ -52,16 +77,40 @@ object AccessService {
   private val FlagPattern = "^can([a-z]{1,16})$".r
   def parseFlag(flag: String): Option[String] =
     FlagPattern.findFirstMatchIn(flag).map(_.group(1))
-  /** Build from raw events: aggregates → grants view + latest circuit
-    * window state. */
+
+  /** Derive the access-attempt log from the event stream: each ingested
+    * event is one user touching the platform, which access-checks every
+    * registered feature (the reference logs an attempt on each
+    * `GET /can<feature>`, user_feature.py:52-55); `success` is the
+    * user's grant. One user_id join against the wide grants frame, then
+    * a zero-shuffle stack() unpivot — rows = events × features without
+    * a per-feature join. */
+  def attemptsFromEvents(events: DataFrame, cfg: EngineConfig): DataFrame =
+    attempts(events, Grants.wide(
+      EventAggregates.perUser(events, cfg.aggregates), cfg), cfg)
+
+  private def attempts(events: DataFrame, wideGrants: DataFrame,
+                       cfg: EngineConfig): DataFrame = {
+    val stackArgs = cfg.features
+      .map(f => s"'${f.name}', coalesce(${f.name}, true)")
+      .mkString(", ")
+    events.select(col("ts"), col("user_id"))
+      .join(wideGrants, Seq("user_id"), "left_outer")
+      .selectExpr("ts", "user_id",
+        s"stack(${cfg.features.size}, $stackArgs) as (feature, success)")
+  }
+
+  /** Build from raw events: aggregates → grants view + per-feature
+    * circuit state from the latest breaker window of the derived
+    * access-attempt log. Fully distributed — no collect, no global
+    * sort (round 1 froze a single global circuit Boolean at
+    * construction time via orderBy().limit(1).collect()). */
   def fromEvents(spark: SparkSession, events: DataFrame,
                  cfg: EngineConfig): AccessService = {
-    val grants = Grants.long(
-      EventAggregates.perUser(events, cfg.aggregates), cfg)
-    val circuit = Windowed.circuit(events)
-      .orderBy(col("win_start").desc).limit(1)
-      .select(col("circuit_open")).collect()
-      .headOption.exists(_.getBoolean(0))
-    new AccessService(spark, grants, circuit)
+    val aggs = EventAggregates.perUser(events, cfg.aggregates)
+    val wide = Grants.wide(aggs, cfg)
+    val circuits = Windowed.latestFeatureCircuit(
+      attempts(events, wide, cfg))
+    new AccessService(spark, Grants.long(aggs, cfg), circuits)
   }
 }

@@ -33,31 +33,97 @@ object Windowed {
         col("window.start").as("win_start"),
         col("n_users"), col("n_denied_users"), col("n_events"), col("n_denials"))
 
-  /** Circuit breaker (A6): denial rate > threshold opens the circuit
-    * (allow-all), reference user_feature.py:106-126. */
+  /** Circuit breaker (A6): DISTINCT-USER denial rate > threshold opens
+    * the circuit (allow-all). The reference's rate is
+    * `len(denied_users) / len(total_users)` (user_feature.py:116-120) —
+    * sets of users, not event counts — so one hot user retrying cannot
+    * open the breaker alone. */
   def circuit(events: DataFrame, threshold: Double = 0.05): DataFrame =
     slidingStats(events)
       .withColumn("denial_rate",
-        col("n_denials").cast("double") / col("n_events"))
+        col("n_denied_users").cast("double") / col("n_users"))
       .withColumn("circuit_open", col("denial_rate") > lit(threshold))
-      .select(col("win_start"), col("n_events"), col("n_denials"),
+      .select(col("win_start"), col("n_users"), col("n_denied_users"),
         round(col("denial_rate"), 6).as("denial_rate"), col("circuit_open"))
 
-  /** Streaming circuit breaker: the same sliding-window denial-rate
-    * computation over an unbounded source, with a watermark bounding
-    * window state (the reference trims its deque manually,
-    * user_feature.py:63-69; the watermark is the principled version).
-    * Append mode emits each window once it is final. */
+  /** Per-feature sliding-window distinct-user stats over an
+    * access-attempt log `[ts, user_id, feature, success]` — the exact
+    * state the reference keeps per feature: a 10-minute deque of
+    * attempts plus total/denied user sets (user_feature.py:26-30,57-73,
+    * minus its eviction bug). One shuffle keyed (feature, window);
+    * distinct counts expand map-side, so the plan scales out with the
+    * number of (feature, window) groups. */
+  def featureStats(attempts: DataFrame, size: String = "10 minutes",
+                   slide: String = "5 minutes"): DataFrame =
+    attempts
+      .groupBy(col("feature"), window(col("ts"), size, slide))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(!col("success"), col("user_id"))).as("n_denied_users"))
+      .select(col("feature"), col("window.start").as("win_start"),
+        col("n_users"), col("n_denied_users"))
+
+  /** Per-feature circuit breaker (user_feature.py:106-126): each
+    * feature's circuit opens independently on ITS distinct-user denial
+    * rate — a denied-user burst against one feature leaves the others'
+    * circuits closed. */
+  def featureCircuit(attempts: DataFrame, threshold: Double = 0.05): DataFrame =
+    featureStats(attempts)
+      .withColumn("denial_rate",
+        col("n_denied_users").cast("double") / col("n_users"))
+      .withColumn("circuit_open", col("denial_rate") > lit(threshold))
+      .select(col("feature"), col("win_start"), col("n_users"),
+        col("n_denied_users"), round(col("denial_rate"), 6).as("denial_rate"),
+        col("circuit_open"))
+
+  /** Latest window's circuit state per feature as a small joinable
+    * frame `[feature, circuit_open]` — the serve-path state. max_by
+    * keeps the reduction fully distributed (no orderBy/limit/collect:
+    * round 1 fetched the latest window with a global sort to the
+    * driver, which does not survive a scale-up). */
+  def latestFeatureCircuit(attempts: DataFrame,
+                           threshold: Double = 0.05): DataFrame =
+    featureCircuit(attempts, threshold)
+      .groupBy(col("feature"))
+      .agg(max_by(col("circuit_open"), col("win_start")).as("circuit_open"))
+
+  /** Streaming circuit breaker: sliding-window distinct-user denial
+    * rate over an unbounded source, watermark bounding window state
+    * (the reference trims its deque manually, user_feature.py:63-69;
+    * the watermark is the principled version). Exact distinct counts
+    * are not available in streaming aggregation, so the stream uses
+    * HLL++ (`approx_count_distinct`, exact in sparse mode at small
+    * per-window cardinalities); the batch `circuit` is the exactness
+    * contract. Append mode emits each window once it is final. */
   def circuitStream(events: DataFrame, threshold: Double = 0.05,
                     watermark: String = "15 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
-      .agg(count(lit(1)).as("n_events"),
-        count(when(col("event_type") === "error", lit(1))).as("n_denials"))
-      .select(col("window.start").as("win_start"), col("n_events"),
-        col("n_denials"),
-        (col("n_denials").cast("double") / col("n_events") > lit(threshold))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users"),
+        approx_count_distinct(
+          when(col("event_type") === "error", col("user_id")), 0.01)
+          .as("n_denied_users"))
+      .select(col("window.start").as("win_start"), col("n_users"),
+        col("n_denied_users"),
+        (col("n_denied_users").cast("double") / col("n_users") > lit(threshold))
+          .as("circuit_open"))
+
+  /** Per-feature streaming breaker over the access-attempt stream:
+    * state is keyed (feature, window), so a burst of denied users
+    * against one feature finalizes `circuit_open = true` for that
+    * feature's windows only. */
+  def featureCircuitStream(attempts: DataFrame, threshold: Double = 0.05,
+                           watermark: String = "15 minutes"): DataFrame =
+    attempts
+      .withWatermark("ts", watermark)
+      .groupBy(col("feature"), window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users"),
+        approx_count_distinct(when(!col("success"), col("user_id")), 0.01)
+          .as("n_denied_users"))
+      .select(col("feature"), col("window.start").as("win_start"),
+        col("n_users"), col("n_denied_users"),
+        (col("n_denied_users").cast("double") / col("n_users") > lit(threshold))
           .as("circuit_open"))
 
   /** Grant-flip CDC (R7): evaluate the grant after every event in

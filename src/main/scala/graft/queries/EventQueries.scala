@@ -32,6 +32,38 @@ object EventQueries extends QueryModule {
 
   private val registered = cfg.aggregates.map(_.eventType).distinct
 
+  /** Wide grants CTE (depends on aggCte): one boolean per feature,
+    * mirroring Grants.wide over DefaultConfig. */
+  private val gWideCte =
+    """g AS (
+      |  SELECT user_id,
+      |    (CASE WHEN coalesce(total_purchase_amount, 0) < 500.0 THEN TRUE
+      |          ELSE coalesce(total_error_amount / nullif(total_purchase_amount, 0) < 1.0, TRUE) END
+      |     AND coalesce(total_errors < 15.0, TRUE)) AS purchase,
+      |    coalesce(total_errors < 15.0, TRUE) AS message
+      |  FROM agg)""".stripMargin
+
+  /** Access-attempt log CTE (depends on gWideCte), mirroring
+    * AccessService.attemptsFromEvents: every event access-checks every
+    * registered feature; success = the user's grant (default TRUE). */
+  private val attCte =
+    """att AS (
+      |  SELECT e.ts, e.user_id, f.feature,
+      |         CASE f.feature WHEN 'purchase' THEN coalesce(g.purchase, TRUE)
+      |                        ELSE coalesce(g.message, TRUE) END AS success
+      |  FROM events e
+      |  LEFT JOIN g ON e.user_id = g.user_id
+      |  CROSS JOIN (SELECT unnest(['purchase','message']) AS feature) f)""".stripMargin
+
+  /** Sliding 10-min/5-min windows over the attempt log (depends on
+    * attCte): each attempt lands in two window starts. */
+  private val attWinCte =
+    """w AS (
+      |  SELECT feature, make_timestamp(t.s) AS win_start, user_id, success
+      |  FROM att,
+      |       unnest([(epoch_us(ts) // 300000000) * 300000000,
+      |               (epoch_us(ts) // 300000000) * 300000000 - 300000000]) AS t(s))""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // P1: schema registry filter — unregistered event names rejected
@@ -246,7 +278,9 @@ object EventQueries extends QueryModule {
              |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_denials
              |FROM w GROUP BY win_start""".stripMargin)),
 
-    // A6: denial-rate circuit breaker (reference user_feature.py:106-126)
+    // A6: circuit breaker on the DISTINCT-USER denial rate — the
+    // reference's len(denied_users)/len(total_users)
+    // (user_feature.py:116-120), not an event-count rate
     Q("a6_circuit_breaker",
       (s, dir) => Windowed.circuit(events(s, dir)),
       Some("""WITH w AS (
@@ -254,13 +288,47 @@ object EventQueries extends QueryModule {
              |  FROM events,
              |       unnest([(epoch_us(ts) // 300000000) * 300000000,
              |               (epoch_us(ts) // 300000000) * 300000000 - 300000000]) AS t(s)),
-             |c AS (SELECT win_start, count(*) AS n_events,
-             |             count(CASE WHEN event_type = 'error' THEN 1 END) AS n_denials
+             |c AS (SELECT win_start,
+             |             count(DISTINCT user_id) AS n_users,
+             |             count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS n_denied_users
              |      FROM w GROUP BY win_start)
-             |SELECT win_start, n_events, n_denials,
-             |       round(n_denials / (1.0 * n_events), 6) AS denial_rate,
-             |       n_denials / (1.0 * n_events) > 0.05 AS circuit_open
+             |SELECT win_start, n_users, n_denied_users,
+             |       round(n_denied_users / (1.0 * n_users), 6) AS denial_rate,
+             |       n_denied_users / (1.0 * n_users) > 0.05 AS circuit_open
              |FROM c""".stripMargin)),
+
+    // S4 read-path side effect: every API touch logs an access attempt
+    // per registered feature with the user's REAL grant as `success`
+    // (reference user_feature.py:52-55) — the stream the breaker feeds on
+    Q("access_log",
+      (s, dir) => graft.operators.AccessService
+        .attemptsFromEvents(events(s, dir), cfg)
+        .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("feature"), col("success")),
+      Some(aggCte + ",\n" + gWideCte + "\n" +
+        """SELECT epoch_us(e.ts) AS ts_us, e.user_id, f.feature,
+          |       CASE f.feature WHEN 'purchase' THEN coalesce(g.purchase, TRUE)
+          |                      ELSE coalesce(g.message, TRUE) END AS success
+          |FROM events e
+          |LEFT JOIN g ON e.user_id = g.user_id
+          |CROSS JOIN (SELECT unnest(['purchase','message']) AS feature) f""".stripMargin)),
+
+    // A6 per-feature: each feature's circuit opens independently on its
+    // own distinct-user denial rate over the access-attempt log
+    // (reference keys circuits/logs/user-sets by feature,
+    // user_feature.py:26-30,106-126)
+    Q("a6_feature_circuit",
+      (s, dir) => Windowed.featureCircuit(graft.operators.AccessService
+        .attemptsFromEvents(events(s, dir), cfg)),
+      Some(aggCte + ",\n" + gWideCte + ",\n" + attCte + ",\n" + attWinCte + "\n" +
+        """SELECT feature, win_start,
+          |       count(DISTINCT user_id) AS n_users,
+          |       count(DISTINCT CASE WHEN NOT success THEN user_id END) AS n_denied_users,
+          |       round(count(DISTINCT CASE WHEN NOT success THEN user_id END)
+          |             / (1.0 * count(DISTINCT user_id)), 6) AS denial_rate,
+          |       count(DISTINCT CASE WHEN NOT success THEN user_id END)
+          |         / (1.0 * count(DISTINCT user_id)) > 0.05 AS circuit_open
+          |FROM w GROUP BY feature, win_start""".stripMargin)),
 
     // Sessionization (extension surface): session_window with 30-min
     // gap vs a gaps-and-islands oracle. Session starts are emitted as
@@ -311,37 +379,36 @@ object EventQueries extends QueryModule {
              |FROM f WHERE prev IS NOT NULL AND prev <> granted""".stripMargin)),
 
     // R8: access = circuit_open OR grant (reference user_feature.py:46-55),
-    // joining the latest window's circuit state against the grants view
+    // joining each feature's LATEST circuit window against the grants
+    // view — two features can be in different circuit states
+    // (per-feature circuits, user_feature.py:26,106-126)
     Q("r8_access_check",
       (s, dir) => {
-        val c = Windowed.circuit(events(s, dir))
-        val latest = c.orderBy(col("win_start").desc).limit(1)
-          .select(col("circuit_open"))
+        val e = events(s, dir)
+        val circuits = Windowed.latestFeatureCircuit(
+          graft.operators.AccessService.attemptsFromEvents(e, cfg))
         val g = Grants.long(
-          EventAggregates.perUser(events(s, dir), cfg.aggregates), cfg)
-          .filter(col("feature") === "purchase")
-        g.crossJoin(latest)
-          .select(col("user_id"), col("has_grant"), col("circuit_open"),
-            (col("circuit_open") || col("has_grant")).as("has_access"))
+          EventAggregates.perUser(e, cfg.aggregates), cfg)
+        g.join(broadcast(circuits), Seq("feature"), "left_outer")
+          .select(col("user_id"), col("feature"), col("has_grant"),
+            coalesce(col("circuit_open"), lit(false)).as("circuit_open"),
+            (coalesce(col("circuit_open"), lit(false)) || col("has_grant"))
+              .as("has_access"))
       },
-      Some(aggCte + ",\n" +
-        """g AS (
-          |  SELECT user_id,
-          |    (CASE WHEN coalesce(total_purchase_amount, 0) < 500.0 THEN TRUE
-          |          ELSE coalesce(total_error_amount / nullif(total_purchase_amount, 0) < 1.0, TRUE) END
-          |     AND coalesce(total_errors < 15.0, TRUE)) AS has_grant
-          |  FROM agg),
-          |w AS (
-          |  SELECT make_timestamp(t.s) AS win_start, event_type
-          |  FROM events,
-          |       unnest([(epoch_us(ts) // 300000000) * 300000000,
-          |               (epoch_us(ts) // 300000000) * 300000000 - 300000000]) AS t(s)),
-          |c AS (SELECT win_start,
-          |             count(CASE WHEN event_type = 'error' THEN 1 END) / (1.0 * count(*)) > 0.05 AS circuit_open
-          |      FROM w GROUP BY win_start ORDER BY win_start DESC LIMIT 1)
-          |SELECT g.user_id, g.has_grant, c.circuit_open,
-          |       (c.circuit_open OR g.has_grant) AS has_access
-          |FROM g CROSS JOIN c""".stripMargin)),
+      Some(aggCte + ",\n" + gWideCte + ",\n" + attCte + ",\n" + attWinCte + ",\n" +
+        """c AS (SELECT feature, win_start,
+          |             count(DISTINCT CASE WHEN NOT success THEN user_id END)
+          |               / (1.0 * count(DISTINCT user_id)) > 0.05 AS circuit_open
+          |      FROM w GROUP BY feature, win_start),
+          |latest AS (SELECT feature, arg_max(circuit_open, win_start) AS circuit_open
+          |           FROM c GROUP BY feature),
+          |gl AS (SELECT user_id, 'purchase' AS feature, purchase AS has_grant FROM g
+          |       UNION ALL
+          |       SELECT user_id, 'message' AS feature, message AS has_grant FROM g)
+          |SELECT gl.user_id, gl.feature, gl.has_grant,
+          |       coalesce(l.circuit_open, FALSE) AS circuit_open,
+          |       (coalesce(l.circuit_open, FALSE) OR gl.has_grant) AS has_access
+          |FROM gl LEFT JOIN latest l ON gl.feature = l.feature""".stripMargin)),
 
     // Native as-of join (custom LogicalPlan + Strategy + SparkPlan,
     // graft.plans): same semantics and oracle as asof_click_attribution,

@@ -17,13 +17,13 @@ class AccessServiceSpec extends AnyFunSuite {
 
   test("revoked user denied; unseen user default-granted") {
     import spark.implicits._
-    // enough background traffic that one error keeps the breaker
-    // closed (denial rate 1/42 < 5%) — otherwise the open circuit
-    // correctly overrides the revocation
+    // enough background USERS that one denied user keeps the breaker
+    // closed (distinct-user denial rate 1/42 < 5%) — otherwise the
+    // open circuit correctly overrides the revocation
     val events = (Seq(
       ev(1, 1, "purchase", 600.0, 1),
       ev(2, 1, "error", 900.0, 2)) ++ // ratio 1.5 → purchase revoked
-      (3 to 42).map(i => ev(i, 2, "click", 1.0, 3))).toDF()
+      (3 to 42).map(i => ev(i, i, "click", 1.0, 3))).toDF()
     val svc = AccessService.fromEvents(spark, events, DefaultConfig.config)
     assert(!svc.canAccess(1, "purchase"))
     assert(svc.canAccess(1, "message"))   // few_errors still abides
@@ -42,7 +42,40 @@ class AccessServiceSpec extends AnyFunSuite {
   test("open circuit allows a revoked user (reference :57-74)") {
     import spark.implicits._
     val grants = Seq((1L, "purchase", false)).toDF("user_id", "feature", "has_grant")
-    val svc = new AccessService(spark, grants, circuitOpen = true)
-    assert(svc.canAccess(1, "purchase"))
+    val open = Seq(("purchase", true)).toDF("feature", "circuit_open")
+    assert(new AccessService(spark, grants, open).canAccess(1, "purchase"))
+    val closed = Seq(("purchase", false)).toDF("feature", "circuit_open")
+    assert(!new AccessService(spark, grants, closed).canAccess(1, "purchase"))
+  }
+
+  test("circuits are per feature: one open circuit doesn't leak") {
+    import spark.implicits._
+    // user 1 revoked on BOTH features; only message's circuit is open →
+    // message accessible (circuit override), purchase still denied.
+    val grants = Seq((1L, "purchase", false), (1L, "message", false))
+      .toDF("user_id", "feature", "has_grant")
+    val circuits = Seq(("purchase", false), ("message", true))
+      .toDF("feature", "circuit_open")
+    val svc = new AccessService(spark, grants, circuits)
+    assert(!svc.canAccess(1, "purchase"))
+    assert(svc.canAccess(1, "message"))
+  }
+
+  test("accessLog records the real grant, not the served has_access") {
+    import spark.implicits._
+    val grants = Seq((1L, "purchase", false)).toDF("user_id", "feature", "has_grant")
+    val open = Seq(("purchase", true)).toDF("feature", "circuit_open")
+    val svc = new AccessService(spark, grants, open)
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    val requests = Seq((t, 1L, "purchase"), (t, 2L, "purchase"))
+      .toDF("ts", "user_id", "feature")
+    // served: both allowed (circuit open); logged: user 1's attempt is
+    // success=false — the reference logs the REAL grant
+    // (user_feature.py:52-55)
+    assert(svc.check(requests.select("user_id", "feature")).collect()
+      .forall(_.getBoolean(4)))
+    val log = svc.accessLog(requests).collect()
+      .map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(log == Map(1L -> false, 2L -> true))
   }
 }

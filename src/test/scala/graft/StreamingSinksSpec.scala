@@ -67,6 +67,33 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(rows.contains("2023-12-31 23:55:00.0"))  // sliding twin window
   }
 
+  test("streaming per-feature breaker: a burst opens only the attacked feature") {
+    import spark.implicits._
+    def t(minute: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String, Boolean)](spark)
+    val q = Windowed.featureCircuitStream(
+        ms.toDF().toDF("ts", "user_id", "feature", "success"))
+      .writeStream.format("memory").queryName("feature_circuit_out")
+      .outputMode("append").start()
+    try {
+      // window [00:00, 00:10): 20 users attempt both features; users
+      // 11-20 are denied on purchase only → purchase 50%, message 0%
+      ms.addData((1 to 20).flatMap { u =>
+        Seq((t(3), u.toLong, "purchase", u <= 10),
+          (t(3), u.toLong, "message", true))
+      })
+      q.processAllAvailable()
+      // advance event time past the watermark to finalize the windows
+      ms.addData(Seq((t(60), 1L, "purchase", true)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("feature_circuit_out").collect()
+      .filter(_.getTimestamp(1).toString == "2024-01-01 00:00:00.0")
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(rows == Map("purchase" -> true, "message" -> false))
+  }
+
   test("batch envelope synthesis matches the reference's event names") {
     import spark.implicits._
     val changes = Seq(

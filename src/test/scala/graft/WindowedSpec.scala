@@ -33,6 +33,51 @@ class WindowedSpec extends AnyFunSuite {
     assert(closedRows.length == 1 && !closedRows.head.getBoolean(4))
   }
 
+  test("one hot user retrying cannot open the breaker (distinct-user rate)") {
+    import spark.implicits._
+    // 20 clean users + ONE user producing 6 denials: event-count rate
+    // would be 6/26 ≈ 23% (open), but the reference's rate is over user
+    // SETS (user_feature.py:116-120): 1/21 ≈ 4.8% → closed.
+    val events = (1 to 20).map(i => ev(i, i, "view", 3)) ++
+      (21 to 26).map(i => ev(i, 999, "error", 3))
+    val rows = Windowed.circuit(events.toDF()).collect()
+      .filter(_.getTimestamp(0).toString.startsWith("2024-01-01 00:00"))
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) == 21 && rows.head.getLong(2) == 1)
+    assert(!rows.head.getBoolean(4))
+  }
+
+  private def att(user: Long, feature: String, success: Boolean, minute: Int)
+  : (java.sql.Timestamp, Long, String, Boolean) =
+    (java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"),
+      user, feature, success)
+
+  test("a denied-user burst opens one feature's circuit, not another's") {
+    import spark.implicits._
+    // 20 users touch both features; users 1-5 are denied on purchase
+    // only → purchase 25% > 5% opens, message 0% stays closed.
+    val attempts = (1 to 20).flatMap { u =>
+      Seq(att(u, "purchase", success = u > 5, 3),
+        att(u, "message", success = true, 3))
+    }.toDF("ts", "user_id", "feature", "success")
+    val byFeature = Windowed.featureCircuit(attempts).collect()
+      .filter(_.getTimestamp(1).toString.startsWith("2024-01-01 00:00"))
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(byFeature == Map("purchase" -> true, "message" -> false))
+  }
+
+  test("latestFeatureCircuit serves the most recent window per feature") {
+    import spark.implicits._
+    // purchase: denied burst in the early window, healthy in the later
+    // one → the served state is the LATEST window (closed).
+    val attempts = ((1 to 10).map(u => att(u, "purchase", success = false, 1)) ++
+      (1 to 10).map(u => att(u, "purchase", success = true, 21)))
+      .toDF("ts", "user_id", "feature", "success")
+    val latest = Windowed.latestFeatureCircuit(attempts).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(latest == Map("purchase" -> false))
+  }
+
   test("sliding windows count each event in two 10-minute windows") {
     import spark.implicits._
     val rows = Windowed.slidingStats(Seq(ev(1, 1, "view", 7)).toDF()).collect()
