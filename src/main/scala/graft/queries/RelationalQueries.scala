@@ -165,16 +165,21 @@ object RelationalQueries extends QueryModule {
              |       CAST(round(CAST(o_totalprice - coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0) AS DECIMAL(28,6)), 4) AS DOUBLE) AS delta_vs_prev
              |FROM orders""".stripMargin)),
 
-    // Set operations: customers segmented by order-status presence
+    // Set operations: customers segmented by order-status presence.
+    // INTERSECT/EXCEPT/EXCEPT over the same scan would cost 6+ shuffles;
+    // one grouped aggregation with presence flags + CASE computes all
+    // three segments in a SINGLE shuffle over one scan — the oracle
+    // keeps the literal set-op formulation as the equivalence proof.
     Q("set_ops",
-      (s, dir) => {
-        val o = Tables.orders(s, dir)
-        val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
-        val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
-        open.intersect(done).withColumn("tag", lit("both"))
-          .unionByName(open.except(done).withColumn("tag", lit("open_only")))
-          .unionByName(done.except(open).withColumn("tag", lit("done_only")))
-      },
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("O", "F"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderstatus") === "O").as("has_open"),
+          max(col("o_orderstatus") === "F").as("has_done"))
+        .select(col("o_custkey"),
+          when(col("has_open") && col("has_done"), "both")
+            .when(col("has_open"), "open_only")
+            .otherwise("done_only").as("tag")),
       Some("""WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
              |done_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
              |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM open_c INTERSECT SELECT * FROM done_c)
@@ -267,6 +272,35 @@ object RelationalQueries extends QueryModule {
              |      FROM lineitem GROUP BY l_orderkey
              |      HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 150) t
              |ON o_orderkey = l_orderkey""".stripMargin)),
+
+    // Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20%
+    // of their part's average quantity. Written as a genuine correlated
+    // subquery through spark.sql so Catalyst's decorrelation rewrites
+    // it into the aggregate-join — the plan a hand-decorrelated version
+    // would produce, but exercising the subquery surface itself.
+    // l_quantity values are integral, so the correlated avg is exact in
+    // double on both engines (no accumulation-order drift).
+    Q("q17_small_quantity",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+        Tables.part(s, dir).createOrReplaceTempView("graft_part")
+        s.sql("""SELECT round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 4) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+                |       count(*) AS n_items
+                |FROM graft_lineitem l
+                |JOIN graft_part p ON p.p_partkey = l.l_partkey
+                |WHERE p.p_brand = 'Brand#13'
+                |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                |                      FROM graft_lineitem l2
+                |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+      },
+      Some("""SELECT round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 4) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+             |       count(*) AS n_items
+             |FROM lineitem l
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE p.p_brand = 'Brand#13'
+             |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+             |                      FROM lineitem l2
+             |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)),
 
     // Scalar-function surface (SURVEY.md §2.8): regex extract/match,
     // string ops, timestamp arithmetic — projection only, no shuffle
