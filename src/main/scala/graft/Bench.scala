@@ -29,21 +29,29 @@ object Bench {
     graft.sources.Tables.events(spark, sfDir).limit(10).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> sec
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // A failed query must be visible in the artifact, not look like a
+    // fast success: its per-query value is -1 and it is listed in
+    // "failed".
+    val qs = results.map { case (k, v, ok) =>
+      s""""$k":${if (ok) "%.3f".format(v) else "-1"}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => s""""$k"""" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     // Streaming write-path throughput (baseline parity figure: the
     // reference publishes ~2,000 req/s, BASELINE.md).
     val streamEps = try StreamBench.run(spark, sfDir, nChunks = 5)._1
       catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"failed":$failed,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,11 +26,19 @@ object NotificationSink {
     def send(batchId: Long, notifications: Iterator[Notification]): Unit
   }
 
-  /** Batch-shaped envelope synthesis (shared by batch + streaming). */
-  def envelope(changes: DataFrame): DataFrame =
+  /** Batch-shaped envelope synthesis (shared by batch + streaming).
+    * `batchId` is part of the uuid input: without it, a grant that
+    * flips revoke→grant→revoke would give BOTH revocations the same
+    * uuid, and a consumer deduping on uuid (the exactly-once
+    * mechanism) would silently drop the second legitimate
+    * notification. Within one micro-batch the CDC emits at most one
+    * flip per (user, feature), so (batch, user, feature, grant) is
+    * unique — and stable under micro-batch replay, unlike the
+    * reference's per-send uuid4 (user_feature.py:88-96). */
+  def envelope(changes: DataFrame, batchId: Long = 0L): DataFrame =
     changes.select(
-      md5(concat_ws("|", col("user_id"), col("feature"), col("has_grant")))
-        .as("uuid"),
+      md5(concat_ws("|", lit(batchId), col("user_id"), col("feature"),
+        col("has_grant"))).as("uuid"),
       when(col("has_grant"), lit("access_granted"))
         .otherwise(lit("access_revoked")).as("name"),
       col("user_id"), col("feature"))
@@ -41,7 +49,7 @@ object NotificationSink {
     changes.writeStream.foreachBatch { (batch: Dataset[GrantChange], batchId: Long) =>
       val spark = batch.sparkSession
       import spark.implicits._
-      val ns = envelope(batch.toDF()).as[Notification]
+      val ns = envelope(batch.toDF(), batchId).as[Notification]
       // per-partition delivery: the transport connects once per
       // partition, not per notification
       ns.foreachPartition { it: Iterator[Notification] =>

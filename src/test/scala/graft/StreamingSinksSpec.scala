@@ -104,4 +104,17 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(out == Set(("access_revoked", 1L, "purchase"),
       ("access_granted", 2L, "message")))
   }
+
+  test("repeated identical flips in different batches get distinct uuids") {
+    import spark.implicits._
+    // revoke → (grant) → revoke: the second revocation must NOT reuse
+    // the first one's uuid, or uuid-deduping consumers drop it; within
+    // a batch the uuid stays deterministic for replay.
+    val revoke = Seq(EventPipeline.GrantChange(1, "purchase", false)).toDF()
+    val b0 = NotificationSink.envelope(revoke, batchId = 0).head().getString(0)
+    val b0again = NotificationSink.envelope(revoke, batchId = 0).head().getString(0)
+    val b2 = NotificationSink.envelope(revoke, batchId = 2).head().getString(0)
+    assert(b0 == b0again)
+    assert(b0 != b2)
+  }
 }
