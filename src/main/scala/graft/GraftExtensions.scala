@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CosineSimilarity, HllSketchAgg}
+import graft.functions.expressions.{CosineSimilarity, HllSketchAgg, SimHash}
 import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_distinct"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllSketchAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash(exprs.head,
+          if (exprs.length > 1)
+            exprs(1).eval().asInstanceOf[Number].intValue()
+          else 32)))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -321,18 +321,18 @@ object TextQueries extends QueryModule {
               |FROM reach GROUP BY a""".stripMargin)),
 
     // SimHash: 32-bit signature over the token multiset; docs sharing
-    // a signature are near-dup candidates
+    // a signature are near-dup candidates. The signature is the native
+    // fused expression (graft.functions.expressions.SimHash) — the HOF
+    // transform+aggregate form it replaces ran interpreted
+    // (CodegenFallback) and was the slowest projection in the bench;
+    // bit-parity between the two forms is asserted in SimHashSpec.
     Q("dedup_simhash",
       (s, dir) => {
-        val hl = transform(tokens(col("text")), t => portableHash(t))
-        val simhash = (0 until SimhashBits).map { b =>
-          val bitsum = aggregate(col("hl"), lit(0L),
-            (acc, h) => acc + (shiftright(h, b) % lit(2L)) * lit(2L) - lit(1L))
-          when(bitsum > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _)
         val w = Window.partitionBy(col("simhash"))
-        docs(s, dir).select(col("doc_id"), hl.as("hl"))
-          .select(col("doc_id"), simhash.as("simhash"))
+        docs(s, dir)
+          .select(col("doc_id"),
+            graft.functions.expressions.SimHash(tokens(col("text")), SimhashBits)
+              .as("simhash"))
           .withColumn("n_same_sig", count(lit(1)).over(w))
       },
       Some {
