@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.streaming.EventPipeline.GrantChange
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Materialized grants table — the storage layer of the serve path
+  * (BASELINE north star: "Spark SQL feature transformations +
+  * Parquet storage"; reference keeps grants in in-process dicts,
+  * user_feature.py:22, which a restart loses).
+  *
+  * The long-form grants view `[user_id, feature, has_grant]` persists
+  * as a catalog parquet table BUCKETED BY user_id, so every serve-path
+  * join keyed on user_id scans co-located buckets with no exchange,
+  * and is kept current by last-writer-wins upserts from the grant-flip
+  * CDC (batch or foreachBatch streaming).
+  *
+  * Upsert mechanics: this sandbox has no Delta/Iceberg jars, so MERGE
+  * is expressed as broadcast-join-the-delta + staged rewrite
+  * (write staging table, swap via rename). That rewrites the table per
+  * batch — the parquet-catalog price; on a real deployment the same
+  * `collapse` + merge logic feeds `MERGE INTO` on a Delta/Iceberg
+  * table for file-level pruning. Single-writer by construction (one
+  * streaming query owns the table), like any foreachBatch MERGE sink.
+  */
+object GrantStore {
+
+  val DefaultTable = "graft_grants"
+
+  /** Full materialization of a grants view, bucketed by user_id. */
+  def materialize(grants: DataFrame, table: String = DefaultTable,
+                  buckets: Int = 32): Unit =
+    Bucketed.write(grants, table, "user_id", buckets)
+
+  def read(spark: SparkSession, table: String = DefaultTable): DataFrame =
+    spark.table(table)
+
+  /** Collapse a CDC micro-batch to its NET effect per (user, feature).
+    * Flip values for one key strictly alternate, so: equal true/false
+    * counts ⇒ the key ended where it started (no-op, dropped); else the
+    * majority value is the last flip's value. This resolves multiple
+    * same-key flips without needing an ordering column. */
+  def collapse(changes: DataFrame): DataFrame =
+    changes.groupBy(col("user_id"), col("feature"))
+      .agg(count(when(col("has_grant"), lit(1))).as("nt"),
+        count(when(!col("has_grant"), lit(1))).as("nf"))
+      .filter(col("nt") =!= col("nf"))
+      .select(col("user_id"), col("feature"),
+        (col("nt") > col("nf")).as("has_grant"))
+
+  /** Last-writer-wins upsert of a CDC batch: existing keys update, new
+    * keys insert. The delta is a micro-batch (tiny) → broadcast; the
+    * base-table scan shuffles only for the bucketed rewrite itself. */
+  def upsert(spark: SparkSession, changes: DataFrame,
+             table: String = DefaultTable, buckets: Int = 32): Unit = {
+    val delta = collapse(changes)
+      .select(col("user_id"), col("feature"),
+        col("has_grant").as("new_grant"))
+    val merged = spark.table(table)
+      .join(broadcast(delta), Seq("user_id", "feature"), "full_outer")
+      .select(col("user_id"), col("feature"),
+        coalesce(col("new_grant"), col("has_grant")).as("has_grant"))
+    val staging = table + "__staging"
+    Bucketed.write(merged, staging, "user_id", buckets)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
+
+  /** Streaming sink: grant-flip CDC → incremental table upserts. */
+  def writer(changes: Dataset[GrantChange], table: String = DefaultTable,
+             buckets: Int = 32): DataStreamWriter[GrantChange] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[GrantChange], _: Long) =>
+        upsert(batch.sparkSession, batch.toDF(), table, buckets)
+      }
+
+  /** Serve-path lookup join: grants for a keyed frame of user_ids.
+    * When `users` is bucketed by user_id with the same bucket count,
+    * this join plans with NO exchange on either side (asserted in
+    * GrantStoreSpec). */
+  def grantsFor(spark: SparkSession, users: DataFrame,
+                table: String = DefaultTable): DataFrame =
+    users.join(read(spark, table), Seq("user_id"), "left_outer")
+}
