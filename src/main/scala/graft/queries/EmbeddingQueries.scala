@@ -29,18 +29,61 @@ object EmbeddingQueries extends QueryModule {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
-  /** Sign-bit LSH bucket: Σ 2^i · [emb_i > 0] over the first 8 dims —
-    * axis-aligned random-hyperplane LSH with deterministic planes. */
-  private val LshBits = 8
-  private def bucketCol(emb: Column): Column =
-    (0 until LshBits).map(i =>
+  /** Sign-bit LSH bucket: Σ 2^i · [emb_i > 0] over the first `bits`
+    * dims — axis-aligned random-hyperplane LSH with deterministic
+    * planes. Plane count is the recall/parallelism dial: more planes →
+    * 2^bits smaller buckets (more parallelism, cheaper candidate sets)
+    * but more near-neighbors split across a plane (lower recall). At
+    * 100 TB, 8 planes → only 256 buckets → bucket skew; widen to
+    * 12-16 planes AND turn on multi-probe to buy the recall back. */
+  val LshBits = 8
+  def bucketCol(emb: Column, bits: Int = LshBits): Column =
+    (0 until bits).map(i =>
       when(element_at(emb, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  private val bucketSql: String =
-    (0 until LshBits).map(i =>
+  private def bucketSqlFor(bits: Int): String =
+    (0 until bits).map(i =>
       s"(CASE WHEN emb[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
+  private val bucketSql: String = bucketSqlFor(LshBits)
+
+  /** Multi-probe LSH: probe the query's own bucket plus every bucket
+    * at Hamming distance 1 (one sign-plane flip). A near neighbor that
+    * straddles exactly one hyperplane — the dominant loss mode of
+    * sign-bit LSH — is recovered at the cost of scanning bits+1 of the
+    * 2^bits buckets (candidate work ×(bits+1), still exponentially
+    * below the full scan). Probes are distinct buckets, so no candidate
+    * dedup is needed. */
+  def probeBuckets(bucket: Column, bits: Int = LshBits): Column =
+    array(bucket +: (0 until bits).map(i =>
+      bucket.bitwiseXOR(lit(1L << i))): _*)
+
+  /** Bucketed ANN top-k, single- or multi-probe: candidates come only
+    * from probed buckets, ranked by exact cosine. Since both variants
+    * rank the same metric, multi-probe's candidate superset makes its
+    * recall ≥ single-probe's by construction (measured against the
+    * exact baseline in EmbeddingAnnSpec). */
+  def annTopK(data: DataFrame, queryPred: Column, k: Int,
+              bits: Int = LshBits, multiProbe: Boolean = false): DataFrame = {
+    val e = data.withColumn("bucket", bucketCol(col("emb"), bits))
+    val q0 = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("bucket"))
+    val q = if (multiProbe)
+      q0.select(col("query_id"), col("qemb"),
+        explode(probeBuckets(col("bucket"), bits)).as("bucket"))
+    else q0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(e.select(col("vec_id").as("neighbor_id"), col("emb"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qemb"), col("emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("sim"), 5).as("sim"))
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -111,21 +154,7 @@ object EmbeddingQueries extends QueryModule {
     // Bucketed ANN: rank only within the query's bucket — approximate
     // (recall < 1) but join-pruned; the plan that survives scale-out
     Q("embed_ann_bucketed",
-      (s, dir) => {
-        val e = vecs(s, dir).withColumn("bucket", bucketCol(col("emb")))
-        val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("bucket"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        q.join(e.select(col("vec_id").as("neighbor_id"), col("emb"), col("bucket")),
-            Seq("bucket"))
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .withColumn("sim", cosine(col("qemb"), col("emb")))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select(col("query_id"), col("neighbor_id"), col("rnk"),
-            round(col("sim"), 5).as("sim"))
-      },
+      (s, dir) => annTopK(vecs(s, dir), col("vec_id") < 20, k = 3),
       Some(s"""WITH e AS (SELECT vec_id, emb, $bucketSql AS bucket
               |           FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
               |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -138,6 +167,33 @@ object EmbeddingQueries extends QueryModule {
               |                                   ORDER BY sim DESC, neighbor_id) AS rnk
               |      FROM p)
               |SELECT query_id, neighbor_id, rnk, round(sim, 5) AS sim
-              |FROM r WHERE rnk <= 3""".stripMargin))
+              |FROM r WHERE rnk <= 3""".stripMargin)),
+
+    // Multi-probe ANN: same bucketed plan, but each query also probes
+    // the `bits` buckets one sign-flip away — recovering neighbors that
+    // straddle a single hyperplane (the recall/cost dial documented on
+    // probeBuckets; recall ≥ single-probe by construction, measured in
+    // EmbeddingAnnSpec)
+    Q("embed_ann_multiprobe",
+      (s, dir) => annTopK(vecs(s, dir), col("vec_id") < 20, k = 3,
+        multiProbe = true),
+      Some {
+        val probes = "bucket" +: (0 until LshBits).map(i => s"xor(bucket, ${1L << i})")
+        s"""WITH e AS (SELECT vec_id, emb, $bucketSql AS bucket
+           |           FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
+           |q AS (SELECT vec_id AS query_id, emb AS qemb,
+           |             unnest([${probes.mkString(", ")}]) AS bucket
+           |      FROM e WHERE vec_id < 20),
+           |p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+           |             list_dot_product(q.qemb, n.emb)
+           |               / (sqrt(list_dot_product(q.qemb, q.qemb))
+           |                  * sqrt(list_dot_product(n.emb, n.emb))) AS sim
+           |      FROM q JOIN e n ON q.bucket = n.bucket AND n.vec_id <> q.query_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |                                   ORDER BY sim DESC, neighbor_id) AS rnk
+           |      FROM p)
+           |SELECT query_id, neighbor_id, rnk, round(sim, 5) AS sim
+           |FROM r WHERE rnk <= 3""".stripMargin
+      })
   )
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.EmbeddingQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-probe LSH recall: measured against the exact brute-force
+  * top-k. Multi-probe candidates are a superset of single-probe's and
+  * both rank exact cosine, so recall(multi) ≥ recall(single) must hold
+  * on ANY data; the crafted plane-straddling pair shows the strict
+  * improvement mode. */
+class EmbeddingAnnSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  /** Seeded clustered vectors: 8 cluster centers, 25 points each,
+    * dim 16. Near neighbors mostly share sign patterns; noise puts a
+    * fraction across one plane — the multi-probe target. */
+  private def data: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(8, 16)(rnd.nextDouble() * 2 - 1)
+    (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rnd.nextGaussian() * 0.3).toSeq)
+    }.toDF("vec_id", "emb")
+  }
+
+  private def exactTopK(df: DataFrame, k: Int): DataFrame = {
+    val q = df.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.crossJoin(df.select(col("vec_id").as("neighbor_id"), col("emb")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", graft.functions.expressions.CosineSimilarity(
+        col("qemb"), col("emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-probe recall >= single-probe recall vs the exact baseline") {
+    val d = data
+    val exact = pairs(exactTopK(d, 3))
+    val single = pairs(EmbeddingQueries.annTopK(d, col("vec_id") < 20, 3))
+    val multi = pairs(EmbeddingQueries.annTopK(d, col("vec_id") < 20, 3,
+      multiProbe = true))
+    val rs = (single intersect exact).size.toDouble / exact.size
+    val rm = (multi intersect exact).size.toDouble / exact.size
+    info(f"recall single-probe=$rs%.3f multi-probe=$rm%.3f (${exact.size} exact pairs)")
+    assert(rm >= rs)
+    assert(rm >= 0.5, s"multi-probe recall $rm unexpectedly low")
+  }
+
+  test("a neighbor straddling ONE plane is recovered only by multi-probe") {
+    import spark.implicits._
+    // query 0 and vec 100 differ only in the sign of dim 0 (one plane);
+    // vec 101 is a same-bucket but less similar neighbor.
+    val base = Seq.fill(15)(0.8) // dims 2-16 identical
+    val d = Seq(
+      (0L, 0.1 +: base),
+      (100L, -0.1 +: base), // across plane 0, nearly identical
+      (101L, 0.9 +: base.map(_ * 0.2))) // same bucket as query, far
+      .toDF("vec_id", "emb")
+    val single = pairs(EmbeddingQueries.annTopK(d, col("vec_id") === 0, 1))
+    val multi = pairs(EmbeddingQueries.annTopK(d, col("vec_id") === 0, 1,
+      multiProbe = true))
+    assert(single == Set((0L, 101L))) // best true neighbor invisible
+    assert(multi == Set((0L, 100L))) // recovered via the flipped probe
+  }
+}
