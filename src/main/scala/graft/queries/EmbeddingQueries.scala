@@ -85,6 +85,42 @@ object EmbeddingQueries extends QueryModule {
         round(col("sim"), 5).as("sim"))
   }
 
+  /** IVF-flavored ANN: a coarse quantizer partitions vectors into
+    * Voronoi cells around `nPivots` pivot vectors; queries probe their
+    * `nProbe` nearest cells and rank candidates by exact cosine. The
+    * pivots here are the first `nPivots` vectors by id — a
+    * deterministic, oracle-expressible stand-in for offline-trained
+    * k-means centroids (at 100 TB you train centroids on a sample and
+    * broadcast them; the assignment/probe plan is IDENTICAL). Probe
+    * count is the recall dial: cells are data-adaptive (unlike sign-bit
+    * LSH's fixed hyperplanes), so cell sizes stay balanced under
+    * clustered data — the bucket-skew antidote. */
+  def ivfTopK(data: DataFrame, queryPred: Column, k: Int,
+              nPivots: Int = 16, nProbe: Int = 2): DataFrame = {
+    val piv = data.filter(col("vec_id") < nPivots)
+      .select(col("vec_id").as("pid"), col("emb").as("pemb"))
+    val assign = data.crossJoin(broadcast(piv))
+      .withColumn("psim", cosine(col("emb"), col("pemb")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("psim").desc, col("pid"))))
+    val cells = assign.filter(col("prn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("emb"),
+        col("pid").as("cell"))
+    val probes = assign.filter(queryPred && col("prn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("pid").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(cells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qemb"), col("emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("sim"), 5).as("sim"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Brute-force cosine top-5 for a fixed query set — the exact ANN
@@ -194,6 +230,37 @@ object EmbeddingQueries extends QueryModule {
            |      FROM p)
            |SELECT query_id, neighbor_id, rnk, round(sim, 5) AS sim
            |FROM r WHERE rnk <= 3""".stripMargin
-      })
+      }),
+
+    // IVF ANN: Voronoi-cell coarse quantizer (deterministic pivots) +
+    // nProbe=2 cell probing — the data-adaptive scale path alongside
+    // the LSH variants (see ivfTopK scaladoc for the k-means story)
+    Q("embed_ann_ivf",
+      (s, dir) => ivfTopK(vecs(s, dir), col("vec_id") < 20, k = 3),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             |piv AS (SELECT vec_id AS pid, emb AS pemb FROM e WHERE vec_id < 16),
+             |a AS (SELECT e.vec_id, e.emb, p.pid,
+             |             list_dot_product(e.emb, p.pemb)
+             |               / (sqrt(list_dot_product(e.emb, e.emb))
+             |                  * sqrt(list_dot_product(p.pemb, p.pemb))) AS psim
+             |      FROM e CROSS JOIN piv p),
+             |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |                                    ORDER BY psim DESC, pid) AS prn
+             |       FROM a),
+             |cells AS (SELECT vec_id AS neighbor_id, emb, pid AS cell
+             |          FROM r0 WHERE prn = 1),
+             |qp AS (SELECT vec_id AS query_id, emb AS qemb, pid AS cell
+             |       FROM r0 WHERE vec_id < 20 AND prn <= 2),
+             |p AS (SELECT qp.query_id, n.neighbor_id,
+             |             list_dot_product(qp.qemb, n.emb)
+             |               / (sqrt(list_dot_product(qp.qemb, qp.qemb))
+             |                  * sqrt(list_dot_product(n.emb, n.emb))) AS sim
+             |      FROM qp JOIN cells n
+             |        ON qp.cell = n.cell AND n.neighbor_id <> qp.query_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |                                   ORDER BY sim DESC, neighbor_id) AS rnk
+             |      FROM p)
+             |SELECT query_id, neighbor_id, rnk, round(sim, 5) AS sim
+             |FROM r WHERE rnk <= 3""".stripMargin))
   )
 }

@@ -59,6 +59,18 @@ class EmbeddingAnnSpec extends AnyFunSuite {
     assert(rm >= 0.5, s"multi-probe recall $rm unexpectedly low")
   }
 
+  test("IVF probing beats its own single-cell recall") {
+    val d = data
+    val exact = pairs(exactTopK(d, 3))
+    val one = pairs(EmbeddingQueries.ivfTopK(d, col("vec_id") < 20, 3, nProbe = 1))
+    val two = pairs(EmbeddingQueries.ivfTopK(d, col("vec_id") < 20, 3, nProbe = 2))
+    val r1 = (one intersect exact).size.toDouble / exact.size
+    val r2 = (two intersect exact).size.toDouble / exact.size
+    info(f"IVF recall nprobe=1: $r1%.3f  nprobe=2: $r2%.3f")
+    assert(r2 >= r1)
+    assert(r2 >= 0.4, s"IVF recall $r2 unexpectedly low")
+  }
+
   test("a neighbor straddling ONE plane is recovered only by multi-probe") {
     import spark.implicits._
     // query 0 and vec 100 differ only in the sign of dim 0 (one plane);
