@@ -2,8 +2,8 @@ package graft.streaming
 
 import graft.config._
 import graft.operators.RuleEval
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The reference's write path as Structured Streaming
   * (SURVEY.md §3.1): events → per-user incremental aggregates →
@@ -85,14 +85,14 @@ object EventPipeline {
       .orElse(st.distincts.get(name).map(_.size.toDouble))
       .getOrElse(0.0)
 
-  /** Per-user state update: fold the batch's events in event-time
-    * order, re-evaluate grants, emit changes. Default grant is TRUE
-    * (rules.py:112), so the first emission happens when a rule first
-    * revokes. */
-  def updateUser(cfg: EngineConfig)(
-      userId: Long, events: Iterator[EventRow],
-      state: GroupState[UserAggState]): Iterator[GrantChange] = {
-    var st = state.getOption.getOrElse(emptyState)
+  /** The shared per-user fold: apply the batch's events in event-time
+    * order, re-evaluate grants after each, collect flips. Both state
+    * APIs (flatMapGroupsWithState and transformWithState) wrap exactly
+    * this, which is what makes their parity a code invariant rather
+    * than a test hope. */
+  private def foldEvents(cfg: EngineConfig, userId: Long, st0: UserAggState,
+                         events: Iterator[EventRow]): (UserAggState, Seq[GrantChange]) = {
+    var st = st0
     val changes = scala.collection.mutable.ArrayBuffer[GrantChange]()
     events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
       st = applyEvent(cfg, st, e)
@@ -102,8 +102,91 @@ object EventPipeline {
       }
       st = st.copy(grants = newGrants)
     }
+    (st, changes.toSeq)
+  }
+
+  /** Per-user state update (flatMapGroupsWithState shape). Default
+    * grant is TRUE (rules.py:112), so the first emission happens when a
+    * rule first revokes. */
+  def updateUser(cfg: EngineConfig)(
+      userId: Long, events: Iterator[EventRow],
+      state: GroupState[UserAggState]): Iterator[GrantChange] = {
+    val (st, changes) = foldEvents(cfg, userId,
+      state.getOption.getOrElse(emptyState), events)
     state.update(st)
     changes.iterator
+  }
+
+  /** Composite key for the distinct-value sets flattened into one
+    * MapState: (aggregate name, observed value). */
+  final case class DistinctKey(agg: String, v: String)
+
+  /** The same per-user pipeline on Spark 4's transformWithState
+    * StatefulProcessor API. The state is decomposed into typed
+    * MapState handles (the v2 state store's composite state) rather
+    * than one UserAggState blob: each seen-uuid / accumulator /
+    * distinct-member / grant is its OWN RocksDB entry, so an event
+    * touches O(changed keys) point writes instead of rewriting the
+    * whole per-user state — the shape that matters when the seen-id
+    * set is large. (The blob also wouldn't encode: the tws state
+    * schema rejects MapType fields.) TTLConfig.NONE keeps state
+    * forever like the reference's dicts; a real deployment sets a TTL
+    * to bound the seen-uuid state instead of growing it unboundedly.
+    *
+    * Writes are diffed against the batch-start snapshot, so unchanged
+    * entries cost nothing. */
+  final class GrantProcessor(cfg: EngineConfig)
+      extends StatefulProcessor[Long, EventRow, GrantChange] {
+    @transient private var seen: org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var sums: org.apache.spark.sql.streaming.MapState[String, Double] = _
+    @transient private var distincts: org.apache.spark.sql.streaming.MapState[DistinctKey, Boolean] = _
+    @transient private var grants: org.apache.spark.sql.streaming.MapState[String, Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val h = getHandle
+      seen = h.getMapState("seenIds", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      counts = h.getMapState("counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      sums = h.getMapState("sums", Encoders.STRING, Encoders.scalaDouble, TTLConfig.NONE)
+      distincts = h.getMapState("distincts",
+        Encoders.product[DistinctKey], Encoders.scalaBoolean, TTLConfig.NONE)
+      grants = h.getMapState("grants", Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, events: Iterator[EventRow],
+                                 timers: TimerValues): Iterator[GrantChange] = {
+      val st0 = UserAggState(
+        seenIds = seen.iterator().map { case (k, v) => k -> v }.toMap,
+        counts = counts.iterator().map { case (k, v) => k -> v }.toMap,
+        sums = sums.iterator().map { case (k, v) => k -> v }.toMap,
+        distincts = distincts.iterator().toSeq
+          .groupBy(_._1.agg)
+          .map { case (a, ks) => a -> ks.map(k => k._1.v -> k._2).toMap },
+        grants = grants.iterator().map { case (k, v) => k -> v }.toMap)
+      val (st, changes) = foldEvents(cfg, userId, st0, events)
+      st.seenIds.foreach { case (k, v) =>
+        if (!st0.seenIds.contains(k)) seen.updateValue(k, v) }
+      st.counts.foreach { case (k, v) =>
+        if (!st0.counts.get(k).contains(v)) counts.updateValue(k, v) }
+      st.sums.foreach { case (k, v) =>
+        if (!st0.sums.get(k).contains(v)) sums.updateValue(k, v) }
+      st.distincts.foreach { case (a, m) => m.foreach { case (dv, flag) =>
+        if (!st0.distincts.get(a).exists(_.contains(dv)))
+          distincts.updateValue(DistinctKey(a, dv), flag) } }
+      st.grants.foreach { case (k, v) =>
+        if (!st0.grants.get(k).contains(v)) grants.updateValue(k, v) }
+      changes.iterator
+    }
+  }
+
+  /** grantChanges on the transformWithState path; requires the RocksDB
+    * state store provider when run as a streaming query. */
+  def grantChangesTws(spark: SparkSession, events: Dataset[EventRow],
+                      cfg: EngineConfig): Dataset[GrantChange] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new GrantProcessor(cfg),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Backlog/observability surface (SURVEY.md S5: the reference's
