@@ -89,8 +89,10 @@ object AccessService {
     attempts(events, Grants.wide(
       EventAggregates.perUser(events, cfg.aggregates), cfg), cfg)
 
-  private def attempts(events: DataFrame, wideGrants: DataFrame,
-                       cfg: EngineConfig): DataFrame = {
+  /** Attempt log against an already-built wide grants frame — callers
+    * that also serve grants reuse one aggregation for both. */
+  def attempts(events: DataFrame, wideGrants: DataFrame,
+               cfg: EngineConfig): DataFrame = {
     val stackArgs = cfg.features
       .map(f => s"'${f.name}', coalesce(${f.name}, true)")
       .mkString(", ")
@@ -107,10 +109,12 @@ object AccessService {
     * construction time via orderBy().limit(1).collect()). */
   def fromEvents(spark: SparkSession, events: DataFrame,
                  cfg: EngineConfig): AccessService = {
-    val aggs = EventAggregates.perUser(events, cfg.aggregates)
-    val wide = Grants.wide(aggs, cfg)
+    // one per-user aggregation feeds both the grants view and the
+    // attempt log (cached: both consumers materialize it)
+    val wide = Grants.wide(
+      EventAggregates.perUser(events, cfg.aggregates), cfg).cache()
     val circuits = Windowed.latestFeatureCircuit(
       attempts(events, wide, cfg))
-    new AccessService(spark, Grants.long(aggs, cfg), circuits)
+    new AccessService(spark, Grants.longFromWide(wide, cfg), circuits)
   }
 }

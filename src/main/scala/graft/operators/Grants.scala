@@ -57,12 +57,17 @@ object Grants {
   /** Long-form grants view `[user_id, feature, has_grant]` — the
     * materialized equivalent of the reference's per-user grant dicts
     * (user_feature.py:22). Unpivot is a zero-shuffle projection. */
-  def long(userAggs: DataFrame, cfg: EngineConfig): DataFrame = {
-    val w = wide(userAggs, cfg)
+  def long(userAggs: DataFrame, cfg: EngineConfig): DataFrame =
+    longFromWide(wide(userAggs, cfg), cfg)
+
+  /** Unpivot an already-built wide frame — callers that need BOTH
+    * shapes build `wide` once (and may cache it) instead of
+    * re-aggregating the event scan per shape. */
+  def longFromWide(wideGrants: DataFrame, cfg: EngineConfig): DataFrame = {
     val stackArgs = cfg.features
       .map(f => s"'${f.name}', ${f.name}")
       .mkString(", ")
-    w.selectExpr(
+    wideGrants.selectExpr(
       "user_id",
       s"stack(${cfg.features.size}, $stackArgs) as (feature, has_grant)")
   }

@@ -385,10 +385,12 @@ object EventQueries extends QueryModule {
     Q("r8_access_check",
       (s, dir) => {
         val e = events(s, dir)
+        // one aggregation for both consumers (grants view + attempt log)
+        val wide = Grants.wide(
+          EventAggregates.perUser(e, cfg.aggregates), cfg).cache()
         val circuits = Windowed.latestFeatureCircuit(
-          graft.operators.AccessService.attemptsFromEvents(e, cfg))
-        val g = Grants.long(
-          EventAggregates.perUser(e, cfg.aggregates), cfg)
+          graft.operators.AccessService.attempts(e, wide, cfg))
+        val g = Grants.longFromWide(wide, cfg)
         g.join(broadcast(circuits), Seq("feature"), "left_outer")
           .select(col("user_id"), col("feature"), col("has_grant"),
             coalesce(col("circuit_open"), lit(false)).as("circuit_open"),
