@@ -131,25 +131,51 @@ object TextQueries extends QueryModule {
 
   val all: Seq[Q] = Seq(
 
-    // Token counting + basic stats (integer sums → exact compare)
+    // Token counting + basic stats (integer sums → exact compare).
+    // Total token chars = len(trim) − (n_tokens − 1): the corpus is
+    // single-spaced, so the separator count IS n_tokens−1 — pure
+    // codegen arithmetic instead of the interpreted HOF fold this
+    // replaced (transform+aggregate ran CodegenFallback per token).
     Q("text_token_stats",
       (s, dir) => {
         val t = tokens(col("text"))
+        val nTok = size(t)
+        val tokChars = length(trim(col("text"))) - (nTok - lit(1))
         docs(s, dir).select(
           col("doc_id"),
-          size(t).as("n_tokens"),
+          nTok.as("n_tokens"),
           length(col("text")).as("n_chars"),
           size(array_distinct(t)).as("n_distinct_tokens"),
-          round(
-            aggregate(transform(t, x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
-              .cast("double") / size(t), 6).as("avg_token_len"))
+          round(tokChars.cast("double") / nTok, 6).as("avg_token_len"))
       },
       Some("""SELECT doc_id,
              |       len(string_split(trim(text), ' ')) AS n_tokens,
              |       length(text) AS n_chars,
              |       len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
-             |       round(list_sum(list_transform(string_split(trim(text), ' '), x -> length(x)))
+             |       round((length(trim(text)) - (len(string_split(trim(text), ' ')) - 1))
              |             / (1.0 * len(string_split(trim(text), ' '))), 6) AS avg_token_len
+             |FROM documents""".stripMargin)),
+
+    // BPE-ish token counting: a GPT-2-style pretokenizer regex
+    // (contractions | word | number | punct-run | whitespace-run) —
+    // the "how many LLM tokens is this corpus" estimator. ASCII
+    // classes keep Java-regex and RE2 alternation semantics identical;
+    // compared against the whitespace count it brackets tokenizer
+    // inflation per document.
+    Q("token_count_bpe",
+      (s, dir) => {
+        val bpe = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+        docs(s, dir).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(bpe), lit(0)))
+            .as("n_bpe_tokens"),
+          size(tokens(col("text"))).as("n_ws_tokens"))
+      },
+      Some("""SELECT doc_id,
+             |       len(regexp_extract_all(text,
+             |           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+             |         AS n_bpe_tokens,
+             |       len(string_split(trim(text), ' ')) AS n_ws_tokens
              |FROM documents""".stripMargin)),
 
     // Term frequencies: the canonical explode → count shape; top-50
