@@ -17,7 +17,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 object StreamBench {
 
   /** Feed the sf dir's events through the streaming pipeline in
-    * `nChunks` micro-batches; returns (events/sec, flips). */
+    * `nChunks` micro-batches; returns (events/sec, flips).
+    *
+    * The collect() below is bench-harness-only plumbing: MemoryStream
+    * is driver-fed by contract, so the fixture must pass through the
+    * driver. Nothing in the MEASURED pipeline collects — a production
+    * run replaces MemoryStream with a Kafka/file source and this
+    * driver hop disappears. Do not imitate this in query code. */
   def run(spark: SparkSession, sfDir: String, nChunks: Int): (Double, Long) = {
     import spark.implicits._
     val events = Tables.events(spark, sfDir).as[EventRow].collect()

@@ -94,7 +94,12 @@ object EmbeddingQueries extends QueryModule {
     * broadcast them; the assignment/probe plan is IDENTICAL). Probe
     * count is the recall dial: cells are data-adaptive (unlike sign-bit
     * LSH's fixed hyperplanes), so cell sizes stay balanced under
-    * clustered data — the bucket-skew antidote. */
+    * clustered data — the bucket-skew antidote.
+    *
+    * Plan note: the assignment step is a BroadcastNestedLoopJoin by
+    * design — vector×pivot has no equi-key, and with nPivots rows on
+    * the broadcast side it is a bounded O(N·C) scan that parallelizes
+    * perfectly (the audit's BNLJ smell flag is a false positive here). */
   def ivfTopK(data: DataFrame, queryPred: Column, k: Int,
               nPivots: Int = 16, nProbe: Int = 2): DataFrame = {
     val piv = data.filter(col("vec_id") < nPivots)
