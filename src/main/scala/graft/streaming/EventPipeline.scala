@@ -54,8 +54,9 @@ object EventPipeline {
     } else if (field == "value") Some(e.value.toString)
     else None
 
-  private def applyEvent(cfg: EngineConfig, st: UserAggState, e: EventRow): UserAggState = {
-    if (st.seenIds.contains(e.event_id)) st // uuid dedup (aggregate.py:54,57)
+  private def applyEvent(cfg: EngineConfig, st: UserAggState, e: EventRow,
+                         trackSeen: Boolean = true): UserAggState = {
+    if (trackSeen && st.seenIds.contains(e.event_id)) st // uuid dedup (aggregate.py:54,57)
     else {
       var counts = st.counts
       var sums = st.sums
@@ -75,7 +76,8 @@ object EventPipeline {
             }
         }
       }
-      UserAggState(st.seenIds.updated(e.event_id, true), counts, sums, distincts, st.grants)
+      val seen = if (trackSeen) st.seenIds.updated(e.event_id, true) else st.seenIds
+      UserAggState(seen, counts, sums, distincts, st.grants)
     }
   }
 
@@ -91,11 +93,12 @@ object EventPipeline {
     * this, which is what makes their parity a code invariant rather
     * than a test hope. */
   private def foldEvents(cfg: EngineConfig, userId: Long, st0: UserAggState,
-                         events: Iterator[EventRow]): (UserAggState, Seq[GrantChange]) = {
+                         events: Iterator[EventRow],
+                         trackSeen: Boolean = true): (UserAggState, Seq[GrantChange]) = {
     var st = st0
     val changes = scala.collection.mutable.ArrayBuffer[GrantChange]()
     events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      st = applyEvent(cfg, st, e)
+      st = applyEvent(cfg, st, e, trackSeen)
       val newGrants = RuleEval.grants(cfg, aggValue(st))
       newGrants.foreach { case (f, g) =>
         if (st.grants.getOrElse(f, true) != g) changes += GrantChange(userId, f, g)
@@ -213,5 +216,30 @@ object EventPipeline {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         updateUser(cfg))
+  }
+
+  /** Bounded-state variant: uuid dedup moves OUT of the per-user state
+    * into `dropDuplicatesWithinWatermark` (its state is evicted by the
+    * watermark), and the fold stops recording seen ids — the per-user
+    * state is then O(aggregates), not O(events seen), closing the one
+    * unbounded-state hole the default pipeline inherits from the
+    * reference's dicts. The trade is the reference's exact forever-
+    * dedup narrows to duplicates arriving within the watermark, the
+    * standard production contract. */
+  def grantChangesBounded(spark: SparkSession, events: Dataset[EventRow],
+                          cfg: EngineConfig,
+                          watermark: String = "15 minutes"): Dataset[GrantChange] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[EventRow], state: GroupState[UserAggState]) => {
+          val (st, changes) = foldEvents(cfg, userId,
+            state.getOption.getOrElse(emptyState), evs, trackSeen = false)
+          state.update(st)
+          changes.iterator
+        })
   }
 }

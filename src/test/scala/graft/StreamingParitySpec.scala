@@ -55,6 +55,28 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamFinal == batchGrants)
   }
 
+  test("bounded pipeline dedups via watermark state, same flips") {
+    import spark.implicits._
+    val ms = MemoryStream[EventRow](spark)
+    val q = EventPipeline.grantChangesBounded(spark, ms.toDS(), cfg)
+      .writeStream.format("memory").queryName("bounded_flips")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        ev(1, 4, "purchase", 600.0, 1),
+        ev(2, 4, "error", 700.0, 2)))  // revoke purchase
+      q.processAllAvailable()
+      ms.addData(Seq(
+        ev(2, 4, "error", 700.0, 2),   // duplicate inside watermark → dropped
+        ev(3, 4, "purchase", 200.0, 3))) // re-grant
+      q.processAllAvailable()
+    } finally q.stop()
+    val flips = spark.table("bounded_flips").as[GrantChange].collect().toSeq
+    assert(flips == Seq(
+      GrantChange(4, "purchase", false),
+      GrantChange(4, "purchase", true)))
+  }
+
   test("batch mode runs the identical stateful code path") {
     import spark.implicits._
     val events = Seq(
