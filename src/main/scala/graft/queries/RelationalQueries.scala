@@ -382,6 +382,23 @@ object RelationalQueries extends QueryModule {
              |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
              |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
+    // Percentile scale path: exact `percentile` sorts every group —
+    // fine at test SF, a full per-group sort at 100 TB. approx_percentile
+    // (Greenwald-Khanna sketch, mergeable, bounded memory) is the
+    // at-scale form; bound-checked against the exact value (no SQL
+    // oracle — sketch internals differ across engines, like the HLL
+    // pair).
+    Q("percentiles_approx",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 4).as("approx_p50"))
+        .select(col("o_orderstatus"), col("exact_p50"), col("approx_p50"),
+          (abs(col("approx_p50") - col("exact_p50"))
+            <= greatest(lit(10.0), col("exact_p50") * 0.02)).as("within_bound")),
+      None),
+
     // As-of join on the star schema: each order picks up the customer's
     // most recent PRIOR order key (point-in-time self-join via AsOf)
     Q("asof_prev_order",
