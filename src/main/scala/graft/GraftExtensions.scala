@@ -27,11 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash(exprs.head,
-          if (exprs.length > 1)
-            exprs(1).eval().asInstanceOf[Number].intValue()
-          else 32)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"simhash takes 1 or 2 arguments, got ${exprs.length}")
+        val bits = if (exprs.length > 1) {
+          val b = exprs(1)
+          // eval() on a non-foldable expression throws an unreadable
+          // planner error; reject it up front
+          require(b.foldable,
+            "simhash(arr[, bits]): bits must be an integer literal")
+          b.eval().asInstanceOf[Number].intValue()
+        } else 32
+        SimHash(exprs.head, bits)
+      }))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -26,6 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
 
+  require(bits >= 1 && bits <= 64, s"simhash bits must be in [1, 64], got $bits")
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -76,6 +78,11 @@ object SimHash {
     val sums = new Array[Long](bits)
     var i = 0
     while (i < n) {
+      // A null element poisons every bit sum in the HOF formulation
+      // (NULL in the fold → NULL bitsum → no bit set), yielding
+      // signature 0 — mirror that instead of NPE-ing, since `simhash`
+      // is exposed as a session-wide SQL function.
+      if (arr.isNullAt(i)) return 0L
       val h = hash60(arr.getUTF8String(i))
       var b = 0
       while (b < bits) {

@@ -64,6 +64,11 @@ object ConnectedComponents {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
+    // every input node, including ones whose only edges are self-loops
+    // — those are singleton components and must appear in the output
+    // (the star iteration below drops self-loops entirely)
+    val nodes = edges
+      .select(explode(array(col("a"), col("b"))).as("node")).distinct()
     // canonical smaller-pointing orientation, self-loops dropped
     var e = ckpt(edges.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
@@ -87,10 +92,13 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"ConnectedComponents did not converge after $maxIter rounds")
     // Converged state is a set of stars rooted at each component's min:
-    // children from the edges, roots label themselves.
-    e.select(col("u").as("node"), col("v").as("component"))
+    // children from the edges, roots label themselves; nodes untouched
+    // by any real edge (self-loop-only) are their own singleton.
+    val starLabels = e.select(col("u").as("node"), col("v").as("component"))
       .unionByName(
         e.select(col("v").as("node"), col("v").as("component")))
       .distinct()
+    nodes.join(starLabels, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 }

@@ -385,7 +385,10 @@ object EventQueries extends QueryModule {
     Q("r8_access_check",
       (s, dir) => {
         val e = events(s, dir)
-        // one aggregation for both consumers (grants view + attempt log)
+        // one aggregation for both consumers (grants view + attempt
+        // log). The cache is one ~|users| row frame per invocation and
+        // cannot be unpersisted here (the returned plan consumes it
+        // lazily); per-session accumulation is bounded and tiny.
         val wide = Grants.wide(
           EventAggregates.perUser(e, cfg.aggregates), cfg).cache()
         val circuits = Windowed.latestFeatureCircuit(

@@ -16,22 +16,54 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * and is kept current by last-writer-wins upserts from the grant-flip
   * CDC (batch or foreachBatch streaming).
   *
-  * Upsert mechanics: this sandbox has no Delta/Iceberg jars, so MERGE
-  * is expressed as broadcast-join-the-delta + staged rewrite
-  * (write staging table, swap via rename). That rewrites the table per
-  * batch — the parquet-catalog price; on a real deployment the same
-  * `collapse` + merge logic feeds `MERGE INTO` on a Delta/Iceberg
-  * table for file-level pruning. Single-writer by construction (one
-  * streaming query owns the table), like any foreachBatch MERGE sink.
+  * Publish mechanics: `table` is a catalog VIEW pointing at the
+  * current generation table (`table__a` / `table__b`). A publish
+  * writes the INACTIVE generation (no reader points there, and the
+  * merge reads the other generation — no read-overwrite conflict),
+  * then repoints the view with one CREATE OR REPLACE VIEW — a single
+  * catalog operation, so name-resolving readers move atomically and a
+  * crash mid-publish leaves the view on the old, intact generation.
+  * This sandbox has no Delta/Iceberg jars; on a real deployment the
+  * same `collapse` + merge logic feeds `MERGE INTO` for file-level
+  * pruning. Single-writer by construction (one streaming query owns
+  * the table), like any foreachBatch MERGE sink.
   */
 object GrantStore {
 
   val DefaultTable = "graft_grants"
 
+  private def generations(table: String): (String, String) =
+    (table + "__a", table + "__b")
+
+  /** The generation NOT currently served — the safe write target. */
+  private def inactiveGen(spark: SparkSession, table: String): String = {
+    val (a, b) = generations(table)
+    if (!spark.catalog.tableExists(table)) a
+    else {
+      val ddl = spark.sql(s"SHOW CREATE TABLE `$table`").head().getString(0)
+      if (ddl.contains(a)) b else a
+    }
+  }
+
+  private def publish(spark: SparkSession, table: String, gen: String): Unit =
+    spark.sql(s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM `$gen`")
+
+  /** Drop the view and both generations (test/cleanup utility). */
+  def drop(spark: SparkSession, table: String): Unit = {
+    val (a, b) = generations(table)
+    spark.sql(s"DROP VIEW IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$a`")
+    spark.sql(s"DROP TABLE IF EXISTS `$b`")
+  }
+
   /** Full materialization of a grants view, bucketed by user_id. */
   def materialize(grants: DataFrame, table: String = DefaultTable,
-                  buckets: Int = 32): Unit =
-    Bucketed.write(grants, table, "user_id", buckets)
+                  buckets: Int = 32): Unit = {
+    val spark = grants.sparkSession
+    val gen = inactiveGen(spark, table)
+    Bucketed.write(grants, gen, "user_id", buckets)
+    publish(spark, table, gen)
+  }
 
   def read(spark: SparkSession, table: String = DefaultTable): DataFrame =
     spark.table(table)
@@ -50,21 +82,26 @@ object GrantStore {
         (col("nt") > col("nf")).as("has_grant"))
 
   /** Last-writer-wins upsert of a CDC batch: existing keys update, new
-    * keys insert. The delta is a micro-batch (tiny) → broadcast; the
-    * base-table scan shuffles only for the bucketed rewrite itself. */
+    * keys insert. The delta is a micro-batch (tiny) → persisted once
+    * for the emptiness guard AND the merge, then broadcast. */
   def upsert(spark: SparkSession, changes: DataFrame,
              table: String = DefaultTable, buckets: Int = 32): Unit = {
     val delta = collapse(changes)
       .select(col("user_id"), col("feature"),
         col("has_grant").as("new_grant"))
-    val merged = spark.table(table)
-      .join(broadcast(delta), Seq("user_id", "feature"), "full_outer")
-      .select(col("user_id"), col("feature"),
-        coalesce(col("new_grant"), col("has_grant")).as("has_grant"))
-    val staging = table + "__staging"
-    Bucketed.write(merged, staging, "user_id", buckets)
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      .persist()
+    try {
+      // empty or net-zero CDC batches (common under foreachBatch) must
+      // not pay a table rewrite
+      if (delta.isEmpty) return
+      val merged = spark.table(table)
+        .join(broadcast(delta), Seq("user_id", "feature"), "full_outer")
+        .select(col("user_id"), col("feature"),
+          coalesce(col("new_grant"), col("has_grant")).as("has_grant"))
+      val gen = inactiveGen(spark, table)
+      Bucketed.write(merged, gen, "user_id", buckets)
+      publish(spark, table, gen)
+    } finally delta.unpersist()
   }
 
   /** Streaming sink: grant-flip CDC → incremental table upserts. */

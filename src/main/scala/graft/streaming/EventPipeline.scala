@@ -128,16 +128,16 @@ object EventPipeline {
     * StatefulProcessor API. The state is decomposed into typed
     * MapState handles (the v2 state store's composite state) rather
     * than one UserAggState blob: each seen-uuid / accumulator /
-    * distinct-member / grant is its OWN RocksDB entry, so an event
-    * touches O(changed keys) point writes instead of rewriting the
-    * whole per-user state — the shape that matters when the seen-id
-    * set is large. (The blob also wouldn't encode: the tws state
-    * schema rejects MapType fields.) TTLConfig.NONE keeps state
-    * forever like the reference's dicts; a real deployment sets a TTL
-    * to bound the seen-uuid state instead of growing it unboundedly.
-    *
-    * Writes are diffed against the batch-start snapshot, so unchanged
-    * entries cost nothing. */
+    * distinct-member / grant is its OWN RocksDB entry. The unbounded
+    * seen-uuid set is touched ONLY by containsKey point lookups and
+    * point inserts — never materialized — while the bounded state
+    * (accumulators, distinct members, grants: O(config + per-user
+    * cardinality)) is read per batch and written back diffed against
+    * the batch-start snapshot, so unchanged entries cost nothing.
+    * (A UserAggState blob also wouldn't encode: the tws state schema
+    * rejects MapType fields.) TTLConfig.NONE keeps state forever like
+    * the reference's dicts; a real deployment sets a TTL to bound the
+    * seen-uuid state instead of growing it unboundedly. */
   final class GrantProcessor(cfg: EngineConfig)
       extends StatefulProcessor[Long, EventRow, GrantChange] {
     @transient private var seen: org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
@@ -158,17 +158,27 @@ object EventPipeline {
 
     override def handleInputRows(userId: Long, events: Iterator[EventRow],
                                  timers: TimerValues): Iterator[GrantChange] = {
+      // uuid dedup by POINT LOOKUP — the seen-id set is the unbounded
+      // one and is never materialized: prior-batch dupes are filtered
+      // via containsKey, in-batch dupes via distinctBy (duplicate rows
+      // are identical, so keeping any one is exact), and the fold runs
+      // with trackSeen=false so it neither reads nor grows a seen map.
+      val fresh = events.filterNot(e => seen.containsKey(e.event_id))
+        .toSeq.distinctBy(_.event_id)
+      // the remaining state is O(aggregates + distinct values), read
+      // in full per batch (bounded by config and per-user cardinality,
+      // not by event history)
       val st0 = UserAggState(
-        seenIds = seen.iterator().map { case (k, v) => k -> v }.toMap,
+        seenIds = Map.empty,
         counts = counts.iterator().map { case (k, v) => k -> v }.toMap,
         sums = sums.iterator().map { case (k, v) => k -> v }.toMap,
         distincts = distincts.iterator().toSeq
           .groupBy(_._1.agg)
           .map { case (a, ks) => a -> ks.map(k => k._1.v -> k._2).toMap },
         grants = grants.iterator().map { case (k, v) => k -> v }.toMap)
-      val (st, changes) = foldEvents(cfg, userId, st0, events)
-      st.seenIds.foreach { case (k, v) =>
-        if (!st0.seenIds.contains(k)) seen.updateValue(k, v) }
+      val (st, changes) = foldEvents(cfg, userId, st0, fresh.iterator,
+        trackSeen = false)
+      fresh.foreach(e => seen.updateValue(e.event_id, true))
       st.counts.foreach { case (k, v) =>
         if (!st0.counts.get(k).contains(v)) counts.updateValue(k, v) }
       st.sums.foreach { case (k, v) =>

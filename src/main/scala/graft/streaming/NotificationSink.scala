@@ -27,21 +27,32 @@ object NotificationSink {
   }
 
   /** Batch-shaped envelope synthesis (shared by batch + streaming).
-    * `batchId` is part of the uuid input: without it, a grant that
-    * flips revoke→grant→revoke would give BOTH revocations the same
-    * uuid, and a consumer deduping on uuid (the exactly-once
-    * mechanism) would silently drop the second legitimate
-    * notification. Within one micro-batch the CDC emits at most one
-    * flip per (user, feature), so (batch, user, feature, grant) is
-    * unique — and stable under micro-batch replay, unlike the
-    * reference's per-send uuid4 (user_feature.py:88-96). */
-  def envelope(changes: DataFrame, batchId: Long = 0L): DataFrame =
-    changes.select(
-      md5(concat_ws("|", lit(batchId), col("user_id"), col("feature"),
-        col("has_grant"))).as("uuid"),
-      when(col("has_grant"), lit("access_granted"))
-        .otherwise(lit("access_revoked")).as("name"),
-      col("user_id"), col("feature"))
+    * The uuid input is (batchId, user, feature, grant, dup_seq):
+    * batchId distinguishes identical flips in DIFFERENT batches
+    * (revoke→grant→revoke across batches), and dup_seq distinguishes
+    * identical flips WITHIN one batch (the CDC emits one change per
+    * flip per event, so revoke→grant→revoke inside a single
+    * micro-batch yields two identical revoke rows). The rows in one
+    * (user, feature, grant) group are indistinguishable, so whichever
+    * physical row receives which sequence number, the SET of uuids is
+    * the same — deterministic under micro-batch replay, unlike the
+    * reference's per-send uuid4 (user_feature.py:88-96), while every
+    * legitimate notification keeps a distinct uuid for consumer-side
+    * exactly-once dedup. */
+  def envelope(changes: DataFrame, batchId: Long = 0L): DataFrame = {
+    val dupSeq = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("feature"), col("has_grant"))
+        .orderBy(col("has_grant")))
+    changes
+      .withColumn("dup_seq", dupSeq)
+      .select(
+        md5(concat_ws("|", lit(batchId), col("user_id"), col("feature"),
+          col("has_grant"), col("dup_seq"))).as("uuid"),
+        when(col("has_grant"), lit("access_granted"))
+          .otherwise(lit("access_revoked")).as("name"),
+        col("user_id"), col("feature"))
+  }
 
   /** foreachBatch writer delivering grant-change notifications. */
   def writer(changes: Dataset[GrantChange], transport: Transport)

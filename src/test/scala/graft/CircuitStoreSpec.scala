@@ -17,8 +17,7 @@ class CircuitStoreSpec extends AnyFunSuite {
   test("breaker stream persists per-feature state served by AccessService") {
     import spark.implicits._
     val table = "cs_live"
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    spark.sql(s"DROP TABLE IF EXISTS `${table}__staging`")
+    CircuitStore.drop(spark, table)
     try {
       val ms = MemoryStream[(java.sql.Timestamp, Long, String, Boolean)](spark)
       val q = CircuitStore.writer(Windowed.featureCircuitStream(
@@ -45,17 +44,13 @@ class CircuitStoreSpec extends AnyFunSuite {
       val svc = new AccessService(spark, grants, CircuitStore.read(spark, table))
       assert(svc.canAccess(1L, "purchase"))
       assert(!svc.canAccess(1L, "message"))
-    } finally {
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      spark.sql(s"DROP TABLE IF EXISTS `${table}__staging`")
-    }
+    } finally CircuitStore.drop(spark, table)
   }
 
   test("upsert keeps features absent from the batch and takes the latest window") {
     import spark.implicits._
     val table = "cs_merge"
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    spark.sql(s"DROP TABLE IF EXISTS `${table}__staging`")
+    CircuitStore.drop(spark, table)
     try {
       CircuitStore.upsert(spark,
         Seq(("purchase", t(0), true), ("message", t(0), false))
@@ -67,9 +62,6 @@ class CircuitStoreSpec extends AnyFunSuite {
       val got = CircuitStore.read(spark, table).collect()
         .map(r => r.getString(0) -> r.getBoolean(1)).toMap
       assert(got == Map("purchase" -> false, "message" -> false))
-    } finally {
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      spark.sql(s"DROP TABLE IF EXISTS `${table}__staging`")
-    }
+    } finally CircuitStore.drop(spark, table)
   }
 }

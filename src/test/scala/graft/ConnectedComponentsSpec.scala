@@ -25,10 +25,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1L))
   }
 
-  test("disjoint clusters keep distinct min-id labels") {
+  test("disjoint clusters keep distinct min-id labels; self-loop-only node is its own singleton") {
     val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L), (21L, 20L), (7L, 7L))
     val labels = cc(edges)
-    assert(labels == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+    assert(labels == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L,
+      21L -> 20L, 7L -> 7L))
   }
 
   test("transitive near-dup pairs merge (a-b, b-c => one group)") {

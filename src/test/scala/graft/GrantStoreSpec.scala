@@ -15,12 +15,12 @@ class GrantStoreSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   private def drop(tables: String*): Unit =
-    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    tables.foreach(t => GrantStore.drop(spark, t))
 
   test("materialize + upsert round-trips updates and inserts") {
     import spark.implicits._
     val table = "gs_roundtrip"
-    drop(table, table + "__staging")
+    drop(table)
     try {
       GrantStore.materialize(Seq(
         (1L, "purchase", true), (1L, "message", true), (2L, "purchase", false))
@@ -34,7 +34,7 @@ class GrantStoreSpec extends AnyFunSuite {
       assert(got == Map(
         (1L, "purchase") -> false, (1L, "message") -> true,
         (2L, "purchase") -> false, (3L, "message") -> false))
-    } finally drop(table, table + "__staging")
+    } finally drop(table)
   }
 
   test("collapse: net-zero flip sequences are dropped, odd ones win") {
@@ -53,7 +53,8 @@ class GrantStoreSpec extends AnyFunSuite {
   test("bucketed serve-path join plans with no exchange") {
     import spark.implicits._
     val table = "gs_bucketed"
-    drop(table, "gs_users")
+    drop(table)
+    spark.sql("DROP TABLE IF EXISTS gs_users")
     try {
       GrantStore.materialize((1 to 200).map(i =>
         (i.toLong, "purchase", i % 3 != 0)).toDF("user_id", "feature", "has_grant"),
@@ -68,13 +69,16 @@ class GrantStoreSpec extends AnyFunSuite {
         val plan = served.queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange"), s"serve-path join shuffled:\n$plan")
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    } finally drop(table, "gs_users")
+    } finally {
+      drop(table)
+      spark.sql("DROP TABLE IF EXISTS gs_users")
+    }
   }
 
   test("AccessService serves from the catalog table") {
     import spark.implicits._
     val table = "gs_serve"
-    drop(table, table + "__staging")
+    drop(table)
     try {
       GrantStore.materialize(Seq((7L, "purchase", false))
         .toDF("user_id", "feature", "has_grant"), table, buckets = 4)
@@ -90,13 +94,13 @@ class GrantStoreSpec extends AnyFunSuite {
       val svc2 = new AccessService(spark,
         GrantStore.read(spark, table), circuits)
       assert(svc2.canAccess(7L, "purchase"))
-    } finally drop(table, table + "__staging")
+    } finally drop(table)
   }
 
   test("streaming grant CDC upserts into the table via foreachBatch") {
     import spark.implicits._
     val table = "gs_stream"
-    drop(table, table + "__staging")
+    drop(table)
     try {
       GrantStore.materialize(Seq((3L, "purchase", true), (3L, "message", true))
         .toDF("user_id", "feature", "has_grant"), table, buckets = 4)
@@ -116,6 +120,6 @@ class GrantStoreSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
       assert(got((3L, "purchase")) == false)
       assert(got((3L, "message")) == true)
-    } finally drop(table, table + "__staging")
+    } finally drop(table)
   }
 }

@@ -105,6 +105,23 @@ class StreamingSinksSpec extends AnyFunSuite {
       ("access_granted", 2L, "message")))
   }
 
+  test("identical flips WITHIN one batch get distinct uuids") {
+    import spark.implicits._
+    // revoke→grant→revoke inside one micro-batch: two identical revoke
+    // rows must not share a uuid (a deduping consumer would drop one)
+    val changes = Seq(
+      EventPipeline.GrantChange(1, "purchase", false),
+      EventPipeline.GrantChange(1, "purchase", true),
+      EventPipeline.GrantChange(1, "purchase", false)).toDF()
+    val uuids = NotificationSink.envelope(changes, batchId = 5).collect()
+      .map(_.getString(0))
+    assert(uuids.length == 3 && uuids.distinct.length == 3)
+    // and the uuid SET is replay-deterministic
+    val replay = NotificationSink.envelope(changes, batchId = 5).collect()
+      .map(_.getString(0))
+    assert(uuids.toSet == replay.toSet)
+  }
+
   test("repeated identical flips in different batches get distinct uuids") {
     import spark.implicits._
     // revoke → (grant) → revoke: the second revocation must NOT reuse
