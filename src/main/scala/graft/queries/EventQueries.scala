@@ -355,6 +355,40 @@ object EventQueries extends QueryModule {
              |SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events
              |FROM s GROUP BY user_id, sid""".stripMargin)),
 
+    // Binned range join: each event matched to ITS session interval
+    // via the equi-join-on-(user, time-bin) pattern (RangeJoin.binned)
+    // — the scale-safe form of a point-in-interval join (a raw
+    // BETWEEN join plans as a nested loop). Oracle = assign sessions
+    // by gaps-and-islands and read off each event's session start.
+    Q("range_join_binned",
+      (s, dir) => {
+        val e = events(s, dir)
+        val sessions = e
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"))
+        graft.operators.RangeJoin.binned(
+          e.select(col("event_id"), col("user_id"), col("ts")),
+          sessions, "user_id", "ts", "s_start", "s_end",
+          binMicros = 1800000000L) // 30-min bins ≈ the session gap
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("s_start")).as("session_start_us"))
+      },
+      Some("""WITH o AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+             |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |m AS (SELECT event_id, user_id, tus,
+             |             CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s
+             |      FROM o),
+             |s AS (SELECT event_id, user_id, tus,
+             |             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |      FROM m)
+             |SELECT event_id, user_id,
+             |       min(tus) OVER (PARTITION BY user_id, sid) AS session_start_us
+             |FROM s""".stripMargin)),
+
     // R7: grant-flip CDC — emit only on state change (reference
     // user_feature.py:32-44), batch form via running aggs + lag
     Q("r7_grant_flips",
