@@ -346,6 +346,66 @@ object TextQueries extends QueryModule {
               |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
               |FROM reach GROUP BY a""".stripMargin)),
 
+    // Dedup with quality-aware canonical selection: real pipelines keep
+    // the BEST document of a near-dup cluster, not the lowest id —
+    // rank cluster members by quality (type-token ratio; doc_id
+    // tiebreak) and keep the top. One extra window over the clustered
+    // docs; the CC labels provide the partition key.
+    Q("dedup_keep_best",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val edges = minhashPairs(d)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("d1").as("a"), col("d2").as("b"))
+        val labels = graft.operators.ConnectedComponents.components(edges)
+          .select(col("node").as("doc_id"), col("component").as("canonical_id"))
+        val t = tokens(col("text"))
+        val quality = d.select(col("doc_id"),
+          (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+        val w = Window.partitionBy(col("canonical_id"))
+          .orderBy(col("ttr").desc, col("doc_id"))
+        labels.join(quality, Seq("doc_id"))
+          .withColumn("kept", row_number().over(w) === 1)
+          .select(col("doc_id"), col("canonical_id"),
+            round(col("ttr"), 6).as("ttr"), col("kept"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |dup AS (SELECT d1, d2 FROM mh_pairs WHERE jaccard >= 0.5),
+              |e AS (SELECT d1 AS a, d2 AS b FROM dup
+              |      UNION SELECT d2, d1 FROM dup),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM e
+              |  UNION
+              |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+              |lab AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+              |        FROM reach GROUP BY a),
+              |q AS (SELECT doc_id,
+              |             len(list_distinct(string_split(trim(text), ' ')))
+              |               / (1.0 * len(string_split(trim(text), ' '))) AS ttr
+              |      FROM documents),
+              |r AS (SELECT lab.doc_id, lab.canonical_id, q.ttr,
+              |             row_number() OVER (PARTITION BY canonical_id
+              |                                ORDER BY ttr DESC, lab.doc_id) AS rn
+              |      FROM lab JOIN q ON lab.doc_id = q.doc_id)
+              |SELECT doc_id, canonical_id, round(ttr, 6) AS ttr, rn = 1 AS kept
+              |FROM r""".stripMargin)),
+
+    // Deterministic corpus sampling: hash-mod sampling is reproducible
+    // across runs/engines/cluster sizes (unlike TABLESAMPLE's
+    // partition-dependent RNG) — the standard way to carve train/eval
+    // slices of a 100 TB corpus. Stratified counts per language.
+    Q("corpus_sample",
+      (s, dir) => docs(s, dir)
+        .withColumn("in_sample",
+          portableHash(col("doc_id").cast("string")) % 10 === 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("in_sample"), lit(1))).as("n_sampled")),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |       count(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+             |                  THEN 1 END) AS n_sampled
+             |FROM documents GROUP BY lang""".stripMargin)),
+
     // SimHash: 32-bit signature over the token multiset; docs sharing
     // a signature are near-dup candidates. The signature is the native
     // fused expression (graft.functions.expressions.SimHash) — the HOF
