@@ -51,4 +51,95 @@ class PropertySpec extends AnyFunSuite {
       assert(grantsOf(base) == grantsOf(base.reverse))
     }
   }
+
+  // --- connected components vs a reference union-find -----------------
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(30, for {
+      a <- Gen.choose(1L, 20L); b <- Gen.choose(1L, 20L)
+    } yield (a, b))
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  test("star-algorithm components equal union-find on random graphs") {
+    import spark.implicits._
+    samples(genEdges, 6).foreach { edges =>
+      val got = graft.operators.ConnectedComponents
+        .components(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges), s"edges=$edges")
+    }
+  }
+
+  // --- binned range join vs a brute-force BETWEEN join -----------------
+
+  test("binned range join equals the brute-force interval scan") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val genCase = for {
+      probes <- Gen.listOfN(25, for {
+        id <- Gen.choose(1L, 1000L); k <- Gen.choose(1L, 4L)
+        m <- Gen.choose(0, 120)
+      } yield (id, k, m))
+      builds <- Gen.listOfN(8, for {
+        k <- Gen.choose(1L, 4L); s <- Gen.choose(0, 100)
+        len <- Gen.choose(1, 70)
+      } yield (k, s, s + len))
+    } yield (probes, builds)
+    def t(m: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    samples(genCase, 6).foreach { case (probes, builds) =>
+      val p = probes.map { case (id, k, m) => (id, k, t(m)) }
+        .toDF("id", "k", "ts")
+      val b = builds.zipWithIndex.map { case ((k, s, e), i) =>
+        (i.toLong, k, t(s), t(e)) }.toDF("bid", "k", "start", "end")
+      val got = graft.operators.RangeJoin
+        .binned(p, b, "k", "ts", "start", "end", binMicros = 1800000000L)
+        .select("id", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = p.as("p").join(b.as("b"),
+          col("p.k") === col("b.k") &&
+            col("ts") >= col("start") && col("ts") < col("end"))
+        .select("id", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    }
+  }
+
+  // --- CDC collapse vs replaying the flip sequence ---------------------
+
+  test("collapse equals replaying alternating flip sequences in order") {
+    import spark.implicits._
+    val genSeq = Gen.listOfN(4, for {
+      user <- Gen.choose(1L, 3L); feature <- Gen.oneOf("purchase", "message")
+      first <- Gen.oneOf(true, false); n <- Gen.choose(1, 5)
+    } yield (user, feature, first, n))
+    samples(genSeq, 8).foreach { keys =>
+      // per key: n alternating flips starting from `first`
+      val flips = keys.distinctBy(k => (k._1, k._2)).flatMap {
+        case (u, f, first, n) =>
+          (0 until n).map(i => (u, f, if (i % 2 == 0) first else !first))
+      }
+      val got = graft.sources.GrantStore
+        .collapse(flips.toDF("user_id", "feature", "has_grant"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2))
+        .toMap
+      // replay: last flip wins; net no-ops (even count) must be absent
+      val want = flips.groupBy(f => (f._1, f._2)).collect {
+        case (k, fs) if fs.length % 2 == 1 => k -> fs.last._3
+      }
+      assert(got == want, s"flips=$flips")
+    }
+  }
 }
