@@ -21,9 +21,6 @@ class TransformWithStateSpec extends AnyFunSuite {
     val spark = SparkTestSession.spark.newSession()
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // Avro state encoding (the tws default) rejects MapType state
-    // fields; UnsafeRow encoding supports the full SQL type surface
-    spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "unsaferow")
     import spark.implicits._
     val ms = MemoryStream[EventRow](spark)
     val q = EventPipeline.grantChangesTws(spark, ms.toDS(), DefaultConfig.config)
@@ -47,9 +44,6 @@ class TransformWithStateSpec extends AnyFunSuite {
     val spark = SparkTestSession.spark.newSession()
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // Avro state encoding (the tws default) rejects MapType state
-    // fields; UnsafeRow encoding supports the full SQL type surface
-    spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "unsaferow")
     import spark.implicits._
     val events = Seq(
       ev(1, 1, "purchase", 600.0, 1), ev(2, 1, "error", 900.0, 2),
