@@ -31,12 +31,20 @@ object PlanAudit {
         org.apache.spark.sql.execution.FormattedMode)
       println(s"\n===== $name =====")
       println(plan)
+      // BNLJ is by design in exactly these two: embed_cosine_topk's
+      // exact baseline crosses against a FIXED 5-query set, and the
+      // IVF assignment crosses each vector against nPivots broadcast
+      // pivots (no equi-key exists; bounded O(N·C) work).
+      val expectedBnlj = Set("embed_ann_ivf", "embed_cosine_topk")
       val smells = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
         "no-WholeStageCodegen" -> !plan.contains("codegen id"),
-        "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoopJoin")
+        "BroadcastNestedLoop" -> (plan.contains("BroadcastNestedLoopJoin")
+          && !expectedBnlj.contains(name))
       ).collect { case (s, true) => s }
       println(if (smells.nonEmpty) s"[audit] $name SMELLS: ${smells.mkString(", ")}"
+        else if (plan.contains("BroadcastNestedLoopJoin"))
+          s"[audit] $name clean (BNLJ expected: bounded broadcast side)"
         else s"[audit] $name clean")
     }
     spark.stop()
