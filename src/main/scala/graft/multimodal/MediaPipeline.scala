@@ -75,4 +75,39 @@ object MediaPipeline {
       it.map(decodeStub)
     }
   }
+
+  /** Aspect-preserving resize to a `maxDim` cap on the longer side,
+    * never upscaling — REAL integer arithmetic (not a stub): the
+    * geometry a production thumbnailer computes before handing the
+    * target dims to the codec. Exact in both engines (operands ≪ 2⁵³,
+    * floor of an exact ratio ≡ integer division). */
+  def resizeCols(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+                 maxDim: Long): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val noScale = greatest(w, h) <= maxDim
+    val ow = when(noScale, w)
+      .when(w >= h, lit(maxDim))
+      .otherwise(greatest(lit(1L), floor(w * maxDim / h).cast("long")))
+    val oh = when(noScale, h)
+      .when(w >= h, greatest(lit(1L), floor(h * maxDim / w).cast("long")))
+      .otherwise(lit(maxDim))
+    (ow, oh)
+  }
+
+  /** Frame sampling: every `everyK`-th frame of each video asset,
+    * exploded to one row per sampled frame with the resize target dims
+    * and a per-frame fingerprint (stands in for the per-frame decode;
+    * deterministic from the decoded features + index, SQL-mirrored).
+    * The plumbing under test: generator over the frame index space,
+    * schema'd per-frame rows, no shuffle — at 100 TB this is the shape
+    * that fans a video corpus out to frame-level training rows. */
+  def sampleFrames(features: DataFrame, everyK: Int, maxDim: Long): DataFrame = {
+    val (ow, oh) = resizeCols(col("width"), col("height"), maxDim)
+    features.filter(col("media_type") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(everyK.toLong))))
+      .select(col("doc_id"), col("frame_idx"),
+        ((col("width") * 131 + col("height")) * 1000003L + col("frame_idx") * 97L)
+          .as("frame_fp"),
+        ow.as("out_width"), oh.as("out_height"))
+  }
 }
