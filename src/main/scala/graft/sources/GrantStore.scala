@@ -81,9 +81,38 @@ object GrantStore {
       .select(col("user_id"), col("feature"),
         (col("nt") > col("nf")).as("has_grant"))
 
-  /** Last-writer-wins upsert of a CDC batch: existing keys update, new
-    * keys insert. The delta is a micro-batch (tiny) → persisted once
-    * for the emptiness guard AND the merge, then broadcast. */
+  /** Filesystem directory of a generation table (managed catalog
+    * table → warehouse path). */
+  private[graft] def tableDir(spark: SparkSession, gen: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(gen))
+        .location)
+
+  /** Bucket id encoded in a bucketed-write file name
+    * (`part-00000-<uuid>_00003.c000.snappy.parquet` → 3). */
+  private[graft] def bucketIdOf(fileName: String): Option[Int] =
+    "_(\\d{5})\\.".r.findFirstMatchIn(fileName).map(_.group(1).toInt)
+
+  /** The bucket ids the delta's keys land in — Spark's bucketing hash
+    * is `pmod(murmur3(key), n)`, identical to the SQL `hash()`
+    * function, so the pruning computation matches the writer's
+    * placement exactly. */
+  private[graft] def affectedBuckets(delta: DataFrame, buckets: Int): Set[Int] =
+    delta.select(pmod(hash(col("user_id")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+  /** Last-writer-wins upsert of a CDC batch, O(delta) not O(table):
+    * only the buckets whose `pmod(hash(user_id), buckets)` intersects
+    * the delta's keys are read (their parquet files addressed by the
+    * bucket id in the file name — no full-table scan) and rewritten
+    * into the inactive generation; every untouched bucket's files are
+    * carried forward by hard link (fallback: copy), so a 10-row flip
+    * batch against a 100 TB table touches ~10 buckets of IO, not
+    * 100 TB. The view republish stays a single atomic catalog op.
+    * On a real deployment the same collapse + merge feeds a Delta/
+    * Iceberg `MERGE INTO`, where carry-forward is a manifest reference
+    * instead of a link. */
   def upsert(spark: SparkSession, changes: DataFrame,
              table: String = DefaultTable, buckets: Int = 32): Unit = {
     val delta = collapse(changes)
@@ -94,12 +123,41 @@ object GrantStore {
       // empty or net-zero CDC batches (common under foreachBatch) must
       // not pay a table rewrite
       if (delta.isEmpty) return
-      val merged = spark.table(table)
+      val touched = affectedBuckets(delta, buckets)
+      val gen = inactiveGen(spark, table)
+      val (a, b) = generations(table)
+      val active = if (gen == a) b else a
+      val srcDir = tableDir(spark, active)
+      val (touchedFiles, untouchedFiles) = {
+        import scala.jdk.CollectionConverters._
+        val all = java.nio.file.Files.list(srcDir).iterator().asScala
+          .filter(p => bucketIdOf(p.getFileName.toString).isDefined).toSeq
+        all.partition(p => touched(bucketIdOf(p.getFileName.toString).get))
+      }
+      // merge reads ONLY the touched buckets' files (bucket-file
+      // addressing beats predicate pruning: no scan even plans over
+      // the untouched 1 - |touched|/n of the table)
+      val existing =
+        if (touchedFiles.isEmpty) spark.table(table).limit(0)
+        else spark.read.schema(spark.table(table).schema)
+          .parquet(touchedFiles.map(_.toString): _*)
+      val merged = existing
         .join(broadcast(delta), Seq("user_id", "feature"), "full_outer")
         .select(col("user_id"), col("feature"),
           coalesce(col("new_grant"), col("has_grant")).as("has_grant"))
-      val gen = inactiveGen(spark, table)
       Bucketed.write(merged, gen, "user_id", buckets)
+      // carry untouched buckets forward: link shares the bytes (the
+      // "reference" half of generation-compose); copy is the fallback
+      // for filesystems without links
+      val dstDir = tableDir(spark, gen)
+      untouchedFiles.foreach { f =>
+        val dst = dstDir.resolve(f.getFileName.toString)
+        try java.nio.file.Files.createLink(dst, f)
+        catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.copy(f, dst)
+        }
+      }
+      spark.sql(s"REFRESH TABLE `$gen`")
       publish(spark, table, gen)
     } finally delta.unpersist()
   }

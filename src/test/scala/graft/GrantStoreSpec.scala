@@ -75,6 +75,58 @@ class GrantStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert rewrites only the buckets containing delta keys") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val table = "gs_prune"
+    drop(table)
+    try {
+      GrantStore.materialize((1 to 200).map(i =>
+        (i.toLong, "purchase", true)).toDF("user_id", "feature", "has_grant"),
+        table, buckets = 8)
+      val genA = table + "__a"
+      val genB = table + "__b"
+      def bucketFiles(gen: String): Map[Int, Seq[java.nio.file.Path]] =
+        java.nio.file.Files.list(GrantStore.tableDir(spark, gen))
+          .iterator().asScala
+          .flatMap(p => GrantStore.bucketIdOf(p.getFileName.toString).map(_ -> p))
+          .toSeq.groupMap(_._1)(_._2)
+      val before = bucketFiles(genA)
+      val delta = Seq((7L, "purchase", false)).toDF("user_id", "feature", "has_grant")
+      val touched = GrantStore.affectedBuckets(
+        delta.selectExpr("user_id", "feature", "has_grant AS new_grant"), 8)
+      GrantStore.upsert(spark, delta, table, buckets = 8)
+      val after = bucketFiles(genB)
+      // every untouched bucket's files carried forward by reference:
+      // same names, same underlying bytes (hard link → same file)
+      val untouchedBuckets = before.keySet -- touched
+      assert(untouchedBuckets.nonEmpty, "fixture must populate untouched buckets")
+      untouchedBuckets.foreach { bkt =>
+        val olds = before(bkt).map(p => p.getFileName.toString -> p).toMap
+        val news = after(bkt).map(p => p.getFileName.toString -> p).toMap
+        assert(olds.keySet == news.keySet, s"bucket $bkt files were rewritten")
+        olds.foreach { case (name, oldP) =>
+          val newP = news(name)
+          assert(java.nio.file.Files.isSameFile(oldP, newP) ||
+            java.util.Arrays.equals(
+              java.nio.file.Files.readAllBytes(oldP),
+              java.nio.file.Files.readAllBytes(newP)),
+            s"bucket $bkt file $name differs after upsert")
+        }
+      }
+      // the touched bucket WAS rewritten (fresh file names)
+      touched.foreach { bkt =>
+        val oldNames = before.getOrElse(bkt, Nil).map(_.getFileName.toString).toSet
+        val newNames = after.getOrElse(bkt, Nil).map(_.getFileName.toString).toSet
+        assert((oldNames & newNames).isEmpty, s"touched bucket $bkt not rewritten")
+      }
+      // merge correctness: the one key flipped, everything else intact
+      val got = GrantStore.read(spark, table).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got.size == 200 && !got(7L) && got(8L))
+    } finally drop(table)
+  }
+
   test("AccessService serves from the catalog table") {
     import spark.implicits._
     val table = "gs_serve"
