@@ -6,18 +6,26 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, batch-decoded per partition.
   *
-  * The decode itself is a STUB (no image/audio codecs in this
-  * environment): `decodeStub` derives deterministic fake dimensions
-  * from an md5-based content hash. Everything around it is the real
-  * Spark shape a production decode would use — a typed
-  * `Dataset[MediaAsset]`, `mapPartitions` so a native decoder library
-  * is initialized once per partition (not per row), schema'd feature
-  * structs out. Swapping `decodeStub` for a real JNI/FFI decoder
-  * changes no plumbing.
+  * The image and audio paths are REAL binary parsing, not stubs: image
+  * payloads are structurally valid PNG streams (signature + IHDR with
+  * a correct CRC32 + IEND) whose width/height are read back from IHDR
+  * bytes 16-24 big-endian, and audio payloads are valid 44-byte WAV
+  * headers whose sample rate is read from the fmt chunk little-endian
+  * — pure-JVM header parsing, the first step of any production
+  * feature-extraction decode. Only the VIDEO dimension decode remains
+  * a deterministic stand-in (a container/codec parse the sandbox
+  * cannot host); swapping it for a real demuxer changes no plumbing.
+  *
+  * Malformed payloads never kill the job: a failed parse yields
+  * zeroed features with `decode_ok = false` — the dead-letter contract
+  * a 100 TB decode sweep needs (one corrupt blob in a billion must
+  * not fail the stage).
   *
   * At scale: payload bytes stay columnar in parquet, partitions are
   * sized by `spark.sql.files.maxPartitionBytes`, and the decode is
-  * embarrassingly parallel — no shuffle anywhere in the pipeline.
+  * embarrassingly parallel — `mapPartitions` so a native decoder
+  * library would be initialized once per partition, no shuffle
+  * anywhere in the pipeline.
   */
 object MediaPipeline {
 
@@ -27,52 +35,154 @@ object MediaPipeline {
       media_type: String,
       content: Array[Byte])
 
-  /** Decoded (stubbed) per-asset features. */
+  /** Decoded per-asset features. */
   final case class MediaFeatures(
       doc_id: Long,
       media_type: String,
       n_bytes: Long,
       width: Long,
       height: Long,
-      n_frames: Long)
+      n_frames: Long,
+      sample_rate: Long,
+      decode_ok: Boolean)
 
   /** Same 60-bit md5 prefix hash as TextOps.portableHash, computed
     * JVM-side for the mapPartitions path. */
-  private[multimodal] def contentHash(bytes: Array[Byte]): Long = {
+  private[graft] def contentHash(bytes: Array[Byte]): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(bytes).map("%02x".format(_)).mkString.substring(0, 15)
     java.lang.Long.parseLong(hex, 16)
   }
 
-  /** Deterministic fake decode — stands in for a real codec (???). */
-  private[multimodal] def decodeStub(a: MediaAsset): MediaFeatures = {
+  // ---- PNG (image) ----------------------------------------------------
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  /** Minimal structurally valid PNG: signature + IHDR (13-byte data,
+    * CRC32 over type+data) + IEND. 45 bytes total. */
+  private[graft] def pngBytes(width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(45) // 8 sig + 25 IHDR + 12 IEND
+    bb.put(PngSig)
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(2.toByte)  // color type: truecolor
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    val crc = new java.util.zip.CRC32
+    crc.update(ihdr.array())
+    bb.putInt(13).put(ihdr.array()).putInt(crc.getValue.toInt)
+    val iendCrc = new java.util.zip.CRC32
+    iendCrc.update("IEND".getBytes("US-ASCII"))
+    bb.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(iendCrc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Parse width/height from IHDR bytes 16-24 (big-endian), verifying
+    * the 8-byte signature and the IHDR chunk header first. */
+  private[graft] def parsePng(bytes: Array[Byte]): Option[(Long, Long)] =
+    if (bytes.length < 24 || !bytes.take(8).sameElements(PngSig)) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes, 8, 16)
+      val len = bb.getInt
+      val ctype = new Array[Byte](4); bb.get(ctype)
+      if (len != 13 || new String(ctype, "US-ASCII") != "IHDR") None
+      else Some((bb.getInt.toLong & 0xffffffffL, bb.getInt.toLong & 0xffffffffL))
+    }
+
+  // ---- WAV (audio) ----------------------------------------------------
+
+  /** Canonical 44-byte WAV header (PCM, mono, 16-bit), zero-length
+    * data chunk. */
+  private[graft] def wavBytes(sampleRate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36) // 36 + data size (0)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1)                   // PCM
+    bb.putShort(1)                   // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2)        // byte rate = rate * block align
+    bb.putShort(2)                   // block align
+    bb.putShort(16)                  // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(0)
+    bb.array()
+  }
+
+  /** Parse the sample rate from the fmt chunk (bytes 24-28
+    * little-endian), verifying RIFF/WAVE/fmt magics. */
+  private[graft] def parseWav(bytes: Array[Byte]): Option[Long] =
+    if (bytes.length < 28) None
+    else {
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE" || ascii(12, 4) != "fmt ") None
+      else Some(java.nio.ByteBuffer.wrap(bytes, 24, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL)
+    }
+
+  // ---- decode ---------------------------------------------------------
+
+  /** Deterministic stand-in for the video container parse (the one
+    * remaining stub — no demuxer in this environment). */
+  private[graft] def decodeVideoStub(a: MediaAsset): MediaFeatures = {
     val h = contentHash(a.content)
     val nBytes = a.content.length.toLong
-    MediaFeatures(
-      doc_id = a.doc_id,
-      media_type = a.media_type,
-      n_bytes = nBytes,
+    MediaFeatures(a.doc_id, a.media_type, nBytes,
       width = 64L + h % 1216L,
       height = 64L + (h / 1216L) % 656L,
-      n_frames = if (a.media_type == "video") 1L + nBytes % 30L else 1L)
+      n_frames = 1L + nBytes % 30L,
+      sample_rate = 0L, decode_ok = true)
+  }
+
+  /** Per-asset decode: real header parsing for image/audio, stub for
+    * video; malformed payloads → zeroed features, decode_ok=false. */
+  private[graft] def decode(a: MediaAsset): MediaFeatures = {
+    val nBytes = a.content.length.toLong
+    def bad = MediaFeatures(a.doc_id, a.media_type, nBytes, 0L, 0L, 0L, 0L,
+      decode_ok = false)
+    a.media_type match {
+      case "image" => parsePng(a.content).fold(bad) { case (w, h) =>
+        MediaFeatures(a.doc_id, a.media_type, nBytes, w, h, 1L, 0L, decode_ok = true)
+      }
+      case "audio" => parseWav(a.content).fold(bad) { sr =>
+        MediaFeatures(a.doc_id, a.media_type, nBytes, 0L, 0L, 1L, sr, decode_ok = true)
+      }
+      case "video" => decodeVideoStub(a)
+      case _ => bad
+    }
   }
 
   /** Synthesize binary payloads from `documents` (stand-in for real
-    * blob columns; utf-8 text bytes). media_type cycles by doc_id. */
-  def attachBinary(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(
-        array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("content"))
+    * blob columns). media_type cycles by doc_id; image payloads are
+    * real PNG streams and audio payloads real WAV headers whose
+    * embedded dimensions/rate derive deterministically from md5(text)
+    * (so the DuckDB oracle can predict what the parser reads back);
+    * video payloads remain raw text bytes for the stub path. */
+  def attachBinary(docs: DataFrame): Dataset[MediaAsset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (docId, text) =>
+        val textBytes = text.getBytes("UTF-8")
+        val h = contentHash(textBytes)
+        (docId % 3) match {
+          case 0 => MediaAsset(docId, "image",
+            pngBytes((64L + h % 1216L).toInt, (64L + (h / 1216L) % 656L).toInt))
+          case 1 => MediaAsset(docId, "audio",
+            wavBytes((8000L * (1L + h % 6L)).toInt))
+          case _ => MediaAsset(docId, "video", textBytes)
+        }
+    }
+  }
 
   /** The batch decode: one decoder per partition, features out. */
-  def extractFeatures(spark: SparkSession, assets: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    assets.as[MediaAsset].mapPartitions { it =>
+    assets.mapPartitions { it =>
       // real pipeline: initialize the native decoder once here
-      it.map(decodeStub)
+      it.map(decode)
     }
   }
 

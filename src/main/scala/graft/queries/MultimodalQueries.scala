@@ -2,15 +2,21 @@ package graft.queries
 
 import graft.multimodal.MediaPipeline
 import graft.sources.Tables
-import org.apache.spark.sql.functions._
 
-/** Oracle-checked coverage for the multimodal plumbing: the typed
+/** Oracle-checked coverage for the multimodal pipeline: the typed
   * Dataset → mapPartitions decode path must produce exactly what the
-  * closed-form SQL predicts (the stub decode is deliberately
-  * SQL-expressible so the Spark-side plumbing — encoders, partition
-  * batching, schema — is what's actually under test).
+  * closed-form SQL predicts. Image/audio payloads are REAL PNG/WAV
+  * streams round-tripped through genuine header parsing — the oracle
+  * can still predict the result because the dims/rate embedded at
+  * synthesis time derive from md5(text); the parse itself is binary
+  * (IHDR big-endian, fmt-chunk little-endian), exercised further in
+  * MediaPipelineSpec with corrupt-payload cases.
   */
 object MultimodalQueries extends QueryModule {
+
+  /** `h` = the 60-bit md5-prefix content hash of the document text —
+    * the seed both the synthesizer and the oracle derive dims from. */
+  private val hashSql = "('0x' || substr(md5(text), 1, 15))::BIGINT"
 
   val all: Seq[Q] = Seq(
     Q("multimodal_features",
@@ -18,13 +24,19 @@ object MultimodalQueries extends QueryModule {
         val assets = MediaPipeline.attachBinary(Tables.documents(s, dir))
         MediaPipeline.extractFeatures(s, assets).toDF()
       },
-      Some("""SELECT doc_id,
+      Some(s"""SELECT doc_id,
              |       ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
-             |       octet_length(encode(text)) AS n_bytes,
-             |       64 + (('0x' || substr(md5(text), 1, 15))::BIGINT % 1216) AS width,
-             |       64 + ((('0x' || substr(md5(text), 1, 15))::BIGINT // 1216) % 656) AS height,
-             |       CASE WHEN ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] = 'video'
-             |            THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS n_frames
+             |       CASE (doc_id % 3) WHEN 0 THEN 45 WHEN 1 THEN 44
+             |            ELSE octet_length(encode(text)) END AS n_bytes,
+             |       CASE (doc_id % 3) WHEN 1 THEN 0
+             |            ELSE 64 + ($hashSql % 1216) END AS width,
+             |       CASE (doc_id % 3) WHEN 1 THEN 0
+             |            ELSE 64 + (($hashSql // 1216) % 656) END AS height,
+             |       CASE (doc_id % 3) WHEN 2
+             |            THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS n_frames,
+             |       CASE (doc_id % 3) WHEN 1 THEN 8000 * (1 + $hashSql % 6)
+             |            ELSE 0 END AS sample_rate,
+             |       TRUE AS decode_ok
              |FROM documents""".stripMargin)),
 
     // Frame sampling + aspect-preserving resize over video assets:
@@ -38,17 +50,15 @@ object MultimodalQueries extends QueryModule {
           MediaPipeline.attachBinary(Tables.documents(s, dir))).toDF()
         MediaPipeline.sampleFrames(feats, everyK = 5, maxDim = 256L)
       },
-      Some("""WITH f AS (
+      Some(s"""WITH f AS (
              |  SELECT doc_id,
-             |         ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
-             |         64 + (('0x' || substr(md5(text), 1, 15))::BIGINT % 1216) AS width,
-             |         64 + ((('0x' || substr(md5(text), 1, 15))::BIGINT // 1216) % 656) AS height,
-             |         CASE WHEN ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] = 'video'
-             |              THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS n_frames
-             |  FROM documents),
+             |         64 + ($hashSql % 1216) AS width,
+             |         64 + (($hashSql // 1216) % 656) AS height,
+             |         1 + octet_length(encode(text)) % 30 AS n_frames
+             |  FROM documents WHERE (doc_id % 3) = 2),
              |v AS (SELECT doc_id, width, height,
              |             unnest(range(0, n_frames, 5)) AS frame_idx
-             |      FROM f WHERE media_type = 'video')
+             |      FROM f)
              |SELECT doc_id, frame_idx,
              |       (width * 131 + height) * 1000003 + frame_idx * 97 AS frame_fp,
              |       CASE WHEN greatest(width, height) <= 256 THEN width

@@ -1,0 +1,54 @@
+package graft
+
+import graft.multimodal.MediaPipeline
+import graft.multimodal.MediaPipeline.MediaAsset
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binary header parsing: PNG IHDR and WAV fmt round-trips, signature
+  * verification, and the corrupt-payload dead-letter contract. */
+class MediaPipelineSpec extends AnyFunSuite {
+
+  test("PNG synthesis round-trips width/height through IHDR parsing") {
+    for ((w, h) <- Seq((1, 1), (64, 64), (1279, 719), (800, 600))) {
+      val bytes = MediaPipeline.pngBytes(w, h)
+      assert(bytes.length == 45)
+      assert(MediaPipeline.parsePng(bytes).contains((w.toLong, h.toLong)))
+    }
+  }
+
+  test("PNG parser rejects bad signature, truncation, and non-IHDR chunks") {
+    val good = MediaPipeline.pngBytes(100, 50)
+    val badSig = good.clone(); badSig(0) = 0x00
+    assert(MediaPipeline.parsePng(badSig).isEmpty)
+    assert(MediaPipeline.parsePng(good.take(20)).isEmpty)
+    val badChunk = good.clone()
+    badChunk(12) = 'X'.toByte // corrupt the IHDR type tag
+    assert(MediaPipeline.parsePng(badChunk).isEmpty)
+    assert(MediaPipeline.parsePng(Array.emptyByteArray).isEmpty)
+  }
+
+  test("WAV synthesis round-trips the sample rate through the fmt chunk") {
+    for (sr <- Seq(8000, 16000, 44100, 48000)) {
+      val bytes = MediaPipeline.wavBytes(sr)
+      assert(bytes.length == 44)
+      assert(MediaPipeline.parseWav(bytes).contains(sr.toLong))
+    }
+  }
+
+  test("WAV parser rejects non-RIFF payloads and truncation") {
+    assert(MediaPipeline.parseWav("not a wav at all, just text".getBytes).isEmpty)
+    assert(MediaPipeline.parseWav(MediaPipeline.wavBytes(8000).take(20)).isEmpty)
+  }
+
+  test("corrupt payloads decode to zeroed features with decode_ok=false") {
+    val corrupt = MediaPipeline.decode(
+      MediaAsset(1L, "image", "garbage".getBytes))
+    assert(!corrupt.decode_ok && corrupt.width == 0 && corrupt.height == 0)
+    val ok = MediaPipeline.decode(
+      MediaAsset(2L, "image", MediaPipeline.pngBytes(320, 240)))
+    assert(ok.decode_ok && ok.width == 320 && ok.height == 240 && ok.n_bytes == 45)
+    val wav = MediaPipeline.decode(
+      MediaAsset(3L, "audio", MediaPipeline.wavBytes(16000)))
+    assert(wav.decode_ok && wav.sample_rate == 16000 && wav.width == 0)
+  }
+}
