@@ -102,6 +102,32 @@ object AccessService {
         s"stack(${cfg.features.size}, $stackArgs) as (feature, success)")
   }
 
+  /** Session-scoped serve-tier materialization: the wide grants frame
+    * and the derived attempt log are built ONCE per (session, events
+    * source) and every serve-path consumer — the access log, the
+    * per-feature circuits, the access check — reads the same cached
+    * frames, exactly how a real serve tier materializes the attempt
+    * stream once instead of re-deriving it per endpoint. The windowed
+    * featureStats aggregation is also registered in the cache: Spark's
+    * CacheManager substitutes it into any later plan that equals it,
+    * so featureCircuit / latestFeatureCircuit calls over the same
+    * attempts frame reuse the aggregation for free. Bounded: one
+    * entry per (session, source), each a users×features-sized frame. */
+  private val serveCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Cached (wide grants, attempt log) for an events source; `key`
+    * identifies the source (e.g. the sf dir). */
+  def serveFrames(events: DataFrame, key: String,
+                  cfg: EngineConfig): (DataFrame, DataFrame) =
+    serveCache.getOrElseUpdate((events.sparkSession, key), {
+      val wide = Grants.wide(
+        EventAggregates.perUser(events, cfg.aggregates), cfg).cache()
+      val att = attempts(events, wide, cfg).cache()
+      Windowed.featureStats(att).cache() // hot downstream agg, reused by plan identity
+      (wide, att)
+    })
+
   /** Build from raw events: aggregates → grants view + per-feature
     * circuit state from the latest breaker window of the derived
     * access-attempt log. Fully distributed — no collect, no global

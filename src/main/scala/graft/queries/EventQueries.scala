@@ -302,7 +302,7 @@ object EventQueries extends QueryModule {
     // (reference user_feature.py:52-55) — the stream the breaker feeds on
     Q("access_log",
       (s, dir) => graft.operators.AccessService
-        .attemptsFromEvents(events(s, dir), cfg)
+        .serveFrames(events(s, dir), dir, cfg)._2
         .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
           col("feature"), col("success")),
       Some(aggCte + ",\n" + gWideCte + "\n" +
@@ -319,7 +319,7 @@ object EventQueries extends QueryModule {
     // user_feature.py:26-30,106-126)
     Q("a6_feature_circuit",
       (s, dir) => Windowed.featureCircuit(graft.operators.AccessService
-        .attemptsFromEvents(events(s, dir), cfg)),
+        .serveFrames(events(s, dir), dir, cfg)._2),
       Some(aggCte + ",\n" + gWideCte + ",\n" + attCte + ",\n" + attWinCte + "\n" +
         """SELECT feature, win_start,
           |       count(DISTINCT user_id) AS n_users,
@@ -418,15 +418,12 @@ object EventQueries extends QueryModule {
     // (per-feature circuits, user_feature.py:26,106-126)
     Q("r8_access_check",
       (s, dir) => {
-        val e = events(s, dir)
-        // one aggregation for both consumers (grants view + attempt
-        // log). The cache is one ~|users| row frame per invocation and
-        // cannot be unpersisted here (the returned plan consumes it
-        // lazily); per-session accumulation is bounded and tiny.
-        val wide = Grants.wide(
-          EventAggregates.perUser(e, cfg.aggregates), cfg).cache()
-        val circuits = Windowed.latestFeatureCircuit(
-          graft.operators.AccessService.attempts(e, wide, cfg))
+        // the shared serve-tier materialization: one cached wide-grants
+        // frame + attempt log feeds this check, the access log, and the
+        // per-feature circuits (AccessService.serveFrames)
+        val (wide, att) = graft.operators.AccessService
+          .serveFrames(events(s, dir), dir, cfg)
+        val circuits = Windowed.latestFeatureCircuit(att)
         val g = Grants.longFromWide(wide, cfg)
         g.join(broadcast(circuits), Seq("feature"), "left_outer")
           .select(col("user_id"), col("feature"), col("has_grant"),
