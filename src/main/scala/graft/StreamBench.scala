@@ -25,12 +25,29 @@ object StreamBench {
     * run replaces MemoryStream with a Kafka/file source and this
     * driver hop disappears. Do not imitate this in query code. */
   def run(spark: SparkSession, sfDir: String, nChunks: Int): (Double, Long) = {
-    import spark.implicits._
-    val events = Tables.events(spark, sfDir).as[EventRow].collect()
+    // Sorted by event time so the MemoryStream feed respects the
+    // watermark (a real source provides approximate time order; the
+    // watermark's slack absorbs the rest). The BOUNDED pipeline is the
+    // default under measurement: per-user state is O(aggregates), uuid
+    // dedup state is watermark-evicted — the only shape whose state
+    // survives an unbounded 100 TB feed.
+    // Stream-specific session tuning (batch conf untouched): state
+    // partition count bounds the per-batch state-store commit fan-out
+    // (2 stateful operators × partitions stores on ONE node here; a
+    // real cluster spreads them), and no-data micro-batches only exist
+    // to advance watermark eviction — pure overhead in a throughput
+    // measurement.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    import ss.implicits._
+    val events = Tables.events(ss, sfDir).as[EventRow].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
     val chunks = events.grouped(math.max(1, events.length / nChunks)).toSeq
-    val ms = MemoryStream[EventRow](spark)
+    val ms = MemoryStream[EventRow](ss)
     val name = s"bench_flips_${System.nanoTime()}"
-    val q = EventPipeline.grantChanges(spark, ms.toDS(), DefaultConfig.config)
+    val q = EventPipeline.grantChangesBounded(ss, ms.toDS(), DefaultConfig.config)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     val t0 = System.nanoTime()
@@ -39,7 +56,7 @@ object StreamBench {
     } finally q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
     System.err.println(s"[stream] progress: ${EventPipeline.queueMetrics(q)}")
-    (events.length / sec, spark.table(name).count())
+    (events.length / sec, ss.table(name).count())
   }
 
   def main(args: Array[String]): Unit = {

@@ -27,6 +27,28 @@ object EventPipeline {
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
+  /** EventRow with props parsed to a typed map BEFORE the stateful
+    * fold — `from_json` runs codegen'd upstream of groupByKey, so the
+    * per-key state update reads typed fields instead of re-parsing
+    * JSON per event (and malformed props strictly parse to null
+    * rather than fuzzy-matching a regex). */
+  final case class TypedEventRow(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: Map[String, String])
+
+  /** The typed-props projection every pipeline variant applies before
+    * its stateful operator. */
+  private def typed(events: Dataset[EventRow]): Dataset[TypedEventRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.{MapType, StringType}
+    events.toDF()
+      .withColumn("props", org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.col("props"),
+        MapType(StringType, StringType)))
+      .as[TypedEventRow]
+  }
+
   /** Emitted only when a grant flips (reference user_feature.py:32-44);
     * the notification payload of S3. */
   final case class GrantChange(user_id: Long, feature: String, has_grant: Boolean)
@@ -41,20 +63,17 @@ object EventPipeline {
   private def emptyState: UserAggState =
     UserAggState(Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)
 
-  /** JSON props field extraction for the streaming path; mirrors
-    * EventAggregates.fieldCol's `props.<key>` addressing. */
-  private def fieldValue(e: EventRow, field: String): Option[String] =
-    if (field.startsWith("props.")) {
-      val key = field.stripPrefix("props.")
-      // props is a flat JSON object {"k": 87}
-      val m = s""""$key"\\s*:\\s*("([^"]*)"|[-0-9.eE+]+)""".r
-      m.findFirstMatchIn(e.props).map { mm =>
-        Option(mm.group(2)).getOrElse(mm.group(1))
-      }
-    } else if (field == "value") Some(e.value.toString)
+  /** Typed field lookup for the streaming path; mirrors
+    * EventAggregates.fieldCol's `props.<key>` addressing. The props
+    * map was parsed by `from_json` upstream (null when malformed —
+    * strict, unlike a substring regex). */
+  private def fieldValue(e: TypedEventRow, field: String): Option[String] =
+    if (field.startsWith("props."))
+      Option(e.props).flatMap(_.get(field.stripPrefix("props.")))
+    else if (field == "value") Some(e.value.toString)
     else None
 
-  private def applyEvent(cfg: EngineConfig, st: UserAggState, e: EventRow,
+  private def applyEvent(cfg: EngineConfig, st: UserAggState, e: TypedEventRow,
                          trackSeen: Boolean = true): UserAggState = {
     if (trackSeen && st.seenIds.contains(e.event_id)) st // uuid dedup (aggregate.py:54,57)
     else {
@@ -93,7 +112,7 @@ object EventPipeline {
     * this, which is what makes their parity a code invariant rather
     * than a test hope. */
   private def foldEvents(cfg: EngineConfig, userId: Long, st0: UserAggState,
-                         events: Iterator[EventRow],
+                         events: Iterator[TypedEventRow],
                          trackSeen: Boolean = true): (UserAggState, Seq[GrantChange]) = {
     var st = st0
     val changes = scala.collection.mutable.ArrayBuffer[GrantChange]()
@@ -112,7 +131,7 @@ object EventPipeline {
     * grant is TRUE (rules.py:112), so the first emission happens when a
     * rule first revokes. */
   def updateUser(cfg: EngineConfig)(
-      userId: Long, events: Iterator[EventRow],
+      userId: Long, events: Iterator[TypedEventRow],
       state: GroupState[UserAggState]): Iterator[GrantChange] = {
     val (st, changes) = foldEvents(cfg, userId,
       state.getOption.getOrElse(emptyState), events)
@@ -139,7 +158,7 @@ object EventPipeline {
     * the reference's dicts; a real deployment sets a TTL to bound the
     * seen-uuid state instead of growing it unboundedly. */
   final class GrantProcessor(cfg: EngineConfig)
-      extends StatefulProcessor[Long, EventRow, GrantChange] {
+      extends StatefulProcessor[Long, TypedEventRow, GrantChange] {
     @transient private var seen: org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
     @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
     @transient private var sums: org.apache.spark.sql.streaming.MapState[String, Double] = _
@@ -156,7 +175,7 @@ object EventPipeline {
       grants = h.getMapState("grants", Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
     }
 
-    override def handleInputRows(userId: Long, events: Iterator[EventRow],
+    override def handleInputRows(userId: Long, events: Iterator[TypedEventRow],
                                  timers: TimerValues): Iterator[GrantChange] = {
       // uuid dedup by POINT LOOKUP — the seen-id set is the unbounded
       // one and is never materialized: prior-batch dupes are filtered
@@ -197,7 +216,7 @@ object EventPipeline {
   def grantChangesTws(spark: SparkSession, events: Dataset[EventRow],
                       cfg: EngineConfig): Dataset[GrantChange] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    typed(events).groupByKey(_.user_id)
       .transformWithState(new GrantProcessor(cfg),
         TimeMode.None(), OutputMode.Append())
   }
@@ -223,7 +242,7 @@ object EventPipeline {
   def grantChanges(spark: SparkSession, events: Dataset[EventRow],
                    cfg: EngineConfig): Dataset[GrantChange] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    typed(events).groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         updateUser(cfg))
   }
@@ -240,12 +259,12 @@ object EventPipeline {
                           cfg: EngineConfig,
                           watermark: String = "15 minutes"): Dataset[GrantChange] = {
     import spark.implicits._
-    events
+    typed(events)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (userId: Long, evs: Iterator[EventRow], state: GroupState[UserAggState]) => {
+        (userId: Long, evs: Iterator[TypedEventRow], state: GroupState[UserAggState]) => {
           val (st, changes) = foldEvents(cfg, userId,
             state.getOption.getOrElse(emptyState), evs, trackSeen = false)
           state.update(st)

@@ -77,6 +77,29 @@ class StreamingParitySpec extends AnyFunSuite {
       GrantChange(4, "purchase", true)))
   }
 
+  test("bounded pipeline: replayed-duplicate feed keeps state rows flat") {
+    import spark.implicits._
+    val batch = (1 to 20).map(i =>
+      ev(i.toLong, 100L + i % 5, if (i % 2 == 0) "purchase" else "error",
+        50.0 * i, i % 50))
+    val ms = MemoryStream[EventRow](spark)
+    val q = EventPipeline.grantChangesBounded(spark, ms.toDS(), cfg)
+      .writeStream.format("memory").queryName("replay_flips")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch); q.processAllAvailable()
+      val rows1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val flips1 = spark.table("replay_flips").count()
+      // full replay of the SAME batch (all inside the watermark): every
+      // row is a duplicate — no new state, no new flips
+      ms.addData(batch); q.processAllAvailable()
+      val rows2 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val flips2 = spark.table("replay_flips").count()
+      assert(rows2 == rows1, s"state grew on replay: $rows1 -> $rows2")
+      assert(flips2 == flips1, s"replay emitted flips: $flips1 -> $flips2")
+    } finally q.stop()
+  }
+
   test("batch mode runs the identical stateful code path") {
     import spark.implicits._
     val events = Seq(
