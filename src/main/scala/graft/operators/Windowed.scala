@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Windowed {
 
+  /** The reference breaker's cadence: re-evaluate every 15 seconds
+    * over a 10-minute lookback (user_feature.py:98-104). The batch
+    * queries default to a 5-minute slide — a documented divergence
+    * (README): at a 15 s slide every attempt lands in 40 windows
+    * instead of 2, a 20× state/shuffle multiplier that buys nothing
+    * at batch granularity. Pass these constants to featureStats /
+    * featureCircuit / latestFeatureCircuit for exact cadence parity. */
+  val ReferenceWindowSize = "10 minutes"
+  val ReferenceSlide = "15 seconds"
+
   /** Per (sliding window, ) distinct-user stats over the event stream,
     * treating `error` events as denials (A5). One shuffle on the window
     * key; distinct counts use Spark's Expand+partial-agg, which scales
@@ -67,8 +77,10 @@ object Windowed {
     * feature's circuit opens independently on ITS distinct-user denial
     * rate — a denied-user burst against one feature leaves the others'
     * circuits closed. */
-  def featureCircuit(attempts: DataFrame, threshold: Double = 0.05): DataFrame =
-    featureStats(attempts)
+  def featureCircuit(attempts: DataFrame, threshold: Double = 0.05,
+                     size: String = "10 minutes",
+                     slide: String = "5 minutes"): DataFrame =
+    featureStats(attempts, size, slide)
       .withColumn("denial_rate",
         col("n_denied_users").cast("double") / col("n_users"))
       .withColumn("circuit_open", col("denial_rate") > lit(threshold))
@@ -82,8 +94,10 @@ object Windowed {
     * round 1 fetched the latest window with a global sort to the
     * driver, which does not survive a scale-up). */
   def latestFeatureCircuit(attempts: DataFrame,
-                           threshold: Double = 0.05): DataFrame =
-    featureCircuit(attempts, threshold)
+                           threshold: Double = 0.05,
+                           size: String = "10 minutes",
+                           slide: String = "5 minutes"): DataFrame =
+    featureCircuit(attempts, threshold, size, slide)
       .groupBy(col("feature"))
       .agg(max_by(col("circuit_open"), col("win_start")).as("circuit_open"))
 

@@ -99,11 +99,56 @@ object EmbeddingQueries extends QueryModule {
     * Plan note: the assignment step is a BroadcastNestedLoopJoin by
     * design — vector×pivot has no equi-key, and with nPivots rows on
     * the broadcast side it is a bounded O(N·C) scan that parallelizes
-    * perfectly (the audit's BNLJ smell flag is a false positive here). */
-  def ivfTopK(data: DataFrame, queryPred: Column, k: Int,
-              nPivots: Int = 16, nProbe: Int = 2): DataFrame = {
-    val piv = data.filter(col("vec_id") < nPivots)
+    * perfectly (the audit's BNLJ smell flag is a false positive here).
+    *
+    * Two pivot sources: `ivfTopK` uses the first `nPivots` vectors by
+    * id (deterministic, oracle-expressible); `kmeansPivots` trains
+    * real centroids. Both feed the same `ivfTopKWith` probe plan. */
+
+  /** Sampled Lloyd's k-means coarse quantizer, pure DataFrame ops —
+    * the production IVF training step: seed centroids are the first
+    * `k` vectors by id (deterministic), each iteration assigns the
+    * (hash-sampled) training set to its nearest centroid via a
+    * bounded broadcast crossJoin and recomputes elementwise means
+    * (posexplode → per-dimension avg → array rebuild). At 100 TB the
+    * sample is what makes this tractable: train on
+    * `hash(vec_id) % sampleMod == 0` (millions of rows), broadcast
+    * the k centroids, assign the full corpus once. Clusters that lose
+    * all members drop out (standard Lloyd's degeneracy; k shrinks).
+    * Centroid means are cosine-compatible: cosine is scale-invariant,
+    * so the arithmetic mean ranks like the spherical-k-means mean. */
+  def kmeansPivots(data: DataFrame, k: Int = 16, iters: Int = 2,
+                   sampleMod: Int = 1): DataFrame = {
+    val sample = (if (sampleMod <= 1) data
+      else data.filter(pmod(hash(col("vec_id")), lit(sampleMod)) === 0)).cache()
+    var cents = sample.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("pid"), col("emb").as("pemb"))
+    for (_ <- 0 until iters) {
+      val assigned = sample.crossJoin(broadcast(cents))
+        .withColumn("psim", cosine(col("emb"), col("pemb")))
+        .withColumn("prn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("psim").desc, col("pid"))))
+        .filter(col("prn") === 1)
+        .select(col("pid"), col("emb"))
+      cents = assigned
+        .select(col("pid"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("pid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("pid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
+        .select(col("pid"), expr("transform(sm, s -> s.m)").as("pemb"))
+        // k rows; truncates the per-iteration lineage so round i+1's
+        // broadcast doesn't recompute rounds 1..i
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** IVF ANN against an explicit pivot/centroid frame `[pid, pemb]` —
+    * the probe plan shared by the deterministic-pivot oracle variant
+    * and the k-means-trained variant. */
+  def ivfTopKWith(data: DataFrame, piv: DataFrame, queryPred: Column,
+                  k: Int, nProbe: Int): DataFrame = {
     val assign = data.crossJoin(broadcast(piv))
       .withColumn("psim", cosine(col("emb"), col("pemb")))
       .withColumn("prn", row_number().over(
@@ -125,6 +170,13 @@ object EmbeddingQueries extends QueryModule {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("sim"), 5).as("sim"))
   }
+
+  def ivfTopK(data: DataFrame, queryPred: Column, k: Int,
+              nPivots: Int = 16, nProbe: Int = 2): DataFrame =
+    ivfTopKWith(data,
+      data.filter(col("vec_id") < nPivots)
+        .select(col("vec_id").as("pid"), col("emb").as("pemb")),
+      queryPred, k, nProbe)
 
   val all: Seq[Q] = Seq(
 
@@ -266,6 +318,20 @@ object EmbeddingQueries extends QueryModule {
              |                                   ORDER BY sim DESC, neighbor_id) AS rnk
              |      FROM p)
              |SELECT query_id, neighbor_id, rnk, round(sim, 5) AS sim
-             |FROM r WHERE rnk <= 3""".stripMargin))
+             |FROM r WHERE rnk <= 3""".stripMargin)),
+
+    // IVF with TRAINED centroids: sampled Lloyd's k-means (2 rounds,
+    // deterministic seed) instead of id-ordered pivots — the
+    // production quantizer. No SQL oracle: floating-point mean
+    // accumulation order makes centroid LSBs run-dependent, so the
+    // driver records the rows-only check; recall quality is measured
+    // against the exact baseline in EmbeddingAnnSpec instead.
+    Q("embed_ann_ivf_kmeans",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        ivfTopKWith(v, kmeansPivots(v, k = 16, iters = 2),
+          col("vec_id") < 20, k = 3, nProbe = 2)
+      },
+      None)
   )
 }

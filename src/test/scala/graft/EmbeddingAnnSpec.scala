@@ -71,6 +71,30 @@ class EmbeddingAnnSpec extends AnyFunSuite {
     assert(r2 >= 0.4, s"IVF recall $r2 unexpectedly low")
   }
 
+  test("k-means-trained IVF: recall measured against pivot IVF and exact") {
+    val d = data.cache()
+    val exact = pairs(exactTopK(d, 3))
+    val pivot = pairs(EmbeddingQueries.ivfTopK(d, col("vec_id") < 20, 3, nProbe = 2))
+    val trained = pairs(EmbeddingQueries.ivfTopKWith(d,
+      EmbeddingQueries.kmeansPivots(d, k = 8, iters = 2),
+      col("vec_id") < 20, 3, nProbe = 2))
+    val rp = (pivot intersect exact).size.toDouble / exact.size
+    val rt = (trained intersect exact).size.toDouble / exact.size
+    info(f"IVF recall pivot=$rp%.3f kmeans-trained=$rt%.3f (k=8 on 8 true clusters)")
+    // 8 trained centroids on 8 planted clusters must carve cells that
+    // rank well; the id-ordered pivots have no such guarantee
+    assert(rt >= 0.5, s"trained-IVF recall $rt unexpectedly low")
+    assert(rt >= rp - 0.05, s"training made recall worse: $rt < $rp")
+  }
+
+  test("k-means training drops empty clusters but keeps centroid count <= k") {
+    val d = data
+    val cents = EmbeddingQueries.kmeansPivots(d, k = 8, iters = 3).collect()
+    assert(cents.length <= 8 && cents.length >= 2)
+    // centroids are full-width vectors (the posexplode rebuild kept order)
+    assert(cents.forall(_.getSeq[Double](1).length == 16))
+  }
+
   test("a neighbor straddling ONE plane is recovered only by multi-probe") {
     import spark.implicits._
     // query 0 and vec 100 differ only in the sign of dim 0 (one plane);

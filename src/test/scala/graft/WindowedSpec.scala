@@ -52,6 +52,26 @@ class WindowedSpec extends AnyFunSuite {
     (java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"),
       user, feature, success)
 
+  test("reference cadence: 15-second slide puts each attempt in 40 windows") {
+    import spark.implicits._
+    // one instant of traffic: 10 users, 2 denied → 20% rate. At the
+    // reference's 15 s slide (user_feature.py:98-104) that instant is
+    // visible in 600/15 = 40 sliding windows, every one of them open.
+    val attempts = (1 to 10).map(u => att(u, "purchase", success = u > 2, 3))
+      .toDF("ts", "user_id", "feature", "success")
+    val rows = Windowed.featureCircuit(attempts, 0.05,
+      Windowed.ReferenceWindowSize, Windowed.ReferenceSlide).collect()
+    assert(rows.length == 40, s"expected 40 windows, got ${rows.length}")
+    assert(rows.forall(_.getBoolean(5)), "all covering windows must be open")
+    // window starts advance in 15-second steps
+    val starts = rows.map(_.getTimestamp(1).getTime).sorted
+    assert(starts.sliding(2).forall { case Array(a, b) => b - a == 15000L })
+    // and the latest-window serve state reflects the same cadence
+    val latest = Windowed.latestFeatureCircuit(attempts, 0.05,
+      Windowed.ReferenceWindowSize, Windowed.ReferenceSlide).collect()
+    assert(latest.length == 1 && latest.head.getBoolean(1))
+  }
+
   test("a denied-user burst opens one feature's circuit, not another's") {
     import spark.implicits._
     // 20 users touch both features; users 1-5 are denied on purchase
