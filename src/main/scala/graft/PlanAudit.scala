@@ -31,11 +31,13 @@ object PlanAudit {
         org.apache.spark.sql.execution.FormattedMode)
       println(s"\n===== $name =====")
       println(plan)
-      // BNLJ is by design in exactly these two: embed_cosine_topk's
+      // BNLJ is by design in exactly these: embed_cosine_topk's
       // exact baseline crosses against a FIXED 5-query set, and the
-      // IVF assignment crosses each vector against nPivots broadcast
-      // pivots (no equi-key exists; bounded O(N·C) work).
-      val expectedBnlj = Set("embed_ann_ivf", "embed_cosine_topk")
+      // IVF assignment (pivot and k-means-trained variants) crosses
+      // each vector against <=16 broadcast centroids (no equi-key
+      // exists; bounded O(N·C) work).
+      val expectedBnlj = Set("embed_ann_ivf", "embed_ann_ivf_kmeans",
+        "embed_cosine_topk")
       val smells = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
         "no-WholeStageCodegen" -> !plan.contains("codegen id"),
