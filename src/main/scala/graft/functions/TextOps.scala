@@ -33,6 +33,21 @@ object TextOps {
       sequence(lit(1), size(toks) - lit(n - 1)),
       i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** ORDERED n-gram shingles (duplicates kept, position preserved) —
+    * the winnowing input, where the hash SEQUENCE matters. DuckDB:
+    * `list_transform(range(1, len(t)-n+2), i ->
+    * array_to_string(list_slice(t, i, i+n-1), ' '))`. */
+  def orderedShingles(toks: Column, n: Int = 3): Column =
+    transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Winnowing window width w (Schleimer/Wilkerson/Aiken, SIGMOD '03):
+    * every run of w consecutive k-gram hashes contributes its minimum
+    * to the fingerprint, guaranteeing any match of length >= w+k-1
+    * tokens shares a selected gram, at expected density 2/(w+1). */
+  val WinnowW = 4
+
   /** MinHash: k=16 universal-hash functions h_i(x) = (a_i*(x%P)+b_i)%P
     * over the portable shingle hash, banded 4×4 for LSH. Constants are
     * primes < 2^30 so a*(x%P) stays within int64. The SAME constants

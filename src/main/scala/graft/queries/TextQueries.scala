@@ -114,6 +114,24 @@ object TextQueries extends QueryModule {
         .cache()
     })
 
+  /** Winnowing fingerprint selection over a `[doc_id, text]` frame:
+    * DISTINCT per-doc minima of every W-window of ordered 3-gram
+    * hashes → `[doc_id, wm]`. Guarantee (Schleimer et al. '03): any
+    * shared passage of >= W+2 tokens yields a shared `wm`; expected
+    * density 2/(W+1). One shuffle (doc_id), no joins. */
+  def winnowSelect(d: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val g = d.filter(size(t) >= 3)
+      .select(col("doc_id"),
+        posexplode(orderedShingles(t)).as(Seq("pos", "sg")))
+      .withColumn("h", portableHash(col("sg")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WinnowW - 1), Window.currentRow)
+    g.withColumn("wm", min(col("h")).over(byDoc))
+      .filter(col("pos") >= WinnowW - 1)
+      .select(col("doc_id"), col("wm")).distinct()
+  }
+
   /** Oracle CTE chain mirroring minhashPairs, ending in
     * `mh_pairs(d1, d2, jaccard)`. */
   private val minhashPairsCte: String = {
@@ -423,6 +441,77 @@ object TextQueries extends QueryModule {
              |       count(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
              |                  THEN 1 END) AS n_sampled
              |FROM documents GROUP BY lang""".stripMargin)),
+
+    // Winnowing fingerprints (Schleimer et al., SIGMOD '03): the
+    // ROLLING-HASH fingerprinting scheme — every window of W=4
+    // consecutive 3-gram hashes contributes its minimum, so any shared
+    // passage of >= W+2 tokens is guaranteed to share a selected
+    // fingerprint, at expected density 2/(W+1). Selection is a window
+    // min over the ordered hash sequence: one shuffle on doc_id, no
+    // joins — the per-doc fingerprint set a 100 TB plagiarism/overlap
+    // sweep stores instead of full shingle sets (2/(W+1) of the grams).
+    Q("winnow_fingerprint",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val g = docs(s, dir).filter(size(t) >= 3)
+          .select(col("doc_id"),
+            posexplode(orderedShingles(t)).as(Seq("pos", "sg")))
+        val sel = winnowSelect(docs(s, dir))
+        val counts = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        counts.join(
+            sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_selected")),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+            round(coalesce(col("n_selected"), lit(0L)).cast("double")
+              / col("n_grams"), 6).as("density"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, u.i AS pos,
+             |             ('0x' || substr(md5(array_to_string(list_slice(t, u.i, u.i + 2), ' ')), 1, 15))::BIGINT AS h
+             |      FROM tok, unnest(range(1, len(t) - 1)) AS u(i)
+             |      WHERE len(t) >= 3),
+             |m AS (SELECT doc_id, pos,
+             |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm
+             |      FROM g),
+             |sel AS (SELECT DISTINCT doc_id, wm FROM m WHERE pos >= 4),
+             |n AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+             |c AS (SELECT doc_id, count(*) AS n_selected FROM sel GROUP BY doc_id)
+             |SELECT n.doc_id, n.n_grams,
+             |       coalesce(c.n_selected, 0) AS n_selected,
+             |       round(coalesce(c.n_selected, 0) / (1.0 * n.n_grams), 6) AS density
+             |FROM n LEFT JOIN c ON n.doc_id = c.doc_id""".stripMargin)),
+
+    // Winnowing candidate pairs: inverted-index equi-join on the
+    // SELECTED fingerprints only (2/(W+1) the rows of the full shingle
+    // join dedup_ngram_jaccard pays), >= 2 shared fingerprints. The
+    // overlap-detection shape at corpus scale: candidates bounded by
+    // fingerprint collisions, never doc×doc.
+    Q("winnow_candidates",
+      (s, dir) => {
+        val sel = winnowSelect(docs(s, dir))
+        sel.select(col("doc_id").as("d1"), col("wm"))
+          .join(sel.select(col("doc_id").as("d2"), col("wm")), Seq("wm"))
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, u.i AS pos,
+             |             ('0x' || substr(md5(array_to_string(list_slice(t, u.i, u.i + 2), ' ')), 1, 15))::BIGINT AS h
+             |      FROM tok, unnest(range(1, len(t) - 1)) AS u(i)
+             |      WHERE len(t) >= 3),
+             |m AS (SELECT doc_id, pos,
+             |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm
+             |      FROM g),
+             |sel AS (SELECT DISTINCT doc_id, wm FROM m WHERE pos >= 4)
+             |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+             |FROM sel a JOIN sel b ON a.wm = b.wm AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2
+             |HAVING count(*) >= 2""".stripMargin)),
 
     // SimHash: 32-bit signature over the token multiset; docs sharing
     // a signature are near-dup candidates. The signature is the native

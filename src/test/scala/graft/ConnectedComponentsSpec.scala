@@ -37,4 +37,36 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(10L))
     assert(labels.keySet == Set(10L, 11L, 12L, 100L))
   }
+
+  /** In-test reference: path-compressed union-find over the same
+    * edges, labeled by component minimum. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }
+  }
+
+  test("random graphs match a union-find reference (seeded property sweep)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(60)
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }
+      val expect = unionFind(edges)
+      val got = cc(edges)
+      assert(got == expect, s"trial $trial mismatch on ${edges.take(10)}...")
+    }
+  }
 }
