@@ -17,6 +17,18 @@ object EventQueries extends QueryModule {
   private val cfg = DefaultConfig.config
   private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
+  /** Session-scoped memo of the per-user aggregate frame — the spine
+    * every A/R/J query stands on. Registering it once in the cache
+    * means every later plan equal to it (a1/a2/a3, the rule queries,
+    * the grants views, AccessService.serveFrames' wide build) reads
+    * the InMemoryRelation instead of re-aggregating the events scan.
+    * One ~|users|-row frame per (session, source). */
+  private val aggCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def perUserCached(s: SparkSession, dir: String): DataFrame =
+    aggCache.getOrElseUpdate((s, dir),
+      EventAggregates.perUser(events(s, dir), cfg.aggregates).cache())
+
   /** Shared oracle CTE: the per-user aggregate frame, mirroring
     * EventAggregates.perUser. event_id is unique in the test data, so
     * the dedup is a no-op there (dedup itself is unit-tested). */
@@ -115,13 +127,13 @@ object EventQueries extends QueryModule {
 
     // A1: COUNT aggregate, dedup-by-uuid (reference aggregate.py:52-54)
     Q("a1_count_dedup",
-      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
+      (s, dir) => perUserCached(s, dir)
         .select(col("user_id"), col("total_signups")),
       Some(aggCte + "\nSELECT user_id, total_signups FROM agg")),
 
     // A2: DISTINCT_COUNT(field) (reference aggregate.py:59-60)
     Q("a2_distinct_count",
-      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
+      (s, dir) => perUserCached(s, dir)
         .select(col("user_id"), col("distinct_click_keys")),
       Some(aggCte + "\nSELECT user_id, distinct_click_keys FROM agg")),
 
@@ -164,7 +176,7 @@ object EventQueries extends QueryModule {
 
     // A3: SUM(field) dedup-by-uuid (reference aggregate.py:55-58)
     Q("a3_sum_dedup",
-      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
+      (s, dir) => perUserCached(s, dir)
         .select(col("user_id"),
           round(col("total_purchase_amount"), 4).as("total_purchase_amount")),
       Some(aggCte +
@@ -198,7 +210,7 @@ object EventQueries extends QueryModule {
 
     // R2: null-safe DIVIDE (reference rules.py:56-62; divergence doc'd)
     Q("r2_divide_nullsafe",
-      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
+      (s, dir) => perUserCached(s, dir)
         .select(col("user_id"),
           round(Grants.ruleValue(cfg.rule("error_ratio_low")), 6).as("error_ratio")),
       Some(aggCte +
@@ -207,7 +219,7 @@ object EventQueries extends QueryModule {
     // R3+R4: denom_min small-sample override + LT condition
     // (reference rules.py:34,58-59,68-75)
     Q("r3_denom_min",
-      (s, dir) => EventAggregates.perUser(events(s, dir), cfg.aggregates)
+      (s, dir) => perUserCached(s, dir)
         .select(col("user_id"), col("total_signups").as("denom"),
           Grants.ruleAbides(cfg.rule("click_key_spread")).as("abides")),
       Some(aggCte +
@@ -222,7 +234,7 @@ object EventQueries extends QueryModule {
     // (reference event_processer.py:50-63)
     Q("r5_feature_grants",
       (s, dir) => Grants.long(
-        EventAggregates.perUser(events(s, dir), cfg.aggregates), cfg),
+        perUserCached(s, dir), cfg),
       Some(aggCte + ",\n" +
         """g AS (
           |  SELECT user_id,
@@ -244,7 +256,7 @@ object EventQueries extends QueryModule {
         val universe = Tables.orders(s, dir)
           .select(col("o_custkey").as("user_id")).distinct()
         val g = Grants.wide(
-          EventAggregates.perUser(events(s, dir), cfg.aggregates), cfg)
+          perUserCached(s, dir), cfg)
           .select(col("user_id"), col("purchase"))
         universe.join(g, Seq("user_id"), "left_outer")
           .select(col("user_id"),

@@ -132,6 +132,14 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("wm")).distinct()
   }
 
+  /** Session-scoped memo of the winnowing selection (the fingerprint
+    * frame is 2/(W+1) the gram count — small); both winnow queries
+    * read it, the gram explode + md5 pass runs once. */
+  private val winnowCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def winnowSelectCached(s: SparkSession, dir: String): DataFrame =
+    winnowCache.getOrElseUpdate((s, dir), winnowSelect(docs(s, dir)).cache())
+
   /** Oracle CTE chain mirroring minhashPairs, ending in
     * `mh_pairs(d1, d2, jaccard)`. */
   private val minhashPairsCte: String = {
@@ -453,11 +461,11 @@ object TextQueries extends QueryModule {
     Q("winnow_fingerprint",
       (s, dir) => {
         val t = tokens(col("text"))
-        val g = docs(s, dir).filter(size(t) >= 3)
-          .select(col("doc_id"),
-            posexplode(orderedShingles(t)).as(Seq("pos", "sg")))
-        val sel = winnowSelect(docs(s, dir))
-        val counts = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val sel = winnowSelectCached(s, dir)
+        // n_grams is arithmetic (len - 2 on a single-spaced corpus) —
+        // no second gram explode just to count them
+        val counts = docs(s, dir).filter(size(t) >= 3)
+          .select(col("doc_id"), (size(t) - 2).cast("long").as("n_grams"))
         counts.join(
             sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_selected")),
             Seq("doc_id"), "left_outer")
@@ -476,7 +484,7 @@ object TextQueries extends QueryModule {
              |                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm
              |      FROM g),
              |sel AS (SELECT DISTINCT doc_id, wm FROM m WHERE pos >= 4),
-             |n AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+             |n AS (SELECT doc_id, len(t) - 2 AS n_grams FROM tok WHERE len(t) >= 3),
              |c AS (SELECT doc_id, count(*) AS n_selected FROM sel GROUP BY doc_id)
              |SELECT n.doc_id, n.n_grams,
              |       coalesce(c.n_selected, 0) AS n_selected,
@@ -485,12 +493,21 @@ object TextQueries extends QueryModule {
 
     // Winnowing candidate pairs: inverted-index equi-join on the
     // SELECTED fingerprints only (2/(W+1) the rows of the full shingle
-    // join dedup_ngram_jaccard pays), >= 2 shared fingerprints. The
-    // overlap-detection shape at corpus scale: candidates bounded by
+    // join dedup_ngram_jaccard pays), >= 2 shared fingerprints.
+    // Boilerplate ablation first — a fingerprint appearing in > 50
+    // docs is template text whose join contribution is quadratic in
+    // its document frequency and whose signal is ~zero (the MOSS
+    // common-code ablation); dropping it bounds any single
+    // fingerprint's pair fan-out. Candidates stay bounded by
     // fingerprint collisions, never doc×doc.
     Q("winnow_candidates",
       (s, dir) => {
-        val sel = winnowSelect(docs(s, dir))
+        val maxDf = 50
+        val byWm = Window.partitionBy(col("wm"))
+        val sel = winnowSelectCached(s, dir)
+          .withColumn("df", count(lit(1)).over(byWm))
+          .filter(col("df") <= maxDf)
+          .select(col("doc_id"), col("wm"))
         sel.select(col("doc_id").as("d1"), col("wm"))
           .join(sel.select(col("doc_id").as("d2"), col("wm")), Seq("wm"))
           .filter(col("d1") < col("d2"))
@@ -507,9 +524,13 @@ object TextQueries extends QueryModule {
              |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
              |                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm
              |      FROM g),
-             |sel AS (SELECT DISTINCT doc_id, wm FROM m WHERE pos >= 4)
+             |sel AS (SELECT DISTINCT doc_id, wm FROM m WHERE pos >= 4),
+             |ab AS (SELECT doc_id, wm
+             |       FROM (SELECT doc_id, wm, count(*) OVER (PARTITION BY wm) AS df
+             |             FROM sel) t
+             |       WHERE df <= 50)
              |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
-             |FROM sel a JOIN sel b ON a.wm = b.wm AND a.doc_id < b.doc_id
+             |FROM ab a JOIN ab b ON a.wm = b.wm AND a.doc_id < b.doc_id
              |GROUP BY 1, 2
              |HAVING count(*) >= 2""".stripMargin)),
 
