@@ -320,6 +320,45 @@ object EmbeddingQueries extends QueryModule {
              |SELECT query_id, neighbor_id, rnk, round(sim, 5) AS sim
              |FROM r WHERE rnk <= 3""".stripMargin)),
 
+    // int8 scalar quantization: per-vector symmetric scale
+    // (max|x|/127), quantize, measure reconstruction error — the 4×
+    // storage/bandwidth compression a 100 TB embedding corpus ships
+    // with (float32 → int8 + one scale per vector). Pure codegen'd
+    // array arithmetic; recall impact of ranking on quantized vectors
+    // is measured in EmbeddingAnnSpec.
+    Q("embed_quantize",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val scale = array_max(transform(col("emb"), x => abs(x))) / 127.0
+        val q = transform(col("emb"), x => round(x / col("scale")).cast("int"))
+        val err = zip_with(col("qemb"), col("emb"),
+          (qi, xi) => qi * col("scale") - xi)
+        e.withColumn("scale", scale)
+          .withColumn("qemb", q)
+          .withColumn("err", err)
+          .select(col("vec_id"),
+            round(col("scale"), 6).as("scale"),
+            round(aggregate(col("err"), lit(0.0d), (a, x) => a + x * x)
+              / size(col("emb")), 9).as("mse"),
+            round(array_max(transform(col("err"), x => abs(x))), 6).as("max_err"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             |s AS (SELECT vec_id, emb,
+             |             list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+             |      FROM e),
+             |q AS (SELECT vec_id, scale,
+             |             list_transform(emb, x -> round(x / scale)::INT) AS qemb, emb
+             |      FROM s),
+             |err AS (SELECT vec_id, scale,
+             |               list_transform(range(1, len(emb) + 1),
+             |                              i -> qemb[i] * scale - emb[i]) AS err,
+             |               len(emb) AS d
+             |        FROM q)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |       round(list_sum(list_transform(err, x -> x * x)) / d, 9) AS mse,
+             |       round(list_max(list_transform(err, x -> abs(x))), 6) AS max_err
+             |FROM err""".stripMargin)),
+
     // IVF with TRAINED centroids: sampled Lloyd's k-means (2 rounds,
     // deterministic seed) instead of id-ordered pivots — the
     // production quantizer. No SQL oracle: floating-point mean

@@ -250,6 +250,45 @@ object TextQueries extends QueryModule {
              |ORDER BY n_occurrences DESC, token
              |LIMIT 50""".stripMargin)),
 
+    // TF-IDF: the per-(doc, term) relevance weight over the corpus —
+    // term frequency × smoothed inverse document frequency, top-5
+    // terms per doc. Two shuffles (term counts, df) + one broadcast
+    // join of the tiny df frame + one per-doc window; at 100 TB the
+    // df frame is the only global state and it is |vocabulary|-sized.
+    Q("tfidf_top_terms",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val nDocs = d.count() // corpus size: one scalar, computed once
+        val terms = d
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val tf = terms.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df = terms.groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))
+        tf.join(broadcast(df), Seq("token"))
+          .withColumn("tfidf",
+            col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            round(col("tfidf"), 6).as("tfidf"), col("rnk"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+             |           FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+             |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             |              tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+             |       FROM tf JOIN df USING (token) CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |                                   ORDER BY tfidf DESC, token) AS rnk
+             |      FROM sc)
+             |SELECT doc_id, token, tf, df, round(tfidf, 6) AS tfidf, rnk
+             |FROM r WHERE rnk <= 5""".stripMargin)),
+
     // Quality scoring: type-token ratio, stopword ratio, length gates
     Q("text_quality",
       (s, dir) => {

@@ -95,6 +95,20 @@ class EmbeddingAnnSpec extends AnyFunSuite {
     assert(cents.forall(_.getSeq[Double](1).length == 16))
   }
 
+  test("int8-quantized cosine ranking preserves top-k recall") {
+    val d = data
+    val scale = array_max(transform(col("emb"), x => abs(x))) / 127.0
+    val deq = d.withColumn("scale", scale)
+      .withColumn("emb",
+        transform(col("emb"), x => round(x / col("scale")) * col("scale")))
+      .select(col("vec_id"), col("emb"))
+    val exact = pairs(exactTopK(d, 3))
+    val quant = pairs(exactTopK(deq, 3))
+    val r = (quant intersect exact).size.toDouble / exact.size
+    info(f"quantized-ranking recall vs float = $r%.3f")
+    assert(r >= 0.8, s"int8 quantization degraded recall to $r")
+  }
+
   test("a neighbor straddling ONE plane is recovered only by multi-probe") {
     import spark.implicits._
     // query 0 and vec 100 differ only in the sign of dim 0 (one plane);
