@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generic O(delta) upsert into a bucketed generation table — the
+  * storage primitive under GrantStore (last-writer-wins grants) and
+  * AggStore (additive aggregate snapshots).
+  *
+  * Layout: the served name is a catalog VIEW over the current
+  * generation table (`t__a` / `t__b`), bucketed+sorted by `bucketKey`.
+  * A merge writes ONLY the buckets containing delta keys into the
+  * inactive generation — their parquet files are addressed directly by
+  * the bucket id embedded in the file name, so the untouched
+  * 1 − |touched|/n of the table is neither scanned nor rewritten —
+  * then carries every untouched bucket file forward by hard link
+  * (fallback copy) and republishes the view in one atomic catalog op.
+  * A 10-row delta against a 100 TB table touches ~10 buckets of IO.
+  * On a real deployment the same shape feeds a Delta/Iceberg
+  * `MERGE INTO`, where carry-forward is a manifest reference. Single
+  * writer by construction (one streaming query owns a table).
+  */
+object BucketedUpsert {
+
+  private[graft] def generations(table: String): (String, String) =
+    (table + "__a", table + "__b")
+
+  /** The generation NOT currently served — the safe write target. */
+  private[graft] def inactiveGen(spark: SparkSession, table: String): String = {
+    val (a, b) = generations(table)
+    if (!spark.catalog.tableExists(table)) a
+    else {
+      val ddl = spark.sql(s"SHOW CREATE TABLE `$table`").head().getString(0)
+      if (ddl.contains(a)) b else a
+    }
+  }
+
+  private[graft] def publish(spark: SparkSession, table: String, gen: String): Unit =
+    spark.sql(s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM `$gen`")
+
+  /** Drop the view and both generations (test/cleanup utility). */
+  def drop(spark: SparkSession, table: String): Unit = {
+    val (a, b) = generations(table)
+    spark.sql(s"DROP VIEW IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$a`")
+    spark.sql(s"DROP TABLE IF EXISTS `$b`")
+  }
+
+  /** Full materialization into the inactive generation + publish. */
+  def materialize(df: DataFrame, table: String, bucketKey: String,
+                  buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val gen = inactiveGen(spark, table)
+    Bucketed.write(df, gen, bucketKey, buckets)
+    publish(spark, table, gen)
+  }
+
+  /** Read through the view. Spark's table-relation cache is
+    * per-session: a foreachBatch upsert runs in the micro-batch's
+    * CLONED session, whose `REFRESH TABLE` cannot invalidate a reader
+    * session's cached file listing of a generation it resolved
+    * earlier (observed: a reader that had seen `t__a` empty kept
+    * seeing it empty after the stream republished it). Refreshing the
+    * view and both generations here makes every read see the latest
+    * publish, at pure-metadata cost; a shared metastore + snapshot
+    * table format versions this automatically on real deployments. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val (a, b) = generations(table)
+    Seq(table, a, b).foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+    spark.table(table)
+  }
+
+  /** Filesystem directory of a generation table (managed catalog
+    * table → warehouse path). */
+  private[graft] def tableDir(spark: SparkSession, gen: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(gen))
+        .location)
+
+  /** Bucket id encoded in a bucketed-write file name
+    * (`part-00000-<uuid>_00003.c000.snappy.parquet` → 3). */
+  private[graft] def bucketIdOf(fileName: String): Option[Int] =
+    "_(\\d{5})\\.".r.findFirstMatchIn(fileName).map(_.group(1).toInt)
+
+  /** The bucket ids the delta's keys land in — Spark's bucketing hash
+    * is `pmod(murmur3(key), n)`, identical to the SQL `hash()`
+    * function, so the pruning computation matches the writer's
+    * placement exactly. */
+  private[graft] def affectedBuckets(delta: DataFrame, bucketKey: String,
+                                     buckets: Int): Set[Int] =
+    delta.select(pmod(hash(col(bucketKey)), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+  /** Merge `delta` into `table`: rows join on `joinKeys`; every other
+    * column combines via `merge(name, existing, delta)` — default
+    * last-writer-wins (`coalesce(delta, existing)`); AggStore passes
+    * an additive merge. Delta schema must equal the table's. */
+  def upsert(spark: SparkSession, table: String, delta0: DataFrame,
+             joinKeys: Seq[String], bucketKey: String, buckets: Int,
+             merge: (String, Column, Column) => Column =
+               (_, ex, dl) => coalesce(dl, ex)): Unit = {
+    val valueCols = spark.table(table).schema.fieldNames.toSeq
+      .filterNot(joinKeys.contains)
+    // the delta is a micro-batch (tiny): persisted once for the
+    // emptiness guard, the bucket-set collect AND the merge
+    val delta = delta0.select(
+      joinKeys.map(col) ++
+        valueCols.map(c => col(c).as(s"__delta_$c")): _*).persist()
+    try {
+      // empty or net-zero CDC batches must not pay any rewrite
+      if (delta.isEmpty) return
+      val touched = affectedBuckets(delta, bucketKey, buckets)
+      val gen = inactiveGen(spark, table)
+      val (a, b) = generations(table)
+      val active = if (gen == a) b else a
+      val srcDir = tableDir(spark, active)
+      val (touchedFiles, untouchedFiles) = {
+        import scala.jdk.CollectionConverters._
+        val all = java.nio.file.Files.list(srcDir).iterator().asScala
+          .filter(p => bucketIdOf(p.getFileName.toString).isDefined).toSeq
+        all.partition(p => touched(bucketIdOf(p.getFileName.toString).get))
+      }
+      // merge reads ONLY the touched buckets' files (bucket-file
+      // addressing beats predicate pruning: no scan even plans over
+      // the untouched buckets)
+      val existing =
+        if (touchedFiles.isEmpty) spark.table(table).limit(0)
+        else spark.read.schema(spark.table(table).schema)
+          .parquet(touchedFiles.map(_.toString): _*)
+      val merged = existing
+        .join(broadcast(delta), joinKeys, "full_outer")
+        .select(joinKeys.map(col) ++ valueCols.map(c =>
+          merge(c, col(c), col(s"__delta_$c")).as(c)): _*)
+      Bucketed.write(merged, gen, bucketKey, buckets)
+      // carry untouched buckets forward: link shares the bytes (the
+      // "reference" half of generation-compose); copy is the fallback
+      // for filesystems without links
+      val dstDir = tableDir(spark, gen)
+      untouchedFiles.foreach { f =>
+        val dst = dstDir.resolve(f.getFileName.toString)
+        try java.nio.file.Files.createLink(dst, f)
+        catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.copy(f, dst)
+        }
+      }
+      spark.sql(s"REFRESH TABLE `$gen`")
+      publish(spark, table, gen)
+    } finally delta.unpersist()
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.AccessService
-import graft.sources.{Bucketed, GrantStore}
+import graft.sources.{Bucketed, BucketedUpsert, GrantStore}
 import graft.streaming.EventPipeline
 import graft.streaming.EventPipeline.EventRow
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -87,14 +87,13 @@ class GrantStoreSpec extends AnyFunSuite {
       val genA = table + "__a"
       val genB = table + "__b"
       def bucketFiles(gen: String): Map[Int, Seq[java.nio.file.Path]] =
-        java.nio.file.Files.list(GrantStore.tableDir(spark, gen))
+        java.nio.file.Files.list(BucketedUpsert.tableDir(spark, gen))
           .iterator().asScala
-          .flatMap(p => GrantStore.bucketIdOf(p.getFileName.toString).map(_ -> p))
+          .flatMap(p => BucketedUpsert.bucketIdOf(p.getFileName.toString).map(_ -> p))
           .toSeq.groupMap(_._1)(_._2)
       val before = bucketFiles(genA)
       val delta = Seq((7L, "purchase", false)).toDF("user_id", "feature", "has_grant")
-      val touched = GrantStore.affectedBuckets(
-        delta.selectExpr("user_id", "feature", "has_grant AS new_grant"), 8)
+      val touched = BucketedUpsert.affectedBuckets(delta, "user_id", 8)
       GrantStore.upsert(spark, delta, table, buckets = 8)
       val after = bucketFiles(genB)
       // every untouched bucket's files carried forward by reference:
