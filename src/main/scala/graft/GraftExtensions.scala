@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CosineSimilarity, HllSketchAgg, SimHash}
+import graft.functions.expressions.{CosineSimilarity, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, SimHash}
 import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -24,6 +24,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_distinct"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllSketchAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchBuild].getName, "hll_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllSketchBuild(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("hll_union"),
+      new ExpressionInfo(classOf[HllUnion].getName, "hll_union"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllUnion(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllEstimate(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),

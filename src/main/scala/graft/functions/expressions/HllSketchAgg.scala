@@ -35,46 +35,16 @@ case class HllSketchAgg(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      val idx = (h >>> (64 - p)).toInt
-      // rank = leading zeros of the remaining (64-p)-bit suffix, +1
-      val suffix = h << p
-      val rank = (if (suffix == 0L) 64 - p
-        else java.lang.Long.numberOfLeadingZeros(suffix)) + 1
-      val r = math.min(rank, 64 - p + 1)
-      if (buf(idx) < r) buf(idx) = r.toByte
-    }
+    if (v != null)
+      HllOps.update(buf, XxHash64Function.hash(v, child.dataType, 42L))
     buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-    a
-  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllOps.unionInto(a, b)
 
-  override def eval(buf: Array[Byte]): Any = {
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _  => 0.7213 / (1.0 + 1.079 / m)
-    }
-    var sum = 0.0
-    var zeros = 0
-    var i = 0
-    while (i < m) {
-      sum += math.pow(2.0, -buf(i).toDouble)
-      if (buf(i) == 0) zeros += 1
-      i += 1
-    }
-    val raw = alpha * m * m / sum
-    val est =
-      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
-      else raw
-    java.lang.Long.valueOf(math.round(est))
-  }
+  override def eval(buf: Array[Byte]): Any =
+    java.lang.Long.valueOf(HllOps.estimate(buf))
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes

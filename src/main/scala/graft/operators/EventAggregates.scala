@@ -37,7 +37,7 @@ object EventAggregates {
       get_json_object(col("props"), "$." + field.stripPrefix("props."))
     else col(field)
 
-  private def aggExpr(s: AggregateSpec): Column = {
+  private[graft] def aggExpr(s: AggregateSpec): Column = {
     val matches = col("event_type") === lit(s.eventType)
     s.aggType match {
       // Post-dedup, count of distinct uuids == plain conditional count;

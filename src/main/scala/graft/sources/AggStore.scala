@@ -21,14 +21,14 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * generation-compose, so a micro-batch touching 10k users rewrites
   * ~10k users' buckets of a 100 TB snapshot table, never the table.
   *
-  * DISTINCT_COUNT is NOT additive across batches (the same value can
-  * recur) and is excluded here — its scale path is a mergeable HLL
-  * sketch column (functions.expressions.HllSketchAgg holds the
-  * fixed-size state; persisting the sketch bytes per user is the
-  * production extension). Exactly-once: additive merges require each
-  * event counted once — run behind the bounded pipeline's
-  * dropDuplicatesWithinWatermark (EventPipeline.grantChangesBounded's
-  * dedup stage) or an idempotent source.
+  * DISTINCT_COUNT is not additive across batches (the same value can
+  * recur) — it persists as a mergeable HLL SKETCH column instead
+  * (`<name>_sketch`, raw register bytes): each micro-batch's delta
+  * sketch unions into the stored one (elementwise max — associative,
+  * idempotent), and reads estimate with `HllEstimate`. Exactly-once
+  * for the additive columns: each event must be counted once — run
+  * behind the bounded pipeline's dropDuplicatesWithinWatermark or an
+  * idempotent source (sketch columns tolerate replay by idempotence).
   */
 object AggStore {
 
@@ -38,29 +38,61 @@ object AggStore {
   def additive(specs: Seq[AggregateSpec]): Seq[AggregateSpec] =
     specs.filter(_.aggType != AggregateType.DistinctCount)
 
+  private def distincts(specs: Seq[AggregateSpec]): Seq[AggregateSpec] =
+    specs.filter(_.aggType == AggregateType.DistinctCount)
+
+  /** One micro-batch's snapshot delta: additive aggregates + one HLL
+    * sketch column per DISTINCT_COUNT spec, all in ONE groupBy. */
+  def snapshot(events: DataFrame, specs: Seq[AggregateSpec]): DataFrame = {
+    val deduped = events.dropDuplicates("event_id")
+    val exprs = additive(specs).map(EventAggregates.aggExpr) ++
+      distincts(specs).map { sp =>
+        graft.functions.expressions.HllSketchBuild(
+          when(col("event_type") === lit(sp.eventType),
+            EventAggregates.fieldCol(sp.field.get).cast("long")))
+          .as(sp.name + "_sketch")
+      }
+    deduped.groupBy(col("user_id")).agg(exprs.head, exprs.tail: _*)
+  }
+
   def drop(spark: SparkSession, table: String): Unit =
     BucketedUpsert.drop(spark, table)
 
   def read(spark: SparkSession, table: String = DefaultTable): DataFrame =
     BucketedUpsert.read(spark, table)
 
+  /** Read with sketch columns rendered as distinct-count estimates
+    * (the serve-path projection). */
+  def readEstimates(spark: SparkSession, specs: Seq[AggregateSpec],
+                    table: String = DefaultTable): DataFrame = {
+    val base = read(spark, table)
+    base.select(col("user_id") +:
+      (additive(specs).map(sp => col(sp.name)) ++
+        distincts(specs).map(sp =>
+          graft.functions.expressions.HllEstimate(col(sp.name + "_sketch"))
+            .as(sp.name))): _*)
+  }
+
   /** Bootstrap the snapshot table from a (possibly empty) events
     * frame. */
   def materialize(events: DataFrame, specs: Seq[AggregateSpec],
                   table: String = DefaultTable, buckets: Int = 32): Unit =
-    BucketedUpsert.materialize(
-      EventAggregates.perUser(events, additive(specs)),
+    BucketedUpsert.materialize(snapshot(events, specs),
       table, "user_id", buckets)
 
-  /** Merge one micro-batch's per-user aggregate delta additively. */
+  /** Merge one micro-batch's per-user delta: numeric columns add,
+    * sketch columns union; either side absent falls back to the
+    * other. */
   def upsert(spark: SparkSession, batchEvents: DataFrame,
              specs: Seq[AggregateSpec], table: String = DefaultTable,
              buckets: Int = 32): Unit =
-    BucketedUpsert.upsert(spark, table,
-      EventAggregates.perUser(batchEvents, additive(specs)),
+    BucketedUpsert.upsert(spark, table, snapshot(batchEvents, specs),
       Seq("user_id"), "user_id", buckets,
-      merge = (_, ex, dl) =>
-        coalesce(ex, lit(0)) + coalesce(dl, lit(0)))
+      merge = (name, ex, dl) =>
+        if (name.endsWith("_sketch"))
+          when(ex.isNull, dl).when(dl.isNull, ex)
+            .otherwise(graft.functions.expressions.HllUnion(ex, dl))
+        else coalesce(ex, lit(0)) + coalesce(dl, lit(0)))
 
   /** Streaming sink: events → per-batch aggregate deltas → additive
     * table upserts. */

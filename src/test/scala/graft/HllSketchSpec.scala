@@ -39,4 +39,35 @@ class HllSketchSpec extends AnyFunSuite {
     out.values.foreach(est =>
       assert(math.abs(est - 1000.0) / 1000.0 < 0.06, s"estimate was $est"))
   }
+
+  test("sketch column family: build + union + estimate, SQL-registered") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_sketch",
+      exprs => graft.functions.expressions.HllSketchBuild(exprs.head)
+        .toAggregateExpression(), "built-in")
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_union",
+      exprs => graft.functions.expressions.HllUnion(exprs(0), exprs(1)),
+      "built-in")
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_estimate",
+      exprs => graft.functions.expressions.HllEstimate(exprs.head),
+      "built-in")
+    // two halves with overlap: union estimate == whole-set estimate
+    s2.range(0, 6000).selectExpr("id % 4000 AS v", "id % 2 AS half")
+      .createOrReplaceTempView("hll_vals")
+    val row = s2.sql("""
+      WITH halves AS (
+        SELECT half, hll_sketch(v) AS sk FROM hll_vals GROUP BY half),
+      merged AS (
+        SELECT hll_estimate(hll_union(a.sk, b.sk)) AS est_union
+        FROM halves a JOIN halves b ON a.half = 0 AND b.half = 1),
+      whole AS (SELECT hll_estimate(hll_sketch(v)) AS est_whole FROM hll_vals)
+      SELECT est_union, est_whole FROM merged CROSS JOIN whole""").head()
+    assert(row.getLong(0) == row.getLong(1),
+      "union of half-sketches must estimate exactly like the one-shot sketch")
+    assert(math.abs(row.getLong(0) - 4000.0) / 4000.0 < 0.05)
+  }
 }
