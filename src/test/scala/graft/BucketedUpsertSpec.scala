@@ -1,0 +1,81 @@
+package graft
+
+import graft.sources.BucketedUpsert
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based check of the generic O(delta) merge: a random sequence
+  * of upserts must leave the table exactly equal to a driver-side map
+  * model, in both last-writer-wins and additive modes, across
+  * generation flips (odd AND even upsert counts — the even case is
+  * what exposed the cross-session relation-cache staleness). */
+class BucketedUpsertSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("random last-writer-wins upsert sequences match a map model") {
+    import spark.implicits._
+    val table = "bu_lww"
+    BucketedUpsert.drop(spark, table)
+    try {
+      val rnd = new scala.util.Random(11)
+      var model = (1 to 40).map(i => i.toLong -> rnd.nextInt(100)).toMap
+      BucketedUpsert.materialize(
+        model.toSeq.toDF("k", "v"), table, "k", 8)
+      for (step <- 1 to 4) {
+        val delta = Seq.fill(1 + rnd.nextInt(6))(
+          (rnd.nextInt(60).toLong + 1, rnd.nextInt(100))).distinctBy(_._1)
+        model = model ++ delta.toMap
+        BucketedUpsert.upsert(spark, table, delta.toDF("k", "v"),
+          Seq("k"), "k", 8)
+        val got = BucketedUpsert.read(spark, table).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == model, s"diverged at step $step")
+      }
+    } finally BucketedUpsert.drop(spark, table)
+  }
+
+  test("additive merge sequences match a summing model") {
+    import spark.implicits._
+    val table = "bu_add"
+    BucketedUpsert.drop(spark, table)
+    try {
+      val rnd = new scala.util.Random(13)
+      var model = Map.empty[Long, Long]
+      BucketedUpsert.materialize(
+        Seq.empty[(Long, Long)].toDF("k", "v"), table, "k", 8)
+      for (step <- 1 to 4) {
+        val delta = Seq.fill(1 + rnd.nextInt(8))(
+          (rnd.nextInt(20).toLong, rnd.nextInt(10).toLong + 1)).distinctBy(_._1)
+        model = delta.foldLeft(model) { case (m, (k, v)) =>
+          m.updated(k, m.getOrElse(k, 0L) + v)
+        }
+        BucketedUpsert.upsert(spark, table, delta.toDF("k", "v"),
+          Seq("k"), "k", 8,
+          merge = (_, ex, dl) => coalesce(ex, lit(0L)) + coalesce(dl, lit(0L)))
+        val got = BucketedUpsert.read(spark, table).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model, s"diverged at step $step")
+      }
+    } finally BucketedUpsert.drop(spark, table)
+  }
+
+  test("empty delta leaves generations and files untouched") {
+    import spark.implicits._
+    val table = "bu_empty"
+    BucketedUpsert.drop(spark, table)
+    try {
+      BucketedUpsert.materialize(
+        Seq((1L, 1), (2L, 2)).toDF("k", "v"), table, "k", 4)
+      import scala.jdk.CollectionConverters._
+      def files = java.nio.file.Files.list(
+        BucketedUpsert.tableDir(spark, table + "__a"))
+        .iterator().asScala.map(_.getFileName.toString).toSet
+      val before = files
+      BucketedUpsert.upsert(spark, table,
+        Seq.empty[(Long, Int)].toDF("k", "v"), Seq("k"), "k", 4)
+      assert(files == before, "empty delta must not rewrite anything")
+      assert(BucketedUpsert.read(spark, table).count() == 2)
+    } finally BucketedUpsert.drop(spark, table)
+  }
+}
