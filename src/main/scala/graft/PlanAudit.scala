@@ -15,7 +15,8 @@ object PlanAudit {
       else Seq("q1_pricing_summary", "q3_shipping_topk", "q5_region_revenue",
         "a1_count_dedup", "a5_sliding_window", "j5_grant_lookup",
         "dedup_minhash_lsh", "embed_ann_bucketed", "asof_prev_order",
-        "r5_feature_grants")
+        "r5_feature_grants", "winnow_candidates", "tfidf_top_terms",
+        "embed_quantize", "r8_access_check")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

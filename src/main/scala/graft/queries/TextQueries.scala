@@ -573,6 +573,29 @@ object TextQueries extends QueryModule {
              |GROUP BY 1, 2
              |HAVING count(*) >= 2""".stripMargin)),
 
+    // Deterministic train/val/test split: hash-bucket each doc into
+    // 100 cells, carve 80/10/10 — reproducible across runs, engines
+    // and cluster sizes (the property TABLESAMPLE lacks), stable under
+    // corpus growth (a doc's split never changes when others arrive).
+    // THE way a 100 TB corpus is carved for training.
+    Q("corpus_split",
+      (s, dir) => {
+        val cell = portableHash(col("doc_id").cast("string")) % 100
+        docs(s, dir)
+          .withColumn("split",
+            when(cell < 80, "train").when(cell < 90, "val").otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH c AS (SELECT lang,
+             |                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS cell
+             |           FROM documents)
+             |SELECT lang,
+             |       CASE WHEN cell < 80 THEN 'train'
+             |            WHEN cell < 90 THEN 'val' ELSE 'test' END AS split,
+             |       count(*) AS n_docs
+             |FROM c GROUP BY 1, 2""".stripMargin)),
+
     // SimHash: 32-bit signature over the token multiset; docs sharing
     // a signature are near-dup candidates. The signature is the native
     // fused expression (graft.functions.expressions.SimHash) — the HOF
