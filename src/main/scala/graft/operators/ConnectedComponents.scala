@@ -80,7 +80,9 @@ object ConnectedComponents {
         least(col("a"), col("b")).as("v"))
       .distinct())
     var prev = fingerprint(e)
-    var converged = false
+    // no real edges (self-loop-only input) → every node is its own
+    // singleton; skip the star rounds entirely
+    var converged = prev._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
       e = ckpt(smallStar(largeStar(e)))
