@@ -100,6 +100,34 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("real-corpus parity: bounded stream over sf0.001 ends at the batch grants") {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = events.as[EventRow].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[EventRow](spark)
+    val q = EventPipeline.grantChangesBounded(spark, ms.toDS(), cfg)
+      .writeStream.format("memory").queryName("corpus_flips")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { c =>
+        ms.addData(c.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val flips = spark.table("corpus_flips").as[GrantChange].collect().toSeq
+    // reconstruct final streaming state: default TRUE + last flip wins
+    val users = rows.map(_.user_id).distinct
+    val streamFinal = (for (u <- users; f <- cfg.features) yield {
+      val last = flips.filter(c => c.user_id == u && c.feature == f.name).lastOption
+      (u, f.name) -> last.map(_.has_grant).getOrElse(true)
+    }).toMap
+    val batchFinal = graft.operators.Grants.long(
+      graft.operators.EventAggregates.perUser(events, cfg.aggregates), cfg)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(streamFinal == batchFinal,
+      s"diverged on ${streamFinal.toSet.diff(batchFinal.toSet).take(5)}")
+    assert(flips.nonEmpty, "corpus must exercise at least one flip")
+  }
+
   test("batch mode runs the identical stateful code path") {
     import spark.implicits._
     val events = Seq(
