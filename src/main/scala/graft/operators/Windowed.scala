@@ -33,12 +33,20 @@ object Windowed {
   def slidingStats(events: DataFrame, size: String = "10 minutes",
                    slide: String = "5 minutes"): DataFrame =
     events
-      .groupBy(window(col("ts"), size, slide))
+      // two-phase distinct (see featureStats): per-(window, user)
+      // partial counts first — no Expand, and the second shuffle is
+      // one row per distinct user per window
+      .groupBy(window(col("ts"), size, slide), col("user_id"))
       .agg(
-        countDistinct(col("user_id")).as("n_users"),
-        countDistinct(when(col("event_type") === "error", col("user_id"))).as("n_denied_users"),
-        count(lit(1)).as("n_events"),
-        count(when(col("event_type") === "error", lit(1))).as("n_denials"))
+        max(when(col("event_type") === "error", lit(1)).otherwise(lit(0)))
+          .as("denied"),
+        count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", lit(1))).as("nd"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("denied")).as("n_denied_users"),
+        sum(col("n")).as("n_events"),
+        sum(col("nd")).as("n_denials"))
       .select(
         col("window.start").as("win_start"),
         col("n_users"), col("n_denied_users"), col("n_events"), col("n_denials"))
@@ -66,10 +74,17 @@ object Windowed {
   def featureStats(attempts: DataFrame, size: String = "10 minutes",
                    slide: String = "5 minutes"): DataFrame =
     attempts
-      .groupBy(col("feature"), window(col("ts"), size, slide))
-      .agg(
-        countDistinct(col("user_id")).as("n_users"),
-        countDistinct(when(!col("success"), col("user_id"))).as("n_denied_users"))
+      // two-phase distinct instead of countDistinct's Expand (which
+      // would triple the shuffled rows): first collapse to one row per
+      // (feature, window, user) carrying "was this user denied here",
+      // then plain counts. Both phases keep map-side partials; the
+      // second shuffle is tiny (distinct users per window).
+      .groupBy(col("feature"), window(col("ts"), size, slide),
+        col("user_id"))
+      .agg(max(when(!col("success"), lit(1)).otherwise(lit(0))).as("denied"))
+      .groupBy(col("feature"), col("window"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("denied")).as("n_denied_users"))
       .select(col("feature"), col("window.start").as("win_start"),
         col("n_users"), col("n_denied_users"))
 
