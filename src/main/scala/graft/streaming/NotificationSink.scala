@@ -26,6 +26,20 @@ object NotificationSink {
     def send(batchId: Long, notifications: Iterator[Notification]): Unit
   }
 
+  /** Subscriber routing (reference notifications.py:3-21): each event
+    * NAME has a subscriber list; names with no subscribers are
+    * silently dropped, and each notification fans out once per
+    * subscriber — delegated to `inner` with the subscriber id so a
+    * real transport can address it. */
+  final class SubscriberRouter(
+      subscribers: Map[String, Seq[String]],
+      inner: (String, Notification) => Unit) extends Transport {
+    override def send(batchId: Long, ns: Iterator[Notification]): Unit =
+      ns.foreach { n =>
+        subscribers.getOrElse(n.name, Seq.empty).foreach(s => inner(s, n))
+      }
+  }
+
   /** Batch-shaped envelope synthesis (shared by batch + streaming).
     * The uuid input is (batchId, user, feature, grant, dup_seq):
     * batchId distinguishes identical flips in DIFFERENT batches

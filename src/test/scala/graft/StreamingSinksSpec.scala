@@ -94,6 +94,21 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(rows == Map("purchase" -> true, "message" -> false))
   }
 
+  test("subscriber routing: per-name fan-out, unsubscribed names dropped") {
+    val delivered = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val router = new NotificationSink.SubscriberRouter(
+      Map("access_revoked" -> Seq("hook-a", "hook-b"),
+        "access_granted" -> Seq("hook-a")),
+      (sub, n) => delivered.synchronized { delivered += sub -> n.name })
+    router.send(0L, Iterator(
+      NotificationSink.Notification("u1", "access_revoked", 1L, "purchase"),
+      NotificationSink.Notification("u2", "access_granted", 1L, "purchase"),
+      NotificationSink.Notification("u3", "unknown_event", 1L, "purchase")))
+    assert(delivered.toSet == Set(
+      ("hook-a", "access_revoked"), ("hook-b", "access_revoked"),
+      ("hook-a", "access_granted")))
+  }
+
   test("batch envelope synthesis matches the reference's event names") {
     import spark.implicits._
     val changes = Seq(
