@@ -42,14 +42,37 @@ object EventIngest {
 
   /** Classify + parse in one projection (no shuffle): adds
     * `props_parsed` (typed struct, null unless valid) and `ingest_status`
-    * ∈ {valid, unknown_event_type, invalid_properties}. */
+    * ∈ {valid, unknown_event_type, invalid_properties}.
+    *
+    * Heterogeneous registries (the reference's per-type shapes —
+    * zipcode for add_credit_card, amount for chargeback/purchase,
+    * event.py:12-25) parse into ONE union-of-fields struct (the
+    * SURVEY §1.4 mapping): each type's branch fills its own fields,
+    * every other union field is null. Same-named fields must agree on
+    * type across the registry (checked here, the closed-world
+    * build-time check). */
   def classify(raw: DataFrame, registry: Seq[EventTypeSchema] = defaultRegistry): DataFrame = {
+    val unionFields: Seq[StructField] = registry.flatMap(_.schema.fields)
+      .groupBy(_.name).map { case (n, fs) =>
+        val ts = fs.map(_.dataType).distinct
+        require(ts.size == 1, s"conflicting types for props field $n: $ts")
+        StructField(n, ts.head, nullable = true)
+      }.toSeq.sortBy(_.name)
+    val unionType = StructType(unionFields)
     val byName = registry.groupBy(_.schema).view.mapValues(_.map(_.name)).toSeq
-    // one from_json per distinct schema, selected by event type
-    val parsed: Column = byName.foldLeft(lit(null).cast(byName.head._1)) {
+    // one from_json per distinct schema, selected by event type, each
+    // widened to the union struct (null struct when unparseable —
+    // from_json yields null on malformed input)
+    val parsed: Column = byName.foldLeft(lit(null).cast(unionType)) {
       case (acc, (schema, names)) =>
+        val p = from_json(col("props"), schema)
+        val widened = struct(unionFields.map { f =>
+          (if (schema.fieldNames.contains(f.name)) p.getField(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
         when(col("event_type").isin(names: _*),
-          from_json(col("props"), schema)).otherwise(acc)
+          when(p.isNotNull, widened).otherwise(lit(null).cast(unionType)))
+          .otherwise(acc)
     }
     val requiredOk: Column = registry.map { ets =>
       col("event_type") === ets.name &&

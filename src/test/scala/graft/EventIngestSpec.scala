@@ -39,4 +39,32 @@ class EventIngestSpec extends AnyFunSuite {
     val (valid, _) = EventIngest.parse(Seq(ev(1, "click", """{"k": 42}""")).toDF())
     assert(valid.select("props_parsed.k").head().getLong(0) == 42L)
   }
+
+  test("heterogeneous registry: per-type schemas with distinct required fields") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the reference's per-type property shapes (models/event.py:12-25):
+    // add_credit_card{zipcode: str}, chargeback{amount: float},
+    // scam_flag{} — one wide nullable struct per distinct schema
+    val registry = Seq(
+      EventIngest.EventTypeSchema("add_credit_card",
+        StructType(Seq(StructField("zipcode", StringType))), Seq("zipcode")),
+      EventIngest.EventTypeSchema("chargeback",
+        StructType(Seq(StructField("amount", DoubleType))), Seq("amount")),
+      EventIngest.EventTypeSchema("scam_flag",
+        StructType(Seq(StructField("ignored", StringType))), Seq.empty))
+    val raw = Seq(
+      ev(1, "add_credit_card", """{"zipcode": "94110"}"""), // valid
+      ev(2, "add_credit_card", """{"amount": 3.5}"""),      // missing zipcode
+      ev(3, "chargeback", """{"amount": 12.5}"""),          // valid
+      ev(4, "chargeback", """{"zipcode": "x"}"""),          // missing amount
+      ev(5, "scam_flag", """{}""")                          // no required fields
+    ).toDF()
+    val (valid, dead) = EventIngest.parse(raw, registry)
+    assert(valid.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 5L))
+    assert(dead.select("event_id", "reject_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(2L -> "invalid_properties", 4L -> "invalid_properties"))
+  }
 }
