@@ -141,6 +141,9 @@ object EmbeddingQueries extends QueryModule {
         // broadcast doesn't recompute rounds 1..i
         .localCheckpoint(true)
     }
+    // cents is eagerly checkpointed — the training sample's cache is
+    // no longer referenced by any pending computation
+    sample.unpersist()
     cents
   }
 

@@ -81,6 +81,38 @@ object RelationalQueries extends QueryModule {
              |ORDER BY revenue DESC, l_orderkey
              |LIMIT 10""".stripMargin)),
 
+    // TPC-H Q10-shaped returned-items report: which customers returned
+    // the most revenue — fact⨝fact join (lineitem⨝orders shuffled on
+    // orderkey) with broadcast customer/nation dims, top 20. The
+    // mixed-strategy join showcase: Catalyst broadcasts the dims and
+    // sort-merge/shuffle-hash-joins the two facts.
+    Q("q10_returned_items",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
+            count(lit(1)).as("n_returned_items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
+             |       count(*) AS n_returned_items
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey
+             |LIMIT 20""".stripMargin)),
+
     // TPC-H Q5-shaped: 4-way join through the dimension chain with
     // broadcast dims, revenue per nation in one region
     Q("q5_region_revenue",
