@@ -6,15 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, batch-decoded per partition.
   *
-  * The image and audio paths are REAL binary parsing, not stubs: image
-  * payloads are structurally valid PNG streams (signature + IHDR with
-  * a correct CRC32 + IEND) whose width/height are read back from IHDR
-  * bytes 16-24 big-endian, and audio payloads are valid 44-byte WAV
-  * headers whose sample rate is read from the fmt chunk little-endian
-  * — pure-JVM header parsing, the first step of any production
-  * feature-extraction decode. Only the VIDEO dimension decode remains
-  * a deterministic stand-in (a container/codec parse the sandbox
-  * cannot host); swapping it for a real demuxer changes no plumbing.
+  * All three modality decodes are REAL binary parsing, not stubs:
+  * image payloads are structurally valid PNG streams (signature +
+  * IHDR with a correct CRC32 + IEND) whose width/height are read back
+  * from IHDR bytes 16-24 big-endian; audio payloads are valid 44-byte
+  * WAV headers whose sample rate is read from the fmt chunk
+  * little-endian; video payloads are minimal ISO-BMFF (MP4) streams
+  * whose dims come from tkhd's 16.16 fixed-point fields and whose
+  * frame count derives from mvhd duration/timescale — a genuine box
+  * walk. Pure-JVM header parsing, the first step of any production
+  * feature-extraction decode; only pixel/sample PAYLOAD decoding
+  * (which needs a codec) is out of scope, and swapping one in changes
+  * no plumbing.
   *
   * Malformed payloads never kill the job: a failed parse yields
   * zeroed features with `decode_ok = false` — the dead-letter contract
@@ -122,22 +125,85 @@ object MediaPipeline {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL)
     }
 
-  // ---- decode ---------------------------------------------------------
+  // ---- MP4 / ISO-BMFF (video) -----------------------------------------
 
-  /** Deterministic stand-in for the video container parse (the one
-    * remaining stub — no demuxer in this environment). */
-  private[graft] def decodeVideoStub(a: MediaAsset): MediaFeatures = {
-    val h = contentHash(a.content)
-    val nBytes = a.content.length.toLong
-    MediaFeatures(a.doc_id, a.media_type, nBytes,
-      width = 64L + h % 1216L,
-      height = 64L + (h / 1216L) % 656L,
-      n_frames = 1L + nBytes % 30L,
-      sample_rate = 0L, decode_ok = true)
+  private val Mp4Timescale = 600
+  private val Mp4Fps = 30
+
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+    bb.array()
   }
 
-  /** Per-asset decode: real header parsing for image/audio, stub for
-    * video; malformed payloads → zeroed features, decode_ok=false. */
+  /** Minimal structurally valid ISO-BMFF stream:
+    * ftyp + moov(mvhd + trak(tkhd)). Frame count is encoded the way a
+    * real container carries it — `mvhd.duration / mvhd.timescale ×
+    * fps` — and the visual dims sit in tkhd's 16.16 fixed-point
+    * width/height. 232 bytes total. */
+  private[graft] def mp4Bytes(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val ftyp = java.nio.ByteBuffer.allocate(16)
+      .putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0).array()
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0)                              // version/flags
+      b.putInt(0).putInt(0)                    // ctime/mtime
+      b.putInt(Mp4Timescale)
+      b.putInt(nFrames * Mp4Timescale / Mp4Fps) // duration
+      box("mvhd", b.array())                   // rest zeros (rate..next_track)
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.position(76)                           // ver/flags..matrix zeros
+      b.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+      box("tkhd", b.array())
+    }
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov
+  }
+
+  /** Walk top-level boxes for `moov`, then its children for mvhd
+    * (timescale+duration → frame count) and trak/tkhd (dims). */
+  private[graft] def parseMp4(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    def boxes(off: Int, end: Int): Iterator[(String, Int, Int)] =
+      Iterator.unfold(off) { o =>
+        if (o + 8 > end) None
+        else {
+          val bb = java.nio.ByteBuffer.wrap(bytes, o, 8)
+          val size = bb.getInt
+          val tpe = {
+            val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+          }
+          if (size < 8 || o + size > end) None
+          else Some(((tpe, o + 8, o + size), o + size))
+        }
+      }
+    if (bytes.length < 16) return None
+    val top = boxes(0, bytes.length).toSeq
+    if (!top.headOption.exists(_._1 == "ftyp")) return None
+    for {
+      (_, moovStart, moovEnd) <- top.find(_._1 == "moov")
+      kids = boxes(moovStart, moovEnd).toSeq
+      (_, mvhdStart, _) <- kids.find(_._1 == "mvhd")
+      (_, trakStart, trakEnd) <- kids.find(_._1 == "trak")
+      (_, tkhdStart, _) <- boxes(trakStart, trakEnd).find(_._1 == "tkhd")
+    } yield {
+      val mvhd = java.nio.ByteBuffer.wrap(bytes, mvhdStart + 12, 8)
+      val timescale = mvhd.getInt
+      val duration = mvhd.getInt.toLong & 0xffffffffL
+      val tkhd = java.nio.ByteBuffer.wrap(bytes, tkhdStart + 76, 8)
+      val w = (tkhd.getInt >>> 16).toLong
+      val h = (tkhd.getInt >>> 16).toLong
+      (w, h, duration * Mp4Fps / timescale)
+    }
+  }
+
+  // ---- decode ---------------------------------------------------------
+
+  /** Per-asset decode: real header parsing for all three modalities
+    * (PNG IHDR, WAV fmt, MP4 box walk); malformed payloads → zeroed
+    * features, decode_ok=false. */
   private[graft] def decode(a: MediaAsset): MediaFeatures = {
     val nBytes = a.content.length.toLong
     def bad = MediaFeatures(a.doc_id, a.media_type, nBytes, 0L, 0L, 0L, 0L,
@@ -149,17 +215,19 @@ object MediaPipeline {
       case "audio" => parseWav(a.content).fold(bad) { sr =>
         MediaFeatures(a.doc_id, a.media_type, nBytes, 0L, 0L, 1L, sr, decode_ok = true)
       }
-      case "video" => decodeVideoStub(a)
+      case "video" => parseMp4(a.content).fold(bad) { case (w, h, nf) =>
+        MediaFeatures(a.doc_id, a.media_type, nBytes, w, h, nf, 0L, decode_ok = true)
+      }
       case _ => bad
     }
   }
 
   /** Synthesize binary payloads from `documents` (stand-in for real
-    * blob columns). media_type cycles by doc_id; image payloads are
-    * real PNG streams and audio payloads real WAV headers whose
-    * embedded dimensions/rate derive deterministically from md5(text)
-    * (so the DuckDB oracle can predict what the parser reads back);
-    * video payloads remain raw text bytes for the stub path. */
+    * blob columns). media_type cycles by doc_id; payloads are real
+    * PNG / WAV / MP4 streams whose embedded dimensions, rate, and
+    * frame count derive deterministically from md5(text) and the text
+    * length (so the DuckDB oracle can predict what the parsers read
+    * back from the binary headers). */
   def attachBinary(docs: DataFrame): Dataset[MediaAsset] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -167,12 +235,13 @@ object MediaPipeline {
       case (docId, text) =>
         val textBytes = text.getBytes("UTF-8")
         val h = contentHash(textBytes)
+        val (w, ht) = ((64L + h % 1216L).toInt, (64L + (h / 1216L) % 656L).toInt)
         (docId % 3) match {
-          case 0 => MediaAsset(docId, "image",
-            pngBytes((64L + h % 1216L).toInt, (64L + (h / 1216L) % 656L).toInt))
+          case 0 => MediaAsset(docId, "image", pngBytes(w, ht))
           case 1 => MediaAsset(docId, "audio",
             wavBytes((8000L * (1L + h % 6L)).toInt))
-          case _ => MediaAsset(docId, "video", textBytes)
+          case _ => MediaAsset(docId, "video",
+            mp4Bytes(w, ht, (1L + textBytes.length % 30L).toInt))
         }
     }
   }

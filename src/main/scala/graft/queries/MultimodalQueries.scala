@@ -27,7 +27,7 @@ object MultimodalQueries extends QueryModule {
       Some(s"""SELECT doc_id,
              |       ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
              |       CASE (doc_id % 3) WHEN 0 THEN 45 WHEN 1 THEN 44
-             |            ELSE octet_length(encode(text)) END AS n_bytes,
+             |            ELSE 232 END AS n_bytes,
              |       CASE (doc_id % 3) WHEN 1 THEN 0
              |            ELSE 64 + ($hashSql % 1216) END AS width,
              |       CASE (doc_id % 3) WHEN 1 THEN 0

@@ -40,6 +40,22 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(MediaPipeline.parseWav(MediaPipeline.wavBytes(8000).take(20)).isEmpty)
   }
 
+  test("MP4 synthesis round-trips dims and frame count through the box walk") {
+    for ((w, h, nf) <- Seq((64, 64, 1), (1279, 719, 30), (800, 600, 15))) {
+      val bytes = MediaPipeline.mp4Bytes(w, h, nf)
+      assert(bytes.length == 232)
+      assert(MediaPipeline.parseMp4(bytes).contains((w.toLong, h.toLong, nf.toLong)))
+    }
+  }
+
+  test("MP4 parser rejects non-BMFF payloads, truncation, missing boxes") {
+    assert(MediaPipeline.parseMp4("plain text, no boxes here".getBytes).isEmpty)
+    val good = MediaPipeline.mp4Bytes(100, 50, 10)
+    assert(MediaPipeline.parseMp4(good.take(40)).isEmpty) // moov truncated
+    val noFtyp = good.clone(); noFtyp(4) = 'X'.toByte
+    assert(MediaPipeline.parseMp4(noFtyp).isEmpty)
+  }
+
   test("corrupt payloads decode to zeroed features with decode_ok=false") {
     val corrupt = MediaPipeline.decode(
       MediaAsset(1L, "image", "garbage".getBytes))
