@@ -67,6 +67,20 @@ object Demo {
     println("== grant flips ==")
     println(s"flips: ${Windowed.grantFlips(events).count()}")
 
+    // 7. the training-data pipeline surface over documents/embeddings
+    val docs = Tables.documents(spark, sfDir)
+    println("== corpus ops ==")
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+    println(s"minhash near-dup pairs:  ${pairs.count()}")
+    println(s"winnow candidate pairs:  ${SparkEntry.queries("winnow_candidates")(spark, sfDir).count()}")
+    println(s"dedup clusters:          ${SparkEntry.queries("dedup_clusters")(spark, sfDir).select("canonical_id").distinct().count()}")
+    println("== embeddings ==")
+    println(s"ANN rows (multi-probe):  ${SparkEntry.queries("embed_ann_multiprobe")(spark, sfDir).count()}")
+    println("== multimodal ==")
+    graft.multimodal.MediaPipeline.extractFeatures(spark,
+      graft.multimodal.MediaPipeline.attachBinary(docs))
+      .groupBy("media_type").count().show()
+
     GrantStore.drop(spark, "demo_grants")
     AggStore.drop(spark, "demo_aggs")
     spark.stop()
