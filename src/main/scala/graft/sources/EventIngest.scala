@@ -60,32 +60,40 @@ object EventIngest {
       }.toSeq.sortBy(_.name)
     val unionType = StructType(unionFields)
     val byName = registry.groupBy(_.schema).view.mapValues(_.map(_.name)).toSeq
-    // one from_json per distinct schema, selected by event type, each
-    // widened to the union struct (null struct when unparseable —
-    // from_json yields null on malformed input)
-    val parsed: Column = byName.foldLeft(lit(null).cast(unionType)) {
-      case (acc, (schema, names)) =>
-        val p = from_json(col("props"), schema)
-        val widened = struct(unionFields.map { f =>
-          (if (schema.fieldNames.contains(f.name)) p.getField(f.name)
-           else lit(null).cast(f.dataType)).as(f.name)
-        }: _*)
-        when(col("event_type").isin(names: _*),
-          when(p.isNotNull, widened).otherwise(lit(null).cast(unionType)))
-          .otherwise(acc)
+    // ONE from_json per distinct schema, materialized as a temp column
+    // so the union-struct rebuild below references the parse rather
+    // than re-parsing per field (from_json is not cheap; CollapseProject
+    // keeps the alias), then widened to the union struct (null struct
+    // when unparseable — from_json yields null on malformed input)
+    val withParses = byName.zipWithIndex.foldLeft(raw) {
+      case (df, ((schema, _), i)) =>
+        df.withColumn(s"__parse_$i", from_json(col("props"), schema))
     }
+    val parsed: Column = byName.zipWithIndex
+      .foldLeft(lit(null).cast(unionType)) {
+        case (acc, ((schema, names), i)) =>
+          val p = col(s"__parse_$i")
+          val widened = struct(unionFields.map { f =>
+            (if (schema.fieldNames.contains(f.name)) p.getField(f.name)
+             else lit(null).cast(f.dataType)).as(f.name)
+          }: _*)
+          when(col("event_type").isin(names: _*),
+            when(p.isNotNull, widened).otherwise(lit(null).cast(unionType)))
+            .otherwise(acc)
+      }
     val requiredOk: Column = registry.map { ets =>
       col("event_type") === ets.name &&
         ets.required.map(f => col("props_parsed").getField(f).isNotNull)
           .foldLeft(lit(true))(_ && _)
     }.reduce(_ || _)
     val registered = col("event_type").isin(registry.map(_.name): _*)
-    raw
+    withParses
       .withColumn("props_parsed", parsed)
       .withColumn("ingest_status",
         when(!registered, lit("unknown_event_type"))
           .when(col("props_parsed").isNull || !requiredOk, lit("invalid_properties"))
           .otherwise(lit("valid")))
+      .drop(byName.indices.map(i => s"__parse_$i"): _*)
   }
 
   /** The two output streams: typed valid events, and the dead letter
