@@ -27,18 +27,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[HllSketchBuild].getName, "hll_sketch"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        HllSketchBuild(exprs.head).toAggregateExpression()))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, s"hll_sketch takes 1 argument, got ${exprs.length}")
+        HllSketchBuild(exprs.head).toAggregateExpression()
+      }))
     e.injectFunction((
       FunctionIdentifier("hll_union"),
       new ExpressionInfo(classOf[HllUnion].getName, "hll_union"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        HllUnion(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, s"hll_union takes 2 arguments, got ${exprs.length}")
+        HllUnion(exprs(0), exprs(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("hll_estimate"),
       new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        HllEstimate(exprs.head)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, s"hll_estimate takes 1 argument, got ${exprs.length}")
+        HllEstimate(exprs.head)
+      }))
     e.injectFunction((
       FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),

@@ -29,9 +29,7 @@ object TextOps {
     * i -> array_to_string(list_slice(t, i, i+n-1), ' ')))`. Caller must
     * filter size(tokens) >= n first (sequence() would run backwards). */
   def shingles(toks: Column, n: Int = 3): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(toks) - lit(n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    array_distinct(orderedShingles(toks, n))
 
   /** ORDERED n-gram shingles (duplicates kept, position preserved) —
     * the winnowing input, where the hash SEQUENCE matters. DuckDB:

@@ -185,13 +185,19 @@ object MediaPipeline {
     for {
       (_, moovStart, moovEnd) <- top.find(_._1 == "moov")
       kids = boxes(moovStart, moovEnd).toSeq
-      (_, mvhdStart, _) <- kids.find(_._1 == "mvhd")
+      // bounds-check the fixed field offsets: a structurally valid but
+      // short mvhd/tkhd payload must yield None, never throw (the
+      // dead-letter contract)
+      (_, mvhdStart, mvhdEnd) <- kids.find(_._1 == "mvhd")
+      if mvhdStart + 20 <= mvhdEnd
       (_, trakStart, trakEnd) <- kids.find(_._1 == "trak")
-      (_, tkhdStart, _) <- boxes(trakStart, trakEnd).find(_._1 == "tkhd")
+      (_, tkhdStart, tkhdEnd) <- boxes(trakStart, trakEnd).find(_._1 == "tkhd")
+      if tkhdStart + 84 <= tkhdEnd
+      timescale = java.nio.ByteBuffer.wrap(bytes, mvhdStart + 12, 4).getInt
+      if timescale > 0
     } yield {
-      val mvhd = java.nio.ByteBuffer.wrap(bytes, mvhdStart + 12, 8)
-      val timescale = mvhd.getInt
-      val duration = mvhd.getInt.toLong & 0xffffffffL
+      val duration = java.nio.ByteBuffer.wrap(bytes, mvhdStart + 16, 4)
+        .getInt.toLong & 0xffffffffL
       val tkhd = java.nio.ByteBuffer.wrap(bytes, tkhdStart + 76, 8)
       val w = (tkhd.getInt >>> 16).toLong
       val h = (tkhd.getInt >>> 16).toLong
@@ -208,6 +214,13 @@ object MediaPipeline {
     val nBytes = a.content.length.toLong
     def bad = MediaFeatures(a.doc_id, a.media_type, nBytes, 0L, 0L, 0L, 0L,
       decode_ok = false)
+    // belt-and-braces: the parsers are bounds-checked, but NO payload
+    // may ever fail the stage — a parser bug degrades to dead-letter
+    try decodeUnsafe(a, bad) catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  private def decodeUnsafe(a: MediaAsset, bad: => MediaFeatures): MediaFeatures = {
+    val nBytes = a.content.length.toLong
     a.media_type match {
       case "image" => parsePng(a.content).fold(bad) { case (w, h) =>
         MediaFeatures(a.doc_id, a.media_type, nBytes, w, h, 1L, 0L, decode_ok = true)

@@ -114,13 +114,17 @@ object AccessService {
     * attempts frame reuse the aggregation for free. Bounded: one
     * entry per (session, source), each a users×features-sized frame. */
   private val serveCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String, EngineConfig), (DataFrame, DataFrame)]
 
-  /** Cached (wide grants, attempt log) for an events source; `key`
-    * identifies the source (e.g. the sf dir). */
-  def serveFrames(events: DataFrame, key: String,
+  /** Cached (wide grants, attempt log) for the events table at
+    * `sfDir`. The memo OWNS its inputs (it loads the events frame
+    * itself and keys on session + dir + config), so a cache hit can
+    * never silently serve frames built from different inputs than the
+    * caller's. */
+  def serveFrames(spark: SparkSession, sfDir: String,
                   cfg: EngineConfig): (DataFrame, DataFrame) =
-    serveCache.getOrElseUpdate((events.sparkSession, key), {
+    serveCache.getOrElseUpdate((spark, sfDir, cfg), {
+      val events = graft.sources.Tables.events(spark, sfDir)
       val wide = Grants.wide(
         EventAggregates.perUser(events, cfg.aggregates), cfg).cache()
       val att = attempts(events, wide, cfg).cache()

@@ -119,8 +119,12 @@ object EmbeddingQueries extends QueryModule {
     * so the arithmetic mean ranks like the spherical-k-means mean. */
   def kmeansPivots(data: DataFrame, k: Int = 16, iters: Int = 2,
                    sampleMod: Int = 1): DataFrame = {
-    val sample = (if (sampleMod <= 1) data
-      else data.filter(pmod(hash(col("vec_id")), lit(sampleMod)) === 0)).cache()
+    // cache only a sample WE created — caching (and later unpersisting)
+    // the caller's own frame would evict a cache the caller owns
+    val ownsSample = sampleMod > 1
+    val sample = if (ownsSample)
+      data.filter(pmod(hash(col("vec_id")), lit(sampleMod)) === 0).cache()
+    else data
     var cents = sample.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("pid"), col("emb").as("pemb"))
     for (_ <- 0 until iters) {
@@ -143,7 +147,7 @@ object EmbeddingQueries extends QueryModule {
     }
     // cents is eagerly checkpointed — the training sample's cache is
     // no longer referenced by any pending computation
-    sample.unpersist()
+    if (ownsSample) sample.unpersist()
     cents
   }
 

@@ -314,7 +314,7 @@ object EventQueries extends QueryModule {
     // (reference user_feature.py:52-55) — the stream the breaker feeds on
     Q("access_log",
       (s, dir) => graft.operators.AccessService
-        .serveFrames(events(s, dir), dir, cfg)._2
+        .serveFrames(s, dir, cfg)._2
         .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
           col("feature"), col("success")),
       Some(aggCte + ",\n" + gWideCte + "\n" +
@@ -331,7 +331,7 @@ object EventQueries extends QueryModule {
     // user_feature.py:26-30,106-126)
     Q("a6_feature_circuit",
       (s, dir) => Windowed.featureCircuit(graft.operators.AccessService
-        .serveFrames(events(s, dir), dir, cfg)._2),
+        .serveFrames(s, dir, cfg)._2),
       Some(aggCte + ",\n" + gWideCte + ",\n" + attCte + ",\n" + attWinCte + "\n" +
         """SELECT feature, win_start,
           |       count(DISTINCT user_id) AS n_users,
@@ -434,7 +434,7 @@ object EventQueries extends QueryModule {
         // frame + attempt log feeds this check, the access log, and the
         // per-feature circuits (AccessService.serveFrames)
         val (wide, att) = graft.operators.AccessService
-          .serveFrames(events(s, dir), dir, cfg)
+          .serveFrames(s, dir, cfg)
         val circuits = Windowed.latestFeatureCircuit(att)
         val g = Grants.longFromWide(wide, cfg)
         g.join(broadcast(circuits), Seq("feature"), "left_outer")

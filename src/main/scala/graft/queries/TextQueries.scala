@@ -258,7 +258,10 @@ object TextQueries extends QueryModule {
     Q("tfidf_top_terms",
       (s, dir) => {
         val d = docs(s, dir)
-        val nDocs = d.count() // corpus size: one scalar, computed once
+        // corpus size as a broadcast one-row frame — keeps the whole
+        // query one lazy plan (an eager d.count() here would run a
+        // separate scan job at every plan construction)
+        val n = d.agg(count(lit(1)).as("n_docs"))
         val terms = d
           .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         val tf = terms.groupBy(col("doc_id"), col("token"))
@@ -268,8 +271,9 @@ object TextQueries extends QueryModule {
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("token"))
         tf.join(broadcast(df), Seq("token"))
+          .crossJoin(broadcast(n))
           .withColumn("tfidf",
-            col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0))
+            col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select(col("doc_id"), col("token"), col("tf"), col("df"),

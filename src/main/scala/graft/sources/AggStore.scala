@@ -82,25 +82,31 @@ object AggStore {
 
   /** Merge one micro-batch's per-user delta: numeric columns add,
     * sketch columns union; either side absent falls back to the
-    * other. */
+    * other. `batchId` guards at-least-once redelivery — the additive
+    * columns are NOT replay-idempotent, so a batch whose id is
+    * already recorded on the served generation is skipped (the
+    * streaming writer always passes it). */
   def upsert(spark: SparkSession, batchEvents: DataFrame,
              specs: Seq[AggregateSpec], table: String = DefaultTable,
-             buckets: Int = 32): Unit =
+             buckets: Int = 32, batchId: Option[Long] = None): Unit =
     BucketedUpsert.upsert(spark, table, snapshot(batchEvents, specs),
       Seq("user_id"), "user_id", buckets,
       merge = (name, ex, dl) =>
         if (name.endsWith("_sketch"))
           when(ex.isNull, dl).when(dl.isNull, ex)
             .otherwise(graft.functions.expressions.HllUnion(ex, dl))
-        else coalesce(ex, lit(0)) + coalesce(dl, lit(0)))
+        else coalesce(ex, lit(0)) + coalesce(dl, lit(0)),
+      batchId = batchId)
 
   /** Streaming sink: events → per-batch aggregate deltas → additive
-    * table upserts. */
+    * table upserts, idempotent under micro-batch redelivery via the
+    * recorded batch id. */
   def writer(events: Dataset[EventRow], specs: Seq[AggregateSpec],
              table: String = DefaultTable,
              buckets: Int = 32): DataStreamWriter[EventRow] =
     events.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[EventRow], _: Long) =>
-        upsert(batch.sparkSession, batch.toDF(), specs, table, buckets)
+      .foreachBatch { (batch: Dataset[EventRow], bid: Long) =>
+        upsert(batch.sparkSession, batch.toDF(), specs, table, buckets,
+          batchId = Some(bid))
       }
 }

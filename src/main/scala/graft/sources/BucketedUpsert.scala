@@ -94,14 +94,29 @@ object BucketedUpsert {
     delta.select(pmod(hash(col(bucketKey)), lit(buckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
 
+  /** The last applied batch id recorded on a generation table (the
+    * at-least-once replay guard for NON-idempotent merges). */
+  private[graft] def appliedBatchId(spark: SparkSession, gen: String): Option[Long] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(gen))
+      .properties.get("graft.batchId").map(_.toLong)
+
   /** Merge `delta` into `table`: rows join on `joinKeys`; every other
     * column combines via `merge(name, existing, delta)` — default
     * last-writer-wins (`coalesce(delta, existing)`); AggStore passes
-    * an additive merge. Delta schema must equal the table's. */
+    * an additive merge. Delta schema must equal the table's.
+    *
+    * `batchId`: foreachBatch is at-least-once — a crash between
+    * publish and the stream's commit re-delivers the same micro-batch.
+    * Last-writer-wins merges are replay-idempotent, but ADDITIVE ones
+    * double-count, so callers with non-idempotent merges pass the
+    * foreachBatch batchId; a batch whose id is already recorded on the
+    * ACTIVE generation is skipped. */
   def upsert(spark: SparkSession, table: String, delta0: DataFrame,
              joinKeys: Seq[String], bucketKey: String, buckets: Int,
              merge: (String, Column, Column) => Column =
-               (_, ex, dl) => coalesce(dl, ex)): Unit = {
+               (_, ex, dl) => coalesce(dl, ex),
+             batchId: Option[Long] = None): Unit = {
     val valueCols = spark.table(table).schema.fieldNames.toSeq
       .filterNot(joinKeys.contains)
     // the delta is a micro-batch (tiny): persisted once for the
@@ -112,15 +127,22 @@ object BucketedUpsert {
     try {
       // empty or net-zero CDC batches must not pay any rewrite
       if (delta.isEmpty) return
-      val touched = affectedBuckets(delta, bucketKey, buckets)
       val gen = inactiveGen(spark, table)
       val (a, b) = generations(table)
       val active = if (gen == a) b else a
+      // replay guard: this batch already merged into the served
+      // generation → re-delivery is a no-op
+      if (batchId.nonEmpty && appliedBatchId(spark, active) == batchId) return
+      val touched = affectedBuckets(delta, bucketKey, buckets)
       val srcDir = tableDir(spark, active)
       val (touchedFiles, untouchedFiles) = {
         import scala.jdk.CollectionConverters._
-        val all = java.nio.file.Files.list(srcDir).iterator().asScala
+        val listing = java.nio.file.Files.list(srcDir)
+        // Files.list holds an open directory handle — close it or a
+        // once-per-micro-batch caller leaks fds until GC
+        val all = try listing.iterator().asScala
           .filter(p => bucketIdOf(p.getFileName.toString).isDefined).toSeq
+        finally listing.close()
         all.partition(p => touched(bucketIdOf(p.getFileName.toString).get))
       }
       // merge reads ONLY the touched buckets' files (bucket-file
@@ -146,6 +168,8 @@ object BucketedUpsert {
           java.nio.file.Files.copy(f, dst)
         }
       }
+      batchId.foreach(id => spark.sql(
+        s"ALTER TABLE `$gen` SET TBLPROPERTIES('graft.batchId'='$id')"))
       spark.sql(s"REFRESH TABLE `$gen`")
       publish(spark, table, gen)
     } finally delta.unpersist()

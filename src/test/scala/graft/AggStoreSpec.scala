@@ -99,6 +99,28 @@ class AggStoreSpec extends AnyFunSuite {
     } finally AggStore.drop(spark, table)
   }
 
+  test("at-least-once redelivery: same batchId applies once") {
+    import spark.implicits._
+    val table = "as_replay"
+    AggStore.drop(spark, table)
+    try {
+      AggStore.materialize(
+        Seq(ev(1, 8, "purchase", 10.0, 1)).toDF(), specs, table, buckets = 4)
+      val batch = Seq(ev(2, 8, "purchase", 5.0, 2)).toDF()
+      AggStore.upsert(spark, batch, specs, table, 4, batchId = Some(7L))
+      // redelivered micro-batch (crash between publish and commit)
+      AggStore.upsert(spark, batch, specs, table, 4, batchId = Some(7L))
+      val r = AggStore.read(spark, table).filter("user_id = 8").collect().head
+      assert(r.getDouble(r.fieldIndex("total_purchase_amount")) == 15.0,
+        "replayed batch must not double-count")
+      // the NEXT batch id applies normally
+      AggStore.upsert(spark, Seq(ev(3, 8, "purchase", 1.0, 3)).toDF(),
+        specs, table, 4, batchId = Some(8L))
+      val r2 = AggStore.read(spark, table).filter("user_id = 8").collect().head
+      assert(r2.getDouble(r2.fieldIndex("total_purchase_amount")) == 16.0)
+    } finally AggStore.drop(spark, table)
+  }
+
   test("streaming foreachBatch maintains the snapshot incrementally") {
     import spark.implicits._
     val table = "as_stream"

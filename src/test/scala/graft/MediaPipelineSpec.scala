@@ -56,6 +56,29 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(MediaPipeline.parseMp4(noFtyp).isEmpty)
   }
 
+  test("MP4 parser returns None (never throws) on short payloads and zero timescale") {
+    // structurally valid boxes but mvhd payload too short for the
+    // fixed field offsets: must be None, not IndexOutOfBounds
+    def mkBox(t: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = java.nio.ByteBuffer.allocate(16).putInt(16)
+      .put("ftyp".getBytes).put("isom".getBytes).putInt(0).array()
+    val shortMvhd = mkBox("moov", mkBox("mvhd", new Array[Byte](4)) ++
+      mkBox("trak", mkBox("tkhd", new Array[Byte](84))))
+    assert(MediaPipeline.parseMp4(ftyp ++ shortMvhd).isEmpty)
+    // zero timescale: division guard → None, not ArithmeticException
+    val zeroTs = mkBox("moov", mkBox("mvhd", new Array[Byte](100)) ++
+      mkBox("trak", mkBox("tkhd", new Array[Byte](84))))
+    assert(MediaPipeline.parseMp4(ftyp ++ zeroTs).isEmpty)
+    // and decode() degrades to dead-letter either way
+    val f = MediaPipeline.decode(
+      MediaPipeline.MediaAsset(1L, "video", ftyp ++ shortMvhd))
+    assert(!f.decode_ok)
+  }
+
   test("corrupt payloads decode to zeroed features with decode_ok=false") {
     val corrupt = MediaPipeline.decode(
       MediaAsset(1L, "image", "garbage".getBytes))
