@@ -2,21 +2,55 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dumps formatted physical plans for representative queries and flags
-  * scale smells: missing parquet filter pushdown, missing broadcast on
-  * dimension joins, cartesian products, missing whole-stage codegen.
+/** Formatted-physical-plan audit flagging scale smells: cartesian
+  * products, missing whole-stage codegen, unexpected
+  * broadcast-nested-loop joins. `audit` is the reusable check
+  * (PlanAuditSpec enforces an empty smell list in CI); the main dumps
+  * the full plans for eyeballing.
   *
   * Usage: runMain graft.PlanAudit [sfDir] [query ...]
   */
 object PlanAudit {
+
+  /** The representative query set audited by default (one per plan
+    * family: agg, dim join, window, LSH join, native as-of, serve
+    * path, winnowing, tf-idf, quantization). */
+  val DefaultNames: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_topk", "q5_region_revenue",
+    "q10_returned_items", "a1_count_dedup", "a5_sliding_window",
+    "j5_grant_lookup", "dedup_minhash_lsh", "embed_ann_bucketed",
+    "asof_prev_order", "r5_feature_grants", "winnow_candidates",
+    "tfidf_top_terms", "embed_quantize", "r8_access_check")
+
+  // BNLJ is by design in exactly these: embed_cosine_topk's exact
+  // baseline crosses against a FIXED 5-query set, the IVF assignment
+  // (pivot and k-means-trained variants) crosses each vector against
+  // <=16 broadcast centroids (no equi-key exists; bounded O(N·C)
+  // work), and tfidf_top_terms crosses against the ONE-ROW broadcast
+  // corpus-count frame (the lazy alternative to an eager count()).
+  val ExpectedBnlj: Set[String] = Set(
+    "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
+    "tfidf_top_terms")
+
+  /** Run `name` at `sfDir`, return (formatted plan, smells). */
+  def audit(spark: SparkSession, sfDir: String,
+            name: String): (String, Seq[String]) = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // materialize so AQE finalizes and codegen stages appear
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val smells = Seq(
+      "CartesianProduct" -> plan.contains("CartesianProduct"),
+      "no-WholeStageCodegen" -> !plan.contains("codegen id"),
+      "BroadcastNestedLoop" -> (plan.contains("BroadcastNestedLoopJoin")
+        && !ExpectedBnlj.contains(name))
+    ).collect { case (s, true) => s }
+    (plan, smells)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q1_pricing_summary", "q3_shipping_topk", "q5_region_revenue",
-        "a1_count_dedup", "a5_sliding_window", "j5_grant_lookup",
-        "dedup_minhash_lsh", "embed_ann_bucketed", "asof_prev_order",
-        "r5_feature_grants", "winnow_candidates", "tfidf_top_terms",
-        "embed_quantize", "r8_access_check")
+    val names = if (args.length > 1) args.drop(1).toSeq else DefaultNames
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -26,25 +60,9 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.collect() // materialize so AQE finalizes and codegen stages appear
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      val (plan, smells) = audit(spark, sfDir, name)
       println(s"\n===== $name =====")
       println(plan)
-      // BNLJ is by design in exactly these: embed_cosine_topk's
-      // exact baseline crosses against a FIXED 5-query set, and the
-      // IVF assignment (pivot and k-means-trained variants) crosses
-      // each vector against <=16 broadcast centroids (no equi-key
-      // exists; bounded O(N·C) work).
-      val expectedBnlj = Set("embed_ann_ivf", "embed_ann_ivf_kmeans",
-        "embed_cosine_topk")
-      val smells = Seq(
-        "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "no-WholeStageCodegen" -> !plan.contains("codegen id"),
-        "BroadcastNestedLoop" -> (plan.contains("BroadcastNestedLoopJoin")
-          && !expectedBnlj.contains(name))
-      ).collect { case (s, true) => s }
       println(if (smells.nonEmpty) s"[audit] $name SMELLS: ${smells.mkString(", ")}"
         else if (plan.contains("BroadcastNestedLoopJoin"))
           s"[audit] $name clean (BNLJ expected: bounded broadcast side)"

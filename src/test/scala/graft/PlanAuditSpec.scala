@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI-enforced plan invariants: every representative query family must
+  * plan without scale smells (cartesian products, codegen-free plans,
+  * unexpected BNLJ) — regressions fail here instead of waiting for a
+  * human to rerun the PlanAudit main. Runs at sf0.001 (plan shape does
+  * not depend on the scale factor). */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("representative query plans are smell-free at sf0.001") {
+    val bad = PlanAudit.DefaultNames.flatMap { name =>
+      val (_, smells) = PlanAudit.audit(spark, "/root/testdata/sf0.001", name)
+      if (smells.isEmpty) None else Some(name -> smells)
+    }
+    assert(bad.isEmpty, s"plan smells: $bad")
+  }
+
+  test("the documented bounded-BNLJ plans still broadcast a bounded side") {
+    // these MAY contain a BNLJ by design — but must still be
+    // codegen'd and cartesian-free
+    PlanAudit.ExpectedBnlj.foreach { name =>
+      val (plan, smells) = PlanAudit.audit(spark, "/root/testdata/sf0.001", name)
+      assert(smells.isEmpty, s"$name: $smells")
+      assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian")
+    }
+  }
+}
