@@ -113,6 +113,31 @@ object RelationalQueries extends QueryModule {
              |ORDER BY revenue DESC, c_custkey
              |LIMIT 20""".stripMargin)),
 
+    // TPC-H Q14-shaped promo-revenue share: fact⨝dim with a broadcast
+    // part table and a conditional-aggregate ratio — the global-ratio
+    // single-row shape (two decimal sums, one division at the end).
+    Q("q14_promo_share",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val p = Tables.part(s, dir)
+        val rev = dec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .agg(
+            dbl4(sum(when(col("p_type") === "PROMO", rev))).as("promo_revenue"),
+            dbl4(sum(rev)).as("total_revenue"),
+            round(sum(when(col("p_type") === "PROMO", rev))
+              .cast("double") * 100.0 / sum(rev).cast("double"), 4)
+              .as("promo_pct"))
+      },
+      Some("""SELECT
+             |  CAST(round(sum(CASE WHEN p_type = 'PROMO'
+             |                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) END), 4) AS DOUBLE) AS promo_revenue,
+             |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
+             |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+             |             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) END) AS DOUBLE) * 100.0
+             |        / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS promo_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+
     // TPC-H Q5-shaped: 4-way join through the dimension chain with
     // broadcast dims, revenue per nation in one region
     Q("q5_region_revenue",
