@@ -114,7 +114,7 @@ object AccessService {
     * attempts frame reuse the aggregation for free. Bounded: one
     * entry per (session, source), each a users×features-sized frame. */
   private val serveCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, EngineConfig), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String, EngineConfig), (DataFrame, DataFrame, DataFrame)]
 
   /** Cached (wide grants, attempt log) for the events table at
     * `sfDir`. The memo OWNS its inputs (it loads the events frame
@@ -122,15 +122,27 @@ object AccessService {
     * never silently serve frames built from different inputs than the
     * caller's. */
   def serveFrames(spark: SparkSession, sfDir: String,
-                  cfg: EngineConfig): (DataFrame, DataFrame) =
-    serveCache.getOrElseUpdate((spark, sfDir, cfg), {
+                  cfg: EngineConfig): (DataFrame, DataFrame) = {
+    val (wide, att, _) = serveCache.getOrElseUpdate((spark, sfDir, cfg), {
       val events = graft.sources.Tables.events(spark, sfDir)
       val wide = Grants.wide(
         EventAggregates.perUser(events, cfg.aggregates), cfg).cache()
       val att = attempts(events, wide, cfg).cache()
-      Windowed.featureStats(att).cache() // hot downstream agg, reused by plan identity
-      (wide, att)
+      // hot downstream agg, reused by plan identity; retained so
+      // clearCaches can unpersist it
+      val stats = Windowed.featureStats(att).cache()
+      (wide, att, stats)
     })
+    (wide, att)
+  }
+
+  /** Drop this module's session memos (see [[graft.Caches]]). */
+  private[graft] def clearCaches(): Unit = {
+    serveCache.values.foreach { case (w, a, st) =>
+      Seq(w, a, st).foreach(_.unpersist(false))
+    }
+    serveCache.clear()
+  }
 
   /** Build from raw events: aggregates → grants view + per-feature
     * circuit state from the latest breaker window of the derived

@@ -43,8 +43,12 @@ object Windowed {
         count(lit(1)).as("n"),
         count(when(col("event_type") === "error", lit(1))).as("nd"))
       .groupBy(col("window"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("denied")).as("n_denied_users"),
+      // countDistinct(user_id) ignored NULLs; the per-user rewrite
+      // must not count a NULL-user group as a distinct user (event
+      // totals still include NULL-user events, as count(*) did)
+      .agg(count(col("user_id")).as("n_users"),
+        coalesce(sum(when(col("user_id").isNotNull, col("denied"))), lit(0L))
+          .as("n_denied_users"),
         sum(col("n")).as("n_events"),
         sum(col("nd")).as("n_denials"))
       .select(
@@ -83,8 +87,11 @@ object Windowed {
         col("user_id"))
       .agg(max(when(!col("success"), lit(1)).otherwise(lit(0))).as("denied"))
       .groupBy(col("feature"), col("window"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("denied")).as("n_denied_users"))
+      // count(user_id)/NULL-guarded sum, not count(*): preserves
+      // countDistinct's ignore-NULL semantics for a NULL-user attempt
+      .agg(count(col("user_id")).as("n_users"),
+        coalesce(sum(when(col("user_id").isNotNull, col("denied"))), lit(0L))
+          .as("n_denied_users"))
       .select(col("feature"), col("window.start").as("win_start"),
         col("n_users"), col("n_denied_users"))
 

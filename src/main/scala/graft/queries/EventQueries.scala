@@ -29,6 +29,14 @@ object EventQueries extends QueryModule {
     aggCache.getOrElseUpdate((s, dir),
       EventAggregates.perUser(events(s, dir), cfg.aggregates).cache())
 
+  /** Drop this module's session memos (see [[graft.Caches]]): frees
+    * the pinned executor cache memory and un-staleness a dir whose
+    * parquet contents were rewritten under the same path. */
+  private[graft] def clearCaches(): Unit = {
+    aggCache.values.foreach(_.unpersist(false))
+    aggCache.clear()
+  }
+
   /** Shared oracle CTE: the per-user aggregate frame, mirroring
     * EventAggregates.perUser. event_id is unique in the test data, so
     * the dedup is a no-op there (dedup itself is unit-tested). */

@@ -140,6 +140,13 @@ object TextQueries extends QueryModule {
   private def winnowSelectCached(s: SparkSession, dir: String): DataFrame =
     winnowCache.getOrElseUpdate((s, dir), winnowSelect(docs(s, dir)).cache())
 
+  /** Drop this module's session memos (see [[graft.Caches]]). */
+  private[graft] def clearCaches(): Unit =
+    Seq(pairCache, labelCache, winnowCache).foreach { c =>
+      c.values.foreach(_.unpersist(false))
+      c.clear()
+    }
+
   /** Oracle CTE chain mirroring minhashPairs, ending in
     * `mh_pairs(d1, d2, jaccard)`. */
   private val minhashPairsCte: String = {
@@ -268,12 +275,17 @@ object TextQueries extends QueryModule {
           .agg(count(lit(1)).as("tf"))
         val df = terms.groupBy(col("token"))
           .agg(countDistinct(col("doc_id")).as("df"))
+        // rank on the ROUNDED weight (with token tiebreak): raw tfidf
+        // comes out of each engine's libm, and two (tf, df) pairs equal
+        // within ~1 ulp could order differently across Spark and DuckDB
+        // at the rank-5 cutoff — the rounded key makes the cutoff
+        // engine-independent
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("token"))
         tf.join(broadcast(df), Seq("token"))
           .crossJoin(broadcast(n))
           .withColumn("tfidf",
-            col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+            round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select(col("doc_id"), col("token"), col("tf"), col("df"),
@@ -285,7 +297,7 @@ object TextQueries extends QueryModule {
              |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
              |n AS (SELECT count(*) AS n_docs FROM documents),
              |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
-             |              tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+             |              round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
              |       FROM tf JOIN df USING (token) CROSS JOIN n),
              |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
              |                                   ORDER BY tfidf DESC, token) AS rnk

@@ -100,7 +100,15 @@ object AggStore {
 
   /** Streaming sink: events → per-batch aggregate deltas → additive
     * table upserts, idempotent under micro-batch redelivery via the
-    * recorded batch id. */
+    * recorded (query id, batch id).
+    *
+    * Run the returned writer WITH a `checkpointLocation`: batch ids
+    * only replay (and so only need deduplicating) when a checkpoint
+    * makes them monotone across restarts. An uncheckpointed restart is
+    * still safe — it gets a fresh query id, so its batch 0 is never
+    * mistaken for a previously recorded batch 0 — but it re-counts
+    * whatever events the source re-delivers, because without a
+    * checkpoint nothing remembers the consumed offsets. */
   def writer(events: Dataset[EventRow], specs: Seq[AggregateSpec],
              table: String = DefaultTable,
              buckets: Int = 32): DataStreamWriter[EventRow] =

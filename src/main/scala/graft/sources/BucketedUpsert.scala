@@ -94,12 +94,28 @@ object BucketedUpsert {
     delta.select(pmod(hash(col(bucketKey)), lit(buckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
 
-  /** The last applied batch id recorded on a generation table (the
-    * at-least-once replay guard for NON-idempotent merges). */
-  private[graft] def appliedBatchId(spark: SparkSession, gen: String): Option[Long] =
-    spark.sessionState.catalog
+  /** The last applied (query id, batch id) recorded on a generation
+    * table (the at-least-once replay guard for NON-idempotent merges).
+    * Batch ids alone are ambiguous: a streaming query restarted
+    * WITHOUT a checkpoint restarts at batchId 0, and a guard that
+    * matched on the bare id would silently drop that run's first
+    * micro-batch. The query id disambiguates — it is stable across
+    * checkpointed restarts (same checkpoint → same id → replays still
+    * skip) and fresh for an uncheckpointed restart (new id → the new
+    * run's batch 0 applies). */
+  private[graft] def appliedBatch(spark: SparkSession, gen: String): Option[(String, Long)] = {
+    val props = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(gen))
-      .properties.get("graft.batchId").map(_.toLong)
+      .properties
+    props.get("graft.batchId").map(id =>
+      (props.getOrElse("graft.queryId", ""), id.toLong))
+  }
+
+  /** The streaming query id of the current thread, when running inside
+    * a StreamExecution (foreachBatch runs on the stream thread, which
+    * carries the id as a local property); empty for batch callers. */
+  private[graft] def currentQueryId(spark: SparkSession): String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse("")
 
   /** Merge `delta` into `table`: rows join on `joinKeys`; every other
     * column combines via `merge(name, existing, delta)` — default
@@ -117,6 +133,12 @@ object BucketedUpsert {
              merge: (String, Column, Column) => Column =
                (_, ex, dl) => coalesce(dl, ex),
              batchId: Option[Long] = None): Unit = {
+    // value columns are renamed __delta_* below, so a bucketKey outside
+    // joinKeys would surface as an opaque unresolved-column failure deep
+    // in affectedBuckets/merge — fail fast with the actual contract
+    require(joinKeys.contains(bucketKey),
+      s"bucketKey '$bucketKey' must be one of joinKeys ${joinKeys.mkString("[", ", ", "]")}: " +
+        "the merge joins and prunes buckets on the same key")
     val valueCols = spark.table(table).schema.fieldNames.toSeq
       .filterNot(joinKeys.contains)
     // the delta is a micro-batch (tiny): persisted once for the
@@ -130,9 +152,11 @@ object BucketedUpsert {
       val gen = inactiveGen(spark, table)
       val (a, b) = generations(table)
       val active = if (gen == a) b else a
-      // replay guard: this batch already merged into the served
-      // generation → re-delivery is a no-op
-      if (batchId.nonEmpty && appliedBatchId(spark, active) == batchId) return
+      // replay guard: this (query, batch) already merged into the
+      // served generation → re-delivery is a no-op
+      val qid = currentQueryId(spark)
+      if (batchId.nonEmpty &&
+        appliedBatch(spark, active) == batchId.map(id => (qid, id))) return
       val touched = affectedBuckets(delta, bucketKey, buckets)
       val srcDir = tableDir(spark, active)
       val (touchedFiles, untouchedFiles) = {
@@ -169,7 +193,8 @@ object BucketedUpsert {
         }
       }
       batchId.foreach(id => spark.sql(
-        s"ALTER TABLE `$gen` SET TBLPROPERTIES('graft.batchId'='$id')"))
+        s"ALTER TABLE `$gen` SET TBLPROPERTIES(" +
+          s"'graft.batchId'='$id', 'graft.queryId'='$qid')"))
       spark.sql(s"REFRESH TABLE `$gen`")
       publish(spark, table, gen)
     } finally delta.unpersist()
