@@ -20,17 +20,22 @@ object PlanAudit {
     "q10_returned_items", "a1_count_dedup", "a5_sliding_window",
     "j5_grant_lookup", "dedup_minhash_lsh", "embed_ann_bucketed",
     "asof_prev_order", "r5_feature_grants", "winnow_candidates",
-    "tfidf_top_terms", "embed_quantize", "r8_access_check")
+    "tfidf_top_terms", "embed_quantize", "r8_access_check",
+    "q7_nation_volume", "q8_market_share", "q13_order_distribution",
+    "q15_top_supplier", "q18_large_volume")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
   // (pivot and k-means-trained variants) crosses each vector against
   // <=16 broadcast centroids (no equi-key exists; bounded O(N·C)
-  // work), and tfidf_top_terms crosses against the ONE-ROW broadcast
-  // corpus-count frame (the lazy alternative to an eager count()).
+  // work), tfidf_top_terms crosses against the ONE-ROW broadcast
+  // corpus-count frame (the lazy alternative to an eager count()),
+  // and q22_idle_balances compares every customer against the
+  // ONE-ROW broadcast scalar-average frame (no equi-key in
+  // `c_acctbal > avg_bal`).
   val ExpectedBnlj: Set[String] = Set(
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
-    "tfidf_top_terms")
+    "tfidf_top_terms", "q22_idle_balances")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

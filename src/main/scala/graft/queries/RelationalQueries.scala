@@ -487,6 +487,224 @@ object RelationalQueries extends QueryModule {
              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_orderkey
              |  FROM u)
              |SELECT k AS o_custkey, o_orderkey, prev_orderkey
-             |FROM w WHERE side = 1""".stripMargin))
+             |FROM w WHERE side = 1""".stripMargin)),
+
+    // TPC-H Q7-shaped nation-pair trade volume: the 6-way join with a
+    // disjunctive cross-dimension predicate. Both nation dims are
+    // pre-filtered to the two names BEFORE joining (the pair
+    // disjunction itself couples the two sides, so it can't push into
+    // either scan — but the name prefilter shrinks each broadcast to 2
+    // rows, and the disjunction then runs over an already-tiny join).
+    Q("q7_nation_volume",
+      (s, dir) => {
+        val pair = Seq("NATION_11", "NATION_12")
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate").between(
+            lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val sup = Tables.supplier(s, dir)
+        val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n1), sup("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .withColumn("l_year", year(col("l_shipdate")))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |       year(l_shipdate) AS l_year,
+             |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE n1.n_name IN ('NATION_11', 'NATION_12')
+             |  AND n2.n_name IN ('NATION_11', 'NATION_12')
+             |  AND n1.n_name <> n2.n_name
+             |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q8-shaped market share: one nation's share of regional
+    // revenue per year. The share is a ratio of two EXACT decimal sums
+    // (each cast to double — a single exact-input rounding — before
+    // one IEEE division), so the output is bit-stable across engines
+    // and partitionings; a double sum here would not be.
+    Q("q8_market_share",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate").between(
+            lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        val c = Tables.customer(s, dir)
+        val sup = Tables.supplier(s, dir)
+        val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+        val r = Tables.region(s, dir).filter(col("r_name") === "AMERICA")
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n1), c("c_nationkey") === col("c_nk"))
+          .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+          .join(broadcast(n2), sup("s_nationkey") === col("s_nk"))
+          .withColumn("o_year", year(col("o_orderdate")))
+          .withColumn("volume", dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .groupBy(col("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_1", col("volume")).otherwise(dec(lit(0))))
+              .cast("double") /
+            sum(col("volume")).cast("double"), 6).as("mkt_share"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""WITH flat AS (
+             |  SELECT year(o_orderdate) AS o_year,
+             |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS volume,
+             |         n2.n_name AS supp_nation
+             |  FROM lineitem
+             |  JOIN part     ON l_partkey = p_partkey
+             |  JOIN orders   ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region   ON n1.n_regionkey = r_regionkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+             |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+             |SELECT o_year,
+             |       round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             |             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+             |       count(*) AS n_items
+             |FROM flat GROUP BY o_year""".stripMargin)),
+
+    // TPC-H Q13-shaped customer order-count distribution: LEFT join so
+    // zero-order customers land in the c_count = 0 bucket, then the
+    // distribution over counts. Two shuffles (custkey, count) — both
+    // key-partitioned, no global sort until the tiny result.
+    Q("q13_order_distribution",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |      GROUP BY c_custkey) t
+             |GROUP BY c_count""".stripMargin)),
+
+    // TPC-H Q15-shaped top supplier: per-supplier quarterly revenue,
+    // keep the supplier(s) equal to the global max — the scalar
+    // subquery expressed as a one-row broadcast crossJoin (no second
+    // scan of lineitem: the tiny rev frame feeds both the max and the
+    // final filter). Exact decimal revenue ⇒ the max-equality is
+    // unambiguous (doubles would make "equals max" partition-order
+    // dependent).
+    Q("q15_top_supplier",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_rev"))
+        val top = rev.agg(max(col("total_rev")).as("max_rev"))
+        rev.join(broadcast(top), rev("total_rev") === top("max_rev"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            dbl4(col("total_rev")).as("total_rev"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name,
+             |       CAST(round(total_rev, 4) AS DOUBLE) AS total_rev
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin)),
+
+    // TPC-H Q18-shaped large-volume orders: the HAVING-subquery
+    // becomes an aggregate→filter frame joined back to the fact — the
+    // groupBy and the semi-join share the l_orderkey partitioning, so
+    // AQE plans one shuffle for both sides of the join.
+    Q("q18_large_volume",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        big.join(o, col("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            dbl4(col("sum_qty")).as("sum_qty"))
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty
+             |  FROM lineitem GROUP BY l_orderkey
+             |  HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 300)
+             |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |       CAST(round(sum_qty, 4) AS DOUBLE) AS sum_qty
+             |FROM big
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    // TPC-H Q22-shaped idle balances: customers with above-average
+    // positive balance and no orders in the final year of the data
+    // (every customer has SOME order in these fixtures, so the
+    // classic "no orders ever" predicate would be vacuous — dormancy
+    // is the version with signal). The scalar average is an exact
+    // decimal sum cast to double over an exact long count — one IEEE
+    // division, bit-identical in both engines — broadcast into the
+    // filter; the dormancy test is a genuine anti-join against the
+    // date-filtered orders (the filter pushes into the orders scan).
+    Q("q22_idle_balances",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val recent = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg((sum(dec(col("c_acctbal"))).cast("double") /
+            count(lit(1)).cast("double")).as("avg_bal"))
+        c.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+          .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            dbl4(sum(dec(col("c_acctbal")))).as("totacctbal"))
+      },
+      Some("""WITH a AS (
+             |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+             |         / CAST(count(*) AS DOUBLE) AS avg_bal
+             |  FROM customer WHERE c_acctbal > 0)
+             |SELECT c_mktsegment, count(*) AS numcust,
+             |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,6))), 4) AS DOUBLE) AS totacctbal
+             |FROM customer, a
+             |WHERE c_acctbal > a.avg_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+             |GROUP BY c_mktsegment""".stripMargin))
   )
 }

@@ -13,6 +13,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   private def p(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Split-starved scan fix: Spark parallelizes a parquet scan by file
+    * and row group, so a table written as ONE single-row-group file
+    * (the driver fixtures are exactly that) decodes — and runs every
+    * map-side operator above it: JSON parsing, regex normalization,
+    * shingling, hashing, partial aggregation — in ONE task, however
+    * many cores the session has. Rebalancing the scan output restores
+    * the parallelism the file layout withheld, at the cost of one
+    * round-robin exchange of the pruned columns (filters and column
+    * pruning still reach the scan: Catalyst pushes both through
+    * Repartition). Guarded to be a no-op whenever the source is
+    * already split across >= cores files — i.e. on any real
+    * multi-file table this never fires, and a 100 TB scan keeps its
+    * native file/row-group parallelism. */
+  private def fanout(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= cores) df else df.repartition(cores)
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
     * default. Read it as a long (nanosAsLong) and floor-convert to a
     * microsecond TimestampType — integer `div`, not double division
@@ -22,19 +40,23 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(p(dir, "events"))
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    fanout(
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw)
   }
-  def lineitem(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(p(dir, "lineitem"))
-  def orders(spark: SparkSession, dir: String): DataFrame     = spark.read.parquet(p(dir, "orders"))
+  // fact tables get the fanout rebalance (map-side CPU above them is
+  // the bench bottleneck); the dimension tables stay as-is — they
+  // broadcast, and an exchange under a broadcast is pure loss
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = fanout(spark.read.parquet(p(dir, "lineitem")))
+  def orders(spark: SparkSession, dir: String): DataFrame     = fanout(spark.read.parquet(p(dir, "orders")))
   def customer(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(p(dir, "customer"))
   def supplier(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(p(dir, "supplier"))
   def part(spark: SparkSession, dir: String): DataFrame       = spark.read.parquet(p(dir, "part"))
   def nation(spark: SparkSession, dir: String): DataFrame     = spark.read.parquet(p(dir, "nation"))
   def region(spark: SparkSession, dir: String): DataFrame     = spark.read.parquet(p(dir, "region"))
-  def documents(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(p(dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "embeddings"))
+  def documents(spark: SparkSession, dir: String): DataFrame  = fanout(spark.read.parquet(p(dir, "documents")))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = fanout(spark.read.parquet(p(dir, "embeddings")))
 }
