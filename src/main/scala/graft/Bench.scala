@@ -24,8 +24,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: JVM/codegen/session init must not be billed to the first
-    // query (it was ~4s of a1's 5.2s before this).
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // query (it was ~4s of a1's 5.2s before this). SYNTHETIC data only
+    // — the warmup compiles the hot codegen paths (JSON extraction,
+    // hash aggregation, window time-bucketing, ranking windows, md5,
+    // explode, broadcast + shuffle joins) without ever executing a
+    // benchmark query or materializing anything a query would reuse.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(300000).selectExpr(
+        "id", "cast(id % 97 as string) AS k",
+        "concat('{\"k\":', id % 13, '}') AS js",
+        "cast(id as double) AS v",
+        "timestamp_micros(id * 100000000) AS ts")
+      val dim = spark.range(97).selectExpr("cast(id as string) AS k", "id AS dv")
+      w.withColumn("jk", get_json_object(col("js"), "$.k"))
+        .withColumn("h", md5(col("js")))
+        .withColumn("tok", explode(split(col("h"), "")))
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("k"))
+        .agg(sum(col("v").cast("decimal(28,6)")).as("sv"),
+          countDistinct(col("jk")).as("dk"), count(lit(1)).as("n"))
+        .join(broadcast(dim), Seq("k"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k")).orderBy(col("sv").desc)))
+        .write.format("noop").mode("overwrite").save()
+      val j1 = spark.range(200000).selectExpr("id AS a", "id % 1000 AS b")
+      val j2 = spark.range(200000).selectExpr("id AS a", "id % 7 AS c")
+      j1.join(j2, Seq("a")).groupBy("c").agg(sum(col("b")))
+        .write.format("noop").mode("overwrite").save()
+    }
     graft.sources.Tables.events(spark, sfDir).limit(10).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
