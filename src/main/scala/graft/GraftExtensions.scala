@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CosineSimilarity, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, SimHash}
+import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, MisraGriesAgg, SimHash}
 import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -60,6 +60,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           b.eval().asInstanceOf[Number].intValue()
         } else 32
         SimHash(exprs.head, bits)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, s"bloom_agg takes 1 argument, got ${exprs.length}")
+        BloomFilterAgg(exprs.head).toAggregateExpression()
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"bloom_might_contain takes 2 arguments, got ${exprs.length}")
+        BloomMightContain(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"misra_gries takes 1 or 2 arguments, got ${exprs.length}")
+        val cap = if (exprs.length > 1) {
+          val c = exprs(1)
+          require(c.foldable,
+            "misra_gries(item[, capacity]): capacity must be an integer literal")
+          c.eval().asInstanceOf[Number].intValue()
+        } else 200
+        MisraGriesAgg(exprs.head, cap).toAggregateExpression()
       }))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

@@ -33,9 +33,12 @@ object PlanAudit {
   // and q22_idle_balances compares every customer against the
   // ONE-ROW broadcast scalar-average frame (no equi-key in
   // `c_acctbal > avg_bal`).
+  // bloom_semi_join and heavy_hitter_tokens likewise ride ONE-ROW
+  // broadcasts (the bloom bytes / the corpus count).
   val ExpectedBnlj: Set[String] = Set(
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
-    "tfidf_top_terms", "q22_idle_balances")
+    "tfidf_top_terms", "q22_idle_balances", "bloom_semi_join",
+    "heavy_hitter_tokens")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

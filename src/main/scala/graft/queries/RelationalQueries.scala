@@ -705,6 +705,41 @@ object RelationalQueries extends QueryModule {
              |  AND NOT EXISTS (SELECT 1 FROM orders
              |                  WHERE o_custkey = c_custkey
              |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
-             |GROUP BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // Runtime bloom-join filter: the urgent-1996 order keys aggregate
+    // into a fixed-size bloom (BloomFilterAgg) that prefilters the
+    // lineitem scan BEFORE its shuffle — the semi-join pushdown every
+    // warehouse engine runs at 100 TB (a ~2% selective dim side means
+    // ~98% of fact rows never leave the scan stage). False positives
+    // only, and the exact join downstream removes them, so the result
+    // EQUALS the plain join — which is exactly what the oracle runs.
+    // The bloom rides a ONE-ROW broadcast (BNLJ by design, like the
+    // tfidf corpus count).
+    Q("bloom_semi_join",
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val bloom = urgent.agg(
+          graft.functions.expressions.BloomFilterAgg(col("o_orderkey")).as("bf"))
+        val l = Tables.lineitem(s, dir)
+          .crossJoin(broadcast(bloom))
+          .filter(graft.functions.expressions.BloomMightContain(col("bf"), col("l_orderkey")))
+        l.join(urgent, l("l_orderkey") === urgent("o_orderkey"))
+          .groupBy(month(col("o_orderdate")).as("o_month"))
+          .agg(dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT month(o_orderdate) AS o_month,
+             |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY 1""".stripMargin))
   )
 }

@@ -640,6 +640,41 @@ object TextQueries extends QueryModule {
            |FROM hs)
            |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same_sig
            |FROM sig""".stripMargin
-      })
+      }),
+
+    // Heavy hitters: tokens above 0.5% corpus frequency via the
+    // two-pass sketch-then-verify shape. Pass 1 is a Misra–Gries
+    // summary (O(capacity) state per partition, mergeable — never a
+    // |vocabulary|-sized partial aggregate); pass 2 recounts ONLY the
+    // returned candidates exactly (broadcast semi-join) and applies
+    // the integer threshold n·200 > N. MG guarantees every item above
+    // N/(capacity+1) survives pass 1, and 200 < capacity+1 = 201, so
+    // the candidate set provably covers the threshold — the final
+    // result is EXACT and the oracle is a plain GROUP BY ... HAVING.
+    Q("heavy_hitter_tokens",
+      (s, dir) => {
+        val t = docs(s, dir)
+          .select(explode(tokens(col("text"))).as("token"))
+        val n = t.agg(count(lit(1)).as("total"))
+        val cands = t
+          .agg(graft.functions.expressions.MisraGriesAgg(col("token"), 200).as("cs"))
+          .select(explode(col("cs")).as("token"))
+        t.join(broadcast(cands), Seq("token"), "left_semi")
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n_occurrences"))
+          .crossJoin(broadcast(n))
+          .filter(col("n_occurrences") * 200 > col("total"))
+          .select(col("token"), col("n_occurrences"),
+            round(col("n_occurrences").cast("double") /
+              col("total").cast("double"), 6).as("share"))
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS token
+             |           FROM documents),
+             |n AS (SELECT count(*) AS total FROM t)
+             |SELECT token, count(*) AS n_occurrences,
+             |       round(CAST(count(*) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+             |FROM t, n
+             |GROUP BY token, total
+             |HAVING count(*) * 200 > total""".stripMargin))
   )
 }

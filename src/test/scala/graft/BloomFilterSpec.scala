@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, BloomOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom runtime-join-filter invariants: zero false negatives (the
+  * correctness contract — a dropped joining row would be silent data
+  * loss), a bounded false-positive rate (the efficiency contract), and
+  * end-to-end equality of the bloom-prefiltered join with the plain
+  * join. */
+class BloomFilterSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("ops: inserted keys always probe true; fp rate within ~2x theory") {
+    val bits = new Array[Byte](1 << 14) // 2^17 bits
+    val n = 5000
+    (0 until n).foreach(i => BloomOps.put(bits, i * 2654435761L, 5))
+    (0 until n).foreach(i =>
+      assert(BloomOps.mightContain(bits, i * 2654435761L, 5), s"false negative at $i"))
+    // theory: (1 - e^{-kn/m})^k with m=131072, n=5000, k=5 → ~0.17%
+    val fp = (0 until 100000).count(i =>
+      BloomOps.mightContain(bits, -1L - i * 7919L, 5)) / 100000.0
+    assert(fp < 0.004, s"fp rate $fp")
+  }
+
+  test("aggregate across partitions equals a single-partition build") {
+    import spark.implicits._
+    val keys = (1L to 3000L).map(_ * 31L)
+    val multi = keys.toDF("k").repartition(8)
+      .agg(BloomFilterAgg(col("k")).as("bf")).head().getAs[Array[Byte]](0)
+    val single = keys.toDF("k").coalesce(1)
+      .agg(BloomFilterAgg(col("k")).as("bf")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(multi, single),
+      "merge must be order/partitioning-independent (pure bitwise OR)")
+    keys.foreach(k => assert(BloomOps.mightContain(multi, k, 5)))
+  }
+
+  test("bloom-prefiltered join equals the plain join, and prunes the scan") {
+    import spark.implicits._
+    val fact = (1L to 20000L).map(i => (i % 4000L, i)).toDF("k", "v")
+    val dim = (0L until 100L).map(i => i * 40L).toDF("k").withColumn("tag", lit("d"))
+    val bloom = dim.agg(BloomFilterAgg(col("k")).as("bf"))
+    val pre = fact.crossJoin(broadcast(bloom))
+      .filter(BloomMightContain(col("bf"), col("k")))
+    val prunedCount = pre.count()
+    // selectivity: 100 of 4000 distinct keys → ~500 of 20000 rows
+    // (+ false positives); anything near 20000 means no pruning
+    assert(prunedCount < 2000, s"bloom pruned nothing: $prunedCount rows passed")
+    val withBloom = pre.join(dim, Seq("k")).groupBy(col("k"))
+      .agg(sum(col("v")).as("sv")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = fact.join(dim, Seq("k")).groupBy(col("k"))
+      .agg(sum(col("v")).as("sv")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withBloom == plain)
+  }
+
+  test("null keys neither insert nor probe (three-valued logic)") {
+    import spark.implicits._
+    val bf = Seq(Some(1L), None, Some(2L)).toDF("k")
+      .agg(BloomFilterAgg(col("k")).as("bf"))
+    val probed = Seq(Some(1L), None).toDF("k")
+      .crossJoin(broadcast(bf))
+      .select(BloomMightContain(col("bf"), col("k")).as("m")).collect()
+    assert(probed.exists(r => !r.isNullAt(0) && r.getBoolean(0)))
+    assert(probed.exists(_.isNullAt(0)), "NULL key must probe NULL, not false")
+  }
+}
