@@ -22,7 +22,7 @@ object PlanAudit {
     "asof_prev_order", "r5_feature_grants", "winnow_candidates",
     "tfidf_top_terms", "embed_quantize", "r8_access_check",
     "q7_nation_volume", "q8_market_share", "q13_order_distribution",
-    "q15_top_supplier", "q18_large_volume")
+    "q15_top_supplier", "q18_large_volume", "bloom_semi_join")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -33,12 +33,13 @@ object PlanAudit {
   // and q22_idle_balances compares every customer against the
   // ONE-ROW broadcast scalar-average frame (no equi-key in
   // `c_acctbal > avg_bal`).
-  // bloom_semi_join and heavy_hitter_tokens likewise ride ONE-ROW
-  // broadcasts (the bloom bytes / the corpus count).
+  // heavy_hitter_tokens likewise rides ONE-ROW broadcasts (the
+  // candidate array / the corpus count). bloom_semi_join does NOT:
+  // its bloom is a driver-materialized literal, so the plan is a
+  // plain filtered join (audited in DefaultNames).
   val ExpectedBnlj: Set[String] = Set(
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
-    "tfidf_top_terms", "q22_idle_balances", "bloom_semi_join",
-    "heavy_hitter_tokens")
+    "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

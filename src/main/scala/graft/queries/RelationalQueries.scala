@@ -714,19 +714,28 @@ object RelationalQueries extends QueryModule {
     // ~98% of fact rows never leave the scan stage). False positives
     // only, and the exact join downstream removes them, so the result
     // EQUALS the plain join — which is exactly what the oracle runs.
-    // The bloom rides a ONE-ROW broadcast (BNLJ by design, like the
-    // tfidf corpus count).
+    //
+    // The bloom scalar is evaluated ON THE DRIVER at plan-construction
+    // time and probed as a BINARY LITERAL — the same shape as Spark's
+    // own InjectRuntimeFilter, which runs the bloom aggregate as a
+    // driver-materialized scalar subquery. Carrying the bytes as a
+    // one-row broadcast COLUMN instead re-copies the bit array out of
+    // the joined UnsafeRow on every probed fact row (getBinary copies;
+    // 128 KiB × |fact| was a measured 25 s disaster); the literal is a
+    // single codegen reference object, copied never. The collected
+    // value is O(numBits), independent of data scale.
     Q("bloom_semi_join",
       (s, dir) => {
         val urgent = Tables.orders(s, dir)
           .filter(col("o_orderpriority") === "1-URGENT" &&
             col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-        val bloom = urgent.agg(
+        val bloomBytes = urgent.agg(
           graft.functions.expressions.BloomFilterAgg(col("o_orderkey")).as("bf"))
+          .head().getAs[Array[Byte]](0)
         val l = Tables.lineitem(s, dir)
-          .crossJoin(broadcast(bloom))
-          .filter(graft.functions.expressions.BloomMightContain(col("bf"), col("l_orderkey")))
+          .filter(graft.functions.expressions.BloomMightContain(
+            lit(bloomBytes), col("l_orderkey")))
         l.join(urgent, l("l_orderkey") === urgent("o_orderkey"))
           .groupBy(month(col("o_orderdate")).as("o_month"))
           .agg(dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),

@@ -62,8 +62,18 @@ object TextQueries extends QueryModule {
   /** The MinHash+LSH candidate pipeline through exact-Jaccard
     * verification: (d1, d2, jaccard). Shared by dedup_minhash_lsh and
     * dedup_clusters. */
-  private def minhashPairs(d: DataFrame): DataFrame = {
-    val sh = shingleRows(d).cache()
+  /** Session-scoped memo of the shingle frame itself: the explode +
+    * per-shingle md5 is the single most expensive projection in the
+    * dedup family, and BOTH the minhash pipeline and the full n-gram
+    * Jaccard verification read exactly this frame — one build serves
+    * both (a production dedup stage materializes its shingle index
+    * once). */
+  private val shingleCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def shingleRowsCached(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, dir), shingleRows(docs(s, dir)).cache())
+
+  private def minhashPairs(sh: DataFrame): DataFrame = {
     val hashed = sh.withColumn("h", portableHash(col("s")))
     // cached: the banding self-join below reads mh from BOTH sides —
     // uncached, Spark recomputes the whole shingle→minhash aggregate
@@ -100,7 +110,8 @@ object TextQueries extends QueryModule {
   private val pairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private def minhashPairsCached(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate((s, dir), minhashPairs(docs(s, dir)).cache())
+    pairCache.getOrElseUpdate((s, dir),
+      minhashPairs(shingleRowsCached(s, dir)).cache())
 
   private val labelCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
@@ -142,7 +153,7 @@ object TextQueries extends QueryModule {
 
   /** Drop this module's session memos (see [[graft.Caches]]). */
   private[graft] def clearCaches(): Unit =
-    Seq(pairCache, labelCache, winnowCache).foreach { c =>
+    Seq(shingleCache, pairCache, labelCache, winnowCache).foreach { c =>
       c.values.foreach(_.unpersist(false))
       c.clear()
     }
@@ -403,7 +414,7 @@ object TextQueries extends QueryModule {
     // Jaccard >= 0.2
     Q("dedup_ngram_jaccard",
       (s, dir) => {
-        val sh = shingleRows(docs(s, dir)).cache()
+        val sh = shingleRowsCached(s, dir)
         jaccardOf(sharedCounts(sh, None), sh)
           .filter(col("jaccard") >= 0.2)
           .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))

@@ -41,9 +41,13 @@ class BloomFilterSpec extends AnyFunSuite {
     import spark.implicits._
     val fact = (1L to 20000L).map(i => (i % 4000L, i)).toDF("k", "v")
     val dim = (0L until 100L).map(i => i * 40L).toDF("k").withColumn("tag", lit("d"))
-    val bloom = dim.agg(BloomFilterAgg(col("k")).as("bf"))
-    val pre = fact.crossJoin(broadcast(bloom))
-      .filter(BloomMightContain(col("bf"), col("k")))
+    // the blessed probe shape: driver-materialized scalar → binary
+    // LITERAL (one codegen reference object). Probing via a one-row
+    // broadcast COLUMN works too but re-copies the bit array out of
+    // the joined row per fact row — numBits × |fact| of memcpy.
+    val bloomBytes = dim.agg(BloomFilterAgg(col("k")).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pre = fact.filter(BloomMightContain(lit(bloomBytes), col("k")))
     val prunedCount = pre.count()
     // selectivity: 100 of 4000 distinct keys → ~500 of 20000 rows
     // (+ false positives); anything near 20000 means no pruning
