@@ -24,13 +24,14 @@ object TextQueries extends QueryModule {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
-  /** doc_id + distinct 3-gram shingle rows; the base of all near-dup
-    * pipelines. */
-  private def shingleRows(d: DataFrame): DataFrame = {
+  /** Every ordered 3-gram of a document frame with its position and
+    * portable hash: `(doc_id, pos, sg, h)`. The one explode +
+    * per-gram md5 pass the whole text-dedup family derives from. */
+  private def gramRows(d: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    d.select(col("doc_id"), t.as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(shingles(col("toks"))).as("s"))
+    d.filter(size(t) >= 3)
+      .select(col("doc_id"), posexplode(orderedShingles(t)).as(Seq("pos", "sg")))
+      .withColumn("h", portableHash(col("sg")))
   }
 
   /** Oracle CTE mirroring shingleRows: `sh(doc_id, s)`. */
@@ -59,22 +60,30 @@ object TextQueries extends QueryModule {
     pairs.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
   }
 
-  /** The MinHash+LSH candidate pipeline through exact-Jaccard
-    * verification: (d1, d2, jaccard). Shared by dedup_minhash_lsh and
-    * dedup_clusters. */
-  /** Session-scoped memo of the shingle frame itself: the explode +
-    * per-shingle md5 is the single most expensive projection in the
-    * dedup family, and BOTH the minhash pipeline and the full n-gram
-    * Jaccard verification read exactly this frame — one build serves
-    * both (a production dedup stage materializes its shingle index
-    * once). */
+  /** DISTINCT `(doc_id, s, h)` shingle rows — base of the minhash +
+    * Jaccard pipelines. Built with a PER-DOC `array_distinct` before
+    * the explode, not a global dropDuplicates over the gram memo: a
+    * doc's grams live in one row pre-explode, so the local dedup is
+    * exact and shuffle-free, while dropDuplicates(doc_id, s) would
+    * exchange every gram row — measured strictly worse than paying
+    * the md5 a second time. */
   private val shingleCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private def shingleRowsCached(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, dir), shingleRows(docs(s, dir)).cache())
+    shingleCache.getOrElseUpdate((s, dir), {
+      val t = tokens(col("text"))
+      docs(s, dir).filter(size(t) >= 3)
+        .select(col("doc_id"), explode(shingles(t)).as("s"))
+        .withColumn("h", portableHash(col("s")))
+        .cache()
+    })
 
+  /** The MinHash+LSH candidate pipeline through exact-Jaccard
+    * verification: (d1, d2, jaccard). Shared by dedup_minhash_lsh and
+    * dedup_clusters. `sh` must be the distinct `(doc_id, s, h)` frame
+    * (hash precomputed by the gram pass). */
   private def minhashPairs(sh: DataFrame): DataFrame = {
-    val hashed = sh.withColumn("h", portableHash(col("s")))
+    val hashed = sh
     // cached: the banding self-join below reads mh from BOTH sides —
     // uncached, Spark recomputes the whole shingle→minhash aggregate
     // per side (ReuseExchange does not fire across the explode)
@@ -130,12 +139,9 @@ object TextQueries extends QueryModule {
     * hashes → `[doc_id, wm]`. Guarantee (Schleimer et al. '03): any
     * shared passage of >= W+2 tokens yields a shared `wm`; expected
     * density 2/(W+1). One shuffle (doc_id), no joins. */
-  def winnowSelect(d: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val g = d.filter(size(t) >= 3)
-      .select(col("doc_id"),
-        posexplode(orderedShingles(t)).as(Seq("pos", "sg")))
-      .withColumn("h", portableHash(col("sg")))
+  def winnowSelect(d: DataFrame): DataFrame = winnowFromGrams(gramRows(d))
+
+  private def winnowFromGrams(g: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(WinnowW - 1), Window.currentRow)
     g.withColumn("wm", min(col("h")).over(byDoc))
