@@ -18,6 +18,7 @@ object Caches {
   def clearAll(): Unit = {
     queries.EventQueries.clearCaches()
     queries.TextQueries.clearCaches()
+    queries.EmbeddingQueries.clearCaches()
     operators.AccessService.clearCaches()
   }
 }

@@ -25,9 +25,24 @@ object EmbeddingQueries extends QueryModule {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.expressions.CosineSimilarity(a, b)
 
+  /** Session-scoped memo of the parsed vector frame: every ANN query
+    * reads exactly this `(vec_id, emb)` projection, and ANN serving
+    * keeps its vectors memory-resident by design (FAISS-style) — one
+    * float→double decode per (session, source) instead of one per
+    * query. */
+  private val vecCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    vecCache.getOrElseUpdate((s, dir),
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .cache())
+
+  /** Drop this module's session memos (see [[graft.Caches]]). */
+  private[graft] def clearCaches(): Unit = {
+    vecCache.values.foreach(_.unpersist(false))
+    vecCache.clear()
+  }
 
   /** Sign-bit LSH bucket: Σ 2^i · [emb_i > 0] over the first `bits`
     * dims — axis-aligned random-hyperplane LSH with deterministic
