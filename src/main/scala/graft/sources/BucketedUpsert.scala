@@ -133,19 +133,54 @@ object BucketedUpsert {
              merge: (String, Column, Column) => Column =
                (_, ex, dl) => coalesce(dl, ex),
              batchId: Option[Long] = None): Unit = {
-    // value columns are renamed __delta_* below, so a bucketKey outside
-    // joinKeys would surface as an opaque unresolved-column failure deep
-    // in affectedBuckets/merge — fail fast with the actual contract
+    val valueCols = spark.table(table).schema.fieldNames.toSeq
+      .filterNot(joinKeys.contains)
+    // value columns are renamed __delta_* for the merge
+    val delta = delta0.select(
+      joinKeys.map(col) ++
+        valueCols.map(c => col(c).as(s"__delta_$c")): _*)
+    compose(spark, table, delta, joinKeys, bucketKey, buckets, batchId) {
+      existing =>
+        existing.join(broadcast(delta), joinKeys, "full_outer")
+          .select(joinKeys.map(col) ++ valueCols.map(c =>
+            merge(c, col(c), col(s"__delta_$c")).as(c)): _*)
+    }
+  }
+
+  /** Delete rows by key — the retention/GDPR path, same O(delta)
+    * shape as `upsert`: only the buckets containing `keys0` are
+    * rewritten (as an anti-join against the broadcast key set), every
+    * other bucket file carries forward by link. A key absent from the
+    * table is a no-op, so deletes are replay-idempotent; pass
+    * `batchId` anyway when driven from foreachBatch so a redelivered
+    * tombstone batch skips the rewrite entirely. */
+  def delete(spark: SparkSession, table: String, keys0: DataFrame,
+             joinKeys: Seq[String], bucketKey: String, buckets: Int,
+             batchId: Option[Long] = None): Unit = {
+    val keys = keys0.select(joinKeys.map(col): _*).distinct()
+    compose(spark, table, keys, joinKeys, bucketKey, buckets, batchId) {
+      existing => existing.join(broadcast(keys), joinKeys, "left_anti")
+    }
+  }
+
+  /** The generation-compose core shared by upsert and delete: prune to
+    * the buckets containing `delta`'s keys, rewrite ONLY those via
+    * `transform(existing-touched-rows)`, carry untouched bucket files
+    * forward by hard link, republish the view atomically. `delta` must
+    * contain `joinKeys` (plus whatever the transform needs) and is
+    * persisted here once for the emptiness guard, the bucket-set
+    * collect and the transform's own reads. */
+  private def compose(spark: SparkSession, table: String, delta0: DataFrame,
+                      joinKeys: Seq[String], bucketKey: String, buckets: Int,
+                      batchId: Option[Long])
+                     (transform: DataFrame => DataFrame): Unit = {
+    // the delta joins and prunes buckets on the same key; a bucketKey
+    // outside joinKeys would surface as an opaque unresolved-column
+    // failure deep in affectedBuckets — fail fast with the contract
     require(joinKeys.contains(bucketKey),
       s"bucketKey '$bucketKey' must be one of joinKeys ${joinKeys.mkString("[", ", ", "]")}: " +
         "the merge joins and prunes buckets on the same key")
-    val valueCols = spark.table(table).schema.fieldNames.toSeq
-      .filterNot(joinKeys.contains)
-    // the delta is a micro-batch (tiny): persisted once for the
-    // emptiness guard, the bucket-set collect AND the merge
-    val delta = delta0.select(
-      joinKeys.map(col) ++
-        valueCols.map(c => col(c).as(s"__delta_$c")): _*).persist()
+    val delta = delta0.persist()
     try {
       // empty or net-zero CDC batches must not pay any rewrite
       if (delta.isEmpty) return
@@ -169,18 +204,14 @@ object BucketedUpsert {
         finally listing.close()
         all.partition(p => touched(bucketIdOf(p.getFileName.toString).get))
       }
-      // merge reads ONLY the touched buckets' files (bucket-file
-      // addressing beats predicate pruning: no scan even plans over
-      // the untouched buckets)
+      // the transform reads ONLY the touched buckets' files
+      // (bucket-file addressing beats predicate pruning: no scan even
+      // plans over the untouched buckets)
       val existing =
         if (touchedFiles.isEmpty) spark.table(table).limit(0)
         else spark.read.schema(spark.table(table).schema)
           .parquet(touchedFiles.map(_.toString): _*)
-      val merged = existing
-        .join(broadcast(delta), joinKeys, "full_outer")
-        .select(joinKeys.map(col) ++ valueCols.map(c =>
-          merge(c, col(c), col(s"__delta_$c")).as(c)): _*)
-      Bucketed.write(merged, gen, bucketKey, buckets)
+      Bucketed.write(transform(existing), gen, bucketKey, buckets)
       // carry untouched buckets forward: link shares the bytes (the
       // "reference" half of generation-compose); copy is the fallback
       // for filesystems without links

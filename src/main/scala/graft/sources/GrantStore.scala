@@ -56,6 +56,19 @@ object GrantStore {
     BucketedUpsert.upsert(spark, table, collapse(changes),
       Seq("user_id", "feature"), "user_id", buckets)
 
+  /** Delete every grant row for the given users — the account-wipe /
+    * retention path (GDPR "right to erasure" applied to the grants
+    * table). Same O(delta) cost shape as the CDC upsert: the user set
+    * prunes to its buckets, only those are rewritten without the
+    * users' rows, the rest of a 100 TB table carries forward by link.
+    * Downstream semantics: a wiped user reverts to the default grant
+    * (an absent row IS the default in the serve path), which is the
+    * correct post-erasure state. */
+  def deleteUsers(spark: SparkSession, users: DataFrame,
+                  table: String = DefaultTable, buckets: Int = 32): Unit =
+    BucketedUpsert.delete(spark, table, users.select(col("user_id")),
+      Seq("user_id"), "user_id", buckets)
+
   /** Streaming sink: grant-flip CDC → incremental table upserts. */
   def writer(changes: Dataset[GrantChange], table: String = DefaultTable,
              buckets: Int = 32): DataStreamWriter[GrantChange] =

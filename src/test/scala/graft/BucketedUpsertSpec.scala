@@ -78,4 +78,56 @@ class BucketedUpsertSpec extends AnyFunSuite {
       assert(BucketedUpsert.read(spark, table).count() == 2)
     } finally BucketedUpsert.drop(spark, table)
   }
+
+  test("delete removes keys O(delta): untouched bucket files survive by link") {
+    import spark.implicits._
+    val table = "bu_del"
+    BucketedUpsert.drop(spark, table)
+    try {
+      val rows = (1L to 64L).map(k => (k, k.toInt * 10))
+      BucketedUpsert.materialize(rows.toDF("k", "v"), table, "k", 8)
+      import scala.jdk.CollectionConverters._
+      def gen(t: String) = {
+        val d = BucketedUpsert.tableDir(spark, t)
+        java.nio.file.Files.list(d).iterator().asScala
+          .map(p => p.getFileName.toString ->
+            java.nio.file.Files.readAttributes(p,
+              classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+          .toMap
+      }
+      val before = gen(table + "__a")
+      BucketedUpsert.delete(spark, table, Seq(3L, 7L).toDF("k"), Seq("k"), "k", 8)
+      val after = gen(table + "__b")
+      // the two keys land in <= 2 buckets; every other bucket's file in
+      // the new generation must be the SAME inode (hard link), not a
+      // rewrite
+      val sharedInodes = after.values.toSet.intersect(before.values.toSet)
+      assert(sharedInodes.size >= 6,
+        s"expected >= 6 linked bucket files, got ${sharedInodes.size}")
+      val got = BucketedUpsert.read(spark, table).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == rows.toMap -- Seq(3L, 7L))
+      // deleting an absent key is a no-op, not an error
+      BucketedUpsert.delete(spark, table, Seq(999L).toDF("k"), Seq("k"), "k", 8)
+      assert(BucketedUpsert.read(spark, table).count() == 62)
+    } finally BucketedUpsert.drop(spark, table)
+  }
+
+  test("delete by key-prefix: GrantStore user wipe reverts to default grant") {
+    import spark.implicits._
+    import graft.sources.GrantStore
+    val table = "bu_del_grants"
+    GrantStore.drop(spark, table)
+    try {
+      GrantStore.materialize(
+        Seq((1L, "purchase", false), (1L, "message", false),
+          (2L, "purchase", true), (3L, "message", false))
+          .toDF("user_id", "feature", "has_grant"), table, 8)
+      GrantStore.deleteUsers(spark, Seq(1L).toDF("user_id"), table, 8)
+      val left = GrantStore.read(spark, table).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(left == Set((2L, "purchase"), (3L, "message")),
+        "every row of the wiped user must be gone, others untouched")
+    } finally GrantStore.drop(spark, table)
+  }
 }
