@@ -749,6 +749,301 @@ object RelationalQueries extends QueryModule {
              |WHERE o_orderpriority = '1-URGENT'
              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q2-shaped min-cost supplier (the schema has no partsupp,
+    // so "supply cost" is the min observed unit price in the lineitem
+    // history — same correlated-min-per-group plan shape). The per-key
+    // min and the min-of-mins share the l_partkey partitioning, so the
+    // equality join back reuses one shuffle; the min is an EXACT
+    // decimal, making "cost = min cost" unambiguous across engines
+    // (a double min would make the tie set partition-order dependent).
+    Q("q2_min_cost_supplier",
+      (s, dir) => {
+        val cost = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(dec(col("l_extendedprice") / col("l_quantity"))).as("supplycost"))
+        val minc = cost.groupBy(col("l_partkey")).agg(min(col("supplycost")).as("min_cost"))
+          .withColumnRenamed("l_partkey", "mk")
+        val p = Tables.part(s, dir)
+          .filter(col("p_size") === 15 && col("p_type") === "SMALL")
+        cost.join(minc,
+            col("l_partkey") === col("mk") && col("supplycost") === col("min_cost"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
+            col("s_acctbal"), dbl4(col("supplycost")).as("supplycost"))
+      },
+      Some("""WITH cost AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         min(CAST(l_extendedprice / l_quantity AS DECIMAL(28,6))) AS supplycost
+             |  FROM lineitem GROUP BY 1, 2),
+             |minc AS (SELECT l_partkey AS mk, min(supplycost) AS min_cost FROM cost GROUP BY 1)
+             |SELECT s_name, n_name, p_partkey, p_name, s_acctbal,
+             |       CAST(round(supplycost, 4) AS DOUBLE) AS supplycost
+             |FROM cost
+             |JOIN minc ON l_partkey = mk AND supplycost = min_cost
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE p_size = 15 AND p_type = 'SMALL'""".stripMargin)),
+
+    // TPC-H Q4-shaped priority check: EXISTS becomes a left-semi join
+    // with a cross-side non-equi term (shipped >60 days after the
+    // order date — the schema has no commit/receipt dates). The semi
+    // join shuffles on orderkey only; the date filter pushes into the
+    // orders scan.
+    Q("q4_priority_semi",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+        o.join(l,
+            o("o_orderkey") === l("l_orderkey") &&
+              l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q9-shaped product-line profit by nation and year. No
+    // partsupp, so cost is proxied by the part's retail price (5% per
+    // unit); profit stays a DIFFERENCE OF TWO EXACT DECIMALS, so the
+    // sum is order-independent. Part/supplier/nation broadcast; the
+    // only big shuffle is the orderkey join for the order year.
+    Q("q9_product_profit",
+      (s, dir) => {
+        val p = Tables.part(s, dir).filter(col("p_name").contains("widget"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+        val l = Tables.lineitem(s, dir)
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .withColumn("amount",
+            dec(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+              dec(col("p_retailprice") * col("l_quantity") * lit(0.05)))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(dbl4(sum(col("amount"))).as("sum_profit"))
+      },
+      Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+             |                     - CAST(p_retailprice * l_quantity * 0.05 AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_profit
+             |FROM lineitem
+             |JOIN part     ON l_partkey = p_partkey
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |WHERE p_name LIKE '%widget%'
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // TPC-H Q11-shaped important parts: per-part value restricted to
+    // one nation's suppliers, kept where value > 1.5× the average part
+    // value (the classic fraction-of-total threshold is scale-variant;
+    // the average form keeps the HAVING-scalar-subquery shape with
+    // stable selectivity at every SF). The threshold is one broadcast
+    // row computed FROM the same aggregated frame — no second scan.
+    Q("q11_important_parts",
+      (s, dir) => {
+        val n = Tables.nation(s, dir).filter(col("n_name") === "NATION_3")
+        val sup = Tables.supplier(s, dir)
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val v = Tables.lineitem(s, dir)
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(sum(dec(col("l_extendedprice"))).as("value"))
+        val cut = v.agg((sum(col("value")).cast("double") /
+          count(lit(1)).cast("double") * lit(1.5)).as("cut"))
+        v.join(broadcast(cut), col("value").cast("double") > col("cut"))
+          .select(col("l_partkey"), dbl4(col("value")).as("part_value"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS value
+             |  FROM lineitem
+             |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+             |                      JOIN nation ON s_nationkey = n_nationkey
+             |                      WHERE n_name = 'NATION_3')
+             |  GROUP BY 1)
+             |SELECT l_partkey, CAST(round(value, 4) AS DOUBLE) AS part_value
+             |FROM v
+             |WHERE CAST(value AS DOUBLE) >
+             |      (SELECT CAST(sum(value) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1.5 FROM v)""".stripMargin)),
+
+    // TPC-H Q12-shaped shipping buckets: the schema has no shipmode,
+    // so lines bucket by ship lag (days from order to ship — integer
+    // datediff, exact in both engines) and the two CASE-counts use
+    // count(CASE…) not sum(CASE…): DuckDB widens integer SUMs to
+    // HUGEINT, which would hash-mismatch the gate's type check, while
+    // COUNT is BIGINT in both.
+    Q("q12_ship_lag",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_shipdate"))
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("lag_days", datediff(col("l_shipdate"), col("o_orderdate")))
+          .withColumn("ship_bucket",
+            when(col("lag_days") <= 30, "FAST")
+              .when(col("lag_days") <= 90, "REGULAR")
+              .otherwise("SLOW"))
+          .groupBy(col("ship_bucket"))
+          .agg(count(when(high, lit(1))).as("high_line_count"),
+            count(when(!high, lit(1))).as("low_line_count"))
+      },
+      Some("""SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+             |            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'REGULAR'
+             |            ELSE 'SLOW' END AS ship_bucket,
+             |       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+             |       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q16-shaped supplier counts per part segment, excluding
+    // negative-balance suppliers (the schema has no comment column for
+    // the classic complaints filter; a real predicate beats a vacuous
+    // one). NOT IN becomes a broadcast left-anti join; the distinct
+    // count is exact and shuffles once on the (brand, type, size) key.
+    Q("q16_supplier_parts",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#1" &&
+            !col("p_type").startsWith("PROMO") &&
+            col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36, 45, 49))
+        val bad = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |       count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1'
+             |  AND p_type NOT LIKE 'PROMO%'
+             |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q19-shaped disjunctive revenue: an OR of three
+    // (brand, size, quantity) conjunctions as the join condition.
+    // Catalyst extracts the common l_partkey = p_partkey equi-key so
+    // this plans as a broadcast HASH join with the disjunction as a
+    // post-join filter — NOT a nested-loop join — and the partkey-only
+    // IN-filter implied by the OR pushes into the part scan.
+    Q("q19_disjunctive_revenue",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val cond =
+          (p("p_brand") === "Brand#12" && p("p_size").between(1, 5) &&
+            l("l_quantity").between(1, 11)) ||
+          (p("p_brand") === "Brand#23" && p("p_size").between(1, 10) &&
+            l("l_quantity").between(10, 20)) ||
+          (p("p_brand") === "Brand#3" && p("p_size").between(20, 35) &&
+            l("l_quantity").between(20, 30))
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey") && cond)
+          .agg(dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H Q20-shaped promotion suppliers: the nested IN-with-
+    // aggregate subquery — suppliers who moved >300 units of red parts
+    // in 1997 — as agg→filter→semi-join. The inner part filter is a
+    // broadcast; the qty frame is tiny (per-supplier) so the final
+    // semi join broadcasts too. Decimal qty makes the >300 cut exact.
+    Q("q20_promotion_suppliers",
+      (s, dir) => {
+        val redParts = Tables.part(s, dir)
+          .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+        val qty = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+          .filter(col("total_qty") > 300)
+        Tables.supplier(s, dir)
+          .join(broadcast(qty), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      },
+      Some("""SELECT s_suppkey, s_name, n_name
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+             |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  GROUP BY l_suppkey
+             |  HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 300)""".stripMargin)),
+
+    // TPC-H Q21-shaped waiting suppliers: the double-correlated
+    // EXISTS / NOT EXISTS — late lines on finished orders where SOME
+    // other supplier shipped the order but NO other supplier was late.
+    // Both become orderkey-equi joins with a supplier-inequality
+    // residual: semi against the distinct (order, supplier) pairs,
+    // anti against the distinct late pairs — three shuffles total, all
+    // on orderkey, no correlated re-execution per row.
+    Q("q21_waiting_suppliers",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val others = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")).distinct()
+        val lateSet = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3")).distinct()
+        late
+          .join(others,
+            col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_semi")
+          .join(lateSet,
+            col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"), "left_anti")
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+      },
+      Some("""WITH late AS (
+             |  SELECT l_orderkey, l_suppkey
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F'
+             |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |SELECT s_name, count(*) AS numwait
+             |FROM late l1
+             |JOIN supplier ON l1.l_suppkey = s_suppkey
+             |WHERE EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM late l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey)
+             |GROUP BY s_name""".stripMargin))
   )
 }
