@@ -692,6 +692,73 @@ object TextQueries extends QueryModule {
              |       round(CAST(count(*) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
              |FROM t, n
              |GROUP BY token, total
-             |HAVING count(*) * 200 > total""".stripMargin))
+             |HAVING count(*) * 200 > total""".stripMargin)),
+
+    // Train/eval decontamination: flag training docs sharing word
+    // n-grams with the held-out set (the GPT-3/PaLM-style overlap
+    // check; doc_id % 10 == 0 stands in for the eval split). Reuses
+    // the SAME cached distinct-shingle frame as the dedup family —
+    // the eval grams collapse to a DISTINCT set first, so the join is
+    // train-grams ⨝ eval-gram-set on the gram key (shuffle on gram,
+    // never doc×doc), and the per-doc rollup counts hits exactly.
+    // Counts are integers end to end — no float tolerance in the gate.
+    Q("decontaminate_overlap",
+      (s, dir) => {
+        val sh = shingleRowsCached(s, dir)
+        val evalGrams = sh.filter(col("doc_id") % 10 === 0)
+          .select(col("s")).distinct().withColumn("hit", lit(1))
+        sh.filter(col("doc_id") % 10 =!= 0)
+          .join(evalGrams, Seq("s"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("total_grams"),
+            count(col("hit")).as("shared_grams"))
+          .withColumn("contaminated", col("shared_grams") >= 3)
+      },
+      Some(s"""WITH $shingleCte,
+              |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+              |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+              |SELECT tr.doc_id, count(*) AS total_grams,
+              |       count(ev.s) AS shared_grams,
+              |       count(ev.s) >= 3 AS contaminated
+              |FROM tr LEFT JOIN ev ON tr.s = ev.s
+              |GROUP BY tr.doc_id""".stripMargin)),
+
+    // Repetition quality signals (the Gopher-report family, adapted to
+    // the single-line corpus): duplicate-token fraction and the share
+    // of the text covered by its single most frequent word 2-gram.
+    // Both are per-doc projections + one groupBy(doc_id, gram) — the
+    // max-share reduction rides a count aggregate, not a sort; rounded
+    // ratios of exact integer counts keep the gate bit-stable.
+    Q("repetition_stats",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val base = docs(s, dir).filter(size(t) >= 2)
+          .select(col("doc_id"), size(t).as("n_tok"),
+            size(array_distinct(t)).as("n_distinct"),
+            explode(orderedShingles(t, 2)).as("g"))
+        base.groupBy(col("doc_id"), col("n_tok"), col("n_distinct"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"), col("n_tok"), col("n_distinct"))
+          .agg(max(col("c")).as("top_c"), count(lit(1)).as("n_grams"))
+          .select(col("doc_id"),
+            round(lit(1) - col("n_distinct").cast("double") / col("n_tok").cast("double"), 6)
+              .as("dup_token_frac"),
+            round(col("top_c").cast("double") / (col("n_tok") - lit(1)).cast("double"), 6)
+              .as("top_bigram_frac"),
+            (col("top_c") * 5 > col("n_tok") - lit(1)).as("is_repetitive"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             |           FROM documents WHERE len(string_split(trim(text), ' ')) >= 2),
+             |g AS (SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_distinct,
+             |             unnest(list_transform(range(1, len(toks)),
+             |               i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+             |      FROM t),
+             |c AS (SELECT doc_id, n_tok, n_distinct, gram, count(*) AS c
+             |      FROM g GROUP BY 1, 2, 3, 4)
+             |SELECT doc_id,
+             |       round(1 - CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS dup_token_frac,
+             |       round(CAST(max(c) AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE), 6) AS top_bigram_frac,
+             |       (max(c) * 5 > n_tok - 1) AS is_repetitive
+             |FROM c GROUP BY doc_id, n_tok, n_distinct""".stripMargin))
   )
 }
