@@ -22,7 +22,11 @@ object PlanAudit {
     "asof_prev_order", "r5_feature_grants", "winnow_candidates",
     "tfidf_top_terms", "embed_quantize", "r8_access_check",
     "q7_nation_volume", "q8_market_share", "q13_order_distribution",
-    "q15_top_supplier", "q18_large_volume", "bloom_semi_join")
+    "q15_top_supplier", "q18_large_volume", "bloom_semi_join",
+    "q2_min_cost_supplier", "q4_priority_semi", "q9_product_profit",
+    "q12_ship_lag", "q16_supplier_parts", "q19_disjunctive_revenue",
+    "q20_promotion_suppliers", "q21_waiting_suppliers",
+    "decontaminate_overlap", "repetition_stats")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -32,14 +36,16 @@ object PlanAudit {
   // corpus-count frame (the lazy alternative to an eager count()),
   // and q22_idle_balances compares every customer against the
   // ONE-ROW broadcast scalar-average frame (no equi-key in
-  // `c_acctbal > avg_bal`).
+  // `c_acctbal > avg_bal`). q11_important_parts is the same shape:
+  // every part value against the ONE-ROW broadcast 1.5×-average cut.
   // heavy_hitter_tokens likewise rides ONE-ROW broadcasts (the
   // candidate array / the corpus count). bloom_semi_join does NOT:
   // its bloom is a driver-materialized literal, so the plan is a
   // plain filtered join (audited in DefaultNames).
   val ExpectedBnlj: Set[String] = Set(
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
-    "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens")
+    "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens",
+    "q11_important_parts")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,
