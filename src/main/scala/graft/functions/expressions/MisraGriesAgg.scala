@@ -94,11 +94,18 @@ case class MisraGriesAgg(
       buf.toSeq.sortBy { case (k, c) => (-c, k) }
         .map { case (k, _) => UTF8String.fromString(k) }.toArray[Any])
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF throws on keys over
+  // 65535 bytes, and a single unbroken >64 KB "token" (base64 blob,
+  // minified JS) is routine in raw-corpus tokenization — it would
+  // crash the whole aggregation at serialization time.
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    buf.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -107,7 +114,13 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

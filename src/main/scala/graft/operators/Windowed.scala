@@ -26,6 +26,16 @@ object Windowed {
   val ReferenceWindowSize = "10 minutes"
   val ReferenceSlide = "15 seconds"
 
+  /** Distinct-user denial rate with an explicit zero-user guard. The
+    * n_users counts ignore NULL user_ids (countDistinct semantics), so
+    * a window whose every attempt has a NULL user would divide 0/0 —
+    * and NaN compares GREATER than any threshold in Spark's ordering,
+    * which would spuriously OPEN the breaker on a window with no
+    * denials at all. No users ⇒ rate 0 ⇒ circuit stays closed. */
+  private def safeRate =
+    when(col("n_users") === 0, lit(0.0))
+      .otherwise(col("n_denied_users").cast("double") / col("n_users"))
+
   /** Per (sliding window, ) distinct-user stats over the event stream,
     * treating `error` events as denials (A5). One shuffle on the window
     * key; distinct counts use Spark's Expand+partial-agg, which scales
@@ -62,8 +72,7 @@ object Windowed {
     * open the breaker alone. */
   def circuit(events: DataFrame, threshold: Double = 0.05): DataFrame =
     slidingStats(events)
-      .withColumn("denial_rate",
-        col("n_denied_users").cast("double") / col("n_users"))
+      .withColumn("denial_rate", safeRate)
       .withColumn("circuit_open", col("denial_rate") > lit(threshold))
       .select(col("win_start"), col("n_users"), col("n_denied_users"),
         round(col("denial_rate"), 6).as("denial_rate"), col("circuit_open"))
@@ -103,8 +112,7 @@ object Windowed {
                      size: String = "10 minutes",
                      slide: String = "5 minutes"): DataFrame =
     featureStats(attempts, size, slide)
-      .withColumn("denial_rate",
-        col("n_denied_users").cast("double") / col("n_users"))
+      .withColumn("denial_rate", safeRate)
       .withColumn("circuit_open", col("denial_rate") > lit(threshold))
       .select(col("feature"), col("win_start"), col("n_users"),
         col("n_denied_users"), round(col("denial_rate"), 6).as("denial_rate"),
@@ -142,8 +150,7 @@ object Windowed {
           .as("n_denied_users"))
       .select(col("window.start").as("win_start"), col("n_users"),
         col("n_denied_users"),
-        (col("n_denied_users").cast("double") / col("n_users") > lit(threshold))
-          .as("circuit_open"))
+        (safeRate > lit(threshold)).as("circuit_open"))
 
   /** Per-feature streaming breaker over the access-attempt stream:
     * state is keyed (feature, window), so a burst of denied users
@@ -159,8 +166,7 @@ object Windowed {
           .as("n_denied_users"))
       .select(col("feature"), col("window.start").as("win_start"),
         col("n_users"), col("n_denied_users"),
-        (col("n_denied_users").cast("double") / col("n_users") > lit(threshold))
-          .as("circuit_open"))
+        (safeRate > lit(threshold)).as("circuit_open"))
 
   /** Grant-flip CDC (R7): evaluate the grant after every event in
     * per-user time order (running aggregates), emit only the rows where

@@ -919,8 +919,13 @@ object RelationalQueries extends QueryModule {
     // TPC-H Q16-shaped supplier counts per part segment, excluding
     // negative-balance suppliers (the schema has no comment column for
     // the classic complaints filter; a real predicate beats a vacuous
-    // one). NOT IN becomes a broadcast left-anti join; the distinct
-    // count is exact and shuffles once on the (brand, type, size) key.
+    // one). The exclusion is a broadcast left-anti join ≡ NOT EXISTS —
+    // deliberately NOT the NOT IN form: NOT IN's three-valued logic
+    // returns zero rows the moment the subquery yields one NULL key,
+    // which is never what a data pipeline wants and would also diverge
+    // from the anti-join on NULL-keyed fact rows. The oracle states
+    // NOT EXISTS so both engines share null semantics by construction.
+    // The distinct count is exact, one shuffle on (brand, type, size).
     Q("q16_supplier_parts",
       (s, dir) => {
         val p = Tables.part(s, dir)
@@ -941,7 +946,8 @@ object RelationalQueries extends QueryModule {
              |WHERE p_brand <> 'Brand#1'
              |  AND p_type NOT LIKE 'PROMO%'
              |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
-             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |  AND NOT EXISTS (SELECT 1 FROM supplier
+             |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
              |GROUP BY 1, 2, 3""".stripMargin)),
 
     // TPC-H Q19-shaped disjunctive revenue: an OR of three

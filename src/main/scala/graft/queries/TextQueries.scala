@@ -83,15 +83,16 @@ object TextQueries extends QueryModule {
     * dedup_clusters. `sh` must be the distinct `(doc_id, s, h)` frame
     * (hash precomputed by the gram pass). */
   private def minhashPairs(sh: DataFrame): DataFrame = {
-    val hashed = sh
     // cached: the banding self-join below reads mh from BOTH sides —
     // uncached, Spark recomputes the whole shingle→minhash aggregate
-    // per side (ReuseExchange does not fire across the explode)
-    val mh = hashed.groupBy(col("doc_id"))
+    // per side (ReuseExchange does not fire across the explode).
+    // Tracked in auxCached so clearCaches() releases it too.
+    val mh = sh.groupBy(col("doc_id"))
       .agg(min(minhashExpr(col("h"), 0)).as("mh0"),
         (1 until MinhashAB.size).map(i =>
           min(minhashExpr(col("h"), i)).as(s"mh$i")): _*)
       .cache()
+    auxCached.add(mh)
     // one pass over mh: explode the 4 band signatures instead of a
     // 4-way union (which would recompute the aggregate per branch)
     val bandStructs = array((0 until MinhashBands).map { b =>
@@ -157,12 +158,22 @@ object TextQueries extends QueryModule {
   private def winnowSelectCached(s: SparkSession, dir: String): DataFrame =
     winnowCache.getOrElseUpdate((s, dir), winnowSelect(docs(s, dir)).cache())
 
+  /** Cached frames built INSIDE memoized pipelines (the minhash
+    * signature frame) — not keyed by (session, dir), but still pinned
+    * until released; clearCaches() must cover them or every
+    * clear-and-requery cycle leaks one InMemoryRelation. */
+  private val auxCached =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
   /** Drop this module's session memos (see [[graft.Caches]]). */
-  private[graft] def clearCaches(): Unit =
+  private[graft] def clearCaches(): Unit = {
     Seq(shingleCache, pairCache, labelCache, winnowCache).foreach { c =>
       c.values.foreach(_.unpersist(false))
       c.clear()
     }
+    var df = auxCached.poll()
+    while (df != null) { df.unpersist(false); df = auxCached.poll() }
+  }
 
   /** Oracle CTE chain mirroring minhashPairs, ending in
     * `mh_pairs(d1, d2, jaccard)`. */
@@ -739,7 +750,7 @@ object TextQueries extends QueryModule {
         base.groupBy(col("doc_id"), col("n_tok"), col("n_distinct"), col("g"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"), col("n_tok"), col("n_distinct"))
-          .agg(max(col("c")).as("top_c"), count(lit(1)).as("n_grams"))
+          .agg(max(col("c")).as("top_c"))
           .select(col("doc_id"),
             round(lit(1) - col("n_distinct").cast("double") / col("n_tok").cast("double"), 6)
               .as("dup_token_frac"),

@@ -188,10 +188,18 @@ object BucketedUpsert {
       val (a, b) = generations(table)
       val active = if (gen == a) b else a
       // replay guard: this (query, batch) already merged into the
-      // served generation → re-delivery is a no-op
+      // served generation → re-delivery is a no-op. A recorded query
+      // id of "" (a table written before query ids were recorded, or
+      // by a batch caller) matches any current query for the same
+      // batch id — otherwise the first redelivery after an upgrade
+      // would re-apply a non-idempotent additive batch.
       val qid = currentQueryId(spark)
-      if (batchId.nonEmpty &&
-        appliedBatch(spark, active) == batchId.map(id => (qid, id))) return
+      val alreadyApplied = batchId.exists { id =>
+        appliedBatch(spark, active).exists { case (recQid, recId) =>
+          recId == id && (recQid == qid || recQid.isEmpty)
+        }
+      }
+      if (alreadyApplied) return
       val touched = affectedBuckets(delta, bucketKey, buckets)
       val srcDir = tableDir(spark, active)
       val (touchedFiles, untouchedFiles) = {

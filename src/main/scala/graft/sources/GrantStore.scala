@@ -52,9 +52,10 @@ object GrantStore {
     * generation-compose — only buckets containing delta keys are read
     * and rewritten, untouched bucket files carry forward by link. */
   def upsert(spark: SparkSession, changes: DataFrame,
-             table: String = DefaultTable, buckets: Int = 32): Unit =
+             table: String = DefaultTable, buckets: Int = 32,
+             batchId: Option[Long] = None): Unit =
     BucketedUpsert.upsert(spark, table, collapse(changes),
-      Seq("user_id", "feature"), "user_id", buckets)
+      Seq("user_id", "feature"), "user_id", buckets, batchId = batchId)
 
   /** Delete every grant row for the given users — the account-wipe /
     * retention path (GDPR "right to erasure" applied to the grants
@@ -65,16 +66,22 @@ object GrantStore {
     * (an absent row IS the default in the serve path), which is the
     * correct post-erasure state. */
   def deleteUsers(spark: SparkSession, users: DataFrame,
-                  table: String = DefaultTable, buckets: Int = 32): Unit =
+                  table: String = DefaultTable, buckets: Int = 32,
+                  batchId: Option[Long] = None): Unit =
     BucketedUpsert.delete(spark, table, users.select(col("user_id")),
-      Seq("user_id"), "user_id", buckets)
+      Seq("user_id"), "user_id", buckets, batchId = batchId)
 
-  /** Streaming sink: grant-flip CDC → incremental table upserts. */
+  /** Streaming sink: grant-flip CDC → incremental table upserts. The
+    * micro-batch id feeds the replay guard, so a batch redelivered
+    * after a crash-between-publish-and-commit skips the bucket
+    * rewrite instead of re-running it (the merge itself is
+    * last-writer-wins idempotent — the guard saves the I/O and the
+    * generation flip, it does not protect correctness here). */
   def writer(changes: Dataset[GrantChange], table: String = DefaultTable,
              buckets: Int = 32): DataStreamWriter[GrantChange] =
     changes.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[GrantChange], _: Long) =>
-        upsert(batch.sparkSession, batch.toDF(), table, buckets)
+      .foreachBatch { (batch: Dataset[GrantChange], id: Long) =>
+        upsert(batch.sparkSession, batch.toDF(), table, buckets, Some(id))
       }
 
   /** Serve-path lookup join: grants for a keyed frame of user_ids.

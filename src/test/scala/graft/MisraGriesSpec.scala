@@ -57,4 +57,14 @@ class MisraGriesSpec extends AnyFunSuite {
     val over = (0 until 500).map(i => s"x$i")
     assert(candidates(over, 20, 4).size <= 20)
   }
+
+  test("a >64KB token survives the shuffle serialization") {
+    // raw-corpus tokenization yields unbroken base64/minified-JS runs;
+    // writeUTF-based serialization would throw UTFDataFormatException
+    // at 65536 bytes and kill the whole aggregation
+    val blob = "A" * 100000
+    val items = Seq.fill(60)(blob) ++ (0 until 400).map(i => s"u$i")
+    val out = candidates(new Random(11).shuffle(items), 9, 4)
+    assert(out.contains(blob), "the oversized heavy token must survive")
+  }
 }

@@ -86,6 +86,29 @@ class WindowedSpec extends AnyFunSuite {
     assert(byFeature == Map("purchase" -> true, "message" -> false))
   }
 
+  test("an all-NULL-user window keeps the circuit CLOSED (no NaN open)") {
+    import spark.implicits._
+    // n_users counts ignore NULL users (countDistinct semantics), so a
+    // window of only NULL-user attempts has n_users = 0. The rate must
+    // read 0, not 0/0 = NaN — NaN compares greater than any threshold
+    // in Spark's ordering and would spuriously OPEN the breaker.
+    val attempts = (1 to 5)
+      .map(_ => (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"),
+        null.asInstanceOf[java.lang.Long], "purchase", false))
+      .toDF("ts", "user_id", "feature", "success")
+    val rows = Windowed.featureCircuit(attempts).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.getBoolean(5)), "NULL-only window must stay closed")
+    assert(rows.forall(r => r.getDouble(4) == 0.0), "rate must be 0, not NaN")
+    // same guard on the event-stream breaker
+    val events = (1 to 5).map(_ =>
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"),
+        null.asInstanceOf[java.lang.Long], "error", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "properties")
+    val c = Windowed.circuit(events).collect()
+    assert(c.nonEmpty && c.forall(r => !r.getBoolean(4)))
+  }
+
   test("latestFeatureCircuit serves the most recent window per feature") {
     import spark.implicits._
     // purchase: denied burst in the early window, healthy in the later
