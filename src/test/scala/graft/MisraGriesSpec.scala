@@ -58,6 +58,35 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(candidates(over, 20, 4).size <= 20)
   }
 
+  test("streaming aggregation: heavy items survive incremental triggers") {
+    // the summary is a mergeable TypedImperativeAggregate, so it runs
+    // unchanged in a streaming complete-mode aggregation: partial
+    // buffers merge across micro-batches exactly like across
+    // partitions, and the no-false-negative guarantee holds over the
+    // union of everything ingested so far.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[String](spark)
+    val q = mem.toDF().toDF("x")
+      .agg(MisraGriesAgg(col("x"), 19).as("c"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      val rnd = new Random(5)
+      // heavy item split ACROSS micro-batches — each batch alone is
+      // noise-dominated, only the merged state sees it as heavy
+      (1 to 4).foreach { _ =>
+        mem.addData(rnd.shuffle(Seq.fill(200)("hot") ++
+          (0 until 1500).map(_ => s"n${rnd.nextInt(5000)}")): _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("mg_stream").head().getSeq[String](0).toSet
+      // n = 4*(200+1500) = 6800; n/(k+1) = 340 < 800 occurrences
+      assert(got.contains("hot"), "heavy-across-batches item must survive")
+      assert(got.size <= 19)
+    } finally q.stop()
+  }
+
   test("a >64KB token survives the shuffle serialization") {
     // raw-corpus tokenization yields unbroken base64/minified-JS runs;
     // writeUTF-based serialization would throw UTFDataFormatException
