@@ -79,6 +79,35 @@ class BucketedUpsertSpec extends AnyFunSuite {
     } finally BucketedUpsert.drop(spark, table)
   }
 
+  test("a crashed write (generation written, view never republished) is invisible and recovered") {
+    import spark.implicits._
+    val table = "bu_crash"
+    BucketedUpsert.drop(spark, table)
+    try {
+      BucketedUpsert.materialize(
+        Seq((1L, 10), (2L, 20)).toDF("k", "v"), table, "k", 8)
+      // simulate a writer dying BETWEEN the generation write and the
+      // view publish: the inactive generation holds orphan data the
+      // catalog view never pointed at
+      val orphanGen = BucketedUpsert.inactiveGen(spark, table)
+      graft.sources.Bucketed.write(
+        Seq((99L, 999)).toDF("k", "v"), orphanGen, "k", 8)
+      val seen = BucketedUpsert.read(spark, table).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(seen == Map(1L -> 10, 2L -> 20),
+        "readers must never observe an unpublished generation")
+      // recovery needs no repair step: the next upsert rebuilds the
+      // inactive generation wholesale (overwrite + link carry) from
+      // the SERVED generation, so the orphan rows cannot leak in
+      BucketedUpsert.upsert(spark, table, Seq((2L, 21)).toDF("k", "v"),
+        Seq("k"), "k", 8)
+      val after = BucketedUpsert.read(spark, table).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(after == Map(1L -> 10, 2L -> 21),
+        s"orphan generation must be fully replaced, got $after")
+    } finally BucketedUpsert.drop(spark, table)
+  }
+
   test("delete removes keys O(delta): untouched bucket files survive by link") {
     import spark.implicits._
     val table = "bu_del"
