@@ -640,6 +640,55 @@ object TextQueries extends QueryModule {
              |       count(*) AS n_docs
              |FROM c GROUP BY 1, 2""".stripMargin)),
 
+    // Corpus mixing to target language weights (the data-mixture step
+    // of a training pipeline): the feasible total T = min_l(n_l / w_l)
+    // caps the mix at the scarcest stratum, each stratum keeps
+    // quota_l = floor(w_l · T) docs, and WHICH docs is deterministic —
+    // rank by portable hash within the stratum, keep the lowest ranks.
+    // The quota computation runs on the 5-row per-lang count frame (a
+    // partition-less window over an already-aggregated tiny frame, not
+    // over data); the per-doc work is one window rank partitioned by
+    // lang + a broadcast quota join. Growth-stable: adding docs to one
+    // stratum never evicts a selected doc of another.
+    Q("corpus_mix",
+      (s, dir) => {
+        val weights = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+          "fr" -> 0.15, "zh" -> 0.15)
+        val wCol = weights.foldRight(lit(0.0): Column) {
+          case ((l, w), els) => when(col("lang") === l, lit(w)).otherwise(els)
+        }
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        val quotas = d.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_l"))
+          .withColumn("w", wCol)
+          .withColumn("quota", floor(col("w") *
+            min(col("n_l").cast("double") / col("w"))
+              .over(Window.partitionBy())))
+          .select(col("lang"), col("quota"))
+        val ranked = d.withColumn("rk",
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(portableHash(col("doc_id").cast("string")), col("doc_id"))))
+        ranked.join(broadcast(quotas), Seq("lang"))
+          .filter(col("rk") <= col("quota"))
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""WITH w(lang, wt) AS (VALUES
+             |         ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+             |         ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+             |         ('zh', CAST(0.15 AS DOUBLE))),
+             |c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+             |q AS (SELECT c.lang,
+             |             floor(wt * min(CAST(n_l AS DOUBLE) / wt) OVER ()) AS quota
+             |      FROM c JOIN w ON c.lang = w.lang),
+             |r AS (SELECT doc_id, lang,
+             |             row_number() OVER (PARTITION BY lang
+             |               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             |                        doc_id) AS rk
+             |      FROM documents)
+             |SELECT r.doc_id, r.lang
+             |FROM r JOIN q ON r.lang = q.lang
+             |WHERE rk <= quota""".stripMargin)),
+
     // SimHash: 32-bit signature over the token multiset; docs sharing
     // a signature are near-dup candidates. The signature is the native
     // fused expression (graft.functions.expressions.SimHash) — the HOF
