@@ -1,0 +1,62 @@
+package graft
+
+import graft.config.{DefaultConfig, EngineConfig}
+import graft.operators.{AccessService, EventAggregates, Grants, Windowed}
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+
+/** SQL surface: registers the source tables AND the engine's derived
+  * frames as temp views, so the whole library is drivable from
+  * `spark.sql(...)` — the Spark-native analogue of the reference's
+  * HTTP serving routes (reference `app.py`): what the reference
+  * exposes as `GET /user/{id}/features`, a SQL user reads as
+  * `SELECT * FROM grants WHERE user_id = ...`.
+  *
+  * Views are lazy logical plans, not materializations: registering
+  * costs nothing until a query runs, every registered view composes
+  * with the session's optimizer (predicate pushdown through the view
+  * into the parquet scan), and the same names work from JDBC/Thrift
+  * on a real deployment. Combined with [[GraftExtensions]]'s SQL
+  * function registrations (cosine_sim, hll_*, simhash, bloom_*,
+  * misra_gries), SQL-only users get the full operator surface.
+  */
+object GraftViews {
+
+  /** The raw parquet-backed tables (`events` through its
+    * nanosecond-safe reader, `documents` through the fanout
+    * rebalance). */
+  private val sourceTables: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    Seq(
+      "region" -> Tables.region _,
+      "nation" -> Tables.nation _,
+      "customer" -> Tables.customer _,
+      "supplier" -> Tables.supplier _,
+      "part" -> Tables.part _,
+      "orders" -> Tables.orders _,
+      "lineitem" -> Tables.lineitem _,
+      "events" -> Tables.events _,
+      "documents" -> Tables.documents _,
+      "embeddings" -> Tables.embeddings _)
+
+  /** Register every source table and derived view against `dir`.
+    * Derived views: `user_aggregates` (the per-user aggregate spine),
+    * `grants_wide` / `grants` (feature grants, one row per user vs one
+    * row per user×feature), `access_attempts` (the serve-path attempt
+    * log), `feature_circuits` (latest breaker state per feature). */
+  def register(spark: SparkSession, dir: String,
+               cfg: EngineConfig = DefaultConfig.config): Unit = {
+    sourceTables.foreach { case (name, load) =>
+      load(spark, dir).createOrReplaceTempView(name)
+    }
+    val events = Tables.events(spark, dir)
+    val userAggs = EventAggregates.perUser(events, cfg.aggregates)
+    userAggs.createOrReplaceTempView("user_aggregates")
+    val wide = Grants.wide(userAggs, cfg)
+    wide.createOrReplaceTempView("grants_wide")
+    Grants.longFromWide(wide, cfg).createOrReplaceTempView("grants")
+    val attempts = AccessService.attempts(events, wide, cfg)
+    attempts.createOrReplaceTempView("access_attempts")
+    Windowed.latestFeatureCircuit(attempts)
+      .createOrReplaceTempView("feature_circuits")
+  }
+}

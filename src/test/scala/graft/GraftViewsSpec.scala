@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface serves the same results as the DataFrame API: a
+  * pure-SQL session (views + registered functions, no DataFrame
+  * calls) can read grants, join the circuit state, and run the
+  * registered scalar functions. */
+class GraftViewsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("SQL-only serve path: grants join circuits equals the DataFrame form") {
+    GraftViews.register(spark, dir)
+    val sql = spark.sql(
+      """SELECT g.user_id, g.feature,
+        |       coalesce(c.circuit_open, false) OR g.has_grant AS has_access
+        |FROM grants g LEFT JOIN feature_circuits c ON g.feature = c.feature""".stripMargin)
+    assert(sql.count() > 0)
+    // the DataFrame serve path agrees row-for-row on the same requests
+    val svc = graft.operators.AccessService.fromEvents(
+      spark, graft.sources.Tables.events(spark, dir),
+      graft.config.DefaultConfig.config)
+    val df = svc.check(spark.sql("SELECT user_id, feature FROM grants"))
+      .select("user_id", "feature", "has_access")
+    assert(sql.exceptAll(df).isEmpty && df.exceptAll(sql).isEmpty,
+      "SQL view serve path must equal the DataFrame serve path")
+  }
+
+  test("views are lazy plans: predicates push through into the scan") {
+    GraftViews.register(spark, dir)
+    val plan = spark.sql(
+      "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("o_orderpriority"),
+      s"filter must reach the parquet scan, got:\n$plan")
+  }
+
+  test("registered SQL functions work over the views") {
+    // extensions normally attach at build time via
+    // spark.sql.extensions=graft.GraftExtensions; for the already-built
+    // test session, register through the function registry directly
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash",
+      exprs => graft.functions.expressions.SimHash(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    GraftViews.register(spark, dir)
+    val n = spark.sql(
+      "SELECT simhash(split(trim(text), ' '), 32) AS sig FROM documents")
+      .filter("sig IS NOT NULL").count()
+    assert(n > 0)
+  }
+}
