@@ -650,6 +650,16 @@ object TextQueries extends QueryModule {
     // over data); the per-doc work is one window rank partitioned by
     // lang + a broadcast quota join. Growth-stable: adding docs to one
     // stratum never evicts a selected doc of another.
+    //
+    // Scale note (honest limitation): rank-within-stratum puts each
+    // stratum through ONE WindowExec task — fine for thousands of
+    // strata × moderate width, wrong for 5 strata × billions of docs.
+    // The at-scale variant replaces `rk <= quota` with a hash
+    // THRESHOLD at the quota-th quantile of the per-stratum hash
+    // distribution (approx_percentile over hashes, then
+    // hash <= cutoff): fully parallel, deterministic, within sketch-ε
+    // of the quota — but no longer row-exact, hence not the oracled
+    // form here.
     Q("corpus_mix",
       (s, dir) => {
         val weights = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
