@@ -65,8 +65,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 1, s"bloom_agg takes 1 argument, got ${exprs.length}")
-        BloomFilterAgg(exprs.head).toAggregateExpression()
+        require(exprs.nonEmpty && exprs.length <= 3,
+          s"bloom_agg(key[, numBits, numHashes]) takes 1-3 arguments, got ${exprs.length}")
+        def litInt(i: Int, name: String): Int = {
+          require(exprs(i).foldable, s"bloom_agg: $name must be an integer literal")
+          exprs(i).eval().asInstanceOf[Number].intValue()
+        }
+        val numBits = if (exprs.length > 1) litInt(1, "numBits") else 1 << 20
+        val numHashes = if (exprs.length > 2) litInt(2, "numHashes") else 5
+        // the chosen k travels in the filter's header byte, so the
+        // probe side needs no matching argument
+        BloomFilterAgg(exprs.head, numBits, numHashes).toAggregateExpression()
       }))
     e.injectFunction((
       FunctionIdentifier("bloom_might_contain"),

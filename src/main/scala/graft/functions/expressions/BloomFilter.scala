@@ -53,6 +53,36 @@ object BloomOps {
     true
   }
 
+  /** Byte 0 of a FINISHED filter (the aggregate's output) carries its
+    * own probe count k, so a filter built with any k probes correctly —
+    * a k mismatch between build and probe sides would produce silent
+    * FALSE NEGATIVES (dropped joining rows). The raw put/mightContain
+    * above operate on headerless partial buffers inside the aggregate;
+    * everything outside the aggregate sees only the headered form. */
+  val HeaderBytes = 1
+
+  def withHeader(bits: Array[Byte], k: Int): Array[Byte] = {
+    val out = new Array[Byte](bits.length + HeaderBytes)
+    out(0) = k.toByte
+    System.arraycopy(bits, 0, out, HeaderBytes, bits.length)
+    out
+  }
+
+  /** Probe a headered filter: k comes from the filter itself. */
+  def probe(bloom: Array[Byte], v: Long): Boolean = {
+    val k = bloom(0) & 0xFF
+    val h1 = hash1(v); val h2 = hash2(v)
+    val n = (bloom.length - HeaderBytes).toLong * 8L
+    var i = 0
+    while (i < k) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, n)
+      val b = (pos >>> 3).toInt + HeaderBytes
+      if ((bloom(b) & (1 << (pos & 7L).toInt)) == 0) return false
+      i += 1
+    }
+    true
+  }
+
   def unionInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     require(a.length == b.length,
       s"bloom size mismatch: ${a.length * 8} vs ${b.length * 8} bits")
@@ -109,7 +139,9 @@ case class BloomFilterAgg(
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     BloomOps.unionInto(a, b)
 
-  override def eval(buf: Array[Byte]): Any = buf
+  // partial buffers stay headerless (serialize/deserialize/merge work
+  // on the raw bit array); only the FINAL value carries the k header
+  override def eval(buf: Array[Byte]): Any = BloomOps.withHeader(buf, numHashes)
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
@@ -132,17 +164,18 @@ object BloomFilterAgg {
   def apply(c: Column): Column = apply(c, 1 << 20, 5)
 }
 
-/** Membership probe against a [[BloomFilterAgg]] bit array:
+/** Membership probe against a [[BloomFilterAgg]] filter:
   * `bloom_might_contain(bloom, key)` — false means DEFINITELY absent
   * (safe to drop before the join); true means probably present. NULL
   * key or NULL bloom → NULL (SQL three-valued logic; a NULL join key
   * cannot equi-join anyway). Codegen'd: the scan's hot loop calls the
   * static probe directly, no boxing.
   *
-  * `numHashes` must match the build side's (both default to 5).
+  * The probe count k is read from the filter's own header byte
+  * ([[BloomOps.withHeader]]), so a filter built with ANY numHashes
+  * probes correctly — there is no k parameter to mismatch.
   */
-case class BloomMightContain(
-    left: Expression, right: Expression, numHashes: Int = 5)
+case class BloomMightContain(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -155,12 +188,12 @@ case class BloomMightContain(
         s"(${left.dataType.sql}, ${right.dataType.sql})")
 
   override def nullSafeEval(bloom: Any, key: Any): Any =
-    java.lang.Boolean.valueOf(BloomOps.mightContain(
-      bloom.asInstanceOf[Array[Byte]], key.asInstanceOf[Long], numHashes))
+    java.lang.Boolean.valueOf(BloomOps.probe(
+      bloom.asInstanceOf[Array[Byte]], key.asInstanceOf[Long]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (bloom, key) =>
-      s"${ev.value} = graft.functions.expressions.BloomOps.mightContain($bloom, $key, $numHashes);")
+      s"${ev.value} = graft.functions.expressions.BloomOps.probe($bloom, $key);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =

@@ -113,9 +113,15 @@ object BucketedUpsert {
 
   /** The streaming query id of the current thread, when running inside
     * a StreamExecution (foreachBatch runs on the stream thread, which
-    * carries the id as a local property); empty for batch callers. */
+    * carries the id as a local property); the distinct sentinel
+    * [[BatchCaller]] otherwise. Recording "" for batch callers would
+    * make them indistinguishable from pre-upgrade tables, whose empty
+    * recorded id the replay guard treats as a wildcard — a streaming
+    * micro-batch that happened to carry the same batch id would then
+    * be silently dropped. */
+  private[graft] val BatchCaller = "batch"
   private[graft] def currentQueryId(spark: SparkSession): String =
-    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse("")
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse(BatchCaller)
 
   /** Merge `delta` into `table`: rows join on `joinKeys`; every other
     * column combines via `merge(name, existing, delta)` — default
@@ -189,14 +195,20 @@ object BucketedUpsert {
       val active = if (gen == a) b else a
       // replay guard: this (query, batch) already merged into the
       // served generation → re-delivery is a no-op. A recorded query
-      // id of "" (a table written before query ids were recorded, or
-      // by a batch caller) matches any current query for the same
-      // batch id — otherwise the first redelivery after an upgrade
-      // would re-apply a non-idempotent additive batch.
+      // id of "" can only come from a table written before query ids
+      // were recorded (batch callers record the BatchCaller sentinel),
+      // so it matches any current query for the same batch id —
+      // otherwise the first redelivery after an upgrade would re-apply
+      // a non-idempotent additive batch.
       val qid = currentQueryId(spark)
       val alreadyApplied = batchId.exists { id =>
         appliedBatch(spark, active).exists { case (recQid, recId) =>
-          recId == id && (recQid == qid || recQid.isEmpty)
+          val hit = recId == id && (recQid == qid || recQid.isEmpty)
+          if (hit && recQid.isEmpty)
+            System.err.println(s"[graft] BucketedUpsert: legacy table '$table' " +
+              s"has no recorded query id; skipping batch $id for query '$qid' " +
+              "via the pre-upgrade wildcard")
+          hit
         }
       }
       if (alreadyApplied) return

@@ -22,13 +22,31 @@ object Tables {
     * the parallelism the file layout withheld, at the cost of one
     * round-robin exchange of the pruned columns (filters and column
     * pruning still reach the scan: Catalyst pushes both through
-    * Repartition). Guarded to be a no-op whenever the source is
-    * already split across >= cores files — i.e. on any real
-    * multi-file table this never fires, and a 100 TB scan keeps its
-    * native file/row-group parallelism. */
+    * Repartition).
+    *
+    * The guard estimates how many SPLITS the scan will actually get —
+    * Spark splits parquet by maxPartitionBytes ranges within files,
+    * not by whole files, so a few multi-gigabyte files already yield
+    * hundreds of tasks and raw file count would wrongly trigger a full
+    * exchange of a huge table. Fires only when the estimated split
+    * count (total bytes / maxPartitionBytes, and at least one per
+    * file) falls below the session's cores — i.e. only on genuinely
+    * small/split-starved sources; a 100 TB scan keeps its native
+    * file/row-group parallelism. */
   private def fanout(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= cores) df else df.repartition(cores)
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= cores) return df // enough whole-file splits; no fs calls
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val estSplits = math.max(files.length.toLong,
+      (totalBytes + maxSplit - 1) / maxSplit)
+    if (estSplits >= cores) df else df.repartition(cores)
   }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by

@@ -34,7 +34,29 @@ class BloomFilterSpec extends AnyFunSuite {
       .agg(BloomFilterAgg(col("k")).as("bf")).head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(multi, single),
       "merge must be order/partitioning-independent (pure bitwise OR)")
-    keys.foreach(k => assert(BloomOps.mightContain(multi, k, 5)))
+    keys.foreach(k => assert(BloomOps.probe(multi, k)))
+  }
+
+  test("probe reads k from the filter header: no false negatives at k != 5") {
+    import spark.implicits._
+    val keys = (1L to 2000L).map(_ * 97L)
+    // build with k=3 and a non-default size; the probe side gets no k
+    // argument at all — a mismatch here used to drop joining rows
+    val bf = keys.toDF("k")
+      .agg(BloomFilterAgg(col("k"), 1 << 16, 3).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    assert((bf(0) & 0xFF) == 3, "header byte must carry the build-side k")
+    assert(bf.length == (1 << 13) + BloomOps.HeaderBytes)
+    keys.foreach(k => assert(BloomOps.probe(bf, k), s"false negative at $k"))
+    val misses = keys.toDF("k")
+      .filter(!BloomMightContain(lit(bf), col("k"))).count()
+    assert(misses == 0, "expression probe must honor the header k")
+    // SQL surface: 3-arg build, 2-arg probe, same header contract
+    keys.toDF("k").createOrReplaceTempView("bloom_keys_k3")
+    val sqlBf = spark.sql(
+      "SELECT bloom_agg(k, 65536, 3) AS bf FROM bloom_keys_k3")
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(sqlBf, bf))
   }
 
   test("bloom-prefiltered join equals the plain join, and prunes the scan") {

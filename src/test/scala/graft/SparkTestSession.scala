@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local session per JVM for all suites. */
+/** One shared local session per JVM for all suites. Registers
+  * GraftExtensions at construction so SQL-surface tests (hll_*,
+  * bloom_*, simhash, ...) resolve regardless of which suite creates
+  * the session first. */
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
@@ -11,6 +14,7 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
