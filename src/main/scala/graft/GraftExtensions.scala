@@ -13,6 +13,26 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Evaluate a foldable argument expression to an Int, failing with
+    * the calling function's usage string. A bare
+    * `eval().asInstanceOf[Number]` NPEs on a NULL literal and throws a
+    * context-free ClassCastException on a foldable string/decimal —
+    * neither tells the user which function or argument was wrong. */
+  private def litInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      usage: String, name: String): Int = {
+    require(e.foldable, s"$usage: $name must be an integer literal")
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      case other =>
+        val got = if (other == null) "NULL" else s"$other (${e.dataType.sql})"
+        throw new IllegalArgumentException(
+          s"$usage: $name must be an integer literal, got $got")
+    }
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
@@ -51,14 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.nonEmpty && exprs.length <= 2,
           s"simhash takes 1 or 2 arguments, got ${exprs.length}")
-        val bits = if (exprs.length > 1) {
-          val b = exprs(1)
-          // eval() on a non-foldable expression throws an unreadable
-          // planner error; reject it up front
-          require(b.foldable,
-            "simhash(arr[, bits]): bits must be an integer literal")
-          b.eval().asInstanceOf[Number].intValue()
-        } else 32
+        val bits =
+          if (exprs.length > 1) litInt(exprs(1), "simhash(arr[, bits])", "bits")
+          else 32
         SimHash(exprs.head, bits)
       }))
     e.injectFunction((
@@ -67,12 +82,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.nonEmpty && exprs.length <= 3,
           s"bloom_agg(key[, numBits, numHashes]) takes 1-3 arguments, got ${exprs.length}")
-        def litInt(i: Int, name: String): Int = {
-          require(exprs(i).foldable, s"bloom_agg: $name must be an integer literal")
-          exprs(i).eval().asInstanceOf[Number].intValue()
-        }
-        val numBits = if (exprs.length > 1) litInt(1, "numBits") else 1 << 20
-        val numHashes = if (exprs.length > 2) litInt(2, "numHashes") else 5
+        val usage = "bloom_agg(key[, numBits, numHashes])"
+        val numBits = if (exprs.length > 1) litInt(exprs(1), usage, "numBits") else 1 << 20
+        val numHashes = if (exprs.length > 2) litInt(exprs(2), usage, "numHashes") else 5
         // the chosen k travels in the filter's header byte, so the
         // probe side needs no matching argument
         BloomFilterAgg(exprs.head, numBits, numHashes).toAggregateExpression()
@@ -91,12 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.nonEmpty && exprs.length <= 2,
           s"misra_gries takes 1 or 2 arguments, got ${exprs.length}")
-        val cap = if (exprs.length > 1) {
-          val c = exprs(1)
-          require(c.foldable,
-            "misra_gries(item[, capacity]): capacity must be an integer literal")
-          c.eval().asInstanceOf[Number].intValue()
-        } else 200
+        val cap =
+          if (exprs.length > 1) litInt(exprs(1), "misra_gries(item[, capacity])", "capacity")
+          else 200
         MisraGriesAgg(exprs.head, cap).toAggregateExpression()
       }))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)

@@ -58,19 +58,42 @@ object BloomOps {
     * a k mismatch between build and probe sides would produce silent
     * FALSE NEGATIVES (dropped joining rows). The raw put/mightContain
     * above operate on headerless partial buffers inside the aggregate;
-    * everything outside the aggregate sees only the headered form. */
+    * everything outside the aggregate sees only the headered form.
+    *
+    * k ≤ 16 fits in the header byte's low 5 bits, so the high 3 bits
+    * are a magic/version marker: a probe against bytes that bloom_agg
+    * did not produce (empty binary, truncated filter, arbitrary blob
+    * whose byte 0 happens to look like a k) must fail fast with a
+    * bloom-specific message, not an ArrayIndexOutOfBounds/divide-by-
+    * zero deep inside the codegen'd scan loop — or worse, silently
+    * misread and drop joining rows. */
   val HeaderBytes = 1
+  val HeaderMagicMask = 0xE0
+  val HeaderMagic = 0xA0 // version 1 marker in the header's high 3 bits
+  private val KMask = 0x1F
 
   def withHeader(bits: Array[Byte], k: Int): Array[Byte] = {
+    require(k >= 1 && k <= 16, s"bloom k must be in [1,16], got $k")
     val out = new Array[Byte](bits.length + HeaderBytes)
-    out(0) = k.toByte
+    out(0) = (HeaderMagic | k).toByte
     System.arraycopy(bits, 0, out, HeaderBytes, bits.length)
     out
   }
 
-  /** Probe a headered filter: k comes from the filter itself. */
+  /** Probe a headered filter: k comes from the filter itself. Rejects
+    * bytes that are not a bloom_agg output (too short, or missing the
+    * header magic) with a descriptive error — returning false here
+    * would be a silent false negative in a join prefilter. */
   def probe(bloom: Array[Byte], v: Long): Boolean = {
-    val k = bloom(0) & 0xFF
+    if (bloom.length <= HeaderBytes)
+      throw new IllegalArgumentException(
+        s"bloom_might_contain: ${bloom.length}-byte input is not a bloom_agg filter")
+    val header = bloom(0) & 0xFF
+    if ((header & HeaderMagicMask) != HeaderMagic)
+      throw new IllegalArgumentException(
+        f"bloom_might_contain: bad filter header 0x$header%02x (expected magic " +
+          f"0x$HeaderMagic%02x in the high bits) — input was not built by bloom_agg")
+    val k = header & KMask
     val h1 = hash1(v); val h2 = hash2(v)
     val n = (bloom.length - HeaderBytes).toLong * 8L
     var i = 0

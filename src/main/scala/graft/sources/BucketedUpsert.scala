@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * `MERGE INTO`, where carry-forward is a manifest reference. Single
   * writer by construction (one streaming query owns a table).
   */
-object BucketedUpsert {
+object BucketedUpsert extends org.apache.spark.internal.Logging {
 
   private[graft] def generations(table: String): (String, String) =
     (table + "__a", table + "__b")
@@ -205,7 +205,7 @@ object BucketedUpsert {
         appliedBatch(spark, active).exists { case (recQid, recId) =>
           val hit = recId == id && (recQid == qid || recQid.isEmpty)
           if (hit && recQid.isEmpty)
-            System.err.println(s"[graft] BucketedUpsert: legacy table '$table' " +
+            logWarning(s"BucketedUpsert: legacy table '$table' " +
               s"has no recorded query id; skipping batch $id for query '$qid' " +
               "via the pre-upgrade wildcard")
           hit

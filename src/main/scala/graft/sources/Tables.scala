@@ -41,8 +41,14 @@ object Tables {
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val hconf = spark.sparkContext.hadoopConfiguration
     val totalBytes = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(hconf).getFileStatus(p).getLen
+      // a file can vanish between inputFiles and the stat (concurrent
+      // rewrite/compaction); the estimate only gates a heuristic
+      // repartition, so treat an unreadable file as 0 bytes rather
+      // than failing the whole query
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      } catch { case _: java.io.IOException => 0L }
     }.sum
     val estSplits = math.max(files.length.toLong,
       (totalBytes + maxSplit - 1) / maxSplit)

@@ -45,7 +45,9 @@ class BloomFilterSpec extends AnyFunSuite {
     val bf = keys.toDF("k")
       .agg(BloomFilterAgg(col("k"), 1 << 16, 3).as("bf"))
       .head().getAs[Array[Byte]](0)
-    assert((bf(0) & 0xFF) == 3, "header byte must carry the build-side k")
+    assert((bf(0) & 0x1F) == 3, "header byte must carry the build-side k")
+    assert((bf(0) & BloomOps.HeaderMagicMask) == BloomOps.HeaderMagic,
+      "header high bits must carry the magic marker")
     assert(bf.length == (1 << 13) + BloomOps.HeaderBytes)
     keys.foreach(k => assert(BloomOps.probe(bf, k), s"false negative at $k"))
     val misses = keys.toDF("k")
@@ -79,6 +81,43 @@ class BloomFilterSpec extends AnyFunSuite {
     val plain = fact.join(dim, Seq("k")).groupBy(col("k"))
       .agg(sum(col("v")).as("sv")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(withBloom == plain)
+  }
+
+  test("malformed filters fail fast with a bloom-specific message") {
+    import spark.implicits._
+    // task failures arrive wrapped in SparkException; search the chain
+    def chainMessage(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    def probeFails(filter: Array[Byte]): String = chainMessage(intercept[Exception] {
+      Seq(1L).toDF("k")
+        .select(BloomMightContain(lit(filter), col("k"))).collect()
+    })
+    // empty binary: used to AIOOBE inside the scan loop
+    assert(probeFails(Array.empty[Byte]).contains("not a bloom_agg filter"))
+    // 1-byte filter: used to divide by zero bits
+    assert(probeFails(Array[Byte](5)).contains("not a bloom_agg filter"))
+    // arbitrary blob with no header magic: used to be silently misread
+    // (byte 0 treated as k → possible false negatives)
+    assert(probeFails(Array.fill[Byte](16)(0x01)).contains("not built by bloom_agg"))
+  }
+
+  test("bad bloom_agg size literals fail with the usage string") {
+    import spark.implicits._
+    Seq(1L).toDF("k").createOrReplaceTempView("bloom_lit_check")
+    def chainMessage(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    for (bad <- Seq("NULL", "'x'")) {
+      val msg = chainMessage(intercept[Exception] {
+        spark.sql(s"SELECT bloom_agg(k, $bad) FROM bloom_lit_check").collect()
+      })
+      assert(msg.contains("bloom_agg(key[, numBits, numHashes])"), s"$bad → $msg")
+    }
+    // a foldable DECIMAL literal is integral enough — accept it
+    val bf = spark.sql("SELECT bloom_agg(k, 65536.0) AS bf FROM bloom_lit_check")
+      .head().getAs[Array[Byte]](0)
+    assert(bf.length == (1 << 13) + BloomOps.HeaderBytes)
   }
 
   test("null keys neither insert nor probe (three-valued logic)") {
