@@ -26,7 +26,8 @@ object PlanAudit {
     "q2_min_cost_supplier", "q4_priority_semi", "q9_product_profit",
     "q12_ship_lag", "q16_supplier_parts", "q19_disjunctive_revenue",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
-    "decontaminate_overlap", "repetition_stats", "corpus_mix")
+    "decontaminate_overlap", "repetition_stats", "corpus_mix",
+    "pack_sequences", "doc_chunks", "pii_redaction")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

@@ -17,6 +17,7 @@ object SparkEntry {
     EventQueries,
     RelationalQueries,
     TextQueries,
+    PackingQueries,
     EmbeddingQueries,
     MultimodalQueries
   )

@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.functions.TextOps._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators over `documents`: sequence packing
+  * (the GPT-style concat-and-chunk step that turns a deduped corpus
+  * into fixed-length training sequences), sliding-window chunking (the
+  * RAG/embedding-index step), and PII redaction (the compliance filter
+  * every web-scale corpus passes through before training).
+  *
+  * Scale design notes:
+  *  - `pack_sequences` needs a GLOBAL token offset per document — an
+  *    inherently sequential prefix sum. A bare `Window.orderBy` would
+  *    move the whole corpus to one partition, so it is computed as the
+  *    classic two-phase distributed prefix sum instead: range-partition
+  *    by doc_id (disjoint ordered key ranges), partition-local cumsum
+  *    via a window keyed on the partition id, then add the total of all
+  *    earlier partitions from a #partitions-row broadcast frame. Every
+  *    stage is O(corpus/partitions) except the prefix-of-totals window,
+  *    which is O(#partitions) rows on one executor.
+  *  - `doc_chunks` is a pure projection + bounded explode (≤ n/stride
+  *    chunks per doc) — embarrassingly parallel.
+  *  - `pii_redaction` is a per-row regex projection (codegen'd
+  *    RegExpReplace/RegExpCount) — no shuffle at all. The driver
+  *    fixtures carry no real PII, so the query PLANTS a deterministic
+  *    synthetic contact line per document before redacting; the point
+  *    under test is the redaction plumbing (shared-dialect regexes,
+  *    exact string parity via md5), not the fixture content.
+  */
+object PackingQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  /** Tokens per training sequence for `pack_sequences`. */
+  private val Cap = 512
+
+  /** Window / stride (in tokens) for `doc_chunks` — 16-token overlap. */
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  val all: Seq[Q] = Seq(
+
+    // Sequence packing, concat-and-chunk style: documents concatenate
+    // in doc_id order into one virtual token stream that is cut every
+    // `Cap` tokens; a document whose span crosses a cut lands in both
+    // chunks (no padding, no document shuffling — the maximally simple
+    // deterministic packer). Output is the per-chunk occupancy map:
+    // how many docs touch the chunk, how many start in it, and how
+    // many of its token slots are filled (all but the tail chunk =
+    // Cap by construction — asserted by the oracle hash).
+    Q("pack_sequences",
+      (s, dir) => {
+        val nParts = math.max(1, s.sparkContext.defaultParallelism / 4)
+        val base = docs(s, dir)
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        // two-phase distributed prefix sum (see scaladoc above)
+        val parted = base.repartitionByRange(nParts, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val local = parted.withColumn("cum_end",
+          sum(col("n_tok")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
+        val prefix = local.groupBy(col("pid")).agg(max(col("cum_end")).as("ptot"))
+          .withColumn("before", coalesce(
+            sum(col("ptot")).over(Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("before"))
+        local.join(broadcast(prefix), Seq("pid"))
+          .withColumn("fin", col("cum_end") + col("before"))
+          .withColumn("start", col("fin") - col("n_tok"))
+          // integer div keeps the chunk math exact at any corpus size
+          // (a double floor() is only exact below 2^53 tokens)
+          .withColumn("chunk_id",
+            explode(expr(s"sequence(start div $Cap, (fin - 1) div $Cap)")))
+          .groupBy(col("chunk_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(expr(s"start div $Cap") === col("chunk_id"), 1))
+              .as("n_docs_starting"),
+            sum(least(col("fin"), (col("chunk_id") + 1) * Cap) -
+              greatest(col("start"), col("chunk_id") * Cap))
+              .as("n_tokens_filled"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id,
+              |                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt
+              |           FROM documents),
+              |o AS (SELECT doc_id, nt,
+              |             CAST(sum(nt) OVER (ORDER BY doc_id
+              |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fin
+              |      FROM n),
+              |e AS (SELECT doc_id, nt, fin, fin - nt AS strt,
+              |             unnest(range((fin - nt) // $Cap, (fin - 1) // $Cap + 1)) AS chunk_id
+              |      FROM o)
+              |SELECT chunk_id,
+              |       count(*) AS n_docs,
+              |       count(CASE WHEN strt // $Cap = chunk_id THEN 1 END) AS n_docs_starting,
+              |       CAST(sum(least(fin, (chunk_id + 1) * $Cap) -
+              |                greatest(strt, chunk_id * $Cap)) AS BIGINT) AS n_tokens_filled
+              |FROM e GROUP BY chunk_id""".stripMargin)),
+
+    // Sliding-window chunking: each document independently cut into
+    // ChunkW-token windows advancing by ChunkS (HuggingFace
+    // return_overflowing_tokens semantics — the last window shrinks to
+    // the doc end; a doc at or under ChunkW tokens is one chunk). The
+    // chunk TEXT is re-materialized from the token slice so downstream
+    // embedding/indexing reads real strings, not offsets.
+    Q("doc_chunks",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+        base
+          .withColumn("chunk_idx", explode(expr(
+            s"sequence(0L, CASE WHEN n_tok > $ChunkW " +
+              s"THEN (n_tok - $ChunkW + ${ChunkS - 1}) div $ChunkS ELSE 0L END)")))
+          .withColumn("chunk_start", col("chunk_idx") * ChunkS)
+          .withColumn("chunk_len",
+            least(lit(ChunkW.toLong), col("n_tok") - col("chunk_start")))
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_start"), col("chunk_len"),
+            array_join(slice(col("toks"),
+              (col("chunk_start") + 1).cast("int"), col("chunk_len").cast("int")), " ")
+              .as("chunk_text"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks,
+              |                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+              |           FROM documents),
+              |c AS (SELECT doc_id, toks, n_tok,
+              |             unnest(range(0, CASE WHEN n_tok > $ChunkW
+              |                  THEN (n_tok - $ChunkW + ${ChunkS - 1}) // $ChunkS
+              |                  ELSE 0 END + 1)) AS chunk_idx
+              |      FROM t)
+              |SELECT doc_id, chunk_idx,
+              |       chunk_idx * $ChunkS AS chunk_start,
+              |       least($ChunkW, n_tok - chunk_idx * $ChunkS) AS chunk_len,
+              |       array_to_string(list_slice(toks, chunk_idx * $ChunkS + 1,
+              |           chunk_idx * $ChunkS +
+              |           least($ChunkW, n_tok - chunk_idx * $ChunkS)), ' ') AS chunk_text
+              |FROM c""".stripMargin)),
+
+    // PII redaction: plant one deterministic contact line per doc
+    // (email + phone), then count and mask both patterns. The regexes
+    // stay in the Java∩RE2 common dialect (char classes + bounded
+    // quantifiers, no lookaround/backrefs) so Spark and DuckDB agree
+    // byte-for-byte — pinned by the md5 of the redacted text.
+    Q("pii_redaction",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{2,}"
+        val aug = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or +1 (555) 0"),
+          col("doc_id").cast("string"))
+        docs(s, dir)
+          .withColumn("aug", aug)
+          .select(
+            col("doc_id"),
+            regexp_count(col("aug"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("aug"), lit(phoneRe)).cast("long").as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_md5"),
+            length(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_len"))
+      },
+      Some("""WITH a AS (SELECT doc_id,
+             |                  text || ' contact user' || doc_id ||
+             |                  '@example.com or +1 (555) 0' || doc_id AS aug
+             |           FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(regexp_extract_all(aug,
+             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |         AS n_emails,
+             |       CAST(len(regexp_extract_all(aug,
+             |           '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{2,}')) AS BIGINT) AS n_phones,
+             |       md5(regexp_replace(regexp_replace(aug,
+             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |           '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{2,}', '<PHONE>', 'g'))
+             |         AS redacted_md5,
+             |       length(regexp_replace(regexp_replace(aug,
+             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |           '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{2,}', '<PHONE>', 'g'))
+             |         AS redacted_len
+             |FROM a""".stripMargin))
+  )
+}
