@@ -760,13 +760,21 @@ object RelationalQueries extends QueryModule {
     // (a double min would make the tie set partition-order dependent).
     Q("q2_min_cost_supplier",
       (s, dir) => {
+        val p = Tables.part(s, dir)
+          .filter(col("p_size") === 15 && col("p_type") === "SMALL")
+        // min_cost is per-partkey, so the part filter commutes with the
+        // aggregation: broadcast-semi-join lineitem down to the matching
+        // parts BEFORE the (partkey, suppkey) groupBy — the shuffle
+        // carries only the selected parts' rows, not the whole fact
+        // table. At 100 TB this is the difference between shuffling
+        // ~0.05% of lineitem and all of it.
         val cost = Tables.lineitem(s, dir)
+          .join(broadcast(p.select(col("p_partkey").as("sel_pk"))),
+            col("l_partkey") === col("sel_pk"), "left_semi")
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(min(dec(col("l_extendedprice") / col("l_quantity"))).as("supplycost"))
         val minc = cost.groupBy(col("l_partkey")).agg(min(col("supplycost")).as("min_cost"))
           .withColumnRenamed("l_partkey", "mk")
-        val p = Tables.part(s, dir)
-          .filter(col("p_size") === 15 && col("p_type") === "SMALL")
         cost.join(minc,
             col("l_partkey") === col("mk") && col("supplycost") === col("min_cost"))
           .join(broadcast(p), col("l_partkey") === col("p_partkey"))
@@ -1018,20 +1026,26 @@ object RelationalQueries extends QueryModule {
     // on orderkey, no correlated re-execution per row.
     Q("q21_waiting_suppliers",
       (s, dir) => {
+        // The double-correlated EXISTS/NOT-EXISTS collapses to per-order
+        // supplier counts: "another supplier exists" ⟺ the order has >1
+        // distinct suppliers, and "no OTHER supplier was late" ⟺ the
+        // order's late rows all belong to one supplier. Both ride ONE
+        // orderkey-partitioned window over the already orderkey-joined
+        // frame — the window reuses the join's hash partitioning (no
+        // extra exchange), replacing the former two distincts + semi +
+        // anti (4 more lineitem-sized shuffles) of the textbook plan.
         val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate"))
-        val l = Tables.lineitem(s, dir)
+        val w = Window.partitionBy(col("l_orderkey"))
+        Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-        val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val others = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")).distinct()
-        val lateSet = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3")).distinct()
-        late
-          .join(others,
-            col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_semi")
-          .join(lateSet,
-            col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"), "left_anti")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("is_late",
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+          .withColumn("n_late_supp",
+            size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
+          .filter(col("is_late") && col("n_supp") > 1 && col("n_late_supp") === 1)
           .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
           .agg(count(lit(1)).as("numwait"))
