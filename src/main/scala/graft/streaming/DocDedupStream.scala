@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.sources.BucketedUpsert
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Incremental exact dedup of a DOCUMENT stream against a persistent
+  * fingerprint store — the ingest-time path of the corpus dedup
+  * family. Batch `dedup_exact` recomputes the whole corpus per run;
+  * at 100 TB the viable shape is this one: each arriving micro-batch
+  * anti-joins the O(store-buckets-touched) fingerprint table, only
+  * NEW fingerprints are admitted, and the store grows by O(batch) via
+  * [[BucketedUpsert]]'s bucket-pruned generation compose (untouched
+  * bucket files carry forward by hard link).
+  *
+  * Semantics: FIRST-SEEN wins — the store maps fingerprint →
+  * canonical doc_id, ties within a micro-batch broken by min doc_id.
+  * This is arrival-order dedup: when the feed is doc_id-ordered it
+  * coincides with batch `dedup_exact`'s min-doc_id canonical
+  * (asserted in the spec); out of order, the earlier ARRIVAL keeps
+  * the crown — the right call for ingest (the already-trained-on copy
+  * must stay canonical; reference has no notion of this at all).
+  *
+  * Replay safety: foreachBatch is at-least-once, so a redelivered
+  * batch re-runs the merge. First-writer-wins makes the merge
+  * idempotent for correctness; the batchId replay guard additionally
+  * skips the bucket rewrite I/O on exact redelivery.
+  */
+object DocDedupStream {
+
+  val DefaultTable = "doc_fingerprints"
+  val DefaultBuckets = 32
+
+  /** Same fingerprint as batch `dedup_exact` (TextQueries): raw-text
+    * md5. Swap for the normalized form (`doc_fingerprint`'s
+    * lower+strip) to dedup near-identical whitespace variants. */
+  def fingerprint: Column = md5(col("text"))
+
+  /** Within-batch collapse: one row per fingerprint, min doc_id. */
+  private[graft] def collapse(batch: DataFrame): DataFrame =
+    batch.select(fingerprint.as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
+
+  /** Create an empty store (idempotent — no-op if it exists). */
+  def init(spark: SparkSession, table: String = DefaultTable,
+           buckets: Int = DefaultBuckets): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      import spark.implicits._
+      BucketedUpsert.materialize(
+        Seq.empty[(String, Long)].toDF("fp", "canonical_id"),
+        table, "fp", buckets)
+    }
+
+  def drop(spark: SparkSession, table: String = DefaultTable): Unit =
+    BucketedUpsert.drop(spark, table)
+
+  /** Merge one batch of documents; FIRST-writer-wins on fingerprint
+    * (coalesce(existing, delta) — the mirror of the grant store's
+    * last-writer-wins). O(delta): only buckets containing the batch's
+    * fingerprints are read or rewritten. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame,
+                  table: String = DefaultTable,
+                  buckets: Int = DefaultBuckets,
+                  batchId: Option[Long] = None): Unit =
+    BucketedUpsert.upsert(spark, table, collapse(batch),
+      Seq("fp"), "fp", buckets,
+      merge = (_, existing, delta) => coalesce(existing, delta),
+      batchId = batchId)
+
+  /** Streaming sink: `docs.writeStream` → incremental store merges. */
+  def writer(docs: DataFrame, table: String = DefaultTable,
+             buckets: Int = DefaultBuckets): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        upsertBatch(batch.sparkSession, batch, table, buckets, Some(id))
+      }
+
+  /** The store: one row per distinct fingerprint ever seen,
+    * `(fp, canonical_id)`. */
+  def read(spark: SparkSession, table: String = DefaultTable): DataFrame =
+    BucketedUpsert.read(spark, table)
+
+  /** Classify a document frame against the store — the serve-side
+    * twin of batch `dedup_exact`'s output: `(doc_id, canonical_id,
+    * is_dup)`. A doc absent from the store is its own canonical (not
+    * yet ingested); the join shuffles only the probe side when the
+    * store's bucketing is reusable. */
+  def classify(spark: SparkSession, docs: DataFrame,
+               table: String = DefaultTable): DataFrame =
+    docs.select(col("doc_id"), fingerprint.as("fp"))
+      .join(read(spark, table), Seq("fp"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+        (col("doc_id") =!= coalesce(col("canonical_id"), col("doc_id")))
+          .as("is_dup"))
+}
