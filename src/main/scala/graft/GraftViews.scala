@@ -58,5 +58,23 @@ object GraftViews {
     attempts.createOrReplaceTempView("access_attempts")
     Windowed.latestFeatureCircuit(attempts)
       .createOrReplaceTempView("feature_circuits")
+    // training-data assembly surface: the chunked corpus (RAG/indexing
+    // reads `doc_chunks` like a table), the packed-sequence occupancy
+    // map, and the PII-masked corpus (same regex pair as the
+    // pii_redaction gate query, applied to the raw text)
+    SparkEntry.queries("doc_chunks")(spark, dir)
+      .createOrReplaceTempView("doc_chunks")
+    SparkEntry.queries("pack_sequences")(spark, dir)
+      .createOrReplaceTempView("packed_sequences")
+    locally {
+      import org.apache.spark.sql.functions._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{2,}"
+      Tables.documents(spark, dir)
+        .withColumn("text",
+          regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"))
+        .createOrReplaceTempView("documents_redacted")
+    }
   }
 }

@@ -27,7 +27,7 @@ object PlanAudit {
     "q12_ship_lag", "q16_supplier_parts", "q19_disjunctive_revenue",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "decontaminate_overlap", "repetition_stats", "corpus_mix",
-    "pack_sequences", "doc_chunks", "pii_redaction")
+    "pack_sequences", "doc_chunks", "pii_redaction", "corpus_drift")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -46,7 +46,7 @@ object PlanAudit {
   val ExpectedBnlj: Set[String] = Set(
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
     "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens",
-    "q11_important_parts")
+    "q11_important_parts", "corpus_drift")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

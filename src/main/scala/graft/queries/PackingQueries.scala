@@ -140,6 +140,57 @@ object PackingQueries extends QueryModule {
               |           least($ChunkW, n_tok - chunk_idx * $ChunkS)), ' ') AS chunk_text
               |FROM c""".stripMargin)),
 
+    // Distribution-drift monitor between the train and eval splits
+    // (doc_id % 10, the decontaminate_overlap convention): per-token
+    // add-one-smoothed probabilities in each split, ranked by the
+    // chi-square-style contribution (p_t − p_e)² / (p_t + p_e). The
+    // standard corpus-shift tripwire before a training run — a token
+    // whose mass moved between splits surfaces at the top. Chi-square
+    // instead of KL on purpose: +−×/ are IEEE-exact and bit-identical
+    // across engines, ln() is not — the gate stays hash-stable.
+    // Score reported in parts-per-million. One explode + one token
+    // groupBy + a ONE-ROW broadcast totals frame (the tfidf shape).
+    Q("corpus_drift",
+      (s, dir) => {
+        val tok = docs(s, dir).select(
+          (col("doc_id") % 10 === 0).as("is_eval"),
+          explode(tokens(col("text"))).as("token"))
+        val counts = tok.groupBy(col("token")).agg(
+          count(when(!col("is_eval"), 1)).as("c_train"),
+          count(when(col("is_eval"), 1)).as("c_eval"))
+        val totals = counts.agg(
+          sum(col("c_train")).cast("double").as("n_train"),
+          sum(col("c_eval")).cast("double").as("n_eval"),
+          count(lit(1)).cast("double").as("vocab"))
+        val pt = (col("c_train") + 1) / (col("n_train") + col("vocab"))
+        val pe = (col("c_eval") + 1) / (col("n_eval") + col("vocab"))
+        counts.crossJoin(broadcast(totals))
+          .withColumn("drift_ppm",
+            round(lit(1e6) * (pt - pe) * (pt - pe) / (pt + pe), 6))
+          .select(col("token"), col("c_train"), col("c_eval"), col("drift_ppm"))
+          .orderBy(col("drift_ppm").desc, col("token"))
+          .limit(30)
+      },
+      Some("""WITH tok AS (SELECT doc_id % 10 = 0 AS is_eval,
+             |                    unnest(string_split(trim(text), ' ')) AS token
+             |             FROM documents),
+             |c AS (SELECT token,
+             |             count(CASE WHEN NOT is_eval THEN 1 END) AS c_train,
+             |             count(CASE WHEN is_eval THEN 1 END) AS c_eval
+             |      FROM tok GROUP BY token),
+             |t AS (SELECT CAST(sum(c_train) AS DOUBLE) AS n_train,
+             |             CAST(sum(c_eval) AS DOUBLE) AS n_eval,
+             |             CAST(count(*) AS DOUBLE) AS vocab FROM c),
+             |d AS (SELECT token, c_train, c_eval,
+             |             (c_train + 1) / (n_train + vocab) AS pt,
+             |             (c_eval + 1) / (n_eval + vocab) AS pe
+             |      FROM c, t)
+             |SELECT token, c_train, c_eval,
+             |       round(1e6 * (pt - pe) * (pt - pe) / (pt + pe), 6) AS drift_ppm
+             |FROM d
+             |ORDER BY drift_ppm DESC, token
+             |LIMIT 30""".stripMargin)),
+
     // PII redaction: plant one deterministic contact line per doc
     // (email + phone), then count and mask both patterns. The regexes
     // stay in the Java∩RE2 common dialect (char classes + bounded

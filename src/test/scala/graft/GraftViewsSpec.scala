@@ -38,6 +38,29 @@ class GraftViewsSpec extends AnyFunSuite {
       s"filter must reach the parquet scan, got:\n$plan")
   }
 
+  test("assembly views: chunk coverage, packing conservation, masked corpus") {
+    GraftViews.register(spark, dir)
+    // doc_chunks covers every document and chunk_text is real text
+    val cover = spark.sql(
+      """SELECT count(DISTINCT doc_id) AS nd,
+        |       count(CASE WHEN chunk_text = '' THEN 1 END) AS empties
+        |FROM doc_chunks""".stripMargin).head()
+    assert(cover.getLong(0) == spark.table("documents").count())
+    assert(cover.getLong(1) == 0)
+    // packed_sequences conserves the corpus token count
+    val packed = spark.sql(
+      "SELECT sum(n_tokens_filled) FROM packed_sequences").head().getLong(0)
+    val toks = spark.sql(
+      "SELECT sum(cast(size(split(trim(text), ' ')) AS bigint)) FROM documents")
+      .head().getLong(0)
+    assert(packed == toks, "packed token slots must equal corpus tokens")
+    // the redacted view masks anything e-mail-shaped
+    assert(spark.sql(
+      """SELECT count(*) FROM documents_redacted
+        |WHERE text RLIKE '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"""
+        .stripMargin).head().getLong(0) == 0)
+  }
+
   test("registered SQL functions work over the views") {
     // extensions normally attach at build time via
     // spark.sql.extensions=graft.GraftExtensions; for the already-built
