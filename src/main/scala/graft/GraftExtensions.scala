@@ -23,9 +23,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e: org.apache.spark.sql.catalyst.expressions.Expression,
       usage: String, name: String): Int = {
     require(e.foldable, s"$usage: $name must be an integer literal")
+    def fit(l: Long): Int = {
+      // intValue() alone would wrap: bloom_agg(k, 4294967304) silently
+      // becomes an 8-BIT filter whose every probe answers true
+      require(l >= Int.MinValue && l <= Int.MaxValue,
+        s"$usage: $name is out of Int range: $l")
+      l.toInt
+    }
     e.eval() match {
-      case n: java.lang.Number => n.intValue()
-      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      case n: java.lang.Number => fit(n.longValue())
+      case d: org.apache.spark.sql.types.Decimal =>
+        // via BigDecimal: Decimal.toLong itself wraps past Long range,
+        // and isValidInt additionally rejects fractional literals
+        val bd = d.toBigDecimal
+        require(bd.isValidInt, s"$usage: $name is out of Int range: $bd")
+        bd.toInt
       case other =>
         val got = if (other == null) "NULL" else s"$other (${e.dataType.sql})"
         throw new IllegalArgumentException(

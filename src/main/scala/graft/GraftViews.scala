@@ -68,8 +68,8 @@ object GraftViews {
       .createOrReplaceTempView("packed_sequences")
     locally {
       import org.apache.spark.sql.functions._
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phoneRe = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{2,}"
+      val emailRe = graft.queries.PackingQueries.EmailRe
+      val phoneRe = graft.queries.PackingQueries.PhoneRe
       Tables.documents(spark, dir)
         .withColumn("text",
           regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),

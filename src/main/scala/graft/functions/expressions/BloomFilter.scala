@@ -94,6 +94,11 @@ object BloomOps {
         f"bloom_might_contain: bad filter header 0x$header%02x (expected magic " +
           f"0x$HeaderMagic%02x in the high bits) — input was not built by bloom_agg")
     val k = header & KMask
+    // withHeader only emits k in [1,16]; 0 (vacuous all-true probe) or
+    // 17-31 can only come from bytes that happen to carry the magic
+    if (k < 1 || k > 16)
+      throw new IllegalArgumentException(
+        s"bloom_might_contain: header k=$k out of [1,16] — input was not built by bloom_agg")
     val h1 = hash1(v); val h2 = hash2(v)
     val n = (bloom.length - HeaderBytes).toLong * 8L
     var i = 0

@@ -43,6 +43,15 @@ object PackingQueries extends QueryModule {
   private val ChunkW = 64
   private val ChunkS = 48
 
+  /** PII patterns, shared by the `pii_redaction` gate query, the
+    * `documents_redacted` view (GraftViews), and both specs — one
+    * definition so the served view can never silently diverge from the
+    * oracle-checked redaction. Java∩RE2∩DuckDB common dialect (char
+    * classes + bounded quantifiers only), so the same raw string works
+    * as a Spark regex and inside a DuckDB single-quoted literal. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{2,}"
+
   val all: Seq[Q] = Seq(
 
     // Sequence packing, concat-and-chunk style: documents concatenate
@@ -63,7 +72,10 @@ object PackingQueries extends QueryModule {
           .withColumn("pid", spark_partition_id())
         val local = parted.withColumn("cum_end",
           sum(col("n_tok")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
-        val prefix = local.groupBy(col("pid")).agg(max(col("cum_end")).as("ptot"))
+        // totals come straight off `parted` (map-side partial sum), not
+        // max(cum_end): the latter would evaluate the partition-local
+        // sort+window a second time in the totals branch
+        val prefix = parted.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptot"))
           .withColumn("before", coalesce(
             sum(col("ptot")).over(Window.orderBy(col("pid"))
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -198,8 +210,8 @@ object PackingQueries extends QueryModule {
     // byte-for-byte — pinned by the md5 of the redacted text.
     Q("pii_redaction",
       (s, dir) => {
-        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phoneRe = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{2,}"
+        val emailRe = EmailRe
+        val phoneRe = PhoneRe
         val aug = concat(col("text"), lit(" contact user"),
           col("doc_id").cast("string"), lit("@example.com or +1 (555) 0"),
           col("doc_id").cast("string"))
@@ -214,24 +226,22 @@ object PackingQueries extends QueryModule {
             length(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
               phoneRe, "<PHONE>")).as("redacted_len"))
       },
-      Some("""WITH a AS (SELECT doc_id,
-             |                  text || ' contact user' || doc_id ||
-             |                  '@example.com or +1 (555) 0' || doc_id AS aug
-             |           FROM documents)
-             |SELECT doc_id,
-             |       CAST(len(regexp_extract_all(aug,
-             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-             |         AS n_emails,
-             |       CAST(len(regexp_extract_all(aug,
-             |           '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{2,}')) AS BIGINT) AS n_phones,
-             |       md5(regexp_replace(regexp_replace(aug,
-             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             |           '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{2,}', '<PHONE>', 'g'))
-             |         AS redacted_md5,
-             |       length(regexp_replace(regexp_replace(aug,
-             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             |           '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{2,}', '<PHONE>', 'g'))
-             |         AS redacted_len
-             |FROM a""".stripMargin))
+      Some(s"""WITH a AS (SELECT doc_id,
+              |                  text || ' contact user' || doc_id ||
+              |                  '@example.com or +1 (555) 0' || doc_id AS aug
+              |           FROM documents)
+              |SELECT doc_id,
+              |       CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT)
+              |         AS n_emails,
+              |       CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+              |       md5(regexp_replace(regexp_replace(aug,
+              |           '$EmailRe', '<EMAIL>', 'g'),
+              |           '$PhoneRe', '<PHONE>', 'g'))
+              |         AS redacted_md5,
+              |       length(regexp_replace(regexp_replace(aug,
+              |           '$EmailRe', '<EMAIL>', 'g'),
+              |           '$PhoneRe', '<PHONE>', 'g'))
+              |         AS redacted_len
+              |FROM a""".stripMargin))
   )
 }

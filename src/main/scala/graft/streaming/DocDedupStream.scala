@@ -34,8 +34,16 @@ object DocDedupStream {
 
   /** Same fingerprint as batch `dedup_exact` (TextQueries): raw-text
     * md5. Swap for the normalized form (`doc_fingerprint`'s
-    * lower+strip) to dedup near-identical whitespace variants. */
-  def fingerprint: Column = md5(col("text"))
+    * lower+strip) to dedup near-identical whitespace variants.
+    *
+    * NULL text maps to a fixed sentinel (never 32 hex chars, so it
+    * cannot collide with a real md5): batch `dedup_exact`'s
+    * Window.partitionBy groups all NULL-text docs into ONE partition,
+    * and a null fp here would instead fall out of every equi-join —
+    * the store would accrete one unmatchable NULL row per batch and
+    * classify would call every null-text doc canonical. */
+  def fingerprint: Column =
+    coalesce(md5(col("text")), lit("null-text"))
 
   /** Within-batch collapse: one row per fingerprint, min doc_id. */
   private[graft] def collapse(batch: DataFrame): DataFrame =

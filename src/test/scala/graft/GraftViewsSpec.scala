@@ -54,11 +54,13 @@ class GraftViewsSpec extends AnyFunSuite {
       "SELECT sum(cast(size(split(trim(text), ' ')) AS bigint)) FROM documents")
       .head().getLong(0)
     assert(packed == toks, "packed token slots must equal corpus tokens")
-    // the redacted view masks anything e-mail-shaped
-    assert(spark.sql(
-      """SELECT count(*) FROM documents_redacted
-        |WHERE text RLIKE '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"""
-        .stripMargin).head().getLong(0) == 0)
+    // the redacted view masks anything e-mail-shaped — probed with the
+    // gate query's own shared pattern, so the view and the oracle-
+    // checked redaction cannot drift apart unnoticed
+    assert(spark.table("documents_redacted")
+      .filter(org.apache.spark.sql.functions.col("text")
+        .rlike(graft.queries.PackingQueries.EmailRe))
+      .count() == 0)
   }
 
   test("registered SQL functions work over the views") {

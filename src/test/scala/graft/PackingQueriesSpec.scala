@@ -64,8 +64,8 @@ class PackingQueriesSpec extends AnyFunSuite {
   }
 
   test("pii_redaction: planted patterns are counted and fully removed") {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phoneRe = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{2,}"
+    val emailRe = graft.queries.PackingQueries.EmailRe
+    val phoneRe = graft.queries.PackingQueries.PhoneRe
     val out = SparkEntry.queries("pii_redaction")(spark, sf)
     assert(out.filter(col("n_emails") < 1 || col("n_phones") < 1).count() == 0,
       "every doc carries at least the planted email + phone")
