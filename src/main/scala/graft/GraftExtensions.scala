@@ -31,6 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       l.toInt
     }
     e.eval() match {
+      case d: java.lang.Double =>
+        // longValue() would silently truncate lit(65536.5); hold
+        // floating literals to the same integral rule as Decimal
+        require(d.doubleValue() == Math.rint(d.doubleValue()) && !d.isInfinite && !d.isNaN,
+          s"$usage: $name must be an integral value, got $d")
+        fit(d.longValue())
+      case f: java.lang.Float =>
+        require(f.floatValue() == Math.rint(f.floatValue()).toFloat && !f.isInfinite && !f.isNaN,
+          s"$usage: $name must be an integral value, got $f")
+        fit(f.longValue())
       case n: java.lang.Number => fit(n.longValue())
       case d: org.apache.spark.sql.types.Decimal =>
         // via BigDecimal: Decimal.toLong itself wraps past Long range,
@@ -97,6 +107,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val usage = "bloom_agg(key[, numBits, numHashes])"
         val numBits = if (exprs.length > 1) litInt(exprs(1), usage, "numBits") else 1 << 20
         val numHashes = if (exprs.length > 2) litInt(exprs(2), usage, "numHashes") else 5
+        // the header stores k in 5 bits capped at 16; rejecting here at
+        // plan time carries the usage string instead of failing deep in
+        // aggregation finalization with a context-free message
+        require(numHashes >= 1 && numHashes <= 16,
+          s"$usage: numHashes must be in [1,16], got $numHashes")
+        require(numBits >= 8, s"$usage: numBits must be >= 8, got $numBits")
         // the chosen k travels in the filter's header byte, so the
         // probe side needs no matching argument
         BloomFilterAgg(exprs.head, numBits, numHashes).toAggregateExpression()

@@ -66,7 +66,15 @@ object BloomOps {
     * whose byte 0 happens to look like a k) must fail fast with a
     * bloom-specific message, not an ArrayIndexOutOfBounds/divide-by-
     * zero deep inside the codegen'd scan loop — or worse, silently
-    * misread and drop joining rows. */
+    * misread and drop joining rows.
+    *
+    * COMPATIBILITY: this magic+k header (version 1) replaced an earlier
+    * k-only header byte. Filters are runtime join artifacts — built,
+    * broadcast, and dropped within one query — so nothing persists them
+    * today; if filter bytes ever outlive a run (e.g. a materialized
+    * prefilter table), bytes written under the old header fail probe()'s
+    * magic check and must be rebuilt, and any future layout change must
+    * bump the version in the high 3 bits. */
   val HeaderBytes = 1
   val HeaderMagicMask = 0xE0
   val HeaderMagic = 0xA0 // version 1 marker in the header's high 3 bits

@@ -159,9 +159,15 @@ object PackingQueries extends QueryModule {
     // standard corpus-shift tripwire before a training run — a token
     // whose mass moved between splits surfaces at the top. Chi-square
     // instead of KL on purpose: +−×/ are IEEE-exact and bit-identical
-    // across engines, ln() is not — the gate stays hash-stable.
-    // Score reported in parts-per-million. One explode + one token
-    // groupBy + a ONE-ROW broadcast totals frame (the tfidf shape).
+    // across engines, ln() is not — and the score is emitted as a
+    // FIXED-POINT BIGINT (floor of 1e12×chi, i.e. ppm with 6 decimals)
+    // rather than round(double, n): floor of an identical IEEE double
+    // is identical everywhere, while decimal rounding of a double is
+    // engine-specific on half-way-representable boundaries (Spark
+    // BigDecimal HALF_UP vs DuckDB float rounding) — the gate stays
+    // hash-stable at every scale factor, not just the tested one.
+    // One explode + one token groupBy + a ONE-ROW broadcast totals
+    // frame (the tfidf shape).
     Q("corpus_drift",
       (s, dir) => {
         val tok = docs(s, dir).select(
@@ -177,10 +183,11 @@ object PackingQueries extends QueryModule {
         val pt = (col("c_train") + 1) / (col("n_train") + col("vocab"))
         val pe = (col("c_eval") + 1) / (col("n_eval") + col("vocab"))
         counts.crossJoin(broadcast(totals))
-          .withColumn("drift_ppm",
-            round(lit(1e6) * (pt - pe) * (pt - pe) / (pt + pe), 6))
-          .select(col("token"), col("c_train"), col("c_eval"), col("drift_ppm"))
-          .orderBy(col("drift_ppm").desc, col("token"))
+          // chi ≤ max(pt,pe) ≤ 1, so 1e12·chi < 2^53: floor+cast is exact
+          .withColumn("drift_ppm_fp6",
+            floor(lit(1e12) * (pt - pe) * (pt - pe) / (pt + pe)))
+          .select(col("token"), col("c_train"), col("c_eval"), col("drift_ppm_fp6"))
+          .orderBy(col("drift_ppm_fp6").desc, col("token"))
           .limit(30)
       },
       Some("""WITH tok AS (SELECT doc_id % 10 = 0 AS is_eval,
@@ -198,9 +205,10 @@ object PackingQueries extends QueryModule {
              |             (c_eval + 1) / (n_eval + vocab) AS pe
              |      FROM c, t)
              |SELECT token, c_train, c_eval,
-             |       round(1e6 * (pt - pe) * (pt - pe) / (pt + pe), 6) AS drift_ppm
+             |       CAST(floor(1e12 * (pt - pe) * (pt - pe) / (pt + pe)) AS BIGINT)
+             |         AS drift_ppm_fp6
              |FROM d
-             |ORDER BY drift_ppm DESC, token
+             |ORDER BY drift_ppm_fp6 DESC, token
              |LIMIT 30""".stripMargin)),
 
     // PII redaction: plant one deterministic contact line per doc

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bucketed by the join keys); the loader is the single seam where that
   * swap happens.
   */
-object Tables {
+object Tables extends org.apache.spark.internal.Logging {
   private def p(dir: String, name: String): String = s"$dir/$name.parquet"
 
   /** Split-starved scan fix: Spark parallelizes a parquet scan by file
@@ -44,11 +44,17 @@ object Tables {
       // a file can vanish between inputFiles and the stat (concurrent
       // rewrite/compaction); the estimate only gates a heuristic
       // repartition, so treat an unreadable file as 0 bytes rather
-      // than failing the whole query
+      // than failing the whole query — but log it, so a WHOLESALE stat
+      // failure (permissions/auth broken for the dataset) that silently
+      // disables the rebalance is visible in the driver log
       try {
         val p = new org.apache.hadoop.fs.Path(f)
         p.getFileSystem(hconf).getFileStatus(p).getLen
-      } catch { case _: java.io.IOException => 0L }
+      } catch {
+        case e: java.io.IOException =>
+          logWarning(s"fanout size estimate: cannot stat $f, counting 0 bytes", e)
+          0L
+      }
     }.sum
     val estSplits = math.max(files.length.toLong,
       (totalBytes + maxSplit - 1) / maxSplit)

@@ -118,6 +118,18 @@ class BloomFilterSpec extends AnyFunSuite {
     val bf = spark.sql("SELECT bloom_agg(k, 65536.0) AS bf FROM bloom_lit_check")
       .head().getAs[Array[Byte]](0)
     assert(bf.length == (1 << 13) + BloomOps.HeaderBytes)
+    // a FRACTIONAL double literal must be rejected, not truncated
+    val fracMsg = chainMessage(intercept[Exception] {
+      spark.sql("SELECT bloom_agg(k, CAST(65536.5 AS DOUBLE)) FROM bloom_lit_check").collect()
+    })
+    assert(fracMsg.contains("integral"), fracMsg)
+    // numHashes beyond the 5-bit header cap fails at PLAN time with the
+    // usage string, not at aggregation finalization
+    val kMsg = chainMessage(intercept[Exception] {
+      spark.sql("SELECT bloom_agg(k, 65536, 17) FROM bloom_lit_check").collect()
+    })
+    assert(kMsg.contains("bloom_agg(key[, numBits, numHashes]") &&
+      kMsg.contains("[1,16]"), kMsg)
   }
 
   test("null keys neither insert nor probe (three-valued logic)") {

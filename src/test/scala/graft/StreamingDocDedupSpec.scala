@@ -25,10 +25,14 @@ class StreamingDocDedupSpec extends AnyFunSuite {
     DocDedupStream.drop(spark, table)
     DocDedupStream.init(spark, table, buckets = 8)
     try {
+      // two NULL-text docs ride in the LAST chunk: they must collapse
+      // onto the documented 'null-text' sentinel (one store row,
+      // first/min doc_id canonical), not accrete unmatchable NULL rows
+      val nullDocs = Seq(Doc(9000001L, null), Doc(9000002L, null))
       val docs = Tables.documents(spark, sf)
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
-        .as[Doc].collect()
+        .as[Doc].collect() ++ nullDocs
       val ms = MemoryStream[Doc](spark)
       val q = DocDedupStream.writer(ms.toDF(), table, buckets = 8)
         .queryName("ddp_converge_q").start()
@@ -38,14 +42,20 @@ class StreamingDocDedupSpec extends AnyFunSuite {
         }
       } finally q.stop()
 
-      // streaming store == batch dedup_exact's (fp → min doc_id) map
+      // streaming store == batch (fp → min doc_id) map, computed with
+      // the SAME fingerprint expression the stream uses (sentinel
+      // included) so the spec exercises the code's NULL contract
+      // rather than silently diverging from it
       val got = DocDedupStream.read(spark, table).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val want = Tables.documents(spark, sf)
-        .groupBy(md5(col("text")).as("fp"))
+        .select(col("doc_id"), col("text"))
+        .unionByName(nullDocs.toDF("doc_id", "text"))
+        .groupBy(DocDedupStream.fingerprint.as("fp"))
         .agg(min(col("doc_id")).as("canonical_id")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == want)
+      assert(got("null-text") == 9000001L, "NULL texts must share the sentinel row")
 
       // classify agrees with the batch dedup_exact query row-for-row
       val streamed = DocDedupStream
