@@ -135,6 +135,22 @@ object TextQueries extends QueryModule {
         .cache()
     })
 
+  /** Batch MinHash+LSH near-dup cluster labels for an arbitrary
+    * `[doc_id, text]` frame: the dedup_clusters pipeline (shingle →
+    * minhash → band collision → exact Jaccard ≥ 0.5 → connected
+    * components) without the per-source memo — the ground truth the
+    * streaming index (MinHashDedupStream) converges to. */
+  def minhashClusterLabels(d: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val sh = d.filter(size(t) >= 3)
+      .select(col("doc_id"), explode(shingles(t)).as("s"))
+      .withColumn("h", portableHash(col("s")))
+    val edges = minhashPairs(sh).filter(col("jaccard") >= 0.5)
+      .select(col("d1").as("a"), col("d2").as("b"))
+    graft.operators.ConnectedComponents.components(edges)
+      .select(col("node").as("doc_id"), col("component").as("canonical_id"))
+  }
+
   /** Winnowing fingerprint selection over a `[doc_id, text]` frame:
     * DISTINCT per-doc minima of every W-window of ordered 3-gram
     * hashes → `[doc_id, wm]`. Guarantee (Schleimer et al. '03): any

@@ -55,6 +55,42 @@ object BucketedUpsert extends org.apache.spark.internal.Logging {
     publish(spark, table, gen)
   }
 
+  /** The generation currently served by the view (None before the
+    * first materialize). */
+  private[graft] def activeGen(spark: SparkSession, table: String): Option[String] = {
+    if (!spark.catalog.tableExists(table)) return None
+    val (a, b) = generations(table)
+    Some(if (inactiveGen(spark, table) == a) b else a)
+  }
+
+  /** Bucket-pruned point read — the O(delta) PROBE twin of `upsert`:
+    * only the bucket files that could contain `keys0`'s bucketKey
+    * values are scanned; a 10-key probe against a 100 TB table reads
+    * ~10 buckets of parquet, not the table. The returned frame is a
+    * SUPERSET restricted to those buckets (other keys hashing into the
+    * same bucket ride along) — callers must still equi/semi-join it
+    * against their key set. `bucketKey`/`buckets` must match the
+    * table's layout (same contract as upsert).  */
+  def readKeys(spark: SparkSession, table: String, keys0: DataFrame,
+               bucketKey: String, buckets: Int): DataFrame = {
+    val empty = () => spark.table(table).limit(0)
+    val touched = affectedBuckets(keys0.select(col(bucketKey)), bucketKey, buckets)
+    if (touched.isEmpty) return empty()
+    activeGen(spark, table) match {
+      case None => empty()
+      case Some(active) =>
+        val dir = tableDir(spark, active)
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(dir)
+        val files = try listing.iterator().asScala
+          .filter(p => bucketIdOf(p.getFileName.toString).exists(touched))
+          .map(_.toString).toSeq
+        finally listing.close()
+        if (files.isEmpty) empty()
+        else spark.read.schema(spark.table(table).schema).parquet(files: _*)
+    }
+  }
+
   /** Read through the view. Spark's table-relation cache is
     * per-session: a foreachBatch upsert runs in the micro-batch's
     * CLONED session, whose `REFRESH TABLE` cannot invalidate a reader
