@@ -27,7 +27,8 @@ object PlanAudit {
     "q12_ship_lag", "q16_supplier_parts", "q19_disjunctive_revenue",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "decontaminate_overlap", "repetition_stats", "corpus_mix",
-    "pack_sequences", "doc_chunks", "pii_redaction", "corpus_drift")
+    "pack_sequences", "doc_chunks", "pii_redaction", "corpus_drift",
+    "embed_ann_indexed")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -43,10 +44,14 @@ object PlanAudit {
   // candidate array / the corpus count). bloom_semi_join does NOT:
   // its bloom is a driver-materialized literal, so the plan is a
   // plain filtered join (audited in DefaultNames).
+  // embed_ann_indexed's BNLJ is the QUERY side only (20 queries × ≤16
+  // broadcast pivots, ranking probe cells) — the data side reads the
+  // persisted cell store's bucket files, never a corpus re-assignment
+  // (file-pruning asserted in IvfIndexStoreSpec).
   val ExpectedBnlj: Set[String] = Set(
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
     "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens",
-    "q11_important_parts", "corpus_drift")
+    "q11_important_parts", "corpus_drift", "embed_ann_indexed")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

@@ -38,10 +38,32 @@ object EmbeddingQueries extends QueryModule {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .cache())
 
+  /** Session-scoped memo of the PERSISTED IVF index (IvfIndexStore):
+    * built once per (session, source) — drop/init/full ingest — then
+    * probed read-only by every embed_ann_indexed run, the
+    * build-once/probe-many contract the per-query ivfTopKWith lacks.
+    * The value is the store's table prefix. */
+  private val ivfIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def ivfIndexPrefix(s: SparkSession, dir: String): String =
+    ivfIndexCache.getOrElseUpdate((s, dir), {
+      // hex of hashCode: unsigned, catalog-identifier-safe
+      val p = "ivfq_" + java.lang.Integer.toHexString(dir.hashCode)
+      graft.sources.IvfIndexStore.drop(s, p)
+      graft.sources.IvfIndexStore.init(s,
+        vecs(s, dir).filter(col("vec_id") < 16)
+          .select(col("vec_id").as("pid"), col("emb").as("pemb")), p)
+      graft.sources.IvfIndexStore.upsertBatch(s, vecs(s, dir), p)
+      p
+    })
+
   /** Drop this module's session memos (see [[graft.Caches]]). */
   private[graft] def clearCaches(): Unit = {
     vecCache.values.foreach(_.unpersist(false))
     vecCache.clear()
+    ivfIndexCache.foreach { case ((s, _), p) =>
+      graft.sources.IvfIndexStore.drop(s, p) }
+    ivfIndexCache.clear()
   }
 
   /** Sign-bit LSH bucket: Σ 2^i · [emb_i > 0] over the first `bits`
@@ -200,6 +222,37 @@ object EmbeddingQueries extends QueryModule {
         .select(col("vec_id").as("pid"), col("emb").as("pemb")),
       queryPred, k, nProbe)
 
+  /** Oracle for BOTH IVF variants (per-query `embed_ann_ivf` and the
+    * persisted-index `embed_ann_indexed`): same pivots, same nProbe,
+    * same tie-breaks ⇒ the index must reproduce the inline plan's
+    * output bit-for-bit — one SQL text, two hash-matched queries. */
+  private val ivfProbeSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |piv AS (SELECT vec_id AS pid, emb AS pemb FROM e WHERE vec_id < 16),
+      |a AS (SELECT e.vec_id, e.emb, p.pid,
+      |             list_dot_product(e.emb, p.pemb)
+      |               / (sqrt(list_dot_product(e.emb, e.emb))
+      |                  * sqrt(list_dot_product(p.pemb, p.pemb))) AS psim
+      |      FROM e CROSS JOIN piv p),
+      |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                    ORDER BY psim DESC, pid) AS prn
+      |       FROM a),
+      |cells AS (SELECT vec_id AS neighbor_id, emb, pid AS cell
+      |          FROM r0 WHERE prn = 1),
+      |qp AS (SELECT vec_id AS query_id, emb AS qemb, pid AS cell
+      |       FROM r0 WHERE vec_id < 20 AND prn <= 2),
+      |p AS (SELECT qp.query_id, n.neighbor_id,
+      |             list_dot_product(qp.qemb, n.emb)
+      |               / (sqrt(list_dot_product(qp.qemb, qp.qemb))
+      |                  * sqrt(list_dot_product(n.emb, n.emb))) AS sim
+      |      FROM qp JOIN cells n
+      |        ON qp.cell = n.cell AND n.neighbor_id <> qp.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      |      FROM p)
+      |SELECT query_id, neighbor_id, rnk, round(sim, 5) AS sim
+      |FROM r WHERE rnk <= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Brute-force cosine top-5 for a fixed query set — the exact ANN
@@ -316,31 +369,22 @@ object EmbeddingQueries extends QueryModule {
     // the LSH variants (see ivfTopK scaladoc for the k-means story)
     Q("embed_ann_ivf",
       (s, dir) => ivfTopK(vecs(s, dir), col("vec_id") < 20, k = 3),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-             |piv AS (SELECT vec_id AS pid, emb AS pemb FROM e WHERE vec_id < 16),
-             |a AS (SELECT e.vec_id, e.emb, p.pid,
-             |             list_dot_product(e.emb, p.pemb)
-             |               / (sqrt(list_dot_product(e.emb, e.emb))
-             |                  * sqrt(list_dot_product(p.pemb, p.pemb))) AS psim
-             |      FROM e CROSS JOIN piv p),
-             |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-             |                                    ORDER BY psim DESC, pid) AS prn
-             |       FROM a),
-             |cells AS (SELECT vec_id AS neighbor_id, emb, pid AS cell
-             |          FROM r0 WHERE prn = 1),
-             |qp AS (SELECT vec_id AS query_id, emb AS qemb, pid AS cell
-             |       FROM r0 WHERE vec_id < 20 AND prn <= 2),
-             |p AS (SELECT qp.query_id, n.neighbor_id,
-             |             list_dot_product(qp.qemb, n.emb)
-             |               / (sqrt(list_dot_product(qp.qemb, qp.qemb))
-             |                  * sqrt(list_dot_product(n.emb, n.emb))) AS sim
-             |      FROM qp JOIN cells n
-             |        ON qp.cell = n.cell AND n.neighbor_id <> qp.query_id),
-             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-             |                                   ORDER BY sim DESC, neighbor_id) AS rnk
-             |      FROM p)
-             |SELECT query_id, neighbor_id, rnk, round(sim, 5) AS sim
-             |FROM r WHERE rnk <= 3""".stripMargin)),
+      Some(ivfProbeSql)),
+
+    // The SAME probe against the PERSISTED index (IvfIndexStore):
+    // cell assignments are materialized once per (session, source) and
+    // maintained incrementally on ingest; the probe reads only the
+    // probed cells' bucket files instead of re-assigning the corpus.
+    // Shares embed_ann_ivf's oracle text — the two must hash-match.
+    Q("embed_ann_indexed",
+      (s, dir) => {
+        val p = ivfIndexPrefix(s, dir)
+        graft.sources.IvfIndexStore.topK(s,
+          vecs(s, dir).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("emb").as("qemb")),
+          p, k = 3, nProbe = 2)
+      },
+      Some(ivfProbeSql)),
 
     // int8 scalar quantization: per-vector symmetric scale
     // (max|x|/127), quantize, measure reconstruction error — the 4×
