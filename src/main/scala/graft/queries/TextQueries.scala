@@ -442,20 +442,45 @@ object TextQueries extends QueryModule {
              |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
              |FROM documents""".stripMargin)),
 
-    // n-gram Jaccard near-dup: candidate pairs share >=1 shingle
-    // (inverted-index join — no doc×doc cross product), then exact
-    // Jaccard >= 0.2
+    // n-gram Jaccard near-dup: candidate pairs share >=1 DISCRIMINATIVE
+    // shingle (document frequency <= 50 — the same boilerplate ablation
+    // winnow_candidates applies), then exact Jaccard >= 0.2 over the
+    // FULL shingle sets of the surviving pairs. The df cap is what
+    // keeps this plan alive at 100×: an uncapped inverted-index
+    // self-join fans a template shingle appearing in d docs into d²/2
+    // pairs (quadratic in the corpus for boilerplate), while the cap
+    // bounds any single shingle's contribution at 50·49/2 pairs and
+    // costs only pairs whose ENTIRE overlap is >50-doc template text —
+    // which a 0.2-Jaccard near-dup pair essentially never is (verified
+    // unchanged on the fixtures at sf0.01/sf0.1).
     Q("dedup_ngram_jaccard",
       (s, dir) => {
         val sh = shingleRowsCached(s, dir)
-        jaccardOf(sharedCounts(sh, None), sh)
+        val maxDf = 50
+        val byS = Window.partitionBy(col("s"))
+        val ab = sh.withColumn("df", count(lit(1)).over(byS))
+          .filter(col("df") <= maxDf)
+          .select(col("doc_id"), col("s"))
+        val cands = ab.select(col("doc_id").as("d1"), col("s"))
+          .join(ab.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2")).distinct()
+        jaccardOf(sharedCounts(sh, Some(cands)), sh)
           .filter(col("jaccard") >= 0.2)
           .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
       },
       Some(s"""WITH $shingleCte,
               |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-              |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |ab AS (SELECT doc_id, s
+              |       FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+              |             FROM sh) t
+              |       WHERE df <= 50),
+              |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |          FROM ab a JOIN ab b ON a.s = b.s AND a.doc_id < b.doc_id),
+              |pairs AS (SELECT c.d1, c.d2, count(*) AS shared
+              |          FROM cands c
+              |          JOIN sh a ON a.doc_id = c.d1
+              |          JOIN sh b ON b.doc_id = c.d2 AND a.s = b.s
               |          GROUP BY 1, 2),
               |j AS (SELECT d1, d2, shared / (1.0 * (n1.n + n2.n - shared)) AS jaccard
               |      FROM pairs
@@ -663,19 +688,19 @@ object TextQueries extends QueryModule {
     // rank by portable hash within the stratum, keep the lowest ranks.
     // The quota computation runs on the 5-row per-lang count frame (a
     // partition-less window over an already-aggregated tiny frame, not
-    // over data); the per-doc work is one window rank partitioned by
-    // lang + a broadcast quota join. Growth-stable: adding docs to one
-    // stratum never evicts a selected doc of another.
+    // over data). Growth-stable: adding docs to one stratum never
+    // evicts a selected doc of another.
     //
-    // Scale note (honest limitation): rank-within-stratum puts each
-    // stratum through ONE WindowExec task — fine for thousands of
-    // strata × moderate width, wrong for 5 strata × billions of docs.
-    // The at-scale variant replaces `rk <= quota` with a hash
-    // THRESHOLD at the quota-th quantile of the per-stratum hash
-    // distribution (approx_percentile over hashes, then
-    // hash <= cutoff): fully parallel, deterministic, within sketch-ε
-    // of the quota — but no longer row-exact, hence not the oracled
-    // form here.
+    // Scale design: the per-stratum rank is TWO-PHASE (the
+    // pack_sequences prefix-sum pattern), never one WindowExec task
+    // per stratum. The portable hash's top 6 bits carve each stratum
+    // into 64 RANGE cells (range, not pmod — cells must partition the
+    // (h, doc_id) rank order); phase 1 ranks within (lang, cell) —
+    // O(stratum/64) per task — and phase 2 adds the broadcast prefix
+    // of earlier cells' counts (5 langs × 64 cells = 320 rows). Every
+    // per-doc stage parallelizes by cell at 5 strata × billions of
+    // docs; the only partition-less window rides the 320-row counts
+    // frame.
     Q("corpus_mix",
       (s, dir) => {
         val weights = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
@@ -691,10 +716,26 @@ object TextQueries extends QueryModule {
             min(col("n_l").cast("double") / col("w"))
               .over(Window.partitionBy())))
           .select(col("lang"), col("quota"))
-        val ranked = d.withColumn("rk",
-          row_number().over(Window.partitionBy(col("lang"))
-            .orderBy(portableHash(col("doc_id").cast("string")), col("doc_id"))))
-        ranked.join(broadcast(quotas), Seq("lang"))
+        // two-phase rank: cell = top 6 bits of the 60-bit hash (a
+        // RANGE partition of the rank order), local rank within
+        // (lang, cell), plus the prefix of earlier cells' counts
+        val cells = d
+          .withColumn("h", portableHash(col("doc_id").cast("string")))
+          .withColumn("cell", shiftright(col("h"), 54))
+        val localRk = row_number().over(
+          Window.partitionBy(col("lang"), col("cell"))
+            .orderBy(col("h"), col("doc_id")))
+        val prefix = cells.groupBy(col("lang"), col("cell"))
+          .agg(count(lit(1)).as("cn"))
+          .withColumn("before", coalesce(
+            sum(col("cn")).over(Window.partitionBy(col("lang"))
+              .orderBy(col("cell"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("lang"), col("cell"), col("before"))
+        cells.withColumn("lrk", localRk)
+          .join(broadcast(prefix), Seq("lang", "cell"))
+          .withColumn("rk", col("lrk") + col("before"))
+          .join(broadcast(quotas), Seq("lang"))
           .filter(col("rk") <= col("quota"))
           .select(col("doc_id"), col("lang"))
       },

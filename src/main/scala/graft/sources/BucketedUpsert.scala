@@ -38,12 +38,27 @@ object BucketedUpsert extends org.apache.spark.internal.Logging {
   private[graft] def publish(spark: SparkSession, table: String, gen: String): Unit =
     spark.sql(s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM `$gen`")
 
-  /** Drop the view and both generations (test/cleanup utility). */
+  /** Drop the view and both generations (test/cleanup utility). Also
+    * removes ORPHANED generation directories: the catalog is
+    * per-process, the warehouse directory is not — a session that
+    * exits without dropping leaves bytes whose next-session CREATE
+    * fails with LOCATION_ALREADY_EXISTS even though DROP TABLE IF
+    * EXISTS was a no-op. */
   def drop(spark: SparkSession, table: String): Unit = {
     val (a, b) = generations(table)
     spark.sql(s"DROP VIEW IF EXISTS `$table`")
-    spark.sql(s"DROP TABLE IF EXISTS `$a`")
-    spark.sql(s"DROP TABLE IF EXISTS `$b`")
+    Seq(a, b).foreach { g =>
+      spark.sql(s"DROP TABLE IF EXISTS `$g`")
+      val loc = java.nio.file.Paths.get(spark.sessionState.catalog
+        .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(g)))
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
   }
 
   /** Full materialization into the inactive generation + publish. */
