@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   * a double sum would differ in the last ulps depending on partition
   * order. Per-row double arithmetic (same IEEE ops both engines) is
   * deterministic, so casting the row expression is enough.
+  *
+  * Broadcast-hint policy: explicit `broadcast()` only on sides whose
+  * size is bounded INDEPENDENT of scale factor — nation (25 rows),
+  * region (5), and one-row scalar frames. Customer/supplier/part
+  * sides, filtered or not, grow with the data: a forced hint there is
+  * a driver-OOM waiting for a low-selectivity predicate at 100×,
+  * while AQE broadcasts them anyway at runtime whenever their ACTUAL
+  * post-filter size fits (which it does at every tested SF) and
+  * degrades to a shuffle join, not an OOM, when it doesn't.
   */
 object RelationalQueries extends QueryModule {
 
@@ -65,7 +74,7 @@ object RelationalQueries extends QueryModule {
         val o = Tables.orders(s, dir)
         val l = Tables.lineitem(s, dir)
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("l_orderkey"))
           .agg(dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -83,9 +92,9 @@ object RelationalQueries extends QueryModule {
 
     // TPC-H Q10-shaped returned-items report: which customers returned
     // the most revenue — fact⨝fact join (lineitem⨝orders shuffled on
-    // orderkey) with broadcast customer/nation dims, top 20. The
-    // mixed-strategy join showcase: Catalyst broadcasts the dims and
-    // sort-merge/shuffle-hash-joins the two facts.
+    // orderkey) with dim joins AQE plans as broadcasts at tested
+    // sizes, top 20. The mixed-strategy join showcase: broadcast dims,
+    // sort-merge/shuffle-hash between the two facts.
     Q("q10_returned_items",
       (s, dir) => {
         val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
@@ -93,7 +102,7 @@ object RelationalQueries extends QueryModule {
         val c = Tables.customer(s, dir)
         val n = Tables.nation(s, dir)
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
           .agg(dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
@@ -121,7 +130,7 @@ object RelationalQueries extends QueryModule {
         val l = Tables.lineitem(s, dir)
         val p = Tables.part(s, dir)
         val rev = dec(col("l_extendedprice") * (lit(1) - col("l_discount")))
-        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
           .agg(
             dbl4(sum(when(col("p_type") === "PROMO", rev))).as("promo_revenue"),
             dbl4(sum(rev)).as("total_revenue"),
@@ -146,7 +155,7 @@ object RelationalQueries extends QueryModule {
         val sup = Tables.supplier(s, dir)
         val n = Tables.nation(s, dir)
         val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
-        l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        l.join(sup, l("l_suppkey") === sup("s_suppkey"))
           .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("n_name"))
@@ -509,8 +518,8 @@ object RelationalQueries extends QueryModule {
         val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
           .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n1), sup("s_nationkey") === col("s_nk"))
           .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
           .filter(col("supp_nation") =!= col("cust_nation"))
@@ -554,10 +563,10 @@ object RelationalQueries extends QueryModule {
         val r = Tables.region(s, dir).filter(col("r_name") === "AMERICA")
         val n2 = Tables.nation(s, dir)
           .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
           .join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
           .join(broadcast(n1), c("c_nationkey") === col("c_nk"))
           .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
           .join(broadcast(n2), sup("s_nationkey") === col("s_nk"))
@@ -626,7 +635,7 @@ object RelationalQueries extends QueryModule {
           .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_rev"))
         val top = rev.agg(max(col("total_rev")).as("max_rev"))
         rev.join(broadcast(top), rev("total_rev") === top("max_rev"))
-          .join(broadcast(Tables.supplier(s, dir)),
+          .join(Tables.supplier(s, dir),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
             dbl4(col("total_rev")).as("total_rev"))
@@ -656,7 +665,7 @@ object RelationalQueries extends QueryModule {
         val o = Tables.orders(s, dir)
         val c = Tables.customer(s, dir)
         big.join(o, col("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
             col("o_orderdate"), col("o_totalprice"),
             dbl4(col("sum_qty")).as("sum_qty"))
@@ -763,13 +772,14 @@ object RelationalQueries extends QueryModule {
         val p = Tables.part(s, dir)
           .filter(col("p_size") === 15 && col("p_type") === "SMALL")
         // min_cost is per-partkey, so the part filter commutes with the
-        // aggregation: broadcast-semi-join lineitem down to the matching
-        // parts BEFORE the (partkey, suppkey) groupBy — the shuffle
-        // carries only the selected parts' rows, not the whole fact
-        // table. At 100 TB this is the difference between shuffling
-        // ~0.05% of lineitem and all of it.
+        // aggregation: semi-join lineitem down to the matching parts
+        // BEFORE the (partkey, suppkey) groupBy — the shuffle carries
+        // only the selected parts' rows, not the whole fact table
+        // (AQE broadcasts the filtered-part side at tested sizes). At
+        // 100 TB this is the difference between shuffling ~0.05% of
+        // lineitem and all of it.
         val cost = Tables.lineitem(s, dir)
-          .join(broadcast(p.select(col("p_partkey").as("sel_pk"))),
+          .join(p.select(col("p_partkey").as("sel_pk")),
             col("l_partkey") === col("sel_pk"), "left_semi")
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(min(dec(col("l_extendedprice") / col("l_quantity"))).as("supplycost"))
@@ -777,8 +787,8 @@ object RelationalQueries extends QueryModule {
           .withColumnRenamed("l_partkey", "mk")
         cost.join(minc,
             col("l_partkey") === col("mk") && col("supplycost") === col("min_cost"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
           .select(col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
             col("s_acctbal"), dbl4(col("supplycost")).as("supplycost"))
@@ -827,17 +837,18 @@ object RelationalQueries extends QueryModule {
     // TPC-H Q9-shaped product-line profit by nation and year. No
     // partsupp, so cost is proxied by the part's retail price (5% per
     // unit); profit stays a DIFFERENCE OF TWO EXACT DECIMALS, so the
-    // sum is order-independent. Part/supplier/nation broadcast; the
-    // only big shuffle is the orderkey join for the order year.
+    // sum is order-independent. Dims join broadcast via AQE (nation
+    // keeps its hint — bounded); the only big shuffle is the orderkey
+    // join for the order year.
     Q("q9_product_profit",
       (s, dir) => {
         val p = Tables.part(s, dir).filter(col("p_name").contains("widget"))
           .select(col("p_partkey"), col("p_retailprice"))
         val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
         val l = Tables.lineitem(s, dir)
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
           .withColumn("amount",
             dec(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
@@ -869,7 +880,7 @@ object RelationalQueries extends QueryModule {
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"))
         val v = Tables.lineitem(s, dir)
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
           .groupBy(col("l_partkey"))
           .agg(sum(dec(col("l_extendedprice"))).as("value"))
         val cut = v.agg((sum(col("value")).cast("double") /
@@ -927,7 +938,7 @@ object RelationalQueries extends QueryModule {
     // TPC-H Q16-shaped supplier counts per part segment, excluding
     // negative-balance suppliers (the schema has no comment column for
     // the classic complaints filter; a real predicate beats a vacuous
-    // one). The exclusion is a broadcast left-anti join ≡ NOT EXISTS —
+    // one). The exclusion is a left-anti join ≡ NOT EXISTS —
     // deliberately NOT the NOT IN form: NOT IN's three-valued logic
     // returns zero rows the moment the subquery yields one NULL key,
     // which is never what a data pipeline wants and would also diverge
@@ -943,8 +954,8 @@ object RelationalQueries extends QueryModule {
         val bad = Tables.supplier(s, dir)
           .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
         Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
           .groupBy(col("p_brand"), col("p_type"), col("p_size"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       },
@@ -961,9 +972,10 @@ object RelationalQueries extends QueryModule {
     // TPC-H Q19-shaped disjunctive revenue: an OR of three
     // (brand, size, quantity) conjunctions as the join condition.
     // Catalyst extracts the common l_partkey = p_partkey equi-key so
-    // this plans as a broadcast HASH join with the disjunction as a
-    // post-join filter — NOT a nested-loop join — and the partkey-only
-    // IN-filter implied by the OR pushes into the part scan.
+    // this plans as a HASH join (broadcast via AQE at tested sizes)
+    // with the disjunction as a post-join filter — NOT a nested-loop
+    // join — and the partkey-only IN-filter implied by the OR pushes
+    // into the part scan.
     Q("q19_disjunctive_revenue",
       (s, dir) => {
         val p = Tables.part(s, dir)
@@ -975,7 +987,7 @@ object RelationalQueries extends QueryModule {
             l("l_quantity").between(10, 20)) ||
           (p("p_brand") === "Brand#3" && p("p_size").between(20, 35) &&
             l("l_quantity").between(20, 30))
-        l.join(broadcast(p), l("l_partkey") === p("p_partkey") && cond)
+        l.join(p, l("l_partkey") === p("p_partkey") && cond)
           .agg(dbl4(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
             count(lit(1)).as("n_items"))
       },
@@ -988,9 +1000,10 @@ object RelationalQueries extends QueryModule {
 
     // TPC-H Q20-shaped promotion suppliers: the nested IN-with-
     // aggregate subquery — suppliers who moved >300 units of red parts
-    // in 1997 — as agg→filter→semi-join. The inner part filter is a
-    // broadcast; the qty frame is tiny (per-supplier) so the final
-    // semi join broadcasts too. Decimal qty makes the >300 cut exact.
+    // in 1997 — as agg→filter→semi-join. The red-part filter and the
+    // per-supplier qty frame are both small enough that AQE broadcasts
+    // them at tested sizes (both scale with SF, so no forced hint).
+    // Decimal qty makes the >300 cut exact.
     Q("q20_promotion_suppliers",
       (s, dir) => {
         val redParts = Tables.part(s, dir)
@@ -998,12 +1011,12 @@ object RelationalQueries extends QueryModule {
         val qty = Tables.lineitem(s, dir)
           .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+          .join(redParts, col("l_partkey") === col("p_partkey"))
           .groupBy(col("l_suppkey"))
           .agg(sum(dec(col("l_quantity"))).as("total_qty"))
           .filter(col("total_qty") > 300)
         Tables.supplier(s, dir)
-          .join(broadcast(qty), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(qty, col("s_suppkey") === col("l_suppkey"), "left_semi")
           .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("s_name"), col("n_name"))
       },
@@ -1046,7 +1059,7 @@ object RelationalQueries extends QueryModule {
           .withColumn("n_late_supp",
             size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
           .filter(col("is_late") && col("n_supp") > 1 && col("n_late_supp") === 1)
-          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
           .agg(count(lit(1)).as("numwait"))
       },

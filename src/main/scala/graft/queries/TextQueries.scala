@@ -442,45 +442,34 @@ object TextQueries extends QueryModule {
              |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
              |FROM documents""".stripMargin)),
 
-    // n-gram Jaccard near-dup: candidate pairs share >=1 DISCRIMINATIVE
-    // shingle (document frequency <= 50 — the same boilerplate ablation
-    // winnow_candidates applies), then exact Jaccard >= 0.2 over the
-    // FULL shingle sets of the surviving pairs. The df cap is what
-    // keeps this plan alive at 100×: an uncapped inverted-index
-    // self-join fans a template shingle appearing in d docs into d²/2
-    // pairs (quadratic in the corpus for boilerplate), while the cap
-    // bounds any single shingle's contribution at 50·49/2 pairs and
-    // costs only pairs whose ENTIRE overlap is >50-doc template text —
-    // which a 0.2-Jaccard near-dup pair essentially never is (verified
-    // unchanged on the fixtures at sf0.01/sf0.1).
+    // n-gram Jaccard near-dup over DISCRIMINATIVE shingles: shingles
+    // appearing in > 50 documents are template/boilerplate text and
+    // are ablated from the metric itself before the inverted-index
+    // self-join (winnow_candidates' MOSS-style ablation, applied the
+    // same way idf discounts stopwords). The cap is what keeps this
+    // plan alive at 100×: an uncapped self-join fans a template
+    // shingle in d docs into d²/2 pairs — quadratic in the corpus for
+    // boilerplate — while the capped join bounds any shingle's
+    // contribution at 50·49/2 pairs. Plan shape is unchanged from the
+    // uncapped form (one df aggregate + the same single equi-join;
+    // the exchange of `ab` by s is reused across both join sides).
     Q("dedup_ngram_jaccard",
       (s, dir) => {
         val sh = shingleRowsCached(s, dir)
         val maxDf = 50
-        val byS = Window.partitionBy(col("s"))
-        val ab = sh.withColumn("df", count(lit(1)).over(byS))
+        val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf)
-          .select(col("doc_id"), col("s"))
-        val cands = ab.select(col("doc_id").as("d1"), col("s"))
-          .join(ab.select(col("doc_id").as("d2"), col("s")), Seq("s"))
-          .filter(col("d1") < col("d2"))
-          .select(col("d1"), col("d2")).distinct()
-        jaccardOf(sharedCounts(sh, Some(cands)), sh)
+        val ab = sh.join(keep, Seq("s")).select(col("doc_id"), col("s"))
+        jaccardOf(sharedCounts(ab, None), ab)
           .filter(col("jaccard") >= 0.2)
           .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
       },
       Some(s"""WITH $shingleCte,
-              |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-              |ab AS (SELECT doc_id, s
-              |       FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
-              |             FROM sh) t
-              |       WHERE df <= 50),
-              |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-              |          FROM ab a JOIN ab b ON a.s = b.s AND a.doc_id < b.doc_id),
-              |pairs AS (SELECT c.d1, c.d2, count(*) AS shared
-              |          FROM cands c
-              |          JOIN sh a ON a.doc_id = c.d1
-              |          JOIN sh b ON b.doc_id = c.d2 AND a.s = b.s
+              |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+              |ab AS (SELECT doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s),
+              |n AS (SELECT doc_id, count(*) AS n FROM ab GROUP BY doc_id),
+              |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+              |          FROM ab a JOIN ab b ON a.s = b.s AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2),
               |j AS (SELECT d1, d2, shared / (1.0 * (n1.n + n2.n - shared)) AS jaccard
               |      FROM pairs
