@@ -52,6 +52,39 @@ object PackingQueries extends QueryModule {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{2,}"
 
+  /** corpus_drift's INPUT frame: per-token occurrence counts in the
+    * train vs eval split (doc_id % 10, the decontaminate convention) —
+    * `(token, c_train, c_eval)`. Shared with the streaming monitor
+    * (DriftMonitorStream), whose store accumulates exactly this frame
+    * additively per micro-batch. */
+  def driftCounts(d: DataFrame): DataFrame =
+    d.select((col("doc_id") % 10 === 0).as("is_eval"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(
+        count(when(!col("is_eval"), 1)).as("c_train"),
+        count(when(col("is_eval"), 1)).as("c_eval"))
+
+  /** corpus_drift's scoring stage over a counts frame: add-one
+    * smoothing, chi-square contribution as fixed-point BIGINT, top 30.
+    * One definition serves the batch query AND the streaming monitor's
+    * read path, so the served scores can never drift (sic) from the
+    * oracle-checked ones. */
+  def driftScores(counts: DataFrame): DataFrame = {
+    val totals = counts.agg(
+      sum(col("c_train")).cast("double").as("n_train"),
+      sum(col("c_eval")).cast("double").as("n_eval"),
+      count(lit(1)).cast("double").as("vocab"))
+    val pt = (col("c_train") + 1) / (col("n_train") + col("vocab"))
+    val pe = (col("c_eval") + 1) / (col("n_eval") + col("vocab"))
+    counts.crossJoin(broadcast(totals))
+      // chi ≤ max(pt,pe) ≤ 1, so 1e12·chi < 2^53: floor+cast is exact
+      .withColumn("drift_ppm_fp6",
+        floor(lit(1e12) * (pt - pe) * (pt - pe) / (pt + pe)))
+      .select(col("token"), col("c_train"), col("c_eval"), col("drift_ppm_fp6"))
+      .orderBy(col("drift_ppm_fp6").desc, col("token"))
+      .limit(30)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Sequence packing, concat-and-chunk style: documents concatenate
@@ -169,27 +202,7 @@ object PackingQueries extends QueryModule {
     // One explode + one token groupBy + a ONE-ROW broadcast totals
     // frame (the tfidf shape).
     Q("corpus_drift",
-      (s, dir) => {
-        val tok = docs(s, dir).select(
-          (col("doc_id") % 10 === 0).as("is_eval"),
-          explode(tokens(col("text"))).as("token"))
-        val counts = tok.groupBy(col("token")).agg(
-          count(when(!col("is_eval"), 1)).as("c_train"),
-          count(when(col("is_eval"), 1)).as("c_eval"))
-        val totals = counts.agg(
-          sum(col("c_train")).cast("double").as("n_train"),
-          sum(col("c_eval")).cast("double").as("n_eval"),
-          count(lit(1)).cast("double").as("vocab"))
-        val pt = (col("c_train") + 1) / (col("n_train") + col("vocab"))
-        val pe = (col("c_eval") + 1) / (col("n_eval") + col("vocab"))
-        counts.crossJoin(broadcast(totals))
-          // chi ≤ max(pt,pe) ≤ 1, so 1e12·chi < 2^53: floor+cast is exact
-          .withColumn("drift_ppm_fp6",
-            floor(lit(1e12) * (pt - pe) * (pt - pe) / (pt + pe)))
-          .select(col("token"), col("c_train"), col("c_eval"), col("drift_ppm_fp6"))
-          .orderBy(col("drift_ppm_fp6").desc, col("token"))
-          .limit(30)
-      },
+      (s, dir) => driftScores(driftCounts(docs(s, dir))),
       Some("""WITH tok AS (SELECT doc_id % 10 = 0 AS is_eval,
              |                    unnest(string_split(trim(text), ' ')) AS token
              |             FROM documents),
