@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.streaming.EventPipeline.EventRow
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Non-driver-fed streaming ingest: the event parquet read as a FILE
+  * STREAM (`spark.readStream`), proving the pipeline's ingest path
+  * without a broker dependency — the reference ingests over live HTTP
+  * (app.py:17-44); Structured Streaming's equivalent seam is "any
+  * source that yields micro-batches", and a file source with
+  * `Trigger.AvailableNow` is the smallest real one (same
+  * DataStreamReader surface as Kafka: swap `.parquet(path)` for
+  * `.format("kafka")` and nothing downstream changes).
+  *
+  * Every streaming spec elsewhere feeds MemoryStream by contract
+  * (driver-fed); this source is the one that exercises schema-locked
+  * file discovery, `maxFilesPerTrigger` batching and AvailableNow
+  * drain semantics end to end (FileStreamIngestSpec asserts parity
+  * with the batch compiler over the same corpus).
+  *
+  * The nanos handling mirrors [[graft.sources.Tables.events]]: the
+  * driver fixture's `ts` is parquet TIMESTAMP(NANOS), which Spark 4
+  * only reads as a long (nanosAsLong) — floor-divide to micros with
+  * integer `div` (epoch-nanos exceed double's 53-bit mantissa).
+  */
+object FileEventSource {
+
+  /** Streaming Dataset[EventRow] over `<dir>/events.parquet`.
+    * `maxFilesPerTrigger` splits a multi-file fixture into multiple
+    * micro-batches (a single-file fixture yields one). */
+  def events(spark: SparkSession, dir: String,
+             maxFilesPerTrigger: Int = 1): Dataset[EventRow] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    // file streams require an explicit schema; lock it to the batch
+    // reader's inference so stream and batch can never disagree
+    val schema = spark.read.parquet(path).schema
+    // a file stream monitors a DIRECTORY; the fixture dir holds every
+    // table, so a glob pins discovery to the events file(s) only
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val typed =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    typed.as[EventRow]
+  }
+}
