@@ -92,14 +92,22 @@ object DocDedupStream {
   /** Classify a document frame against the store — the serve-side
     * twin of batch `dedup_exact`'s output: `(doc_id, canonical_id,
     * is_dup)`. A doc absent from the store is its own canonical (not
-    * yet ingested); the join shuffles only the probe side when the
-    * store's bucketing is reusable. */
+    * yet ingested). The probe is bucket-pruned
+    * ([[BucketedUpsert.readKeys]]): only the store buckets the probe
+    * frame's fingerprints hash into are scanned — a 10-doc lookup
+    * against a 100 TB store reads ~10 buckets, not the table.
+    * `buckets` must match the store's layout (same contract as the
+    * writer side). */
   def classify(spark: SparkSession, docs: DataFrame,
-               table: String = DefaultTable): DataFrame =
-    docs.select(col("doc_id"), fingerprint.as("fp"))
-      .join(read(spark, table), Seq("fp"), "left_outer")
+               table: String = DefaultTable,
+               buckets: Int = DefaultBuckets): DataFrame = {
+    val probe = docs.select(col("doc_id"), fingerprint.as("fp"))
+    probe
+      .join(BucketedUpsert.readKeys(spark, table, probe, "fp", buckets),
+        Seq("fp"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
         (col("doc_id") =!= coalesce(col("canonical_id"), col("doc_id")))
           .as("is_dup"))
+  }
 }

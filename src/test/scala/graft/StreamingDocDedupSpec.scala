@@ -59,7 +59,7 @@ class StreamingDocDedupSpec extends AnyFunSuite {
 
       // classify agrees with the batch dedup_exact query row-for-row
       val streamed = DocDedupStream
-        .classify(spark, Tables.documents(spark, sf), table).collect()
+        .classify(spark, Tables.documents(spark, sf), table, buckets = 8).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
       val batch = SparkEntry.queries("dedup_exact")(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
@@ -87,7 +87,7 @@ class StreamingDocDedupSpec extends AnyFunSuite {
         .map("%02x".format(_)).mkString
       assert(got(fp) == 10L, "first arrival must stay canonical")
       val cls = DocDedupStream.classify(spark,
-        Seq(Doc(3L, "same text"), Doc(7L, "never seen")).toDF(), table)
+        Seq(Doc(3L, "same text"), Doc(7L, "never seen")).toDF(), table, buckets = 4)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
       assert(cls(3L) == ((10L, true)), "later duplicate flags against the store")
       assert(cls(7L) == ((7L, false)), "unseen doc is its own canonical")
