@@ -59,8 +59,28 @@ for t in ("nation", "region"):
     con.sql(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
     print(t, "copied as-is")
 
+# events goes through pyarrow: its ts is parquet TIMESTAMP(NANOS), which
+# DuckDB's writer silently downcasts to micros — Spark would then read
+# TIMESTAMP_NTZ and every unix_micros()-based event query fails. pyarrow
+# round-trips timestamp[ns] bit-exactly (needs parquet format >= 2.6).
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ev = pq.read_table(f"{src}/events.parquet")
+parts = []
+for i in range(copies):
+    t = ev
+    for c, key in (("event_id", "event_id"), ("user_id", "user_id")):
+        import pyarrow.compute as pc
+        t = t.set_column(t.schema.get_field_index(c), c,
+                         pc.add(t.column(c), i * OFF[key]))
+    parts.append(t)
+pq.write_table(pa.concat_tables(parts), f"{dst}/events.parquet",
+               version="2.6", coerce_timestamps=None)
+print("events", sum(p.num_rows for p in parts), "rows (pyarrow, ns preserved)")
+
 for t in ("customer", "supplier", "part", "orders", "lineitem",
-          "events", "documents", "embeddings"):
+          "documents", "embeddings"):
     cols = [r[0] for r in con.sql(
         f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
     selects = []
