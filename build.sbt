@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~100 registered queries x several whole-stage-codegen classes each
+  // overflow the default 240m JIT code cache mid-bench; once full, hot
+  // generated loops run INTERPRETED (measured: identical 32-task stage,
+  // 4s CPU compiled vs 179s interpreted — BENCHNOTES.md). On a cluster
+  // the same flag belongs in spark.executor.defaultJavaOptions.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
 object EventQueries extends QueryModule {
   private val cfg = DefaultConfig.config
   private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+  // For queries whose dominant cost is per-row JSON parsing of `props`:
+  // a split-starved events file would run every from_json on one core
+  // (sf1 sweep, BENCHNOTES.md); the rebalance restores scan parallelism.
+  private def eventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsRebalanced(s, dir)
 
   /** Session-scoped memo of the per-user aggregate frame — the spine
     * every A/R/J query stands on. Registering it once in the cache
@@ -99,7 +104,7 @@ object EventQueries extends QueryModule {
     // P2: JSON property parse/validate (reference app.py:30-41);
     // integer sums keep the oracle comparison exact.
     Q("p2_props_extract",
-      (s, dir) => events(s, dir)
+      (s, dir) => eventsJson(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
@@ -114,7 +119,7 @@ object EventQueries extends QueryModule {
     // P1+P2 as the reusable ingest API: schema-registry classification
     // with dead-letter routing (EventIngest; reference app.py:19-44)
     Q("ingest_classify",
-      (s, dir) => graft.sources.EventIngest.classify(events(s, dir))
+      (s, dir) => graft.sources.EventIngest.classify(eventsJson(s, dir))
         .groupBy(col("ingest_status"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           count(col("props_parsed.k")).as("n_parsed_k")),
@@ -151,7 +156,7 @@ object EventQueries extends QueryModule {
     // the driver records a rows-only check; the rel_error bound is
     // asserted against the exact result instead.
     Q("a2_distinct_approx",
-      (s, dir) => events(s, dir)
+      (s, dir) => eventsJson(s, dir)
         .filter(col("event_type") === "click")
         .groupBy(col("user_id"))
         .agg(
@@ -169,7 +174,7 @@ object EventQueries extends QueryModule {
     // (graft.functions.expressions.HllSketchAgg) — mergeable fixed-size
     // state; bound-checked against the exact count (rows-only gate)
     Q("a2_distinct_hll",
-      (s, dir) => events(s, dir)
+      (s, dir) => eventsJson(s, dir)
         .filter(col("event_type") === "click")
         .groupBy(col("user_id"))
         .agg(

@@ -33,7 +33,7 @@ object Tables extends org.apache.spark.internal.Logging {
     * file) falls below the session's cores — i.e. only on genuinely
     * small/split-starved sources; a 100 TB scan keeps its native
     * file/row-group parallelism. */
-  private def fanout(df: DataFrame): DataFrame = {
+  private[graft] def fanout(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
@@ -76,13 +76,17 @@ object Tables extends org.apache.spark.internal.Logging {
           org.apache.spark.sql.functions.expr("ts div 1000")))
     else raw
   }
-  // Only `documents` gets the fanout rebalance: its consumers run
-  // heavy per-row CPU (regex normalization, shingling, per-gram md5)
-  // where the exchange pays for itself ~3x over. Measured on the
-  // relational/event/embedding tables the same rebalance LOSES — their
-  // queries are decode+join/agg-bound, the serial parquet decode still
-  // bounds the stage, and the extra exchange is pure added cost
-  // (embedding self-joins also lose scan reuse under it).
+  // Only `documents` gets the fanout rebalance unconditionally: its
+  // consumers run heavy per-row CPU (regex normalization, shingling,
+  // per-gram md5) where the exchange pays for itself ~3x over. Measured
+  // on the relational/event/embedding tables the same rebalance LOSES —
+  // their queries are decode+join/agg-bound, the serial parquet decode
+  // still bounds the stage, and the extra exchange is pure added cost
+  // (embedding self-joins also lose scan reuse under it). The
+  // exception: batch event queries whose cost is per-row JSON parsing
+  // opt in via [[eventsRebalanced]] — at 10x fixture scale the
+  // single-row-group events file otherwise runs every from_json on one
+  // core (measured in the sf1 sweep, BENCHNOTES.md).
   def lineitem(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(p(dir, "lineitem"))
   def orders(spark: SparkSession, dir: String): DataFrame     = spark.read.parquet(p(dir, "orders"))
   def customer(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(p(dir, "customer"))
@@ -91,5 +95,9 @@ object Tables extends org.apache.spark.internal.Logging {
   def nation(spark: SparkSession, dir: String): DataFrame     = spark.read.parquet(p(dir, "nation"))
   def region(spark: SparkSession, dir: String): DataFrame     = spark.read.parquet(p(dir, "region"))
   def documents(spark: SparkSession, dir: String): DataFrame  = fanout(spark.read.parquet(p(dir, "documents")))
+  /** Batch-only events read for JSON-parse-heavy consumers: rebalances
+    * a split-starved scan so from_json runs on every core. Not safe for
+    * streaming frames (`inputFiles` requires a batch relation). */
+  def eventsRebalanced(spark: SparkSession, dir: String): DataFrame = fanout(events(spark, dir))
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "embeddings"))
 }
