@@ -28,7 +28,8 @@ object PlanAudit {
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "decontaminate_overlap", "repetition_stats", "corpus_mix",
     "pack_sequences", "doc_chunks", "pii_redaction", "corpus_drift",
-    "embed_ann_indexed", "token_budget_select", "source_cap")
+    "embed_ann_indexed", "token_budget_select", "source_cap",
+    "corpus_assemble")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

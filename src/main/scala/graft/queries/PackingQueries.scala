@@ -67,6 +67,49 @@ object PackingQueries extends QueryModule {
       |               // CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS score
       |      FROM documents)""".stripMargin
 
+  /** Quality floor for `corpus_assemble` (median-ish on the fixture —
+    * the gate drops roughly half the candidates at every SF). */
+  private val QMin = 450000L
+
+  /** Two-phase per-source top-K on a scored frame (see `source_cap`).
+    * Input needs (source, doc_id, score); keeps input columns + `rk`. */
+  private def capPerSource(scored: DataFrame): DataFrame = {
+    val cell = portableHash(col("doc_id").cast("string")) % CapCells
+    val local = Window.partitionBy(col("source"), col("cell"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("cell", cell)
+      .withColumn("rk_cell", row_number().over(local))
+      .filter(col("rk_cell") <= SrcCap)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= SrcCap)
+      .drop("cell", "rk_cell")
+      .withColumn("rk", col("rk").cast("long"))
+  }
+
+  /** Two-phase greedy token-budget prefix on a scored frame (see
+    * `token_budget_select`). Input needs (doc_id, score, n_tok); keeps
+    * input columns + inclusive `cum_tokens`, filtered to the budget. */
+  private def budgetSelect(scored: DataFrame): DataFrame = {
+    val nParts = math.max(1, scored.sparkSession.sparkContext.defaultParallelism / 4)
+    val parted = scored
+      .repartitionByRange(nParts, col("score").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("cum_local",
+      sum(col("n_tok")).over(Window.partitionBy(col("pid"))
+        .orderBy(col("score").desc, col("doc_id"))))
+    val prefix = parted.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptot"))
+      .withColumn("before", coalesce(
+        sum(col("ptot")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("before"))
+    local.join(broadcast(prefix), Seq("pid"))
+      .withColumn("cum_tokens", col("cum_local") + col("before"))
+      .filter(col("cum_tokens") <= Budget)
+      .drop("pid", "cum_local")
+  }
+
   /** Window / stride (in tokens) for `doc_chunks` — 16-token overlap. */
   private val ChunkW = 64
   private val ChunkS = 48
@@ -308,24 +351,8 @@ object PackingQueries extends QueryModule {
     // totals. No whole-corpus single-partition window; the only
     // partition-less window rides the #partitions-row totals frame.
     Q("token_budget_select",
-      (s, dir) => {
-        val nParts = math.max(1, s.sparkContext.defaultParallelism / 4)
-        val parted = withScore(docs(s, dir))
-          .repartitionByRange(nParts, col("score").desc, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val local = parted.withColumn("cum_local",
-          sum(col("n_tok")).over(Window.partitionBy(col("pid"))
-            .orderBy(col("score").desc, col("doc_id"))))
-        val prefix = parted.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptot"))
-          .withColumn("before", coalesce(
-            sum(col("ptot")).over(Window.orderBy(col("pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("pid"), col("before"))
-        local.join(broadcast(prefix), Seq("pid"))
-          .withColumn("cum_tokens", col("cum_local") + col("before"))
-          .filter(col("cum_tokens") <= Budget)
-          .select(col("doc_id"), col("score"), col("n_tok"), col("cum_tokens"))
-      },
+      (s, dir) => budgetSelect(withScore(docs(s, dir)))
+        .select(col("doc_id"), col("score"), col("n_tok"), col("cum_tokens")),
       Some(s"""WITH $scoreCte,
               |o AS (SELECT doc_id, score, n_tok,
               |             CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
@@ -350,26 +377,82 @@ object PackingQueries extends QueryModule {
     // stratum. Every top-K member is a top-K member of its own cell, so
     // phase 1 drops no answer row.
     Q("source_cap",
-      (s, dir) => {
-        val cell = portableHash(col("doc_id").cast("string")) % CapCells
-        val scored = withScore(docs(s, dir)).withColumn("cell", cell)
-        val local = Window.partitionBy(col("source"), col("cell"))
-          .orderBy(col("score").desc, col("doc_id"))
-        val global = Window.partitionBy(col("source"))
-          .orderBy(col("score").desc, col("doc_id"))
-        scored
-          .withColumn("rk_cell", row_number().over(local))
-          .filter(col("rk_cell") <= SrcCap)
-          .withColumn("rk", row_number().over(global))
-          .filter(col("rk") <= SrcCap)
-          .select(col("source"), col("doc_id"), col("score"),
-            col("rk").cast("long").as("rk"))
-      },
+      (s, dir) => capPerSource(withScore(docs(s, dir)))
+        .select(col("source"), col("doc_id"), col("score"), col("rk")),
       Some(s"""WITH $scoreCte
               |SELECT source, doc_id, score,
               |       CAST(row_number() OVER (PARTITION BY source
               |                               ORDER BY score DESC, doc_id) AS BIGINT) AS rk
               |FROM s
-              |QUALIFY rk <= $SrcCap""".stripMargin))
+              |QUALIFY rk <= $SrcCap""".stripMargin)),
+
+    // The whole curation chain as ONE query — the corpus a training run
+    // would actually read. Exact dedup (min doc_id per content hash)
+    // -> decontamination (drop the eval split, and any train doc
+    // sharing >= 3 distinct 3-grams with it — the decontaminate_overlap
+    // gate applied as a filter) -> quality floor (fixed-point
+    // unique-token score >= QMin) -> per-source cap (top-$SrcCap
+    // two-phase, no full-stratum window) -> global token budget (greedy
+    // two-phase prefix, $Budget tokens). Every stage is the already-
+    // oracled operator, composed; the oracle replays the same chain in
+    // SQL. Stage costs: one content-hash shuffle, one gram-keyed join
+    // (never doc x doc), projections, and the two-phase cap/budget —
+    // each O(corpus/partitions) per task at any scale.
+    Q("corpus_assemble",
+      (s, dir) => {
+        val wH = Window.partitionBy(col("h"))
+        val dd = docs(s, dir)
+          .select(col("doc_id"), col("source"), col("text"), md5(col("text")).as("h"))
+          .withColumn("cid", min(col("doc_id")).over(wH))
+          .filter(col("doc_id") === col("cid") && col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("source"), col("text"))
+        val sh = TextQueries.shingleRowsCached(s, dir).select(col("doc_id"), col("s"))
+        val evalGrams = sh.filter(col("doc_id") % 10 === 0)
+          .select(col("s")).distinct()
+        val contaminated = sh.filter(col("doc_id") % 10 =!= 0)
+          .join(evalGrams, Seq("s"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 3)
+          .select(col("doc_id"))
+        val clean = dd.join(contaminated, Seq("doc_id"), "left_anti")
+        val scored = withScore(clean).filter(col("score") >= QMin)
+        budgetSelect(capPerSource(scored).drop("rk"))
+          .select(col("doc_id"), col("source"), col("score"),
+            col("n_tok"), col("cum_tokens"))
+      },
+      Some(s"""WITH dd AS (
+              |  SELECT doc_id, source, text
+              |  FROM (SELECT doc_id, source, text,
+              |               min(doc_id) OVER (PARTITION BY md5(text)) AS cid
+              |        FROM documents)
+              |  WHERE doc_id = cid AND doc_id % 10 <> 0),
+              |tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+              |shg AS (SELECT doc_id,
+              |               unnest(list_distinct(list_transform(
+              |                 range(1, len(t) - 1),
+              |                 i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+              |        FROM tok WHERE len(t) >= 3),
+              |ev AS (SELECT DISTINCT s FROM shg WHERE doc_id % 10 = 0),
+              |cont AS (SELECT shg.doc_id
+              |         FROM shg JOIN ev ON shg.s = ev.s
+              |         WHERE shg.doc_id % 10 <> 0
+              |         GROUP BY shg.doc_id HAVING count(*) >= 3),
+              |sc AS (SELECT dd.doc_id, dd.source,
+              |              CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+              |              (1000000 * CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT))
+              |                // CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS score
+              |       FROM dd ANTI JOIN cont ON dd.doc_id = cont.doc_id),
+              |q AS (SELECT * FROM sc WHERE score >= $QMin),
+              |cap AS (SELECT doc_id, source, score, n_tok
+              |        FROM q
+              |        QUALIFY row_number() OVER (PARTITION BY source
+              |                                   ORDER BY score DESC, doc_id) <= $SrcCap),
+              |bud AS (SELECT doc_id, source, score, n_tok,
+              |               CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+              |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              |                 AS cum_tokens
+              |        FROM cap)
+              |SELECT doc_id, source, score, n_tok, cum_tokens
+              |FROM bud WHERE cum_tokens <= $Budget""".stripMargin))
   )
 }

@@ -69,7 +69,7 @@ object TextQueries extends QueryModule {
     * the md5 a second time. */
   private val shingleCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
-  private def shingleRowsCached(s: SparkSession, dir: String): DataFrame =
+  private[queries] def shingleRowsCached(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((s, dir), {
       val t = tokens(col("text"))
       docs(s, dir).filter(size(t) >= 3)
