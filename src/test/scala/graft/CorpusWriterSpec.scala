@@ -1,0 +1,97 @@
+package graft
+
+import graft.sources.{CorpusWriter, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The curated-dataset export sink: balanced file layout under
+  * partition skew, in-file sort order for data skipping, and the
+  * manifest-last publish contract. */
+class CorpusWriterSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def tmp(): String = {
+    val p = java.nio.file.Files.createTempDirectory("corpus_writer")
+    p.toFile.deleteOnExit()
+    p.resolve("out").toString
+  }
+
+  /** documents + deterministic 80/10/10 split (the corpus_split hash),
+    * with a token count for the manifest. */
+  private def corpus() = {
+    val cell = graft.functions.TextOps.portableHash(
+      col("doc_id").cast("string")) % 100
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(cell < 80, "train").when(cell < 90, "val").otherwise("test"))
+      .withColumn("n_tok", size(split(trim(col("text")), " ")).cast("long"))
+      .select("doc_id", "split", "lang", "n_tok", "text")
+  }
+
+  test("round-trip: published layout returns the exact input rows") {
+    val path = tmp()
+    val in = corpus()
+    CorpusWriter.write(in, path, Seq("split", "lang"), "doc_id",
+      rowsPerFile = 50, tokenCol = Some("n_tok"))
+    val back = CorpusWriter.read(spark, path)
+      .select("doc_id", "split", "lang", "n_tok", "text")
+    assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty,
+      "written corpus must round-trip row-for-row")
+  }
+
+  test("layout: every partition dir gets at most ceil(n/rowsPerFile) files, all sorted") {
+    val path = tmp()
+    val in = corpus()
+    CorpusWriter.write(in, path, Seq("split", "lang"), "doc_id",
+      rowsPerFile = 50, tokenCol = Some("n_tok"))
+    val expected = in.groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val root = new java.io.File(path)
+    val dirs = for {
+      s <- root.listFiles().toSeq if s.getName.startsWith("split=")
+      l <- s.listFiles().toSeq if l.getName.startsWith("lang=")
+    } yield (s.getName.stripPrefix("split="), l.getName.stripPrefix("lang="), l)
+    assert(dirs.map(d => (d._1, d._2)).toSet == expected.keySet,
+      "one directory per non-empty partition value")
+    dirs.foreach { case (s, l, d) =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      val maxFiles = math.ceil(expected((s, l)) / 50.0).toLong
+      assert(files.length >= 1 && files.length <= maxFiles,
+        s"split=$s/lang=$l: ${files.length} files for ${expected((s, l))} rows (cap $maxFiles)")
+      // per-FILE sort order: parquet min/max row-group stats on doc_id
+      // only skip if each file is internally sorted
+      files.foreach { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("doc_id").collect().map(_.getLong(0))
+        assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted by doc_id")
+      }
+    }
+  }
+
+  test("manifest agrees with the data and the filesystem; read refuses unpublished dirs") {
+    val path = tmp()
+    val in = corpus()
+    CorpusWriter.write(in, path, Seq("split", "lang"), "doc_id",
+      rowsPerFile = 50, tokenCol = Some("n_tok"))
+    val m = CorpusWriter.manifest(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val truth = in.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("t")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(m.keySet == truth.keySet)
+    m.foreach { case (k, (rows, toks, files, bytes)) =>
+      assert((rows, toks) == truth(k), s"$k manifest row/token counts")
+      assert(files >= 1 && bytes > 0, s"$k file stats present")
+    }
+    // unpublished = no manifest: a reader must refuse, not see partial data
+    val partial = tmp()
+    corpus().limit(10).write.partitionBy("split", "lang").parquet(partial)
+    val e = intercept[IllegalArgumentException] {
+      CorpusWriter.read(spark, partial)
+    }
+    assert(e.getMessage.contains("unpublished"))
+  }
+}
