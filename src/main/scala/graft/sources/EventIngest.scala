@@ -105,4 +105,25 @@ object EventIngest {
       c.filter(col("ingest_status") =!= "valid").drop("props_parsed")
         .withColumnRenamed("ingest_status", "reject_reason"))
   }
+
+  /** Ingest health counters as `observe` metrics: computed INSIDE the
+    * existing plan while rows flow (an accumulator per expression), not
+    * by a second pass — at 100 TB a monitoring re-scan is the
+    * difference between "free" and "doubles the bill". Batch callers
+    * read them through an `org.apache.spark.sql.Observation` (pass the
+    * same exprs to `df.observe(obs, ...)`); streaming callers get them
+    * in every micro-batch's `StreamingQueryProgress.observedMetrics`
+    * under `name` — the reject-rate feed a dead-letter alarm wants. */
+  val metricExprs: Seq[Column] = Seq(
+    count(lit(1)).as("n_total"),
+    count(when(col("ingest_status") === "valid", 1)).as("n_valid"),
+    count(when(col("ingest_status") === "unknown_event_type", 1))
+      .as("n_unknown_type"),
+    count(when(col("ingest_status") === "invalid_properties", 1))
+      .as("n_invalid_props"))
+
+  /** Attach the ingest counters to a classified frame (batch or
+    * streaming — `observe` supports both). */
+  def observed(classified: DataFrame, name: String = "ingest_metrics"): DataFrame =
+    classified.observe(name, metricExprs.head, metricExprs.tail: _*)
 }

@@ -67,4 +67,44 @@ class EventIngestSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap ==
       Map(2L -> "invalid_properties", 4L -> "invalid_properties"))
   }
+
+  test("observe metrics: batch counters equal the classify truth, no second pass") {
+    import spark.implicits._
+    val raw = Seq(
+      ev(1, "click", """{"k": 5}"""),
+      ev(2, "view", """{"k": 5}"""),
+      ev(3, "click", """not json"""),
+      ev(4, "click", """{"other": 1}"""),
+      ev(5, "purchase", """{"k": 0}""")
+    ).toDF()
+    val obs = new org.apache.spark.sql.Observation("ingest_batch")
+    val c = EventIngest.classify(raw)
+      .observe(obs, EventIngest.metricExprs.head, EventIngest.metricExprs.tail: _*)
+    c.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_total") == 5L && m("n_valid") == 2L &&
+      m("n_unknown_type") == 1L && m("n_invalid_props") == 2L, m.toString)
+  }
+
+  test("observe metrics: streaming progress carries per-batch ingest counters") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[EventRow](spark)
+    val q = EventIngest.observed(EventIngest.classify(ms.toDF()))
+      .writeStream.format("noop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ingest_obs").toString)
+      .start()
+    try {
+      ms.addData(ev(1, "click", """{"k": 5}"""), ev(2, "view", """{"k": 5}"""),
+        ev(3, "click", """not json"""))
+      q.processAllAvailable()
+      val om = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("ingest_metrics"))).lastOption
+        .getOrElse(fail("no observed metrics in progress"))
+      assert(om.getAs[Long]("n_total") == 3L && om.getAs[Long]("n_valid") == 1L &&
+        om.getAs[Long]("n_unknown_type") == 1L &&
+        om.getAs[Long]("n_invalid_props") == 1L)
+    } finally q.stop()
+  }
 }
