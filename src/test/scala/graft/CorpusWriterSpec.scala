@@ -94,4 +94,20 @@ class CorpusWriterSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unpublished"))
   }
+
+  test("end to end: corpus_assemble -> CorpusWriter -> read matches the selection") {
+    val path = tmp()
+    val selected = SparkEntry.queries("corpus_assemble")(spark, dir)
+    val in = selected
+      .join(Tables.documents(spark, dir).select("doc_id", "lang", "text"), Seq("doc_id"))
+      .select("doc_id", "source", "lang", "score", "n_tok", "text")
+    val m = CorpusWriter.write(in, path, Seq("source"), "doc_id",
+      rowsPerFile = 20, tokenCol = Some("n_tok"))
+    assert(m.agg(sum("n_rows")).head().getLong(0) == selected.count(),
+      "manifest covers exactly the assembled selection")
+    val back = CorpusWriter.read(spark, path)
+      .select("doc_id", "source", "lang", "score", "n_tok", "text")
+    assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty,
+      "the curated corpus on disk is the assembled selection, exactly")
+  }
 }
