@@ -53,7 +53,14 @@ object BenchOne {
         val sec = (System.nanoTime() - t0) / 1e9
         if (sys.env.contains("SPARK_GRAFT_STAGES")) {
           println(f"[benchone] $name rep$i: $sec%.3f s")
-          Thread.sleep(200) // let stage-completed events drain
+          // listener delivery is async: wait until the queue stops
+          // growing (bounded), so a slow stage's line is not dropped or
+          // misattributed to the next rep by a racing clear()
+          var last = -1
+          var waited = 0
+          while (stages.size != last && waited < 2000) {
+            last = stages.size; Thread.sleep(100); waited += 100
+          }
           stages.forEach(s => println(s))
         }
         sec

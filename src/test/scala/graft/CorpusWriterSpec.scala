@@ -95,6 +95,36 @@ class CorpusWriterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unpublished"))
   }
 
+  test("adversarial partition values: null, path-escaped chars, numeric-looking strings") {
+    import spark.implicits._
+    val path = tmp()
+    // source values that break naive layouts: a NULL (null-unsafe join
+    // would silently drop the rows), an '='/'%'-laden value (the writer
+    // path-escapes it; the manifest must unescape to match), and a
+    // numeric-looking string (partition type inference would hand back
+    // an int column on read)
+    val in = Seq(
+      (1L, null.asInstanceOf[String], 10L),
+      (2L, null.asInstanceOf[String], 11L),
+      (3L, "a=b %x", 12L),
+      (4L, "123", 13L),
+      (5L, "123", 14L)
+    ).toDF("doc_id", "source", "n_tok")
+    val m = CorpusWriter.write(in, path, Seq("source"), "doc_id",
+      rowsPerFile = 10, tokenCol = Some("n_tok"))
+    val back = CorpusWriter.read(spark, path).select("doc_id", "source", "n_tok")
+    assert(back.schema("source").dataType == org.apache.spark.sql.types.StringType,
+      "read pins the written schema — no partition type inference")
+    assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty,
+      "null and escaped partition values round-trip without loss")
+    val rows = m.collect().map(r =>
+      Option(r.getString(0)) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(None) == ((2L, 21L, 1L)), "null partition counted and on disk")
+    assert(rows(Some("a=b %x"))._1 == 1L && rows(Some("a=b %x"))._3 == 1L,
+      "escaped partition dir matched back to its data-side value")
+    assert(rows(Some("123")) == ((2L, 27L, 1L)))
+  }
+
   test("end to end: corpus_assemble -> CorpusWriter -> read matches the selection") {
     val path = tmp()
     val selected = SparkEntry.queries("corpus_assemble")(spark, dir)

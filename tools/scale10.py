@@ -75,8 +75,12 @@ for i in range(copies):
         t = t.set_column(t.schema.get_field_index(c), c,
                          pc.add(t.column(c), i * OFF[key]))
     parts.append(t)
+# row_group_size matches the DuckDB writer this path replaced: without
+# it pyarrow writes ~1Mi-row groups, i.e. ONE row group for the whole
+# scaled table — an unsplittable scan that bakes the split-starvation
+# pathology into the fixture itself (BENCHNOTES.md)
 pq.write_table(pa.concat_tables(parts), f"{dst}/events.parquet",
-               version="2.6", coerce_timestamps=None)
+               version="2.6", coerce_timestamps=None, row_group_size=122880)
 print("events", sum(p.num_rows for p in parts), "rows (pyarrow, ns preserved)")
 
 for t in ("customer", "supplier", "part", "orders", "lineitem",
