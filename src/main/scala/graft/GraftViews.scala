@@ -76,5 +76,13 @@ object GraftViews {
             phoneRe, "<PHONE>"))
         .createOrReplaceTempView("documents_redacted")
     }
+    // curation surface (round 7): the budget-selected corpus prefix,
+    // the per-source-capped corpus, and the fully-assembled training
+    // selection — a SQL user reads the curated corpus as a table
+    Seq("token_budget_select" -> "corpus_budget",
+      "source_cap" -> "corpus_source_capped",
+      "corpus_assemble" -> "corpus_assembled").foreach { case (q, view) =>
+      SparkEntry.queries(q)(spark, dir).createOrReplaceTempView(view)
+    }
   }
 }

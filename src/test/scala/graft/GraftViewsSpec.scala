@@ -61,6 +61,19 @@ class GraftViewsSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("text")
         .rlike(graft.queries.PackingQueries.EmailRe))
       .count() == 0)
+    // the curation views serve the same frames as the registered
+    // queries, and the assembled corpus respects its budget invariant
+    val assembled = spark.sql(
+      "SELECT max(cum_tokens) AS mx, count(*) AS n FROM corpus_assembled").head()
+    assert(assembled.getLong(1) > 0 && assembled.getLong(0) <= 20000L,
+      "corpus_assembled is non-empty and within the token budget")
+    assert(spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT source, count(*) AS n FROM corpus_source_capped
+        |  GROUP BY source HAVING count(*) > 10)""".stripMargin)
+      .head().getLong(0) == 0L, "no source exceeds its cap through the view")
+    assert(spark.sql("SELECT max(cum_tokens) FROM corpus_budget")
+      .head().getLong(0) <= 20000L)
   }
 
   test("registered SQL functions work over the views") {
