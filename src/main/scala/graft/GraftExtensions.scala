@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, MisraGriesAgg, SimHash}
+import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, MisraGriesAgg, QSketchQuantile, QSketchUnion, QuantileSketchAgg, QuantileSketchBuild, SimHash, ZOrderCode}
 import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -52,6 +52,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val got = if (other == null) "NULL" else s"$other (${e.dataType.sql})"
         throw new IllegalArgumentException(
           s"$usage: $name must be an integer literal, got $got")
+    }
+  }
+
+  /** Foldable fractional literal (quantile q, sketch alpha) with the
+    * same plan-time, usage-carrying failure mode as [[litInt]]. */
+  private def litDouble(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      usage: String, name: String): Double = {
+    require(e.foldable, s"$usage: $name must be a numeric literal")
+    e.eval() match {
+      case n: java.lang.Number =>
+        val d = n.doubleValue()
+        require(!d.isNaN && !d.isInfinite, s"$usage: $name must be finite, got $d")
+        d
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other =>
+        val got = if (other == null) "NULL" else s"$other (${e.dataType.sql})"
+        throw new IllegalArgumentException(
+          s"$usage: $name must be a numeric literal, got $got")
     }
   }
 
@@ -135,6 +154,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (exprs.length > 1) litInt(exprs(1), "misra_gries(item[, capacity])", "capacity")
           else 200
         MisraGriesAgg(exprs.head, cap).toAggregateExpression()
+      }))
+    e.injectFunction((
+      FunctionIdentifier("qsketch_quantile"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "qsketch_quantile"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val usage = "qsketch_quantile(value, q[, alpha])"
+        require(exprs.length == 2 || exprs.length == 3,
+          s"$usage takes 2 or 3 arguments, got ${exprs.length}")
+        val q = litDouble(exprs(1), usage, "q")
+        val alpha = if (exprs.length > 2) litDouble(exprs(2), usage, "alpha") else 0.01
+        require(q >= 0.0 && q <= 1.0, s"$usage: q must be in [0,1], got $q")
+        require(alpha > 0.0 && alpha < 0.5,
+          s"$usage: alpha must be in (0,0.5), got $alpha")
+        QuantileSketchAgg(exprs.head, q, alpha).toAggregateExpression()
+      }))
+    e.injectFunction((
+      FunctionIdentifier("qsketch"),
+      new ExpressionInfo(classOf[QuantileSketchBuild].getName, "qsketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val usage = "qsketch(value[, alpha])"
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"$usage takes 1 or 2 arguments, got ${exprs.length}")
+        val alpha = if (exprs.length > 1) litDouble(exprs(1), usage, "alpha") else 0.01
+        require(alpha > 0.0 && alpha < 0.5,
+          s"$usage: alpha must be in (0,0.5), got $alpha")
+        QuantileSketchBuild(exprs.head, alpha).toAggregateExpression()
+      }))
+    e.injectFunction((
+      FunctionIdentifier("qsketch_union"),
+      new ExpressionInfo(classOf[QSketchUnion].getName, "qsketch_union"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"qsketch_union takes 2 arguments, got ${exprs.length}")
+        QSketchUnion(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("qsketch_value"),
+      new ExpressionInfo(classOf[QSketchQuantile].getName, "qsketch_value"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val usage = "qsketch_value(sketch, q)"
+        require(exprs.length == 2, s"$usage takes 2 arguments, got ${exprs.length}")
+        val q = litDouble(exprs(1), usage, "q")
+        require(q >= 0.0 && q <= 1.0, s"$usage: q must be in [0,1], got $q")
+        QSketchQuantile(exprs.head, q)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("zorder_code"),
+      new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length >= 2 && exprs.length <= 4,
+          s"zorder_code(lane1, lane2[, lane3[, lane4]]) takes 2-4 arguments, got ${exprs.length}")
+        ZOrderCode(exprs)
       }))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

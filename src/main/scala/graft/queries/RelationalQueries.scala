@@ -465,6 +465,31 @@ object RelationalQueries extends QueryModule {
             <= greatest(lit(10.0), col("exact_p50") * 0.02)).as("within_bound")),
       None),
 
+    // The PERSISTED-sketch percentile path: graft's own log-bucketed
+    // quantile sketch (QuantileOps — relative-error alpha, merge =
+    // bucket-wise count ADDITION, so unlike approx_percentile's GK
+    // state the bytes are a maintainable store column: batch build,
+    // streaming union, and rollup re-aggregation all commute exactly;
+    // see QuantileStore + StreamingQuantileSpec). Bound-checked
+    // against the exact sort-based percentile; no SQL oracle — sketch
+    // internals are engine-specific, like the HLL and GK rows.
+    Q("percentiles_qsketch",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("exact_p95"),
+          graft.functions.expressions.QuantileSketchAgg(
+            col("o_totalprice"), 0.5).as("sk_p50"),
+          graft.functions.expressions.QuantileSketchAgg(
+            col("o_totalprice"), 0.95).as("sk_p95"))
+        .select(col("o_orderstatus"), col("exact_p50"), col("exact_p95"),
+          ((abs(col("sk_p50") - col("exact_p50"))
+            <= greatest(lit(10.0), col("exact_p50") * 0.02)) &&
+           (abs(col("sk_p95") - col("exact_p95"))
+            <= greatest(lit(10.0), col("exact_p95") * 0.02))).as("within_bound")),
+      None),
+
     // As-of join on the star schema: each order picks up the customer's
     // most recent PRIOR order key (point-in-time self-join via AsOf)
     Q("asof_prev_order",
