@@ -69,7 +69,7 @@ object QuantileOps {
       val keys = store.keys.toArray.sorted
       var i = 0
       var folded = 0L
-      while (store.size - i > MaxBuckets) { // drop (size - cap) lowest
+      while (store.size > MaxBuckets) { // each removal shrinks size by 1
         folded += store(keys(i))
         store.remove(keys(i))
         i += 1

@@ -127,6 +127,22 @@ class QuantileSketchSpec extends AnyFunSuite {
       s"bound violated: $r"))
   }
 
+  test("bucket-cap collapse keeps the count exact and high quantiles accurate") {
+    // alpha small enough that a wide dynamic range overflows MaxBuckets
+    val a = 0.001
+    val st = new QuantileOps.State(a)
+    val n = 12001
+    (0 until n).foreach(k => st.insert(math.exp(k * 0.01))) // ~12k buckets
+    assert(st.pos.size <= QuantileOps.MaxBuckets,
+      s"store not collapsed: ${st.pos.size}")
+    assert(st.total == n, "collapse lost counts")
+    // the folded buckets are the LOWEST ones; p99 keeps full accuracy
+    val exact99 = math.exp((0.99 * (n - 1)).toLong * 0.01)
+    val est99 = st.quantile(0.99)
+    assert(math.abs(est99 - exact99) / exact99 <= a * 1.05,
+      s"p99 est=$est99 exact=$exact99")
+  }
+
   test("union rejects sketches of different alpha with a clear error") {
     val a = new QuantileOps.State(0.01)
     val b = new QuantileOps.State(0.02)
