@@ -19,7 +19,8 @@ object SparkEntry {
     TextQueries,
     PackingQueries,
     EmbeddingQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    QualityQueries
   )
 
   private lazy val registry: Seq[Q] = {

@@ -115,6 +115,26 @@ object CorpusWriter {
   def manifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/$ManifestDir")
 
+  /** Compact a published corpus in place ([[Layouts.compactLeaves]] —
+    * single-writer maintenance pass, see its contract) and republish
+    * the manifest so its per-partition `n_files`/`bytes` describe the
+    * new layout. Row/token counts are carried over, not recounted: the
+    * data is unchanged, only its file arrangement. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = Layouts.DefaultTargetBytes): Seq[Layouts.CompactionStat] = {
+    // snapshot the manifest OFF the path before rewriting it (overwrite
+    // of a path being lazily read is refused; the manifest is tiny)
+    val old = manifest(spark, path).localCheckpoint(true)
+    val statCols = Set("n_rows", "n_tokens", "n_files", "bytes")
+    val partitionCols = old.schema.fieldNames.filterNot(statCols).toSeq
+    val report = Layouts.compactLeaves(spark, path, targetBytes)
+    if (report.nonEmpty) {
+      buildManifest(spark, old.drop("n_files", "bytes"), path, partitionCols)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/$ManifestDir")
+    }
+    report
+  }
+
   /** Per-partition-value stats: the cached data-side counts joined
     * (null-safely, on unescaped values) with a filesystem walk of the
     * written layout — file count + bytes per partition directory. */

@@ -65,4 +65,81 @@ object Layouts {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** One leaf directory's before/after in a [[compactLeaves]] run. */
+  final case class CompactionStat(dir: String, filesBefore: Int,
+                                  filesAfter: Int, bytes: Long)
+
+  /** Default compaction target: the usual parquet sweet spot, one
+    * HDFS-block-ish file per split. */
+  val DefaultTargetBytes: Long = 128L * 1024 * 1024
+
+  private val CompactTmp = "_compacting"
+
+  /** Bin-pack the small files of a partitioned parquet layout — the
+    * maintenance pass every streaming/incremental writer needs: each
+    * micro-batch (or each salted writer task) leaves files far below
+    * the scan-efficient size, and a 100 TB table accumulates millions
+    * of them until listing and task scheduling dominate query time.
+    *
+    * Walks the tree under `root` (driver-side listing — bounded by the
+    * layout, not the data), and for every LEAF directory whose data
+    * files outnumber `ceil(bytes / targetBytes)` rewrites them into
+    * exactly that many files via a shuffle-free `coalesce`. Rows of
+    * each source file stay contiguous in the output, so existing
+    * row-group min/max stats survive piecewise and sort-based skipping
+    * keeps working. Leaves already at or under target are untouched
+    * (idempotent: a second run is a no-op).
+    *
+    * Each leaf is rewritten through a hidden `_compacting` scratch dir
+    * (invisible to Spark readers), published by delete-old + move-in.
+    * Like any direct-filesystem rewrite this is NOT atomic under
+    * concurrent readers — run it as the single-writer maintenance job
+    * it is, or target a table format where the same operation commits
+    * through the log (Delta OPTIMIZE / Iceberg rewrite_data_files). A
+    * crash mid-publish loses no bytes: the scratch dir retains the
+    * full replacement until the swap completes, and a rerun rebuilds
+    * the leaf from whichever files remain visible.
+    */
+  def compactLeaves(spark: SparkSession, root: String,
+                    targetBytes: Long = DefaultTargetBytes): Seq[CompactionStat] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def isHidden(name: String) = name.startsWith("_") || name.startsWith(".")
+
+    // leaf dirs with visible parquet data files, depth-first
+    def leaves(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(dir).filterNot(e => isHidden(e.getPath.getName))
+      val subs = entries.filter(_.isDirectory).flatMap(e => leaves(e.getPath))
+      if (entries.exists(e => e.isFile && e.getPath.getName.endsWith(".parquet")))
+        subs.toSeq :+ dir
+      else subs.toSeq
+    }
+
+    leaves(rootPath).flatMap { leaf =>
+      val dataFiles = fs.listStatus(leaf).filter(e =>
+        e.isFile && !isHidden(e.getPath.getName) &&
+          e.getPath.getName.endsWith(".parquet"))
+      val bytes = dataFiles.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (dataFiles.length <= want) None
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(leaf, CompactTmp)
+        fs.delete(tmp, true) // stale scratch from a crashed run
+        spark.read.parquet(leaf.toString)
+          .coalesce(want)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val compacted = fs.listStatus(tmp).filter(e =>
+          e.isFile && e.getPath.getName.endsWith(".parquet"))
+        // publish: drop the originals, adopt the scratch files
+        dataFiles.foreach(f => fs.delete(f.getPath, false))
+        compacted.foreach(f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(leaf, f.getPath.getName)))
+        fs.delete(tmp, true)
+        Some(CompactionStat(leaf.toString, dataFiles.length, compacted.length, bytes))
+      }
+    }
+  }
 }
