@@ -36,13 +36,38 @@ object Expectations {
     require(dup.isEmpty, s"expectations: duplicate check names ${dup.mkString(",")}")
   }
 
+  /** One check's failure count as an aggregate column. */
+  private def failedCount(e: Expectation): Column =
+    coalesce(sum(when(failed(e), lit(1L)).otherwise(lit(0L))), lit(0L))
+
+  /** The audit counters as observe-able metric expressions —
+    * `n_rows` plus one `failed_<name>` per check. Batch callers pass
+    * them to `df.observe(Observation(...), ...)`; streaming callers
+    * use [[observed]] and read every micro-batch's counters off
+    * `StreamingQueryProgress.observedMetrics` (the EventIngest
+    * pattern): the gate's health feed costs zero extra scans — the
+    * accumulators ride the write that was happening anyway. */
+  def metricExprs(checks: Seq[Expectation]): Seq[Column] = {
+    requireChecks(checks)
+    count(lit(1)).as("n_rows") +:
+      checks.map(e => failedCount(e).as(s"failed_${e.name}"))
+  }
+
+  /** Attach the audit counters to a flowing (batch or streaming)
+    * plan under observation name `name`. */
+  def observed(df: DataFrame, checks: Seq[Expectation],
+               name: String = "expectations"): DataFrame = {
+    val exprs = metricExprs(checks)
+    df.observe(name, exprs.head, exprs.tail: _*)
+  }
+
   /** Per-check report: `(expectation, n_rows, n_failed)` — one row per
     * check, all computed in a single scan of `df`. On empty input every
     * check reports (0, 0) rather than nulls. */
   def audit(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
     requireChecks(checks)
     val aggs = count(lit(1)).as("__n") +: checks.zipWithIndex.map { case (e, i) =>
-      coalesce(sum(when(failed(e), lit(1L)).otherwise(lit(0L))), lit(0L)).as(s"__f$i")
+      failedCount(e).as(s"__f$i")
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(checks.zipWithIndex.map { case (e, i) =>

@@ -670,6 +670,53 @@ object TextQueries extends QueryModule {
              |       count(*) AS n_docs
              |FROM c GROUP BY 1, 2""".stripMargin)),
 
+    // Leakage-safe split: near-duplicates never straddle splits.
+    // corpus_split above hashes each doc INDEPENDENTLY, so two
+    // jaccard>=0.5 near-dups can land one in train, one in test — the
+    // classic eval-contamination path (what decontaminate_overlap
+    // detects after the fact, this prevents by construction). The
+    // split key is the near-dup CLUSTER's canonical id (the CC labels
+    // dedup_clusters already computes; a doc in no cluster is its own
+    // key), so an entire cluster moves between splits as one unit.
+    // Scale: one left join of docs against the labels frame (≤ docs
+    // rows, usually far fewer) + the same hash-cell carve — no new
+    // shuffle shape beyond corpus_split's; the CC run is the memoized
+    // one the dedup family shares. LeakageSafeSplitSpec pins the
+    // invariant itself: zero verified near-dup pairs straddle splits
+    // (and measures that the naive split DOES leak on the fixture).
+    Q("corpus_split_leakage_safe",
+      (s, dir) => {
+        val labels = clusterLabels(s, dir)
+        val key = coalesce(col("canonical_id"), col("doc_id"))
+        val cell = portableHash(key.cast("string")) % 100
+        docs(s, dir).join(labels, Seq("doc_id"), "left_outer")
+          .withColumn("split",
+            when(cell < 80, "train").when(cell < 90, "val").otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(key).as("n_groups"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |dup AS (SELECT d1, d2 FROM mh_pairs WHERE jaccard >= 0.5),
+              |e AS (SELECT d1 AS a, d2 AS b FROM dup
+              |      UNION SELECT d2, d1 FROM dup),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM e
+              |  UNION
+              |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+              |lab AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+              |        FROM reach GROUP BY a),
+              |k AS (SELECT d.lang,
+              |             coalesce(lab.canonical_id, d.doc_id) AS key,
+              |             ('0x' || substr(md5(CAST(coalesce(lab.canonical_id, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT % 100 AS cell
+              |      FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id)
+              |SELECT lang,
+              |       CASE WHEN cell < 80 THEN 'train'
+              |            WHEN cell < 90 THEN 'val' ELSE 'test' END AS split,
+              |       count(*) AS n_docs,
+              |       count(DISTINCT key) AS n_groups
+              |FROM k GROUP BY 1, 2""".stripMargin)),
+
     // Corpus mixing to target language weights (the data-mixture step
     // of a training pipeline): the feasible total T = min_l(n_l / w_l)
     // caps the mix at the scarcest stratum, each stratum keeps
