@@ -123,6 +123,69 @@ object BucketedUpsert extends org.apache.spark.internal.Logging {
     spark.table(table)
   }
 
+  /** Pin the store's CURRENT contents at `dir` — the reproducibility
+    * primitive a training pipeline needs: record exactly which store
+    * state a run read, immune to every later merge. Zero data copy:
+    * the active generation's bucket files are HARD LINKED into `dir`
+    * (fallback copy off-filesystem), so a 100 TB store snapshots in
+    * O(#files) metadata ops and the bytes are shared until a
+    * generation flip stops referencing them — the same
+    * reference-not-rewrite idea as the untouched-bucket carry in
+    * [[upsert]], and the poor-man's form of a Delta/Iceberg snapshot
+    * pin. The snapshot is a plain parquet directory (readable by ANY
+    * engine, [[readSnapshot]] included); it no longer carries the
+    * catalog bucketing metadata, so reads of it scan rather than
+    * bucket-prune — pinning is for reproducibility, the live view is
+    * for serving. */
+  def snapshot(spark: SparkSession, table: String, dir: String): Int = {
+    val active = activeGen(spark, table).getOrElse(
+      throw new IllegalStateException(s"snapshot: store '$table' does not exist"))
+    val src = tableDir(spark, active)
+    val dst = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(dst)
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(src)
+    val files = try listing.iterator().asScala
+      .filter(p => bucketIdOf(p.getFileName.toString).isDefined).toSeq
+    finally listing.close()
+    files.foreach { f =>
+      val out = dst.resolve(f.getFileName.toString)
+      try java.nio.file.Files.createLink(out, f)
+      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        java.nio.file.Files.copy(f, out,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    files.size
+  }
+
+  /** Read a [[snapshot]] back (schema pinned from the live table when
+    * it still exists, else inferred from the snapshot's own footers). */
+  def readSnapshot(spark: SparkSession, dir: String,
+                   table: Option[String] = None): DataFrame =
+    table.filter(spark.catalog.tableExists) match {
+      case Some(t) => spark.read.schema(spark.table(t).schema).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+
+  /** Undo the LAST publish: republish the inactive generation — the
+    * state before the most recent materialize/upsert/delete — as the
+    * served view. The bad-batch escape hatch: a poisoned merge is off
+    * the serve path in one catalog op, no data rewrite. One step of
+    * history exists by construction (two generations), so a second
+    * rollback merely re-applies the undone publish (flip-flop); the
+    * NEXT merge after a rollback composes against the restored state
+    * and overwrites the quarantined generation, which is exactly the
+    * write target [[inactiveGen]] picks. Returns the generation now
+    * being served. */
+  def rollback(spark: SparkSession, table: String): String = {
+    val prev = inactiveGen(spark, table)
+    require(spark.catalog.tableExists(prev),
+      s"rollback: store '$table' has no previous generation to restore")
+    publish(spark, table, prev)
+    prev
+  }
+
   /** Filesystem directory of a generation table (managed catalog
     * table → warehouse path). */
   private[graft] def tableDir(spark: SparkSession, gen: String): java.nio.file.Path =

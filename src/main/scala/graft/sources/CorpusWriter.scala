@@ -112,6 +112,41 @@ object CorpusWriter {
     spark.read.schema(schema).parquet(path)
   }
 
+  /** Version diff of two PUBLISHED corpora by their manifests — the
+    * release-gate summary before a new export replaces the serving
+    * one: which partitions appeared, vanished, or changed, and the
+    * row/token drift per partition. Cost is the two manifests (a few
+    * rows per partition VALUE — metadata, never a data scan), so the
+    * gate is free even when the corpora are 100 TB. Statuses: `added`
+    * (new only), `removed` (old only), `changed` (row or token count
+    * moved), `unchanged`. Null partition values compare null-safely
+    * (the default-partition rows diff like any other). */
+  def diff(spark: SparkSession, oldPath: String, newPath: String): DataFrame = {
+    val statCols = Set("n_rows", "n_tokens", "n_files", "bytes")
+    val o = manifest(spark, oldPath)
+    val n = manifest(spark, newPath)
+    val pcols = o.schema.fieldNames.filterNot(statCols).toSeq
+    val pcolsNew = n.schema.fieldNames.filterNot(statCols).toSeq
+    require(pcols.sorted.sameElements(pcolsNew.sorted),
+      s"manifests are partitioned differently: " +
+        s"${pcols.mkString(",")} vs ${pcolsNew.mkString(",")}")
+    val lhs = o.select(pcols.map(c => col(c).as(s"__o_$c")) ++
+      Seq(col("n_rows").as("rows_old"), col("n_tokens").as("tokens_old")): _*)
+    val rhs = n.select(pcols.map(c => col(c).as(s"__n_$c")) ++
+      Seq(col("n_rows").as("rows_new"), col("n_tokens").as("tokens_new")): _*)
+    val cond = pcols.map(c => lhs(s"__o_$c") <=> rhs(s"__n_$c")).reduce(_ && _)
+    lhs.join(rhs, cond, "full_outer")
+      .select(pcols.map(c =>
+        coalesce(col(s"__o_$c"), col(s"__n_$c")).as(c)) ++ Seq(
+        when(col("rows_old").isNull, "added")
+          .when(col("rows_new").isNull, "removed")
+          .when(col("rows_old") =!= col("rows_new") ||
+            !(col("tokens_old") <=> col("tokens_new")), "changed")
+          .otherwise("unchanged").as("status"),
+        col("rows_old"), col("rows_new"),
+        col("tokens_old"), col("tokens_new")): _*)
+  }
+
   def manifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/$ManifestDir")
 

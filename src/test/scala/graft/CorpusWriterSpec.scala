@@ -140,4 +140,40 @@ class CorpusWriterSpec extends AnyFunSuite {
     assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty,
       "the curated corpus on disk is the assembled selection, exactly")
   }
+
+  test("diff: manifest-level version gate classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val (v1Path, v2Path) = (tmp(), tmp())
+    val v1 = Seq(
+      (1L, "en", 10L), (2L, "en", 11L),         // unchanged
+      (3L, "de", 12L),                           // row added in v2 → changed
+      (4L, "fr", 13L),                           // removed in v2
+      (5L, null.asInstanceOf[String], 14L),      // null partition, tokens move
+      (6L, "zh", 15L)                            // token count moves, rows same
+    ).toDF("doc_id", "lang", "n_tok")
+    val v2 = Seq(
+      (1L, "en", 10L), (2L, "en", 11L),
+      (3L, "de", 12L), (30L, "de", 9L),
+      (5L, null.asInstanceOf[String], 99L),
+      (6L, "zh", 16L),
+      (7L, "es", 20L)                            // new partition
+    ).toDF("doc_id", "lang", "n_tok")
+    CorpusWriter.write(v1, v1Path, Seq("lang"), "doc_id", tokenCol = Some("n_tok"))
+    CorpusWriter.write(v2, v2Path, Seq("lang"), "doc_id", tokenCol = Some("n_tok"))
+
+    val d = CorpusWriter.diff(spark, v1Path, v2Path).collect()
+      .map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    assert(d == Map(
+      Some("en") -> "unchanged",
+      Some("de") -> "changed",
+      Some("fr") -> "removed",
+      Some("es") -> "added",
+      Some("zh") -> "changed",
+      None -> "changed"), d.toString)
+
+    // self-diff is all-unchanged — the gate passes a republish of
+    // identical data
+    val self = CorpusWriter.diff(spark, v1Path, v1Path)
+    assert(self.filter(col("status") =!= "unchanged").count() == 0)
+  }
 }

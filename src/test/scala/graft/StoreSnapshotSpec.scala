@@ -1,0 +1,91 @@
+package graft
+
+import graft.sources.BucketedUpsert
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot pinning and one-step rollback on the generation store:
+  * a snapshot taken between merges keeps reading the pinned state
+  * after any number of later merges (zero-copy hard links), and
+  * rollback serves the pre-merge generation then composes correctly
+  * on top of it. */
+class StoreSnapshotSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def stateOf(table: String): Map[Long, Int] =
+    BucketedUpsert.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("snap").toString
+
+  test("a snapshot pins the exact state a run read, across later merges and drops") {
+    import spark.implicits._
+    val table = "snap_pin"
+    val dir = tmp("snap_pin")
+    BucketedUpsert.drop(spark, table)
+    try {
+      BucketedUpsert.materialize(
+        (1L to 30L).map(k => k -> 1).toDF("k", "v"), table, "k", 8)
+      BucketedUpsert.upsert(spark, table,
+        Seq(3L -> 2, 31L -> 2).toDF("k", "v"), Seq("k"), "k", 8)
+      val pinned = stateOf(table)
+      val nFiles = BucketedUpsert.snapshot(spark, table, dir)
+      assert(nFiles > 0)
+
+      // two more merges — one flips back onto the generation dir the
+      // snapshot linked from, overwriting those files
+      BucketedUpsert.upsert(spark, table,
+        Seq(5L -> 9, 32L -> 9).toDF("k", "v"), Seq("k"), "k", 8)
+      BucketedUpsert.upsert(spark, table,
+        Seq(3L -> 7, 6L -> 7).toDF("k", "v"), Seq("k"), "k", 8)
+      assert(stateOf(table) != pinned)
+
+      val snap = BucketedUpsert.readSnapshot(spark, dir, Some(table)).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(snap == pinned)
+
+      // the pin outlives the store itself
+      BucketedUpsert.drop(spark, table)
+      val orphan = BucketedUpsert.readSnapshot(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(orphan == pinned)
+    } finally BucketedUpsert.drop(spark, table)
+  }
+
+  test("rollback serves the pre-merge state; the next merge composes on top of it") {
+    import spark.implicits._
+    val table = "snap_rb"
+    BucketedUpsert.drop(spark, table)
+    try {
+      BucketedUpsert.materialize(
+        (1L to 20L).map(k => k -> 1).toDF("k", "v"), table, "k", 8)
+      BucketedUpsert.upsert(spark, table,
+        Seq(2L -> 5).toDF("k", "v"), Seq("k"), "k", 8)
+      val good = stateOf(table)
+
+      // the poisoned batch
+      BucketedUpsert.upsert(spark, table,
+        Seq(1L -> -999, 21L -> -999).toDF("k", "v"), Seq("k"), "k", 8)
+      assert(stateOf(table) != good)
+
+      BucketedUpsert.rollback(spark, table)
+      assert(stateOf(table) == good, "rollback must serve the pre-merge state")
+
+      // composing after rollback reads the restored state and
+      // overwrites the quarantined generation
+      BucketedUpsert.upsert(spark, table,
+        Seq(4L -> 8).toDF("k", "v"), Seq("k"), "k", 8)
+      assert(stateOf(table) == good + (4L -> 8),
+        "post-rollback merge must not resurrect the rolled-back batch")
+    } finally BucketedUpsert.drop(spark, table)
+  }
+
+  test("rollback refuses when no previous generation exists") {
+    val table = "snap_rb_none"
+    BucketedUpsert.drop(spark, table)
+    intercept[IllegalArgumentException] {
+      BucketedUpsert.rollback(spark, table)
+    }
+  }
+}
