@@ -102,8 +102,10 @@ object Layouts {
     * the leaf from whichever files remain visible.
     */
   def compactLeaves(spark: SparkSession, root: String,
-                    targetBytes: Long = DefaultTargetBytes): Seq[CompactionStat] = {
+                    targetBytes: Long = DefaultTargetBytes,
+                    parallelism: Int = 8): Seq[CompactionStat] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(parallelism > 0, s"parallelism must be positive, got $parallelism")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -118,7 +120,7 @@ object Layouts {
       else subs.toSeq
     }
 
-    leaves(rootPath).flatMap { leaf =>
+    def compactOne(leaf: org.apache.hadoop.fs.Path): Option[CompactionStat] = {
       val dataFiles = fs.listStatus(leaf).filter(e =>
         e.isFile && !isHidden(e.getPath.getName) &&
           e.getPath.getName.endsWith(".parquet"))
@@ -141,5 +143,27 @@ object Layouts {
         Some(CompactionStat(leaf.toString, dataFiles.length, compacted.length, bytes))
       }
     }
+
+    // Each leaf's rewrite is a tiny coalesce job that leaves most of
+    // the cluster idle — run `parallelism` leaves' jobs concurrently
+    // (Spark's scheduler interleaves them across executors; the
+    // SparkContext is thread-safe for job submission). Serial
+    // submission would make a million-leaf table's maintenance pass
+    // latency-bound on job turnaround, not IO. Leaves never overlap,
+    // so concurrent rewrites share nothing but the scheduler.
+    val found = leaves(rootPath)
+    if (found.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, found.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = found.map(leaf =>
+        scala.concurrent.Future(compactOne(leaf)))
+      scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+        .flatten
+    } finally pool.shutdown()
   }
 }

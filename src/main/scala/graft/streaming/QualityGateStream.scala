@@ -27,6 +27,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * the `violations` name array. A batch is annotated ONCE (persisted
   * micro-batch; micro-batches are small by construction) and split by
   * two zero-shuffle filters.
+  *
+  * Per-batch directories accumulate small files by design (each batch
+  * is its own replay unit); run [[graft.sources.Layouts.compactLeaves]]
+  * over the two roots as the periodic maintenance pass — batch dirs
+  * are exactly the leaf shape it bin-packs.
   */
 object QualityGateStream {
 
