@@ -29,7 +29,8 @@ object PlanAudit {
     "decontaminate_overlap", "repetition_stats", "corpus_mix",
     "pack_sequences", "doc_chunks", "pii_redaction", "corpus_drift",
     "embed_ann_indexed", "token_budget_select", "source_cap",
-    "corpus_assemble", "corpus_split_leakage_safe", "expectations_audit")
+    "corpus_assemble", "corpus_split_leakage_safe", "expectations_audit",
+    "negative_samples")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -49,10 +50,13 @@ object PlanAudit {
   // broadcast pivots, ranking probe cells) — the data side reads the
   // persisted cell store's bucket files, never a corpus re-assignment
   // (file-pruning asserted in IvfIndexStoreSpec).
+  // negative_samples rides the ONE-ROW broadcast keyspace frame
+  // (max part key) — same scalar shape as q15/q22.
   val ExpectedBnlj: Set[String] = Set(
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
     "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens",
-    "q11_important_parts", "corpus_drift", "embed_ann_indexed")
+    "q11_important_parts", "corpus_drift", "embed_ann_indexed",
+    "negative_samples")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

@@ -1102,6 +1102,60 @@ object RelationalQueries extends QueryModule {
              |  AND NOT EXISTS (SELECT 1 FROM late l3
              |                  WHERE l3.l_orderkey = l1.l_orderkey
              |                    AND l3.l_suppkey <> l1.l_suppkey)
-             |GROUP BY s_name""".stripMargin))
+             |GROUP BY s_name""".stripMargin)),
+
+    // Deterministic negative sampling — the recommender-training data
+    // op: for each customer, K hash-generated candidate parts they
+    // did NOT buy (implicit negatives to pair with the purchase
+    // positives). Hash-slot candidates instead of RNG so the sample
+    // is reproducible across runs, engines, and cluster sizes (the
+    // corpus_sample property), and growth-stable per (customer, slot).
+    // Scale: candidates are |customers|×K rows built with NO data
+    // shuffle (one-row broadcast keyspace frame, the q15/q22 scalar
+    // shape); the existence check is an equi semi join against part
+    // keys and the positives anti join shuffles once on the
+    // (custkey, partkey) it is keyed by. Never customers×parts.
+    // Slot collisions with a genuine purchase simply drop (a customer
+    // yields ≤K negatives) — the standard contract: at training time
+    // absent negatives are refilled by the next epoch's salt.
+    Q("negative_samples",
+      (s, dir) => {
+        val K = 8
+        val pos = Tables.orders(s, dir)
+          .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+          .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_partkey").as("partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("custkey"), col("partkey")).distinct()
+        val keyspace = Tables.part(s, dir)
+          .agg((max(col("p_partkey")) + 1).as("n"))
+        val cust = Tables.orders(s, dir)
+          .select(col("o_custkey").as("custkey")).distinct()
+        cust
+          .crossJoin(broadcast(keyspace))
+          .withColumn("slot", explode(sequence(lit(0), lit(K - 1))))
+          .withColumn("partkey", pmod(graft.functions.TextOps.portableHash(
+            concat(col("custkey").cast("string"), lit("#"),
+              col("slot").cast("string"))), col("n")))
+          .drop("n")
+          .join(Tables.part(s, dir).select(col("p_partkey")),
+            col("partkey") === col("p_partkey"), "left_semi")
+          .join(pos, Seq("custkey", "partkey"), "left_anti")
+          .select(col("custkey"), col("slot").cast("long").as("slot"),
+            col("partkey"))
+      },
+      Some("""WITH mx AS (SELECT max(p_partkey) + 1 AS n FROM part),
+             |cust AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+             |cand AS (SELECT custkey, t.i AS slot,
+             |                ('0x' || substr(md5(CAST(custkey AS VARCHAR) || '#' || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT % n AS partkey
+             |         FROM cust, range(8) t(i), mx),
+             |pos AS (SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+             |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+             |SELECT c.custkey, c.slot, c.partkey
+             |FROM cand c
+             |WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.partkey)
+             |  AND NOT EXISTS (SELECT 1 FROM pos
+             |                  WHERE pos.custkey = c.custkey
+             |                    AND pos.partkey = c.partkey)""".stripMargin))
   )
 }
