@@ -84,5 +84,19 @@ object GraftViews {
       "corpus_assemble" -> "corpus_assembled").foreach { case (q, view) =>
       SparkEntry.queries(q)(spark, dir).createOrReplaceTempView(view)
     }
+    // data-quality surface: the corpus with its expectation violations
+    // (empty array = clean row) plus the two split views — SQL users
+    // triage the quarantine with a WHERE, not a re-ingest. Same checks
+    // as the expectations_* gate queries.
+    locally {
+      import org.apache.spark.sql.functions._
+      val annotated = graft.operators.Expectations.annotate(
+        Tables.documents(spark, dir), graft.queries.QualityQueries.docChecks)
+      annotated.createOrReplaceTempView("documents_annotated")
+      annotated.filter(size(col("violations")) === 0)
+        .createOrReplaceTempView("documents_clean")
+      annotated.filter(size(col("violations")) > 0)
+        .createOrReplaceTempView("documents_quarantined")
+    }
   }
 }

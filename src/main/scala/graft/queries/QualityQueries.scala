@@ -27,7 +27,7 @@ object QualityQueries extends QueryModule {
 
   /** Shared by the quarantine query and its oracle: fails ~2% of fixture
     * docs (short or extremely long ones), passes the rest. */
-  private def docChecks = Seq(
+  private[graft] def docChecks = Seq(
     Expectation("text_nonempty", length(trim(col("text"))) > 0),
     Expectation("min_tokens_12", size(tokens(col("text"))) >= 12),
     Expectation("max_chars_500", col("n_chars") <= 500),

@@ -261,7 +261,12 @@ object BucketedUpsert extends org.apache.spark.internal.Logging {
         valueCols.map(c => col(c).as(s"__delta_$c")): _*)
     compose(spark, table, delta, joinKeys, bucketKey, buckets, batchId) {
       existing =>
-        existing.join(broadcast(delta), joinKeys, "full_outer")
+        // no broadcast() hint: Spark cannot broadcast-build a FULL
+        // OUTER side (every hint here is ignored with a per-merge
+        // warning). Both sides are delta-bounded anyway — `existing`
+        // is only the touched buckets — so the shuffled join is small
+        // by construction.
+        existing.join(delta, joinKeys, "full_outer")
           .select(joinKeys.map(col) ++ valueCols.map(c =>
             merge(c, col(c), col(s"__delta_$c")).as(c)): _*)
     }

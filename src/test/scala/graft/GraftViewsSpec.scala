@@ -76,6 +76,23 @@ class GraftViewsSpec extends AnyFunSuite {
       .head().getLong(0) <= 20000L)
   }
 
+  test("quality views: annotated covers the corpus, splits agree with the gate query") {
+    GraftViews.register(spark, dir)
+    val total = spark.sql("SELECT count(*) FROM documents").head().getLong(0)
+    val ann = spark.sql("SELECT count(*) FROM documents_annotated").head().getLong(0)
+    val clean = spark.sql("SELECT count(*) FROM documents_clean").head().getLong(0)
+    val quar = spark.sql("SELECT count(*) FROM documents_quarantined").head().getLong(0)
+    assert(ann == total && clean + quar == total)
+    assert(quar > 0, "fixture must exercise the quarantine")
+    // the view and the oracled gate query quarantine the same docs
+    val fromView = spark.sql(
+      "SELECT doc_id FROM documents_quarantined ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val fromQuery = SparkEntry.queries("expectations_quarantine")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(fromView == fromQuery)
+  }
+
   test("registered SQL functions work over the views") {
     // extensions normally attach at build time via
     // spark.sql.extensions=graft.GraftExtensions; for the already-built
