@@ -93,9 +93,9 @@ object GraftViews {
       val annotated = graft.operators.Expectations.annotate(
         Tables.documents(spark, dir), graft.queries.QualityQueries.docChecks)
       annotated.createOrReplaceTempView("documents_annotated")
-      annotated.filter(size(col("violations")) === 0)
+      annotated.filter(graft.operators.Expectations.isClean)
         .createOrReplaceTempView("documents_clean")
-      annotated.filter(size(col("violations")) > 0)
+      annotated.filter(!graft.operators.Expectations.isClean)
         .createOrReplaceTempView("documents_quarantined")
     }
   }

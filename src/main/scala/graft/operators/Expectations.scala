@@ -77,10 +77,20 @@ object Expectations {
       .select(col("__x.expectation"), col("__x.n_rows"), col("__x.n_failed"))
   }
 
+  /** TRUE for a row that passed every check — the single definition of
+    * "clean" shared by [[split]], the streaming gate and the SQL views
+    * (a drifting copy of this predicate would make them disagree). */
+  def isClean: Column = size(col("violations")) === 0
+
   /** Input rows plus a `violations` array — the names of the checks the
     * row fails, in declaration order (empty array = clean row). */
   def annotate(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
     requireChecks(checks)
+    // re-gating already-annotated data must not silently destroy the
+    // record of what originally failed (and a check predicate reading
+    // 'violations' would resolve against the clobbered column)
+    require(!df.columns.contains("violations"),
+      "annotate: input already has a 'violations' column — drop or rename it first")
     df.withColumn("violations",
       filter(array(checks.map(e => when(failed(e), lit(e.name))): _*),
         v => v.isNotNull))
@@ -92,8 +102,7 @@ object Expectations {
     * costs two passes, or one with `annotate(df, checks).persist`. */
   def split(df: DataFrame, checks: Seq[Expectation]): (DataFrame, DataFrame) = {
     val tagged = annotate(df, checks)
-    (tagged.filter(size(col("violations")) === 0),
-      tagged.filter(size(col("violations")) > 0))
+    (tagged.filter(isClean), tagged.filter(!isClean))
   }
 
   /** Per-column profile: `(column, n_rows, n_nulls, n_distinct)` for

@@ -144,6 +144,17 @@ object BucketedUpsert extends org.apache.spark.internal.Logging {
     val dst = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(dst)
     import scala.jdk.CollectionConverters._
+    // a pin is immutable: linking a SECOND store state into the same
+    // dir would silently mix generations (carried-forward files keep
+    // their names and collide; rewritten buckets get fresh UUID names
+    // and DON'T — the stale version would ride along as duplicate
+    // keys). Refuse instead.
+    locally {
+      val existing = java.nio.file.Files.list(dst)
+      val nonEmpty = try existing.iterator().hasNext finally existing.close()
+      require(!nonEmpty, s"snapshot: target '$dir' is not empty — " +
+        "snapshots are immutable pins; use a fresh directory per pin")
+    }
     val listing = java.nio.file.Files.list(src)
     val files = try listing.iterator().asScala
       .filter(p => bucketIdOf(p.getFileName.toString).isDefined).toSeq

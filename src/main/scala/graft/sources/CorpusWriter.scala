@@ -45,6 +45,14 @@ object CorpusWriter {
   val ManifestDir = "_manifest"
   val SchemaFile = "_schema.json"
 
+  /** The manifest's stat columns; everything else is a partition
+    * column. diff() and compact() both derive partitioning from this
+    * one list — a new stat column added to buildManifest must land
+    * here or both would misread it as a partition column. */
+  private val ManifestStatCols = Set("n_rows", "n_tokens", "n_files", "bytes")
+  private def partitionColsOf(m: DataFrame): Seq[String] =
+    m.schema.fieldNames.filterNot(ManifestStatCols).toSeq
+
   /** Write `df` to `path` partitioned by `partitionCols`, ~`rowsPerFile`
     * rows per file, each file sorted by `sortCol`. Returns the manifest
     * (read back from its published location — no lazy re-scan of the
@@ -122,11 +130,10 @@ object CorpusWriter {
     * moved), `unchanged`. Null partition values compare null-safely
     * (the default-partition rows diff like any other). */
   def diff(spark: SparkSession, oldPath: String, newPath: String): DataFrame = {
-    val statCols = Set("n_rows", "n_tokens", "n_files", "bytes")
     val o = manifest(spark, oldPath)
     val n = manifest(spark, newPath)
-    val pcols = o.schema.fieldNames.filterNot(statCols).toSeq
-    val pcolsNew = n.schema.fieldNames.filterNot(statCols).toSeq
+    val pcols = partitionColsOf(o)
+    val pcolsNew = partitionColsOf(n)
     require(pcols.sorted.sameElements(pcolsNew.sorted),
       s"manifests are partitioned differently: " +
         s"${pcols.mkString(",")} vs ${pcolsNew.mkString(",")}")
@@ -160,8 +167,7 @@ object CorpusWriter {
     // snapshot the manifest OFF the path before rewriting it (overwrite
     // of a path being lazily read is refused; the manifest is tiny)
     val old = manifest(spark, path).localCheckpoint(true)
-    val statCols = Set("n_rows", "n_tokens", "n_files", "bytes")
-    val partitionCols = old.schema.fieldNames.filterNot(statCols).toSeq
+    val partitionCols = partitionColsOf(old)
     val report = Layouts.compactLeaves(spark, path, targetBytes)
     if (report.nonEmpty) {
       buildManifest(spark, old.drop("n_files", "bytes"), path, partitionCols)

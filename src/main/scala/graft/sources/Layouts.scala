@@ -75,6 +75,7 @@ object Layouts {
   val DefaultTargetBytes: Long = 128L * 1024 * 1024
 
   private val CompactTmp = "_compacting"
+  private val CompactMarker = "_compact_commit"
 
   /** Bin-pack the small files of a partitioned parquet layout — the
     * maintenance pass every streaming/incremental writer needs: each
@@ -92,14 +93,19 @@ object Layouts {
     * (idempotent: a second run is a no-op).
     *
     * Each leaf is rewritten through a hidden `_compacting` scratch dir
-    * (invisible to Spark readers), published by delete-old + move-in.
-    * Like any direct-filesystem rewrite this is NOT atomic under
-    * concurrent readers — run it as the single-writer maintenance job
-    * it is, or target a table format where the same operation commits
-    * through the log (Delta OPTIMIZE / Iceberg rewrite_data_files). A
-    * crash mid-publish loses no bytes: the scratch dir retains the
-    * full replacement until the swap completes, and a rerun rebuilds
-    * the leaf from whichever files remain visible.
+    * (invisible to Spark readers) and published by a COMMIT-MARKER
+    * protocol: once the full replacement exists in scratch, a hidden
+    * `_compact_commit` marker naming the original files is written,
+    * THEN originals are deleted and the scratch files move in, then
+    * the marker drops. A crash anywhere after the marker is recovered
+    * by the next run (it finishes deleting the named originals and
+    * adopting the scratch files — no row is ever lost or duplicated);
+    * a crash before the marker just leaves stale scratch that the
+    * next run rebuilds. Like any direct-filesystem rewrite this is
+    * NOT atomic under CONCURRENT readers — run it as the
+    * single-writer maintenance job it is, or target a table format
+    * where the same operation commits through the log (Delta OPTIMIZE
+    * / Iceberg rewrite_data_files).
     */
   def compactLeaves(spark: SparkSession, root: String,
                     targetBytes: Long = DefaultTargetBytes,
@@ -120,7 +126,33 @@ object Layouts {
       else subs.toSeq
     }
 
+    // Finish a publish whose marker is durable: the scratch dir held
+    // the COMPLETE replacement when the marker was written, so delete
+    // whichever named originals survive, adopt whatever is still in
+    // scratch, drop the marker. Every step is idempotent — safe to
+    // re-crash and re-resume any number of times.
+    def finishPublish(leaf: org.apache.hadoop.fs.Path,
+                      marker: org.apache.hadoop.fs.Path,
+                      tmp: org.apache.hadoop.fs.Path): Unit = {
+      val originals = {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      originals.foreach(name =>
+        fs.delete(new org.apache.hadoop.fs.Path(leaf, name), false))
+      if (fs.exists(tmp))
+        fs.listStatus(tmp).filter(e =>
+          e.isFile && e.getPath.getName.endsWith(".parquet")).foreach(f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(leaf, f.getPath.getName)))
+      fs.delete(marker, false)
+      fs.delete(tmp, true)
+    }
+
     def compactOne(leaf: org.apache.hadoop.fs.Path): Option[CompactionStat] = {
+      val tmp = new org.apache.hadoop.fs.Path(leaf, CompactTmp)
+      val marker = new org.apache.hadoop.fs.Path(leaf, CompactMarker)
+      if (fs.exists(marker)) finishPublish(leaf, marker, tmp) // crashed run
       val dataFiles = fs.listStatus(leaf).filter(e =>
         e.isFile && !isHidden(e.getPath.getName) &&
           e.getPath.getName.endsWith(".parquet"))
@@ -128,19 +160,19 @@ object Layouts {
       val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (dataFiles.length <= want) None
       else {
-        val tmp = new org.apache.hadoop.fs.Path(leaf, CompactTmp)
-        fs.delete(tmp, true) // stale scratch from a crashed run
+        fs.delete(tmp, true) // stale marker-less scratch from a crashed run
         spark.read.parquet(leaf.toString)
           .coalesce(want)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val compacted = fs.listStatus(tmp).filter(e =>
+        val nCompacted = fs.listStatus(tmp).count(e =>
           e.isFile && e.getPath.getName.endsWith(".parquet"))
-        // publish: drop the originals, adopt the scratch files
-        dataFiles.foreach(f => fs.delete(f.getPath, false))
-        compacted.foreach(f =>
-          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(leaf, f.getPath.getName)))
-        fs.delete(tmp, true)
-        Some(CompactionStat(leaf.toString, dataFiles.length, compacted.length, bytes))
+        // commit point: replacement is complete; record the originals
+        val out = fs.create(marker, true)
+        try out.write(dataFiles.map(_.getPath.getName).mkString("\n")
+          .getBytes("UTF-8"))
+        finally out.close()
+        finishPublish(leaf, marker, tmp)
+        Some(CompactionStat(leaf.toString, dataFiles.length, nCompacted, bytes))
       }
     }
 

@@ -52,9 +52,9 @@ object QualityGateStream {
                                 id: Long): Unit = {
     val tagged = Expectations.annotate(batch, checks).persist()
     try {
-      tagged.filter(size(col("violations")) === 0).drop("violations")
+      tagged.filter(Expectations.isClean).drop("violations")
         .write.mode(SaveMode.Overwrite).parquet(s"$cleanDir/batch_id=$id")
-      tagged.filter(size(col("violations")) > 0)
+      tagged.filter(!Expectations.isClean)
         .write.mode(SaveMode.Overwrite).parquet(s"$quarantineDir/batch_id=$id")
     } finally tagged.unpersist()
   }

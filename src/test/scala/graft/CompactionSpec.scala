@@ -63,6 +63,42 @@ class CompactionSpec extends AnyFunSuite {
     assert(parquetFiles(new java.io.File(dir)).map(_.getName).toSet == names)
   }
 
+  test("crash mid-publish: a rerun recovers the committed rewrite, no loss or duplication") {
+    import spark.implicits._
+    val dir = tmp("graft_compact_crash")
+    (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    val leaf = new java.io.File(dir)
+    assert(parquetFiles(leaf).length > 1, "fixture must be fragmented")
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+
+    // simulate the worst crash window: the replacement is complete in
+    // scratch and the marker is durable, originals PARTIALLY deleted,
+    // nothing moved in yet. Build that state by hand with the same
+    // layout compactLeaves produces.
+    val scratch = new java.io.File(leaf, "_compacting")
+    spark.read.parquet(dir).coalesce(1)
+      .write.mode("overwrite").parquet(scratch.toString)
+    val originals = parquetFiles(leaf).map(_.getName)
+    java.nio.file.Files.write(
+      new java.io.File(leaf, "_compact_commit").toPath,
+      originals.mkString("\n").getBytes("UTF-8"))
+    // the "crash": half the originals already deleted
+    originals.take(originals.length / 2).foreach(n =>
+      java.nio.file.Files.delete(new java.io.File(leaf, n).toPath))
+
+    // rerun recovers: adopts the scratch replacement, drops the rest
+    val report = Layouts.compactLeaves(spark, dir)
+    val after = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    assert(after == before, "recovery must restore exactly the original rows")
+    assert(parquetFiles(leaf).length == 1, "leaf must end packed")
+    assert(!new java.io.File(leaf, "_compact_commit").exists()
+      && !scratch.exists(), "marker and scratch must be gone")
+    // recovered leaf was already at target — the rerun itself reports
+    // nothing further to do
+    assert(report.isEmpty, report.toString)
+  }
+
   test("CorpusWriter.compact republishes the manifest for the packed layout") {
     val path = tmp("graft_corpus_compact")
     val in = Tables.documents(spark, sf)

@@ -81,6 +81,21 @@ class StoreSnapshotSpec extends AnyFunSuite {
     } finally BucketedUpsert.drop(spark, table)
   }
 
+  test("snapshot refuses a non-empty target — pins are immutable") {
+    import spark.implicits._
+    val table = "snap_immut"
+    val dir = tmp("snap_immut")
+    BucketedUpsert.drop(spark, table)
+    try {
+      BucketedUpsert.materialize(
+        (1L to 5L).map(k => k -> 1).toDF("k", "v"), table, "k", 4)
+      BucketedUpsert.snapshot(spark, table, dir)
+      intercept[IllegalArgumentException] {
+        BucketedUpsert.snapshot(spark, table, dir)
+      }
+    } finally BucketedUpsert.drop(spark, table)
+  }
+
   test("rollback refuses when no previous generation exists") {
     val table = "snap_rb_none"
     BucketedUpsert.drop(spark, table)
