@@ -61,20 +61,29 @@ object QuantileOps {
 
     private def bump(store: mutable.LongMap[Long], idx: Long, n: Long): Unit = {
       store(idx) = store.getOrElse(idx, 0L) + n
-      if (store.size > MaxBuckets) collapse(store)
+      // pos indexes grow with VALUE, neg indexes grow with MAGNITUDE:
+      // folding the lowest pos buckets sacrifices the low quantiles,
+      // but for neg the low-index buckets are the values NEAREST ZERO
+      // — the distribution's HIGH quantiles — so neg folds from the
+      // highest index (the extreme negative tail) to keep the same
+      // policy on both sides: overflow degrades the LOW-quantile tail,
+      // never the high quantiles.
+      if (store.size > MaxBuckets) collapse(store, foldLowest = store eq pos)
     }
 
-    /** Fold the lowest-index buckets together until within cap. */
-    private def collapse(store: mutable.LongMap[Long]): Unit = {
+    /** Fold one end's buckets together until within cap (see bump for
+      * which end and why). */
+    private def collapse(store: mutable.LongMap[Long], foldLowest: Boolean): Unit = {
       val keys = store.keys.toArray.sorted
+      val order = if (foldLowest) keys else keys.reverse
       var i = 0
       var folded = 0L
       while (store.size > MaxBuckets) { // each removal shrinks size by 1
-        folded += store(keys(i))
-        store.remove(keys(i))
+        folded += store(order(i))
+        store.remove(order(i))
         i += 1
       }
-      store(keys(i)) = store.getOrElse(keys(i), 0L) + folded
+      store(order(i)) = store.getOrElse(order(i), 0L) + folded
     }
 
     def total: Long =

@@ -49,15 +49,13 @@ object BucketedUpsert extends org.apache.spark.internal.Logging {
     spark.sql(s"DROP VIEW IF EXISTS `$table`")
     Seq(a, b).foreach { g =>
       spark.sql(s"DROP TABLE IF EXISTS `$g`")
-      val loc = java.nio.file.Paths.get(spark.sessionState.catalog
+      // Hadoop fs recursive delete, not java.nio: works for any
+      // warehouse URI (hdfs:/s3a:), where Paths.get would throw
+      // FileSystemNotFoundException and leave the orphan behind
+      val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
         .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(g)))
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(loc)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(loc, true)
     }
   }
 
@@ -84,27 +82,46 @@ object BucketedUpsert extends org.apache.spark.internal.Logging {
     * ~10 buckets of parquet, not the table. The returned frame is a
     * SUPERSET restricted to those buckets (other keys hashing into the
     * same bucket ride along) — callers must still equi/semi-join it
-    * against their key set. `bucketKey`/`buckets` must match the
-    * table's layout (same contract as upsert).  */
+    * against their key set. The bucket COUNT comes from the table's
+    * own catalog bucketSpec, never from the caller: pruning with a
+    * count the files were not written under selects the wrong buckets
+    * and silently drops store rows (`buckets` is kept as a
+    * cross-check — a mismatch fails fast instead of mis-pruning).
+    * Probing a store that was never materialized is a contract error
+    * and fails with a clear message (the schema is unknowable).
+    *
+    * `keys0` is evaluated twice — once collected for the bucket-id
+    * set, once when the caller joins the returned frame — so pass a
+    * persisted/checkpointed frame when the probe computation is
+    * expensive (the built-in callers probe cheap hash projections). */
   def readKeys(spark: SparkSession, table: String, keys0: DataFrame,
                bucketKey: String, buckets: Int): DataFrame = {
+    val active = activeGen(spark, table).getOrElse(throw new IllegalStateException(
+      s"readKeys: store '$table' does not exist — materialize/init it first"))
+    val tableBuckets = catalogBuckets(spark, active).getOrElse(buckets)
+    require(tableBuckets == buckets,
+      s"readKeys: caller assumes $buckets buckets but '$table' is bucketed " +
+        s"into $tableBuckets — pruning under the wrong count silently drops rows")
     val empty = () => spark.table(table).limit(0)
-    val touched = affectedBuckets(keys0.select(col(bucketKey)), bucketKey, buckets)
+    val touched = affectedBuckets(
+      keys0.select(col(bucketKey)), bucketKey, tableBuckets)
     if (touched.isEmpty) return empty()
-    activeGen(spark, table) match {
-      case None => empty()
-      case Some(active) =>
-        val dir = tableDir(spark, active)
-        import scala.jdk.CollectionConverters._
-        val listing = java.nio.file.Files.list(dir)
-        val files = try listing.iterator().asScala
-          .filter(p => bucketIdOf(p.getFileName.toString).exists(touched))
-          .map(_.toString).toSeq
-        finally listing.close()
-        if (files.isEmpty) empty()
-        else spark.read.schema(spark.table(table).schema).parquet(files: _*)
-    }
+    val dir = tableDir(spark, active)
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(dir)
+    val files = try listing.iterator().asScala
+      .filter(p => bucketIdOf(p.getFileName.toString).exists(touched))
+      .map(_.toString).toSeq
+    finally listing.close()
+    if (files.isEmpty) empty()
+    else spark.read.schema(spark.table(table).schema).parquet(files: _*)
   }
+
+  /** The bucket count a generation table was actually written with. */
+  private[graft] def catalogBuckets(spark: SparkSession, gen: String): Option[Int] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(gen))
+      .bucketSpec.map(_.numBuckets)
 
   /** Read through the view. Spark's table-relation cache is
     * per-session: a foreachBatch upsert runs in the micro-batch's
@@ -323,6 +340,12 @@ object BucketedUpsert extends org.apache.spark.internal.Logging {
       val gen = inactiveGen(spark, table)
       val (a, b) = generations(table)
       val active = if (gen == a) b else a
+      // a merge under the wrong bucket count would prune the wrong
+      // buckets AND link carried-forward files into a generation whose
+      // catalog declares a different layout — corrupt both ways
+      catalogBuckets(spark, active).foreach(n => require(n == buckets,
+        s"upsert: caller assumes $buckets buckets but '$table' is bucketed " +
+          s"into $n — refusing a mixed-layout merge"))
       // replay guard: this (query, batch) already merged into the
       // served generation → re-delivery is a no-op. A recorded query
       // id of "" can only come from a table written before query ids

@@ -87,8 +87,15 @@ object CorpusWriter {
       val rhs = stats.select(
         partitionCols.map(c => col(c).as(s"__p_$c")) :+ col("__nfiles"): _*)
       val cond = partitionCols.map(c => df(c) <=> rhs(s"__p_$c")).reduce(_ && _)
+      // the cell salt folds in a per-row disambiguator: hashing the
+      // sort key ALONE would send every tied value to one cell — a
+      // low-cardinality sortCol (score buckets, dates) rebuilds the
+      // giant-file skew this sink exists to prevent. Ties spread
+      // evenly and file-internal sort order is unaffected (tied rows
+      // share min/max stats wherever they land).
       val salted = df.join(broadcast(rhs), cond)
-        .withColumn("__cell", pmod(hash(col(sortCol)), col("__nfiles")))
+        .withColumn("__cell",
+          pmod(hash(col(sortCol), monotonically_increasing_id()), col("__nfiles")))
       salted
         .repartition((pcols :+ col("__cell")): _*)
         // prefix-sorted by the partition columns: the dynamic-partition
@@ -220,22 +227,15 @@ object CorpusWriter {
           fileStats("n_files"), fileStats("bytes")): _*)
   }
 
-  /** Invert the dynamic-partition writer's path escaping: `%XX` hex
-    * escapes back to chars, the default-partition sentinel back to
+  /** Invert the dynamic-partition writer's path escaping via Spark's
+    * OWN inverse (`ExternalCatalogUtils.unescapePathName` — the exact
+    * counterpart of the escapePathName the writer applied, so the two
+    * can never drift), with the default-partition sentinel back to
     * null (None). */
   private def unescapePathValue(v: String): Option[String] = {
-    if (v == "__HIVE_DEFAULT_PARTITION__") return None
-    val sb = new StringBuilder(v.length)
-    var i = 0
-    while (i < v.length) {
-      // %XX → char; a malformed % (truncated or non-hex) stays literal
-      val hex = if (v.charAt(i) == '%' && i + 2 < v.length + 1 && i + 2 <= v.length)
-        v.substring(i + 1, math.min(i + 3, v.length)) else ""
-      if (hex.length == 2 && hex.forall(c => Character.digit(c, 16) >= 0)) {
-        sb.append(Integer.parseInt(hex, 16).toChar); i += 3
-      } else { sb.append(v.charAt(i)); i += 1 }
-    }
-    Some(sb.toString)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+    else Some(ExternalCatalogUtils.unescapePathName(v))
   }
 
   private def writeText(spark: SparkSession, path: String, text: String): Unit = {

@@ -75,13 +75,26 @@ object QuantileStore {
   def read(spark: SparkSession, table: String = DefaultTable): DataFrame =
     BucketedUpsert.read(spark, table)
 
-  /** Serve-path projection: one column per requested quantile. */
+  /** Serve-path projection: one column per requested quantile.
+    * Labels keep enough precision to stay distinct (p50, p99, p99_9 —
+    * rounding to whole percents would alias 0.999 and 1.0 both to
+    * "p100" and break every downstream col() reference). */
   def quantiles(spark: SparkSession, qs: Seq[Double],
                 table: String = DefaultTable): DataFrame = {
+    def label(q: Double): String = {
+      // via the double's shortest decimal repr — BigDecimal(q * 100)
+      // would surface binary artifacts (0.999 → "p99_90000000000001")
+      val s = (BigDecimal(q.toString) * 100).underlying
+        .stripTrailingZeros.toPlainString
+      "p" + s.replace("-", "m").replace(".", "_")
+    }
+    val labels = qs.map(label)
+    require(labels.distinct.size == labels.size,
+      s"quantiles: duplicate labels from $qs — ${labels.mkString(",")}")
     val base = read(spark, table)
     val keyCols = base.columns.filterNot(_ == SketchCol).map(col)
-    base.select(keyCols ++ qs.map(q =>
-      QSketchQuantile(col(SketchCol), q)
-        .as(s"p${math.round(q * 100)}")): _*)
+    base.select(keyCols ++ qs.zip(labels).map { case (q, l) =>
+      QSketchQuantile(col(SketchCol), q).as(l)
+    }: _*)
   }
 }

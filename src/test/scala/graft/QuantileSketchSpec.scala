@@ -143,6 +143,25 @@ class QuantileSketchSpec extends AnyFunSuite {
       s"p99 est=$est99 exact=$exact99")
   }
 
+  test("negative-dominated collapse folds the extreme tail, keeping high quantiles accurate") {
+    // mirror of the positive collapse test: overflow on the NEG store
+    // must fold the most-negative buckets (the distribution's LOW
+    // quantiles), never the near-zero ones p99 reads
+    val a = 0.001
+    val st = new QuantileOps.State(a)
+    val n = 12001
+    (0 until n).foreach(k => st.insert(-math.exp(k * 0.01)))
+    assert(st.neg.size <= QuantileOps.MaxBuckets,
+      s"store not collapsed: ${st.neg.size}")
+    assert(st.total == n, "collapse lost counts")
+    // p99 of all-negative data is near zero: rank 0.99*(n-1) in
+    // ascending order = the (n-1-that)-th largest magnitude
+    val exact99 = -math.exp((n - 1 - (0.99 * (n - 1)).toLong) * 0.01)
+    val est99 = st.quantile(0.99)
+    assert(math.abs(est99 - exact99) / math.abs(exact99) <= a * 1.05,
+      s"p99 est=$est99 exact=$exact99")
+  }
+
   test("union rejects sketches of different alpha with a clear error") {
     val a = new QuantileOps.State(0.01)
     val b = new QuantileOps.State(0.02)

@@ -96,6 +96,41 @@ class StoreSnapshotSpec extends AnyFunSuite {
     } finally BucketedUpsert.drop(spark, table)
   }
 
+  test("bucket-count mismatch fails fast on both probe and merge paths") {
+    import spark.implicits._
+    val table = "snap_buckets"
+    BucketedUpsert.drop(spark, table)
+    try {
+      BucketedUpsert.materialize(
+        (1L to 10L).map(k => k -> 1).toDF("k", "v"), table, "k", 8)
+      // probe under the wrong count would silently select the wrong
+      // bucket files (missed duplicates, not an error) — must refuse
+      intercept[IllegalArgumentException] {
+        BucketedUpsert.readKeys(spark, table,
+          Seq(3L).toDF("k"), "k", buckets = 32).collect()
+      }
+      // merge under the wrong count would link carried-forward files
+      // into a generation declaring a different layout — must refuse
+      intercept[IllegalArgumentException] {
+        BucketedUpsert.upsert(spark, table,
+          Seq(3L -> 9).toDF("k", "v"), Seq("k"), "k", buckets = 32)
+      }
+      // the matching count still works
+      assert(BucketedUpsert.readKeys(spark, table,
+        Seq(3L).toDF("k"), "k", buckets = 8).count() >= 1)
+    } finally BucketedUpsert.drop(spark, table)
+  }
+
+  test("probing a store that does not exist fails with a clear message") {
+    import spark.implicits._
+    BucketedUpsert.drop(spark, "snap_missing")
+    val e = intercept[IllegalStateException] {
+      BucketedUpsert.readKeys(spark, "snap_missing",
+        Seq(1L).toDF("k"), "k", 8)
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
   test("rollback refuses when no previous generation exists") {
     val table = "snap_rb_none"
     BucketedUpsert.drop(spark, table)
