@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al. '16) — vocab
+  * induction over a corpus, the step between curation and packing in
+  * a training-data pipeline (the engine's other BPE surface,
+  * `token_count_bpe`, only COUNTS with a fixed pretokenizer; this
+  * LEARNS the merge table).
+  *
+  * Scale shape: training state is the distinct-WORD count frame, not
+  * the corpus — one explode + groupBy collapses 100 TB of text to a
+  * vocabulary-sized `(symbols, n)` frame (Zipf: orders of magnitude
+  * smaller), and every merge round is a pair-explode + aggregate over
+  * THAT, in parallel across words. The driver sees one row per round
+  * (the argmax pair — `limit(1).collect`), never the corpus; each
+  * round's frame is persisted and the previous unpersisted, so plan
+  * depth and memory stay O(1) across rounds. The merge itself is a
+  * per-word scala function (a UDF on purpose: leftmost-greedy pair
+  * collapse is inherently sequential WITHIN a word's ~10 symbols, and
+  * rows are independent — codegen would buy nothing on a loop this
+  * size, while the word-level parallelism is where the time goes).
+  *
+  * Determinism: ties on pair count break by (left, right) ordering,
+  * so the learned merge table is identical across partitionings,
+  * cluster sizes, and runs — asserted by the spec, required for a
+  * reproducible tokenizer artifact.
+  */
+object Bpe {
+
+  /** End-of-word marker (Sennrich): lets merges distinguish suffixes
+    * ("est</w>" vs "est" mid-word) and makes segmentation invertible. */
+  val Eow = "</w>"
+
+  final case class Merge(rank: Int, left: String, right: String)
+
+  /** `(symbols, n)`: each distinct word as its initial symbol
+    * sequence (chars + end-of-word marker), weighted by corpus
+    * frequency. The ONLY pass over the full corpus. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(initSymbols(col("w")).as("symbols"), col("n"))
+
+  private def initSymbols(w: org.apache.spark.sql.Column) =
+    // Spark's split(w, "") keeps a trailing "" (Java regex split,
+    // limit -1) that scala's String.split drops — filter it, or the
+    // trainer learns junk merges over empty symbols
+    concat(filter(split(w, ""), s => length(s) > 0), array(lit(Eow)))
+
+  /** Leftmost-greedy collapse of one (a,b) pair in one word's symbol
+    * sequence — the per-row merge step shared by training and the
+    * reference path in the spec. */
+  private[graft] def mergeWord(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `numMerges` merges from a corpus. Stops early when no pair
+    * occurs twice (merging a count-1 pair memorizes noise). */
+  def train(docs: DataFrame, numMerges: Int): Seq[Merge] =
+    trainFromWordCounts(wordCounts(docs), numMerges)
+
+  def trainFromWordCounts(wc0: DataFrame, numMerges: Int): Seq[Merge] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val mergeUdf = udf(mergeWord _)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // localCheckpoint, NOT persist: an iterative loop that chains
+    // frames through persist() nests each round's whole plan inside
+    // the next round's InMemoryRelation — plan TREES (and the plan
+    // strings Spark renders per execution) grow exponentially with
+    // rounds; at ~20 rounds the driver spends minutes stringifying
+    // plans, not running jobs. The eager local checkpoint cuts the
+    // lineage to a LogicalRDD each round: one materialization job +
+    // one aggregate job per round, plan depth O(1) forever. Old
+    // checkpoint blocks are released by the ContextCleaner as each
+    // round's frame goes unreferenced.
+    var wc = wc0.localCheckpoint(true)
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      // adjacent-pair counts over the word frame (weights = word n).
+      // sequence() needs the size >= 2 guard: on a fully-merged
+      // single-symbol word it would run BACKWARDS ([0,-1]) and emit
+      // null-padded junk pairs.
+      val top = wc
+        .filter(size(col("symbols")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(symbols) - 2), " +
+            "i -> struct(symbols[i] AS l, symbols[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += Merge(round, l, r)
+        wc = wc.select(
+          mergeUdf(col("symbols"), lit(l), lit(r)).as("symbols"), col("n"))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Segment text with a learned merge table: whitespace words →
+    * initial symbols → merges applied in rank order (the standard
+    * encode; a production encoder uses rank-priority queues — same
+    * result, this keeps the reference semantics obvious). The merge
+    * table broadcasts; segmentation is embarrassingly parallel. */
+  def segment(spark: SparkSession, docs: DataFrame,
+              merges: Seq[Merge]): DataFrame = {
+    val bc = spark.sparkContext.broadcast(
+      merges.sortBy(_.rank).map(m => (m.left, m.right)))
+    val seg = udf((text: String) => {
+      if (text == null) null
+      else text.trim.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+        var syms: Seq[String] = (w.split("").toSeq :+ Eow)
+        bc.value.foreach { case (a, b) => syms = mergeWord(syms, a, b) }
+        syms
+      }
+    })
+    docs.withColumn("bpe_tokens", seg(col("text")))
+  }
+}

@@ -283,6 +283,22 @@ object TextQueries extends QueryModule {
              |       len(string_split(trim(text), ' ')) AS n_ws_tokens
              |FROM documents""".stripMargin)),
 
+    // BPE tokenizer training (operators.Bpe): the learned merge table
+    // over the corpus — vocab induction, not just counting. No SQL
+    // oracle (the merge loop is iterative argmax, impractical in one
+    // SQL text); the gate is BpeSpec's reference-implementation
+    // equality + partitioning determinism, plus the driver rows
+    // check here. 20 merges: enough for multi-char tokens to emerge
+    // at every fixture SF, bounded bench cost (one job per round).
+    Q("bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Bpe.train(docs(s, dir), numMerges = 20)
+          .map(m => (m.rank, m.left, m.right))
+          .toDF("rank", "left", "right")
+      },
+      None),
+
     // Term frequencies: the canonical explode → count shape; top-50
     // with token tiebreak for determinism
     Q("term_frequencies",
