@@ -30,7 +30,7 @@ object PlanAudit {
     "pack_sequences", "doc_chunks", "pii_redaction", "corpus_drift",
     "embed_ann_indexed", "token_budget_select", "source_cap",
     "corpus_assemble", "corpus_split_leakage_safe", "expectations_audit",
-    "negative_samples")
+    "negative_samples", "corpus_shard", "assemble_provenance")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

@@ -114,6 +114,10 @@ object PackingQueries extends QueryModule {
   private val ChunkW = 64
   private val ChunkS = 48
 
+  /** Epochs / output shards for `corpus_shard`. */
+  private val Epochs = 2
+  private val NShards = 8
+
   /** PII patterns, shared by the `pii_redaction` gate query, the
     * `documents_redacted` view (GraftViews), and both specs — one
     * definition so the served view can never silently diverge from the
@@ -453,6 +457,159 @@ object PackingQueries extends QueryModule {
               |                 AS cum_tokens
               |        FROM cap)
               |SELECT doc_id, source, score, n_tok, cum_tokens
-              |FROM bud WHERE cum_tokens <= $Budget""".stripMargin))
+              |FROM bud WHERE cum_tokens <= $Budget""".stripMargin)),
+
+    // Deterministic per-epoch corpus shuffle + sharding: the step that
+    // turns a curated corpus into the SHARD FILES a training job reads.
+    // Each epoch gets its own reproducible global permutation (order by
+    // md5(epoch:doc_id) — reshuffling between epochs without ever
+    // re-materializing the corpus differently per worker), and rows are
+    // dealt round-robin along that order into NShards shards, so shard
+    // sizes are balanced to ±1 ROW regardless of key skew and
+    // (shard, pos) is a bijection into the permutation — any worker can
+    // reconstruct exactly what it should read from the seed alone.
+    //
+    // Scale design: the global rank along the permutation is the same
+    // inherently-sequential construct as pack_sequences' prefix sum and
+    // gets the same two-phase treatment — range-partition by (epoch,
+    // key, doc_id) so partitions tile each epoch's permutation order,
+    // rank locally inside (pid, epoch), then add the broadcast count of
+    // earlier partitions' rows in the same epoch. A bare
+    // Window.partitionBy(epoch) rank would funnel each epoch's ENTIRE
+    // corpus through one task (the corpus_mix anti-pattern); here the
+    // only partition-less work is the #partitions×#epochs-row prefix
+    // frame.
+    Q("corpus_shard",
+      (s, dir) => {
+        val nParts = math.max(1, s.sparkContext.defaultParallelism / 4)
+        val keyed = docs(s, dir).select(col("doc_id"))
+          .withColumn("epoch",
+            explode(sequence(lit(0L), lit(Epochs - 1L))))
+          .withColumn("k", md5(concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))))
+        val parted = keyed
+          .repartitionByRange(nParts, col("epoch"), col("k"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val local = parted.withColumn("rn",
+          row_number().over(Window.partitionBy(col("pid"), col("epoch"))
+            .orderBy(col("k"), col("doc_id"))).cast("long"))
+        val prefix = parted.groupBy(col("pid"), col("epoch"))
+          .agg(count(lit(1)).as("ptot"))
+          .withColumn("before", coalesce(
+            sum(col("ptot")).over(Window.partitionBy(col("epoch"))
+              .orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("epoch"), col("before"))
+        local.join(broadcast(prefix), Seq("pid", "epoch"))
+          .withColumn("rk", col("rn") + col("before"))
+          .select(col("epoch"), col("doc_id"),
+            ((col("rk") - 1) % NShards).as("shard"),
+            expr(s"(rk - 1) div $NShards").as("pos"))
+      },
+      Some(s"""WITH e AS (SELECT unnest(range(0, $Epochs)) AS epoch),
+              |r AS (SELECT epoch, doc_id,
+              |             CAST(row_number() OVER (
+              |               PARTITION BY epoch
+              |               ORDER BY md5(epoch || ':' || doc_id), doc_id)
+              |               AS BIGINT) AS rk
+              |      FROM documents, e)
+              |SELECT epoch, doc_id,
+              |       (rk - 1) % $NShards AS shard,
+              |       (rk - 1) // $NShards AS pos
+              |FROM r""".stripMargin)),
+
+    // Curation-chain provenance: for EVERY document, the first stage of
+    // the corpus_assemble chain that dropped it (or 'selected'). The
+    // audit trail a data-governance review asks for — "why is doc X not
+    // in release Y?" answered without re-running the pipeline, and the
+    // per-stage attrition histogram falls out of a GROUP BY stage.
+    // Precedence mirrors the chain order: duplicate → eval_split →
+    // contaminated → low_quality → source_capped → over_budget →
+    // selected; each doc carries exactly one verdict.
+    //
+    // Scale: the flags reuse the assemble stages verbatim (content-hash
+    // window, gram-keyed contamination join — never doc×doc, two-phase
+    // cap/budget), plus two left joins on doc_id of the KEPT-id frames,
+    // which are budget-bounded (≤ sources×cap rows). Cost ≈ one
+    // corpus_assemble plus two cheap hash joins.
+    Q("assemble_provenance",
+      (s, dir) => {
+        val wH = Window.partitionBy(col("h"))
+        val flagged = docs(s, dir)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .withColumn("cid", min(col("doc_id")).over(wH))
+          .select(col("doc_id"), col("cid"))
+        val sh = TextQueries.shingleRowsCached(s, dir).select(col("doc_id"), col("s"))
+        val evalGrams = sh.filter(col("doc_id") % 10 === 0)
+          .select(col("s")).distinct()
+        val contaminated = sh.filter(col("doc_id") % 10 =!= 0)
+          .join(evalGrams, Seq("s"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 3)
+          .select(col("doc_id"), lit(true).as("contam"))
+        val base = flagged
+          .join(withScore(docs(s, dir)), Seq("doc_id"))
+          .join(contaminated, Seq("doc_id"), "left")
+        val survivors = base.filter(col("doc_id") === col("cid") &&
+            col("doc_id") % 10 =!= 0 && col("contam").isNull &&
+            col("score") >= QMin)
+          .select(col("doc_id"), col("source"), col("score"), col("n_tok"))
+        val cap = capPerSource(survivors).drop("rk")
+        val capIds = cap.select(col("doc_id"), lit(true).as("in_cap"))
+        val budIds = budgetSelect(cap)
+          .select(col("doc_id"), lit(true).as("in_bud"))
+        base.join(capIds, Seq("doc_id"), "left")
+          .join(budIds, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("score"),
+            when(col("doc_id") =!= col("cid"), "duplicate")
+              .when(col("doc_id") % 10 === 0, "eval_split")
+              .when(col("contam").isNotNull, "contaminated")
+              .when(col("score") < QMin, "low_quality")
+              .when(col("in_cap").isNull, "source_capped")
+              .when(col("in_bud").isNull, "over_budget")
+              .otherwise("selected").as("stage"))
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id, source, text,
+              |                   min(doc_id) OVER (PARTITION BY md5(text)) AS cid
+              |            FROM documents),
+              |tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+              |shg AS (SELECT doc_id,
+              |               unnest(list_distinct(list_transform(
+              |                 range(1, len(t) - 1),
+              |                 i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+              |        FROM tok WHERE len(t) >= 3),
+              |ev AS (SELECT DISTINCT s FROM shg WHERE doc_id % 10 = 0),
+              |cont AS (SELECT shg.doc_id
+              |         FROM shg JOIN ev ON shg.s = ev.s
+              |         WHERE shg.doc_id % 10 <> 0
+              |         GROUP BY shg.doc_id HAVING count(*) >= 3),
+              |$scoreCte,
+              |base AS (SELECT d0.doc_id, s.source, s.score, s.n_tok, d0.cid,
+              |                d0.doc_id IN (SELECT doc_id FROM cont) AS contam
+              |         FROM d0 JOIN s ON d0.doc_id = s.doc_id),
+              |surv AS (SELECT doc_id, source, score, n_tok FROM base
+              |         WHERE doc_id = cid AND doc_id % 10 <> 0
+              |           AND NOT contam AND score >= $QMin),
+              |cap AS (SELECT doc_id, source, score, n_tok
+              |        FROM surv
+              |        QUALIFY row_number() OVER (PARTITION BY source
+              |                                   ORDER BY score DESC, doc_id) <= $SrcCap),
+              |bud AS (SELECT doc_id,
+              |               CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+              |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              |                 AS cum_tokens
+              |        FROM cap)
+              |SELECT doc_id, source, score,
+              |       CASE WHEN doc_id <> cid THEN 'duplicate'
+              |            WHEN doc_id % 10 = 0 THEN 'eval_split'
+              |            WHEN contam THEN 'contaminated'
+              |            WHEN score < $QMin THEN 'low_quality'
+              |            WHEN doc_id NOT IN (SELECT doc_id FROM cap)
+              |              THEN 'source_capped'
+              |            WHEN doc_id NOT IN (SELECT doc_id FROM bud
+              |                                WHERE cum_tokens <= $Budget)
+              |              THEN 'over_budget'
+              |            ELSE 'selected' END AS stage
+              |FROM base""".stripMargin))
   )
 }
