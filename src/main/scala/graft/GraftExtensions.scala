@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, MisraGriesAgg, QSketchQuantile, QSketchUnion, QuantileSketchAgg, QuantileSketchBuild, SimHash, ZOrderCode}
+import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, KmvEstimate, KmvIntersect, KmvSketchBuild, KmvUnion, MisraGriesAgg, QSketchQuantile, QSketchUnion, QuantileSketchAgg, QuantileSketchBuild, SimHash, ZOrderCode}
 import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -198,6 +198,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val q = litDouble(exprs(1), usage, "q")
         require(q >= 0.0 && q <= 1.0, s"$usage: q must be in [0,1], got $q")
         QSketchQuantile(exprs.head, q)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchBuild].getName, "kmv_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val usage = "kmv_sketch(key[, k])"
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"$usage takes 1 or 2 arguments, got ${exprs.length}")
+        val k = if (exprs.length > 1) litInt(exprs(1), usage, "k") else 1024
+        require(k >= 8 && k <= (1 << 20),
+          s"$usage: k must be in [8, 2^20], got $k")
+        KmvSketchBuild(exprs.head, k).toAggregateExpression()
+      }))
+    e.injectFunction((
+      FunctionIdentifier("kmv_union"),
+      new ExpressionInfo(classOf[KmvUnion].getName, "kmv_union"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, s"kmv_union takes 2 arguments, got ${exprs.length}")
+        KmvUnion(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("kmv_estimate"),
+      new ExpressionInfo(classOf[KmvEstimate].getName, "kmv_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, s"kmv_estimate takes 1 argument, got ${exprs.length}")
+        KmvEstimate(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("kmv_intersect"),
+      new ExpressionInfo(classOf[KmvIntersect].getName, "kmv_intersect"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"kmv_intersect takes 2 arguments, got ${exprs.length}")
+        KmvIntersect(exprs(0), exprs(1))
       }))
     e.injectFunction((
       FunctionIdentifier("zorder_code"),

@@ -30,7 +30,8 @@ object PlanAudit {
     "pack_sequences", "doc_chunks", "pii_redaction", "corpus_drift",
     "embed_ann_indexed", "token_budget_select", "source_cap",
     "corpus_assemble", "corpus_split_leakage_safe", "expectations_audit",
-    "negative_samples", "corpus_shard", "assemble_provenance")
+    "negative_samples", "corpus_shard", "assemble_provenance",
+    "source_overlap_kmv")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -52,11 +53,14 @@ object PlanAudit {
   // (file-pruning asserted in IvfIndexStoreSpec).
   // negative_samples rides the ONE-ROW broadcast keyspace frame
   // (max part key) — same scalar shape as q15/q22.
+  // source_overlap_kmv pairs the #sources-row sketch frame against
+  // itself on source_a < source_b (no equi-key by construction;
+  // bounded O(sources²) over a broadcast of O(sources·k) bytes).
   val ExpectedBnlj: Set[String] = Set(
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
     "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens",
     "q11_important_parts", "corpus_drift", "embed_ann_indexed",
-    "negative_samples")
+    "negative_samples", "source_overlap_kmv")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

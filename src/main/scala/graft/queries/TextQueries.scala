@@ -938,6 +938,38 @@ object TextQueries extends QueryModule {
              |       round(1 - CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS dup_token_frac,
              |       round(CAST(max(c) AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE), 6) AS top_bigram_frac,
              |       (max(c) * 5 > n_tok - 1) AS is_repetitive
-             |FROM c GROUP BY doc_id, n_tok, n_distinct""".stripMargin))
+             |FROM c GROUP BY doc_id, n_tok, n_distinct""".stripMargin)),
+
+    // Pairwise source-vocabulary overlap via KMV theta sketches: "how
+    // much does crawl B duplicate crawl A's vocabulary?" answered
+    // WITHOUT a token-level join. One pass builds an O(k) sketch per
+    // source (map-side partials, associative merge); the overlap
+    // matrix is then pure arithmetic over the #sources-row sketch
+    // frame — at 100 TB the expensive scan happens once per corpus
+    // slice and every pairwise question afterwards is free. HLL can't
+    // do this: distinct-intersection via inclusion-exclusion inherits
+    // the UNION's absolute error and collapses for small overlaps;
+    // KMV estimates the overlap from the shared uniform sample
+    // directly (Beyer et al., SIGMOD'07). Deterministic (fixed-seed
+    // xxhash64) but approximate → rows-check; KmvSketchSpec pins the
+    // estimates against the exact joins and the canonical-bytes
+    // invariance under partitioning.
+    Q("source_overlap_kmv",
+      (s, dir) => {
+        val sk = docs(s, dir)
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("source"))
+          .agg(graft.functions.expressions.KmvSketchBuild(col("token"), 256).as("sk"))
+        val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+        val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+        // #sources × #sources pairs over a broadcast-bounded frame
+        a.join(broadcast(b), col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            graft.functions.expressions.KmvEstimate(col("sk_a")).as("est_vocab_a"),
+            graft.functions.expressions.KmvEstimate(col("sk_b")).as("est_vocab_b"),
+            graft.functions.expressions.KmvIntersect(col("sk_a"), col("sk_b"))
+              .as("est_shared_vocab"))
+      },
+      None)
   )
 }
