@@ -31,7 +31,7 @@ object PlanAudit {
     "embed_ann_indexed", "token_budget_select", "source_cap",
     "corpus_assemble", "corpus_split_leakage_safe", "expectations_audit",
     "negative_samples", "corpus_shard", "assemble_provenance",
-    "source_overlap_kmv")
+    "source_overlap_kmv", "pagerank_suppliers")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -56,11 +56,13 @@ object PlanAudit {
   // source_overlap_kmv pairs the #sources-row sketch frame against
   // itself on source_a < source_b (no equi-key by construction;
   // bounded O(sources²) over a broadcast of O(sources·k) bytes).
+  // pagerank_suppliers rides the ONE-ROW broadcast node-count frame
+  // in every Jacobi round (the tfidf scalar shape).
   val ExpectedBnlj: Set[String] = Set(
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
     "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens",
     "q11_important_parts", "corpus_drift", "embed_ann_indexed",
-    "negative_samples", "source_overlap_kmv")
+    "negative_samples", "source_overlap_kmv", "pagerank_suppliers")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over a directed edge list — the classic link-quality
+  * signal a web-scale corpus curation pass weighs documents by (crawl
+  * frontiers and quality filters both rank hosts/pages this way;
+  * reference scope: the engine's generic graph-centrality extension,
+  * like ConnectedComponents for the dedup family).
+  *
+  * Numerics: INTEGER FIXED-POINT on purpose. Ranks are BIGINTs scaled
+  * by `Scale`; each Jacobi round is
+  *   r'(v) = (15·(Scale div N)) div 100 + (85·Σ_{u→v} r(u) div d(u)) div 100
+  * — every operation is an exact integer op, so the result is
+  * bit-identical under ANY partitioning, execution order, or engine
+  * (a floating-point PageRank sums contributions in nondeterministic
+  * order and can't be hash-gated). The floor-div remainders leak a few
+  * trillionths of mass per round — irrelevant for ranking, essential
+  * for determinism. Dangling mass is not redistributed (callers
+  * passing both edge directions have none).
+  *
+  * Scale shape: per round, one hash join of edges against the rank
+  * frame on src (shuffle on src), one groupBy(dst) partial-aggregated
+  * sum, one left join back to the node set, and a ONE-ROW broadcast of
+  * the node count (the tfidf scalar shape — lazy alternative to a
+  * driver count()). Plan depth grows LINEARLY with iters (each round
+  * referenced once — no exponential persist-chain nesting); for long
+  * runs callers should cache `edges`, which is re-scanned per round.
+  */
+object PageRank {
+
+  /** Fixed-point scale: ranks sum to ~1e12 (initial mass exactly
+    * N·(Scale div N)). */
+  val Scale = 1000000000000L
+
+  /** Run `iters` rounds over directed `edges` with columns (src, dst).
+    * For an undirected graph pass both directions. Returns
+    * (node, rank_fp). */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var rank = nodes.crossJoin(nn)
+      .select(col("node"), expr(s"$Scale div n").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("r div d").as("c"))
+      val sums = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
+      rank = nodes.join(sums, Seq("node"), "left").crossJoin(nn)
+        .select(col("node"),
+          expr(s"(15 * ($Scale div n)) div 100 + (85 * coalesce(s, 0L)) div 100")
+            .as("r"))
+    }
+    rank.select(col("node"), col("r").as("rank_fp"))
+  }
+}

@@ -1156,6 +1156,59 @@ object RelationalQueries extends QueryModule {
              |WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.partkey)
              |  AND NOT EXISTS (SELECT 1 FROM pos
              |                  WHERE pos.custkey = c.custkey
-             |                    AND pos.partkey = c.partkey)""".stripMargin))
+             |                    AND pos.partkey = c.partkey)""".stripMargin)),
+
+    // Graph centrality over the customer–supplier purchase network —
+    // PageRank, the classic link-quality signal corpus curation weighs
+    // crawled hosts/pages by, exercised here on the data the fixtures
+    // provide: an undirected bipartite graph whose edges are distinct
+    // (customer, supplier) trade relationships. Integer fixed-point
+    // arithmetic end to end (see operators/PageRank) makes three
+    // Jacobi rounds bit-identical across engines, so the oracle
+    // replays them as three unrolled CTE layers and the gate
+    // hash-compares exact BIGINTs — an ITERATIVE operator under the
+    // exact-equality gate, like the dedup clusters' recursive CTE.
+    Q("pagerank_suppliers",
+      (s, dir) => {
+        val e0 = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"))
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        val both = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.run(both, 3)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+             |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (SELECT src, dst FROM e0
+             |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+             |nd AS (SELECT DISTINCT src AS node FROM e),
+             |nn AS (SELECT count(*) AS n FROM nd),
+             |dg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+             |r0 AS (SELECT node, 1000000000000 // n AS r FROM nd, nn),
+             |s1 AS (SELECT e.dst AS node, CAST(sum(r0.r // dg.d) AS BIGINT) AS s
+             |       FROM e JOIN r0 ON e.src = r0.node JOIN dg ON e.src = dg.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT nd.node,
+             |              (15 * (1000000000000 // n)) // 100 +
+             |              (85 * coalesce(s1.s, 0)) // 100 AS r
+             |       FROM nd LEFT JOIN s1 ON nd.node = s1.node, nn),
+             |s2 AS (SELECT e.dst AS node, CAST(sum(r1.r // dg.d) AS BIGINT) AS s
+             |       FROM e JOIN r1 ON e.src = r1.node JOIN dg ON e.src = dg.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT nd.node,
+             |              (15 * (1000000000000 // n)) // 100 +
+             |              (85 * coalesce(s2.s, 0)) // 100 AS r
+             |       FROM nd LEFT JOIN s2 ON nd.node = s2.node, nn),
+             |s3 AS (SELECT e.dst AS node, CAST(sum(r2.r // dg.d) AS BIGINT) AS s
+             |       FROM e JOIN r2 ON e.src = r2.node JOIN dg ON e.src = dg.src
+             |       GROUP BY e.dst),
+             |r3 AS (SELECT nd.node,
+             |              (15 * (1000000000000 // n)) // 100 +
+             |              (85 * coalesce(s3.s, 0)) // 100 AS r
+             |       FROM nd LEFT JOIN s3 ON nd.node = s3.node, nn)
+             |SELECT node, r AS rank_fp FROM r3""".stripMargin))
   )
 }
