@@ -84,6 +84,15 @@ object GraftViews {
       "corpus_assemble" -> "corpus_assembled").foreach { case (q, view) =>
       SparkEntry.queries(q)(spark, dir).createOrReplaceTempView(view)
     }
+    // training-shard + audit surface (round 7): the per-epoch shard
+    // assignment a training job reads its shards from, the per-doc
+    // curation verdicts (GROUP BY stage = the attrition report), and
+    // the purchase-graph centrality frame
+    Seq("corpus_shard" -> "corpus_shards",
+      "assemble_provenance" -> "corpus_provenance",
+      "pagerank_suppliers" -> "trade_centrality").foreach { case (q, view) =>
+      SparkEntry.queries(q)(spark, dir).createOrReplaceTempView(view)
+    }
     // data-quality surface: the corpus with its expectation violations
     // (empty array = clean row) plus the two split views — SQL users
     // triage the quarantine with a WHERE, not a re-ingest. Same checks

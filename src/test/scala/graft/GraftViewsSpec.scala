@@ -76,6 +76,29 @@ class GraftViewsSpec extends AnyFunSuite {
       .head().getLong(0) <= 20000L)
   }
 
+  test("shard/provenance/centrality views serve the round-7 surface in SQL") {
+    GraftViews.register(spark, dir)
+    // a training job reads its shard straight off the view
+    val shardSizes = spark.sql(
+      """SELECT max(n) - min(n) AS spread FROM (
+        |  SELECT epoch, shard, count(*) AS n FROM corpus_shards
+        |  GROUP BY epoch, shard)""".stripMargin).head()
+    assert(shardSizes.getLong(0) <= 1, "shards balanced to ±1 through the view")
+    // the attrition report is one GROUP BY over the provenance view
+    val attrition = spark.sql(
+      "SELECT stage, count(*) AS n FROM corpus_provenance GROUP BY stage")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = spark.sql("SELECT count(*) FROM documents").head().getLong(0)
+    assert(attrition.values.sum == total, "every doc gets exactly one verdict")
+    assert(attrition.contains("selected"))
+    // centrality view: ranks positive, suppliers and customers present
+    val cent = spark.sql(
+      """SELECT count(*) AS n, min(rank_fp) AS lo,
+        |       count(CASE WHEN node LIKE 's%' THEN 1 END) AS sups
+        |FROM trade_centrality""".stripMargin).head()
+    assert(cent.getLong(0) > 0 && cent.getLong(1) > 0 && cent.getLong(2) > 0)
+  }
+
   test("quality views: annotated covers the corpus, splits agree with the gate query") {
     GraftViews.register(spark, dir)
     val total = spark.sql("SELECT count(*) FROM documents").head().getLong(0)
