@@ -234,6 +234,33 @@ object TextQueries extends QueryModule {
         col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
   }
 
+  /** Per-source KMV token sketches `(source, sk)` — the one scan that
+    * makes every pairwise overlap question afterwards free. Shared by
+    * `source_overlap_kmv` and the incremental OverlapMonitorStream
+    * (KMV union is associative AND canonical, so the stream's
+    * accumulated sketch bytes are bit-identical to this one-shot
+    * build). */
+  def sourceSketches(d: DataFrame, k: Int = 256): DataFrame = d
+    .select(col("source"), explode(tokens(col("text"))).as("token"))
+    .groupBy(col("source"))
+    .agg(graft.functions.expressions.KmvSketchBuild(col("token"), k).as("sk"))
+
+  /** Pairwise overlap estimates over a `(source, sk)` sketch frame —
+    * pure arithmetic, #sources² bounded pairs on a broadcast. One
+    * definition serves the batch query and the streaming monitor's
+    * read path. */
+  def sourceOverlap(sk: DataFrame): DataFrame = {
+    val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    // #sources × #sources pairs over a broadcast-bounded frame
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        graft.functions.expressions.KmvEstimate(col("sk_a")).as("est_vocab_a"),
+        graft.functions.expressions.KmvEstimate(col("sk_b")).as("est_vocab_b"),
+        graft.functions.expressions.KmvIntersect(col("sk_a"), col("sk_b"))
+          .as("est_shared_vocab"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Token counting + basic stats (integer sums → exact compare).
@@ -955,21 +982,7 @@ object TextQueries extends QueryModule {
     // estimates against the exact joins and the canonical-bytes
     // invariance under partitioning.
     Q("source_overlap_kmv",
-      (s, dir) => {
-        val sk = docs(s, dir)
-          .select(col("source"), explode(tokens(col("text"))).as("token"))
-          .groupBy(col("source"))
-          .agg(graft.functions.expressions.KmvSketchBuild(col("token"), 256).as("sk"))
-        val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
-        val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
-        // #sources × #sources pairs over a broadcast-bounded frame
-        a.join(broadcast(b), col("source_a") < col("source_b"))
-          .select(col("source_a"), col("source_b"),
-            graft.functions.expressions.KmvEstimate(col("sk_a")).as("est_vocab_a"),
-            graft.functions.expressions.KmvEstimate(col("sk_b")).as("est_vocab_b"),
-            graft.functions.expressions.KmvIntersect(col("sk_a"), col("sk_b"))
-              .as("est_shared_vocab"))
-      },
+      (s, dir) => sourceOverlap(sourceSketches(docs(s, dir))),
       None)
   )
 }
