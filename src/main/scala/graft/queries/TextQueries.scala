@@ -983,6 +983,38 @@ object TextQueries extends QueryModule {
     // invariance under partitioning.
     Q("source_overlap_kmv",
       (s, dir) => sourceOverlap(sourceSketches(docs(s, dir))),
+      None),
+
+    // Model-based quality scoring: train a logistic-regression scorer
+    // to imitate the rule gate (`text_quality`'s is_quality) from
+    // generic features — the distillation shape GPT-3/CCNet-class
+    // pipelines use (hand rules bootstrap labels, the learned linear
+    // scorer generalizes and emits a graded score instead of a hard
+    // AND). Training is in-engine (operators/LogisticRegression): 40
+    // mean-gradient steps, each ONE distributed pass over the
+    // localCheckpoint'd feature frame with a ≤4-row-per-partition
+    // gradient exchange. The rule is an AND of three halfspaces (not
+    // exactly linear), so the interesting output is the agreement
+    // column; float gradient order makes weights deterministic only to
+    // ~ulp → rows-check, with LogisticRegressionSpec pinning recovery
+    // and agreement bounds.
+    Q("quality_classifier",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val nTok = size(t)
+        val ttr = size(array_distinct(t)).cast("double") / nTok
+        val stop = markerHits(t, LangMarkers.head._2).cast("double") / nTok
+        val feats = docs(s, dir).select(
+          col("doc_id"),
+          array(lit(1.0), ttr, stop,
+            least(nTok, lit(100)).cast("double") / 100).as("features"),
+          (ttr > 0.5 && nTok >= 10 && stop < 0.3).cast("double").as("label"))
+        val w = graft.operators.LogisticRegression.train(feats, 4, 20, 10.0)
+        graft.operators.LogisticRegression.scores(feats, w)
+          .select(col("doc_id"), (col("label") > 0.5).as("rule_quality"),
+            col("predicted"),
+            (col("predicted") === (col("label") > 0.5)).as("agrees"))
+      },
       None)
   )
 }

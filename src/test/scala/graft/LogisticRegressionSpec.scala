@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.LogisticRegression
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The in-engine classifier trainer: recovers a known hyperplane from
+  * deterministic synthetic data, drives the loss down, and the
+  * distilled quality scorer agrees with the rule gate it imitates. */
+class LogisticRegressionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  /** Deterministic uniform [-2, 2) feature from a hash slot. */
+  private def u(seed: String) =
+    pmod(xxhash64(concat(lit(seed), col("id"))), lit(10000L))
+      .cast("double") / 2500.0 - 2.0
+
+  private lazy val synth = {
+    val x1 = u("a"); val x2 = u("b")
+    spark.range(2000).select(
+      col("id"),
+      array(lit(1.0), x1, x2).as("features"),
+      // true hyperplane: 2·x1 − x2 + 0.5 > 0 (no label noise)
+      (lit(2.0) * x1 - x2 + 0.5 > 0).cast("double").as("label"))
+  }
+
+  test("recovers a known separating hyperplane from hash-deterministic data") {
+    val w = LogisticRegression.train(synth, 3, 300, 2.0)
+    // direction recovery: (w1, w2) aligned with (2, −1)
+    val cos = (w(1) * 2.0 + w(2) * -1.0) /
+      (math.sqrt(w(1) * w(1) + w(2) * w(2)) * math.sqrt(5.0))
+    assert(cos > 0.95, s"direction off: ${w.toSeq} cos=$cos")
+    val acc = LogisticRegression.scores(synth, w)
+      .filter(col("predicted") === (col("label") > 0.5)).count() / 2000.0
+    assert(acc >= 0.95, s"accuracy $acc")
+  }
+
+  test("training drives the log-loss down from the zero model") {
+    val w = LogisticRegression.train(synth, 3, 50, 2.0)
+    val l0 = LogisticRegression.loss(synth, new Array[Double](3))
+    val lt = LogisticRegression.loss(synth, w)
+    assert(lt < l0 / 2, s"loss $l0 -> $lt")
+  }
+
+  test("distilled quality scorer largely agrees with the rule gate on the fixture") {
+    val out = SparkEntry.queries("quality_classifier")(
+      spark, "/root/testdata/sf0.001").cache()
+    val n = out.count()
+    assert(n > 0)
+    val both = out.groupBy(col("rule_quality")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(both.size == 2, s"fixture must exercise both classes: $both")
+    val agree = out.filter(col("agrees")).count().toDouble / n
+    // the rule is an AND of halfspaces — a linear scorer approximates
+    // it; demand clearly-better-than-majority agreement
+    val majority = both.values.max.toDouble / n
+    assert(agree >= 0.85 && agree > majority,
+      s"agreement $agree vs majority $majority")
+  }
+
+  test("argument validation") {
+    intercept[IllegalArgumentException] {
+      LogisticRegression.train(synth, 0, 1, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      LogisticRegression.train(synth, 3, 1, -1.0)
+    }
+  }
+}
