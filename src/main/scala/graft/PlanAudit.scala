@@ -31,7 +31,7 @@ object PlanAudit {
     "embed_ann_indexed", "token_budget_select", "source_cap",
     "corpus_assemble", "corpus_split_leakage_safe", "expectations_audit",
     "negative_samples", "corpus_shard", "assemble_provenance",
-    "source_overlap_kmv", "pagerank_suppliers")
+    "source_overlap_kmv", "pagerank_suppliers", "dedup_semantic")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -62,7 +62,8 @@ object PlanAudit {
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
     "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens",
     "q11_important_parts", "corpus_drift", "embed_ann_indexed",
-    "negative_samples", "source_overlap_kmv", "pagerank_suppliers")
+    "negative_samples", "source_overlap_kmv", "pagerank_suppliers",
+    "dedup_semantic")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

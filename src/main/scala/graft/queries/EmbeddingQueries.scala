@@ -255,6 +255,62 @@ object EmbeddingQueries extends QueryModule {
 
   val all: Seq[Q] = Seq(
 
+    // SemDeDup-shaped semantic dedup: partition the corpus into
+    // Voronoi cells around the IVF pivots, compare vectors ONLY within
+    // their cell, and drop any vector semantically dominated (cosine ≥
+    // τ) by a lower-id cellmate — keep-best canonical selection, the
+    // embedding-space analogue of dedup_keep_best. The cluster scoping
+    // is the technique's point at 100 TB: the quadratic pair term is
+    // capped at cell size (corpus/nCells on balanced cells), never
+    // corpus². Same deterministic pivots and assignment plan as
+    // embed_ann_ivf (bounded BNLJ against ≤16 broadcast pivots), and
+    // the fused sequential cosine loop is IEEE-identical in both
+    // engines, so the ≥ τ gate and the exact output hash-match.
+    Q("dedup_semantic",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val piv = v.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("pid"), col("emb").as("pemb"))
+        val cells = v.crossJoin(broadcast(piv))
+          .withColumn("psim", cosine(col("emb"), col("pemb")))
+          .withColumn("prn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("psim").desc, col("pid"))))
+          .filter(col("prn") === 1)
+          .select(col("vec_id"), col("emb"), col("pid").as("cell"))
+        val a = cells.select(col("cell"), col("vec_id").as("v1"), col("emb").as("e1"))
+        val b = cells.select(col("cell"), col("vec_id").as("v2"), col("emb").as("e2"))
+        val dom = a.join(b, Seq("cell")).filter(col("v1") < col("v2"))
+          .withColumn("sim", cosine(col("e1"), col("e2")))
+          .filter(col("sim") >= 0.3)
+          .groupBy(col("v2")).agg(min(col("v1")).as("dup_of"))
+          .select(col("v2").as("vec_id"), col("dup_of"))
+        cells.select(col("vec_id"), col("cell"))
+          .join(dom, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"), col("dup_of"),
+            col("dup_of").isNull.as("kept"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             |piv AS (SELECT vec_id AS pid, emb AS pemb FROM e WHERE vec_id < 16),
+             |a AS (SELECT e.vec_id, e.emb, p.pid,
+             |             list_dot_product(e.emb, p.pemb)
+             |               / (sqrt(list_dot_product(e.emb, e.emb))
+             |                  * sqrt(list_dot_product(p.pemb, p.pemb))) AS psim
+             |      FROM e CROSS JOIN piv p),
+             |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |                                    ORDER BY psim DESC, pid) AS prn
+             |       FROM a),
+             |cells AS (SELECT vec_id, emb, pid AS cell FROM r0 WHERE prn = 1),
+             |dom AS (SELECT y.vec_id AS vec_id, min(x.vec_id) AS dup_of
+             |        FROM cells x JOIN cells y
+             |          ON x.cell = y.cell AND x.vec_id < y.vec_id
+             |        WHERE list_dot_product(x.emb, y.emb)
+             |                / (sqrt(list_dot_product(x.emb, x.emb))
+             |                   * sqrt(list_dot_product(y.emb, y.emb))) >= 0.3
+             |        GROUP BY y.vec_id)
+             |SELECT c.vec_id, c.cell, d.dup_of, d.dup_of IS NULL AS kept
+             |FROM cells c LEFT JOIN dom d ON c.vec_id = d.vec_id""".stripMargin)),
+
     // Brute-force cosine top-5 for a fixed query set — the exact ANN
     // baseline every approximate variant is measured against
     Q("embed_cosine_topk",

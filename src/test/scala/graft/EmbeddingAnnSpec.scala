@@ -125,4 +125,22 @@ class EmbeddingAnnSpec extends AnyFunSuite {
     assert(single == Set((0L, 101L))) // best true neighbor invisible
     assert(multi == Set((0L, 100L))) // recovered via the flipped probe
   }
+
+  test("semantic dedup: kept/dropped partition the corpus; dominators precede") {
+    val out = SparkEntry.queries("dedup_semantic")(
+      spark, "/root/testdata/sf0.001").cache()
+    val total = graft.sources.Tables.embeddings(
+      spark, "/root/testdata/sf0.001").count()
+    assert(out.count() == total, "one verdict per vector")
+    // kept ⇔ no dominator recorded; a dominator is always a LOWER id
+    // in the SAME cell (checked via self-join on the output)
+    assert(out.filter(col("kept") =!= col("dup_of").isNull).count() == 0)
+    val dropped = out.filter(!col("kept"))
+    assert(dropped.count() > 0, "fixture must contain semantic near-dups")
+    assert(dropped.filter(col("dup_of") >= col("vec_id")).count() == 0)
+    val cellOf = out.select(col("vec_id").as("dup_of"), col("cell").as("dom_cell"))
+    assert(dropped.join(cellOf, Seq("dup_of"))
+      .filter(col("cell") =!= col("dom_cell")).count() == 0,
+      "dominators must share the dropped vector's cell")
+  }
 }
