@@ -222,6 +222,116 @@ object EmbeddingQueries extends QueryModule {
         .select(col("vec_id").as("pid"), col("emb").as("pemb")),
       queryPred, k, nProbe)
 
+  /** Product quantization ANN (Jégou et al., TPAMI '11): split each
+    * D-dim vector into `m` disjoint subvectors, learn a `kCode`-word
+    * codebook per subspace (id-seeded Lloyd's, same determinism story
+    * as kmeansPivots), encode every vector as `m` code ids, and rank
+    * candidates by ASYMMETRIC distance — the query's exact subvectors
+    * against codewords, via a lookup-table join instead of touching
+    * raw neighbor vectors.
+    *
+    * Scale shape: storage per vector falls D floats → m small ints
+    * (+ one m×kCode codebook broadcast — KB-sized); the ADC pass is
+    * codes ⨝ broadcast LUT on (sub, cid) + one (query, neighbor) sum —
+    * a blocked matrix multiply whose big side carries CODES, never
+    * embeddings. Reconstructed norms ride the same join (disjoint
+    * subspaces ⇒ |x̂|² = Σ_sub |c_sub|²), so approximate cosine needs
+    * no second pass. At 100 TB you'd IVF-prune candidates first and
+    * ADC only probed cells; the LUT plan is identical.
+    *
+    * `rerank > 0` is the production IVFADC+R shape (Jégou et al.
+    * §V): ADC ranks a `rerank`-sized shortlist cheaply, then ONLY
+    * those candidates fetch raw vectors for an exact-cosine re-rank —
+    * quantization error decides membership of a generous shortlist,
+    * never the final order. Pure ADC (rerank=0) collapses fine
+    * distinctions inside a tight cluster (neighbors sharing all m
+    * codes tie), so top-k-exact recall needs the re-rank pass; the
+    * spec measures both modes.
+    *
+    * Float caveat: codebook means and the per-pair m-term sum carry
+    * ulp-order wobble → scores rounded to 5 decimals before ranking,
+    * rows-check gate (like embed_ann_ivf_kmeans), recall pinned in
+    * EmbeddingAnnSpec. */
+  def pqTopK(data: DataFrame, queryPred: Column, k: Int,
+             m: Int = 4, kCode: Int = 16, iters: Int = 1,
+             rerank: Int = 0): DataFrame = {
+    val dim = data.select(size(col("emb")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subLen = dim / m
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val subArr = array((0 until m).map(i =>
+      expr(s"slice(emb, ${i * subLen + 1}, $subLen)")): _*)
+    val subs = data.select(col("vec_id"), posexplode(subArr).as(Seq("sub", "semb")))
+    // codebook: id-seeded, refined by `iters` Lloyd rounds per subspace
+    var cb = subs.filter(col("vec_id") < kCode)
+      .select(col("sub"), col("vec_id").as("cid"), col("semb").as("cemb"))
+    for (_ <- 0 until iters) {
+      val assigned = subs.join(broadcast(cb), Seq("sub"))
+        // nearest by L2: argmin |s-c|² = argmax s·c − |c|²/2
+        .withColumn("score",
+          dot(col("semb"), col("cemb")) - dot(col("cemb"), col("cemb")) / 2)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("score").desc, col("cid"))))
+        .filter(col("rn") === 1)
+      cb = assigned
+        .select(col("sub"), col("cid"), posexplode(col("semb")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("sm"))
+        .select(col("sub"), col("cid"), expr("transform(sm, s -> s.mu)").as("cemb"))
+        // kCode·m rows; cuts the per-round lineage like kmeansPivots
+        .localCheckpoint(true)
+    }
+    val cbn = cb.withColumn("cnorm2", dot(col("cemb"), col("cemb")))
+    // encode: one code id per (vector, subspace)
+    val codes = subs.join(broadcast(cbn), Seq("sub"))
+      .withColumn("score", dot(col("semb"), col("cemb")) - col("cnorm2") / 2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("score").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("cid"),
+        col("cnorm2"))
+    // query LUT: exact subvector · every codeword, plus exact |q|
+    val qnorm = data.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        sqrt(dot(col("emb"), col("emb"))).as("qn"))
+    val lut = subs.join(data.filter(queryPred).select(col("vec_id")), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("semb"))
+      .join(broadcast(cbn.select(col("sub"), col("cid"), col("cemb"))), Seq("sub"))
+      .withColumn("pdot", dot(col("semb"), col("cemb")))
+      .select(col("query_id"), col("sub"), col("cid"), col("pdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cnorm2")).as("rnorm2"))
+      .join(broadcast(qnorm), Seq("query_id"))
+      .withColumn("sim", round(col("adot") / (col("qn") * sqrt(col("rnorm2"))), 5))
+      .withColumn("rnk", row_number().over(w))
+    if (rerank <= 0)
+      adc.filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+    else {
+      // exact-cosine re-rank of the ADC shortlist: two bounded
+      // equi-joins fetch raw vectors for queries × shortlist only
+      val short = adc.filter(col("rnk") <= math.max(k, rerank))
+        .select(col("query_id"), col("neighbor_id"))
+      short
+        .join(data.select(col("vec_id").as("query_id"), col("emb").as("qemb")),
+          Seq("query_id"))
+        .join(data.select(col("vec_id").as("neighbor_id"), col("emb")),
+          Seq("neighbor_id"))
+        .withColumn("sim", round(cosine(col("qemb"), col("emb")), 5))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+    }
+  }
+
   /** Oracle for BOTH IVF variants (per-query `embed_ann_ivf` and the
     * persisted-index `embed_ann_indexed`): same pivots, same nProbe,
     * same tie-breaks ⇒ the index must reproduce the inline plan's
@@ -493,6 +603,16 @@ object EmbeddingQueries extends QueryModule {
         ivfTopKWith(v, kmeansPivots(v, k = 16, iters = 2),
           col("vec_id") < 20, k = 3, nProbe = 2)
       },
+      None),
+
+    // Product-quantization ANN: m=4 subspace codebooks, asymmetric-
+    // distance shortlist via the LUT join + exact re-rank of the
+    // shortlist (IVFADC+R, the production shape — see pqTopK
+    // scaladoc). Float codebooks ⇒ rows-check; recall vs the exact
+    // baseline pinned in EmbeddingAnnSpec.
+    Q("embed_ann_pq",
+      (s, dir) => pqTopK(vecs(s, dir), col("vec_id") < 20, k = 3,
+        rerank = 12),
       None)
   )
 }

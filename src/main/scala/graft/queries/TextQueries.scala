@@ -174,6 +174,19 @@ object TextQueries extends QueryModule {
   private def winnowSelectCached(s: SparkSession, dir: String): DataFrame =
     winnowCache.getOrElseUpdate((s, dir), winnowSelect(docs(s, dir)).cache())
 
+  /** Session-scoped memo of the learned BPE merge table — tokenizer
+    * training runs once per (session, corpus) and both `bpe_merges`
+    * and `bpe_encode` read the artifact (train-then-apply, the real
+    * pipeline shape: the merge table is produced once and shipped to
+    * every encoder). Holds a driver-side Seq, not a DataFrame — no
+    * unpersist needed, but cleared with the rest so a rewritten
+    * fixture dir retrains. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[graft.operators.Bpe.Merge]]
+  private def bpeMergesCached(s: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
+    bpeCache.getOrElseUpdate((s, dir),
+      graft.operators.Bpe.train(docs(s, dir), numMerges = 20))
+
   /** Cached frames built INSIDE memoized pipelines (the minhash
     * signature frame) — not keyed by (session, dir), but still pinned
     * until released; clearCaches() must cover them or every
@@ -187,6 +200,7 @@ object TextQueries extends QueryModule {
       c.values.foreach(_.unpersist(false))
       c.clear()
     }
+    bpeCache.clear()
     var df = auxCached.poll()
     while (df != null) { df.unpersist(false); df = auxCached.poll() }
   }
@@ -320,9 +334,31 @@ object TextQueries extends QueryModule {
     Q("bpe_merges",
       (s, dir) => {
         import s.implicits._
-        graft.operators.Bpe.train(docs(s, dir), numMerges = 20)
+        bpeMergesCached(s, dir)
           .map(m => (m.rank, m.left, m.right))
           .toDF("rank", "left", "right")
+      },
+      None),
+
+    // Apply the trained tokenizer: segment every document with the
+    // learned merge table (train-then-encode, the artifact round-trip
+    // a training pipeline ships — bpe_merges produces the vocab,
+    // this consumes it). The merge table broadcasts (vocab-sized);
+    // encoding is embarrassingly parallel, zero shuffle, so the plan
+    // is a bare scan + project at any corpus size. No SQL oracle
+    // (segmentation is an iterative merge program); the gate is
+    // BpeSpec's invertibility + merge-consistency assertions over the
+    // real corpus plus the driver rows check.
+    Q("bpe_encode",
+      (s, dir) => {
+        val merges = bpeMergesCached(s, dir)
+        graft.operators.Bpe.segment(s, docs(s, dir), merges)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).as("n_ws_tokens"),
+            size(col("bpe_tokens")).as("n_symbols"),
+            size(expr(
+              "filter(bpe_tokens, t -> length(replace(t, '</w>', '')) > 1)"))
+              .as("n_merged_symbols"))
       },
       None),
 
@@ -1015,6 +1051,121 @@ object TextQueries extends QueryModule {
             col("predicted"),
             (col("predicted") === (col("label") > 0.5)).as("agrees"))
       },
-      None)
+      None),
+
+    // DSIR-shaped data selection (Xie et al., NeurIPS '23): score each
+    // document by how target-like its hashed-token distribution is —
+    // here target = the English slice, raw = the whole corpus. Tokens
+    // hash into 4096 buckets (the hashed-n-gram trick that makes the
+    // estimator corpus-size-free); each bucket's weight is the
+    // target/raw frequency ratio in 1e-6 fixed point, and a doc's
+    // importance is the token-count-weighted mean of its buckets'
+    // weights. Integer arithmetic end to end (one BIGINT div per
+    // bucket and per doc) — bit-stable across engines, no libm. Scale
+    // shape: the weight table is ≤4096 rows broadcast; the corpus
+    // pays one explode and two hash-partitioned count aggregates, so
+    // the plan is Zipf-safe and identical at 100 TB.
+    Q("importance_weights",
+      (s, dir) => {
+        val nBuckets = 4096
+        val scale = 1000000L
+        val tk = docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("token"))
+          .filter(length(col("token")) > 0)
+          .withColumn("b", portableHash(col("token")) % nBuckets)
+        val src = tk.groupBy(col("b")).agg(count(lit(1)).as("s_n"))
+        val tgt = tk.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("t_n"))
+        val w = src.join(tgt, Seq("b"), "left_outer")
+          .select(col("b"),
+            expr(s"(coalesce(t_n, 0L) * ${scale}L) div s_n").as("w_fp"))
+        val dc = tk.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        dc.join(broadcast(w), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("c") * col("w_fp")).as("wsum"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("wsum div n_tokens").as("weight_fp"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, token,
+             |                   ('0x' || substr(md5(token), 1, 15))::BIGINT % 4096 AS b
+             |            FROM (SELECT doc_id, lang,
+             |                         unnest(string_split(trim(text), ' ')) AS token
+             |                  FROM documents)
+             |            WHERE length(token) > 0),
+             |src AS (SELECT b, count(*) AS s_n FROM tk GROUP BY b),
+             |tgt AS (SELECT b, count(*) AS t_n FROM tk WHERE lang = 'en' GROUP BY b),
+             |w AS (SELECT src.b, (coalesce(t_n, 0) * 1000000) // s_n AS w_fp
+             |      FROM src LEFT JOIN tgt ON src.b = tgt.b),
+             |dc AS (SELECT doc_id, b, count(*) AS c FROM tk GROUP BY doc_id, b)
+             |SELECT dc.doc_id,
+             |       CAST(sum(dc.c) AS BIGINT) AS n_tokens,
+             |       CAST(CAST(sum(dc.c * w.w_fp) AS BIGINT) // CAST(sum(dc.c) AS BIGINT)
+             |            AS BIGINT) AS weight_fp
+             |FROM dc JOIN w ON dc.b = w.b
+             |GROUP BY dc.doc_id""".stripMargin)),
+
+    // Triangle census of the near-dup similarity graph: how cohesive
+    // are the duplicate neighborhoods? (A clique-ish cluster is one
+    // template family; a triangle-free star is one doc quoted by many
+    // unrelated ones — different curation action.) Edges are the
+    // df-capped discriminative-shingle pairs at integer-exact Jaccard
+    // >= 0.2 (5·shared >= union — no float boundary in the graph
+    // definition). The census itself is operators.Triangles: the
+    // degree-ordered wedge join, every triangle found once at its
+    // (degree, id)-minimum vertex, wedge fan-out bounded by out-
+    // degree <= sqrt(|E|) — see the operator's scaladoc; TrianglesSpec
+    // pins it on closed-form graphs + a brute-force sweep.
+    Q("similarity_triangles",
+      (s, dir) => {
+        val sh = shingleRowsCached(s, dir)
+        val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50)
+        val ab = sh.join(keep, Seq("s")).select(col("doc_id"), col("s"))
+        val sizes = ab.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val e = sharedCounts(ab, None)
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+          .filter(col("shared") * 5 >= col("n1") + col("n2") - col("shared"))
+          .select(col("d1"), col("d2"))
+        graft.operators.Triangles.census(e)
+          .withColumnRenamed("v", "doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+              |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+              |ab AS (SELECT doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s),
+              |n AS (SELECT doc_id, count(*) AS n FROM ab GROUP BY doc_id),
+              |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+              |          FROM ab a JOIN ab b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |e AS (SELECT d1, d2 FROM pairs
+              |      JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+              |      WHERE shared * 5 >= n1.n + n2.n - shared),
+              |dg AS (SELECT v, count(*) AS deg
+              |       FROM (SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e)
+              |       GROUP BY v),
+              |o AS (SELECT CASE WHEN g1.deg <= g2.deg THEN d1 ELSE d2 END AS src,
+              |             CASE WHEN g1.deg <= g2.deg THEN d2 ELSE d1 END AS dst,
+              |             CASE WHEN g1.deg <= g2.deg THEN g2.deg ELSE g1.deg END AS ddeg
+              |      FROM e JOIN dg g1 ON e.d1 = g1.v JOIN dg g2 ON e.d2 = g2.v),
+              |tr AS (SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+              |       FROM o o1
+              |       JOIN o o2 ON o1.src = o2.src
+              |            AND (o1.ddeg < o2.ddeg
+              |                 OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst))
+              |       JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+              |tc AS (SELECT v, count(*) AS tri
+              |       FROM (SELECT x AS v FROM tr
+              |             UNION ALL SELECT y FROM tr
+              |             UNION ALL SELECT z FROM tr)
+              |       GROUP BY v)
+              |SELECT dg.v AS doc_id, dg.deg AS degree,
+              |       CAST(coalesce(tc.tri, 0) AS BIGINT) AS n_triangles,
+              |       CASE WHEN dg.deg >= 2
+              |            THEN CAST(2 * coalesce(tc.tri, 0) AS DOUBLE) /
+              |                 CAST(dg.deg * (dg.deg - 1) AS DOUBLE)
+              |            ELSE 0.0 END AS lcc
+              |FROM dg LEFT JOIN tc ON dg.v = tc.v""".stripMargin))
   )
 }

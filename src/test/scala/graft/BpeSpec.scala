@@ -100,4 +100,17 @@ class BpeSpec extends AnyFunSuite {
     val docs = Seq("ab cd ef").toDF("text") // every pair count = 1
     assert(Bpe.train(docs, numMerges = 10).isEmpty)
   }
+
+  test("bpe_encode query: every doc segmented, learned merges fire corpus-wide") {
+    val out = SparkEntry.queries("bpe_encode")(spark, sf).cache()
+    try {
+      val nDocs = Tables.documents(spark, sf).count()
+      assert(out.count() == nDocs, "one row per document")
+      // a symbol never spans a whitespace word, so there are at least
+      // as many symbols as words; merges must actually fire somewhere
+      assert(out.filter(col("n_symbols") < col("n_ws_tokens")).count() == 0)
+      assert(out.agg(sum(col("n_merged_symbols"))).head().getLong(0) > 0,
+        "trained merges never applied")
+    } finally out.unpersist()
+  }
 }

@@ -87,6 +87,33 @@ class EmbeddingAnnSpec extends AnyFunSuite {
     assert(rt >= rp - 0.05, s"training made recall worse: $rt < $rp")
   }
 
+  test("PQ: exact re-rank of the ADC shortlist recovers the recall ADC alone loses") {
+    val d = data.cache()
+    try {
+      val exact = pairs(exactTopK(d, 3))
+      val adcOnly = pairs(EmbeddingQueries.pqTopK(d, col("vec_id") < 20,
+        k = 3, m = 4, kCode = 16, iters = 1))
+      val reranked = EmbeddingQueries.pqTopK(d, col("vec_id") < 20,
+        k = 3, m = 4, kCode = 16, iters = 1, rerank = 12)
+      val got = pairs(reranked)
+      val rAdc = (adcOnly intersect exact).size.toDouble / exact.size
+      val rRr = (got intersect exact).size.toDouble / exact.size
+      info(f"PQ recall@3: ADC-only=$rAdc%.3f, reranked(12)=$rRr%.3f")
+      // ADC collapses within-cluster distinctions (shared codes tie);
+      // the exact re-rank of a 4x shortlist must restore most of them
+      assert(rRr >= 0.7, s"reranked-PQ recall $rRr unexpectedly low")
+      assert(rRr >= rAdc, "re-ranking must not lose recall")
+      // every query returns exactly k ranked rows
+      val counts = reranked.groupBy(col("query_id")).count()
+        .select(col("count")).distinct().collect().map(_.getLong(0)).toSet
+      assert(counts == Set(3L))
+      // scores are rounded before ranking → stable across partitionings
+      val again = pairs(EmbeddingQueries.pqTopK(d.repartition(7),
+        col("vec_id") < 20, k = 3, m = 4, kCode = 16, iters = 1, rerank = 12))
+      assert(again == got, "PQ ranking must not depend on partitioning")
+    } finally d.unpersist()
+  }
+
   test("k-means training drops empty clusters but keeps centroid count <= k") {
     val d = data
     val cents = EmbeddingQueries.kmeansPivots(d, k = 8, iters = 3).collect()
