@@ -94,6 +94,199 @@ object MediaPipeline {
       else Some((bb.getInt.toLong & 0xffffffffL, bb.getInt.toLong & 0xffffffffL))
     }
 
+  // ---- PNG pixel payloads (real IDAT) ---------------------------------
+
+  private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length)
+    bb.put(tpe.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Deterministic 8-bit grayscale test image: seed-driven gradient +
+    * interference pattern. Values stay in [0, 229) so brightness-shift
+    * experiments have headroom before the byte clamps. */
+  private[graft] def pixelPattern(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val px = new Array[Byte](width * height)
+    val a = 3 + (seed % 5); val b = 2 + (seed % 7); val c = seed % 11
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        px(y * width + x) =
+          ((x * a + y * b + ((x.toLong * y) % 13) * c + seed * 31) % 229).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** REAL PNG with a pixel payload: 8-bit grayscale, zlib-deflated
+    * IDAT, scanline filters cycling 0..4 so a decoder must implement
+    * every PNG filter (None/Sub/Up/Average/Paeth) to read it back. */
+  private[graft] def pngPixelBytes(width: Int, height: Int,
+                                   pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height, "pixel buffer/dims mismatch")
+    val raw = new Array[Byte](height * (width + 1))
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * (width + 1)) = f.toByte
+      var x = 0
+      while (x < width) {
+        val cur = pixels(y * width + x) & 0xff
+        val left = if (x > 0) pixels(y * width + x - 1) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * width + x) & 0xff else 0
+        val ul = if (x > 0 && y > 0) pixels((y - 1) * width + x - 1) & 0xff else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (width + 1) + 1 + x) = filtered.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val ihdrData = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    PngSig ++ chunk("IHDR", ihdrData) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL PNG pixel decode for 8-bit grayscale non-interlaced streams:
+    * chunk walk (IHDR first, ALL IDAT chunks concatenated, stop at
+    * IEND), zlib inflate, and all five scanline unfilters — the
+    * codec-level step the header-only decode stops short of.
+    * Cross-checked pixel-for-pixel against javax.imageio in
+    * MediaPipelineSpec. Returns None (never throws) on anything
+    * malformed, truncated, or unsupported — the dead-letter contract. */
+  private[graft] def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes.length < 8 || !bytes.take(8).sameElements(PngSig)) return None
+    var off = 8
+    var w = 0; var h = 0; var headerOk = false
+    val idat = new java.io.ByteArrayOutputStream
+    var done = false
+    while (!done && off + 8 <= bytes.length) {
+      val bb = java.nio.ByteBuffer.wrap(bytes, off, 8)
+      val len = bb.getInt
+      val tpe = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
+      if (len < 0 || off + 12 + len > bytes.length) return None
+      tpe match {
+        case "IHDR" =>
+          if (len != 13) return None
+          val d = java.nio.ByteBuffer.wrap(bytes, off + 8, 13)
+          w = d.getInt; h = d.getInt
+          val bitDepth = d.get(); val colorType = d.get()
+          d.get(); d.get() // compression, filter method
+          val interlace = d.get()
+          headerOk = bitDepth == 8 && colorType == 0 && interlace == 0 &&
+            w > 0 && h > 0 && w.toLong * h <= (1L << 26)
+        case "IDAT" =>
+          if (!headerOk) return None
+          idat.write(bytes, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      off += 12 + len
+    }
+    if (!headerOk || idat.size == 0) return None
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (w + 1))
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      if (n == 0 && inflater.needsInput()) { inflater.end(); return None }
+      got += n
+    }
+    inflater.end()
+    if (got != raw.length) return None
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (w + 1)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < w) {
+        val v = raw(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+        val rec = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case _ => v + paeth(left, up, ul)
+        }
+        px(y * w + x) = rec.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64-bit average perceptual hash (aHash): 8×8 box-mean grid over
+    * the pixel raster, bit set where the cell mean exceeds the global
+    * mean of cell means. Integer arithmetic only (cell value = sum×64
+    * / count) — bit-stable across machines AND exactly invariant to a
+    * global brightness shift (every cell and the mean move by the same
+    * amount; asserted in spec). Requires w,h >= 8 so no cell is empty.
+    * MSB = cell (0,0), row-major. */
+  private[graft] def aHash(w: Int, h: Int, px: Array[Byte]): Long = {
+    val cells = new Array[Long](64)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8; val x1 = (gx + 1) * w / 8
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += px(y * w + x) & 0xff; n += 1; x += 1 }
+          y += 1
+        }
+        cells(gy * 8 + gx) = if (n == 0) 0L else s * 64 / n
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = cells.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) bits |= (1L << (63 - i))
+      i += 1
+    }
+    bits
+  }
+
   // ---- WAV (audio) ----------------------------------------------------
 
   /** Canonical 44-byte WAV header (PCM, mono, 16-bit), zero-length
@@ -266,6 +459,43 @@ object MediaPipeline {
       // real pipeline: initialize the native decoder once here
       it.map(decode)
     }
+  }
+
+  /** Synthesize per-doc grayscale images with PLANTED near-dup
+    * structure: the base pattern comes from `doc_id % nClusters`, then
+    * ~10 doc-specific single-pixel perturbations are applied — enough
+    * to separate exact-dup from near-dup, small enough that aHash
+    * stays within a few bits of the cluster's hash. Fully
+    * deterministic from doc_id (rows-check + spec gate need replays
+    * to agree). */
+  def attachPixelImages(docs: DataFrame, nClusters: Int = 40): Dataset[MediaAsset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { docId =>
+      val px = pixelPattern(64, 64, docId % nClusters)
+      var i = 0
+      while (i < 10) {
+        val pos = (math.abs(docId * 2654435761L + i * 40503L) % px.length).toInt
+        px(pos) = (((px(pos) & 0xff) + 7) % 229).toByte
+        i += 1
+      }
+      MediaAsset(docId, "image", pngPixelBytes(64, 64, px))
+    }
+  }
+
+  /** Pixel decode + perceptual hash, one decoder per partition:
+    * `(doc_id, ahash, decode_ok)`. Failed decodes dead-letter with
+    * ahash 0 rather than killing the stage. */
+  def imageHashes(spark: SparkSession, assets: Dataset[MediaAsset]): DataFrame = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodePixels(a.content) match {
+          case Some((w, h, px)) => (a.doc_id, aHash(w, h, px), true)
+          case None => (a.doc_id, 0L, false)
+        }
+      }
+    }.toDF("doc_id", "ahash", "decode_ok")
   }
 
   /** Aspect-preserving resize to a `maxDim` cap on the longer side,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.multimodal.MediaPipeline
 import graft.sources.Tables
+import org.apache.spark.sql.functions._
 
 /** Oracle-checked coverage for the multimodal pipeline: the typed
   * Dataset → mapPartitions decode path must produce exactly what the
@@ -67,6 +68,48 @@ object MultimodalQueries extends QueryModule {
              |       CASE WHEN greatest(width, height) <= 256 THEN height
              |            WHEN width >= height THEN greatest(1, (height * 256) // width)
              |            ELSE 256 END AS out_height
-             |FROM v""".stripMargin))
+             |FROM v""".stripMargin)),
+
+    // Image near-dup dedup over REAL pixels: synthesized grayscale
+    // PNGs (genuine zlib IDAT, filters 0-4) are decoded by the
+    // in-repo PNG decoder (chunk walk + inflate + all five
+    // unfilters, ImageIO-cross-checked in MediaPipelineSpec),
+    // perceptually hashed (integer aHash — bit-stable, brightness-
+    // shift-invariant), then clustered the LSH way: banded Hamming
+    // candidate search (8 bands × 8 bits — any pair within Hamming 7
+    // shares a band by pigeonhole, so Hamming ≤ 6 candidates are
+    // COMPLETE, never doc×doc), exact bit_count verification, and
+    // connected components. The image twin of dedup_minhash_lsh. No
+    // SQL oracle (zlib in SQL is a non-starter): MediaPipelineSpec
+    // pins decoder parity + planted-cluster recovery, the driver
+    // records the rows check.
+    Q("image_dedup_ahash",
+      (s, dir) => {
+        val hashes = MediaPipeline.imageHashes(s,
+          MediaPipeline.attachPixelImages(Tables.documents(s, dir)))
+          .filter(col("decode_ok"))
+        val banded = hashes.select(col("doc_id"), col("ahash"),
+          explode(array((0 until 8).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("ahash"), b * 8)
+                .bitwiseAND(lit(255L)).as("sig"))): _*)).as("bs"))
+          .select(col("doc_id"), col("ahash"),
+            col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val edges = banded.as("x")
+          .join(banded.as("y"), Seq("band", "sig"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("x.ahash").as("ha"),
+            col("y.doc_id").as("b"), col("y.ahash").as("hb"))
+          .distinct()
+          .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 6)
+          .select(col("a"), col("b"))
+        val labels = graft.operators.ConnectedComponents.components(edges)
+          .select(col("node").as("doc_id"), col("component").as("canonical_id"))
+        hashes.select(col("doc_id"), col("ahash"))
+          .join(labels, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("ahash"),
+            coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      },
+      None)
   )
 }

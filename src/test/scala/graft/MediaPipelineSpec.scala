@@ -90,4 +90,79 @@ class MediaPipelineSpec extends AnyFunSuite {
       MediaAsset(3L, "audio", MediaPipeline.wavBytes(16000)))
     assert(wav.decode_ok && wav.sample_rate == 16000 && wav.width == 0)
   }
+
+  test("PNG pixel encode/decode round-trips exactly through all five filters") {
+    // heights > 5 force every filter row type; non-square exercises
+    // the stride arithmetic
+    for ((w, h, seed) <- Seq((64, 64, 0L), (40, 24, 7L), (9, 13, 3L))) {
+      val px = MediaPipeline.pixelPattern(w, h, seed)
+      val png = MediaPipeline.pngPixelBytes(w, h, px)
+      val got = MediaPipeline.decodePixels(png)
+      assert(got.isDefined, s"decode failed for ${w}x$h seed=$seed")
+      val (gw, gh, gpx) = got.get
+      assert((gw, gh) == ((w, h)))
+      assert(gpx.sameElements(px), s"pixel mismatch for ${w}x$h seed=$seed")
+    }
+  }
+
+  test("in-repo PNG decoder agrees pixel-for-pixel with javax.imageio") {
+    val px = MediaPipeline.pixelPattern(64, 64, 11L)
+    val png = MediaPipeline.pngPixelBytes(64, 64, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO could not read the synthesized PNG")
+    assert(img.getWidth == 64 && img.getHeight == 64)
+    val raster = img.getRaster
+    val (_, _, ours) = MediaPipeline.decodePixels(png).get
+    var mismatches = 0
+    for (y <- 0 until 64; x <- 0 until 64)
+      if (raster.getSample(x, y, 0) != (ours(y * 64 + x) & 0xff)) mismatches += 1
+    assert(mismatches == 0, s"$mismatches pixels differ from ImageIO")
+  }
+
+  test("pixel decoder dead-letters truncated IDAT and unsupported color types") {
+    val px = MediaPipeline.pixelPattern(16, 16, 1L)
+    val png = MediaPipeline.pngPixelBytes(16, 16, px)
+    // truncating inside IDAT must yield None, not an exception
+    assert(MediaPipeline.decodePixels(png.take(png.length - 20)).isEmpty)
+    // the header-only truecolor PNG has no IDAT at all
+    assert(MediaPipeline.decodePixels(MediaPipeline.pngBytes(32, 32)).isEmpty)
+    assert(MediaPipeline.decodePixels("garbage".getBytes).isEmpty)
+  }
+
+  test("aHash is exactly invariant to a global brightness shift") {
+    val px = MediaPipeline.pixelPattern(64, 64, 5L)
+    val brighter = px.map(b => ((b & 0xff) + 20).toByte) // pattern < 229, no clamp
+    assert(MediaPipeline.aHash(64, 64, px) ==
+      MediaPipeline.aHash(64, 64, brighter))
+  }
+
+  test("banded candidate search is COMPLETE for Hamming <= 6 on planted clusters") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = (0L until 120L).toDF("doc_id")
+    val hs = MediaPipeline.imageHashes(spark,
+      MediaPipeline.attachPixelImages(docs, nClusters = 12))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(hs.forall(_._3), "every synthesized image must decode")
+    val byId = hs.map(t => t._1 -> t._2).toMap
+    // brute-force ground truth of near-dup pairs
+    val close = for {
+      a <- byId.keys.toSeq; b <- byId.keys.toSeq if a < b
+      if java.lang.Long.bitCount(byId(a) ^ byId(b)) <= 6
+    } yield (a, b)
+    assert(close.nonEmpty, "fixture must contain near-dup image pairs")
+    // pigeonhole: <= 6 differing bits over 8 disjoint 8-bit bands
+    // leaves at least one band identical — every close pair collides
+    close.foreach { case (a, b) =>
+      val shared = (0 until 8).exists(k =>
+        ((byId(a) >>> (k * 8)) & 0xffL) == ((byId(b) >>> (k * 8)) & 0xffL))
+      assert(shared, s"pair ($a,$b) within Hamming 6 shares no band")
+    }
+    // same-cluster docs hash close: noise is 10 perturbed pixels
+    val sameCluster = for {
+      a <- 0L until 120L; b <- (a + 1) until 120L if a % 12 == b % 12
+    } yield java.lang.Long.bitCount(byId(a) ^ byId(b))
+    assert(sameCluster.max <= 6,
+      s"same-pattern images drifted ${sameCluster.max} bits apart")
+  }
 }
