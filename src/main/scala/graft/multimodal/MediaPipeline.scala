@@ -318,6 +318,84 @@ object MediaPipeline {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL)
     }
 
+  // ---- WAV with real PCM payload --------------------------------------
+
+  /** Full WAV stream: canonical header with CORRECT RIFF/data sizes +
+    * the 16-bit little-endian mono PCM samples. */
+  private[graft] def wavPcmBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1)                   // PCM
+    bb.putShort(1)                   // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2)        // byte rate
+    bb.putShort(2)                   // block align
+    bb.putShort(16)                  // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** REAL PCM decode: verify RIFF/WAVE, walk sub-chunks to `fmt ` and
+    * `data` (tolerating extra chunks in between, the way real WAV
+    * files carry LIST/INFO), return (sampleRate, samples). None on
+    * anything malformed or non-16-bit-mono-PCM — never throws. */
+  private[graft] def decodeSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] = try {
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    if (bytes.length < 12 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    var off = 12
+    var rate = -1
+    var fmtOk = false
+    while (off + 8 <= bytes.length) {
+      val tpe = ascii(off, 4)
+      val len = java.nio.ByteBuffer.wrap(bytes, off + 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      tpe match {
+        case "fmt " =>
+          if (len < 16) return None
+          val f = java.nio.ByteBuffer.wrap(bytes, off + 8, 16)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val codec = f.getShort; val channels = f.getShort
+          rate = f.getInt
+          f.getInt; f.getShort // byte rate, block align
+          val bits = f.getShort
+          fmtOk = codec == 1 && channels == 1 && bits == 16 && rate > 0
+        case "data" =>
+          if (!fmtOk || len % 2 != 0) return None
+          val out = new Array[Short](len / 2)
+          val d = java.nio.ByteBuffer.wrap(bytes, off + 8, len)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < out.length) { out(i) = d.getShort; i += 1 }
+          return Some((rate, out))
+        case _ => () // skip LIST/INFO etc.
+      }
+      off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic integer sawtooth test signal, closed-form enough
+    * for a SQL oracle to reconstruct exactly: `pre` silent samples,
+    * then `v(i) = ((i % period) * 2 * amp) / period - amp` (all
+    * integer ops, floor division on non-negative operands — identical
+    * in JVM and DuckDB). */
+  private[graft] def sawtooth(n: Int, pre: Int, period: Int, amp: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = pre
+    while (i < n) {
+      out(i) = (((i % period) * 2 * amp) / period - amp).toShort
+      i += 1
+    }
+    out
+  }
+
   // ---- MP4 / ISO-BMFF (video) -----------------------------------------
 
   private val Mp4Timescale = 600
@@ -458,6 +536,69 @@ object MediaPipeline {
     assets.mapPartitions { it =>
       // real pipeline: initialize the native decoder once here
       it.map(decode)
+    }
+  }
+
+  /** Decoded per-asset audio features — integers end to end so the
+    * closed-form oracle matches bit-for-bit. */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      n_silent: Long,
+      peak: Long,
+      rms2: Long,
+      zero_crossings: Long,
+      decode_ok: Boolean)
+
+  /** Synthesize per-doc WAV payloads with REAL PCM data: a silent
+    * prefix + an integer sawtooth whose parameters derive from
+    * md5(text) — every parameter (and therefore every decoded sample)
+    * is predictable by the SQL oracle, while the Spark path must
+    * round-trip the actual little-endian bytes to agree. */
+  def attachAudio(docs: DataFrame): Dataset[MediaAsset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (docId, text) =>
+        val h = contentHash(text.getBytes("UTF-8"))
+        val sr = (8000L * (1L + h % 6L)).toInt
+        val n = (2000L + (h / 7L) % 1000L).toInt
+        val pre = ((h / 11L) % 400L).toInt
+        val period = (20L + (h / 13L) % 50L).toInt
+        val amp = (1000L + ((h / 17L) % 9L) * 1000L).toInt
+        MediaAsset(docId, "audio", wavPcmBytes(sr, sawtooth(n, pre, period, amp)))
+    }
+  }
+
+  /** PCM decode + one-pass integer feature extraction per partition:
+    * silence count, peak, mean square (floor), and zero crossings
+    * (sign products strictly negative — zeros break a crossing, the
+    * convention the oracle mirrors). Failed decodes dead-letter. */
+  def audioFeatures(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodeSamples(a.content) match {
+          case Some((rate, s)) =>
+            var i = 0
+            var silent = 0L; var peak = 0L; var sq = 0L; var zc = 0L
+            while (i < s.length) {
+              val v = s(i).toLong
+              if (v == 0L) silent += 1
+              val av = math.abs(v)
+              if (av > peak) peak = av
+              sq += v * v
+              if (i > 0 && v * s(i - 1).toLong < 0L) zc += 1
+              i += 1
+            }
+            val n = s.length.toLong
+            AudioFeatures(a.doc_id, rate.toLong, n, silent, peak,
+              if (n == 0) 0L else sq / n, zc, decode_ok = true)
+          case None =>
+            AudioFeatures(a.doc_id, 0L, 0L, 0L, 0L, 0L, 0L, decode_ok = false)
+        }
+      }
     }
   }
 

@@ -70,6 +70,51 @@ object MultimodalQueries extends QueryModule {
              |            ELSE 256 END AS out_height
              |FROM v""".stripMargin)),
 
+    // Audio feature extraction over REAL PCM: synthesized WAVs carry
+    // genuine 16-bit little-endian sample data (silent prefix +
+    // integer sawtooth, parameters from md5(text)); the Spark path
+    // must round-trip the actual bytes (RIFF sub-chunk walk + PCM
+    // decode + one-pass integer features), while the oracle
+    // reconstructs the same waveform closed-form in SQL — an ORACLED
+    // codec-level decode, exact to the last bit because every sample
+    // is integer arithmetic (floor division on non-negative operands,
+    // identical in JVM and DuckDB). Dead-letter on malformed streams
+    // as everywhere in this module.
+    Q("audio_features",
+      (s, dir) => {
+        val assets = MediaPipeline.attachAudio(Tables.documents(s, dir))
+        MediaPipeline.audioFeatures(s, assets).toDF()
+      },
+      Some(s"""WITH p AS (
+             |  SELECT doc_id,
+             |         8000 * (1 + $hashSql % 6) AS sr,
+             |         2000 + ($hashSql // 7) % 1000 AS n,
+             |         ($hashSql // 11) % 400 AS pre,
+             |         20 + ($hashSql // 13) % 50 AS period,
+             |         1000 + (($hashSql // 17) % 9) * 1000 AS amp
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, sr, n, i,
+             |         CASE WHEN i < pre THEN 0
+             |              ELSE ((i % period) * 2 * amp) // period - amp END AS v
+             |  FROM (SELECT doc_id, sr, n, pre, period, amp,
+             |               unnest(range(0, n)) AS i
+             |        FROM p)),
+             |l AS (
+             |  SELECT doc_id, sr, n, v,
+             |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+             |  FROM s)
+             |SELECT doc_id,
+             |       CAST(sr AS BIGINT) AS sample_rate,
+             |       CAST(n AS BIGINT) AS n_samples,
+             |       CAST(count(CASE WHEN v = 0 THEN 1 END) AS BIGINT) AS n_silent,
+             |       CAST(max(abs(v)) AS BIGINT) AS peak,
+             |       CAST(CAST(sum(v * v) AS BIGINT) // n AS BIGINT) AS rms2,
+             |       CAST(count(CASE WHEN v * pv < 0 THEN 1 END) AS BIGINT)
+             |         AS zero_crossings,
+             |       TRUE AS decode_ok
+             |FROM l GROUP BY doc_id, sr, n""".stripMargin)),
+
     // Image near-dup dedup over REAL pixels: synthesized grayscale
     // PNGs (genuine zlib IDAT, filters 0-4) are decoded by the
     // in-repo PNG decoder (chunk walk + inflate + all five

@@ -129,6 +129,49 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(MediaPipeline.decodePixels("garbage".getBytes).isEmpty)
   }
 
+  test("WAV PCM encode/decode round-trips samples, tolerating extra RIFF chunks") {
+    val samples = MediaPipeline.sawtooth(n = 500, pre = 40, period = 33, amp = 5000)
+    val wav = MediaPipeline.wavPcmBytes(22050, samples)
+    val got = MediaPipeline.decodeSamples(wav)
+    assert(got.isDefined)
+    assert(got.get._1 == 22050)
+    assert(got.get._2.sameElements(samples))
+    // javax.sound reads the same bytes: header fields are honest
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate == 22050f)
+    assert(ais.getFrameLength == samples.length)
+    // decoder walks past an unknown LIST chunk injected before data
+    val withList = {
+      val head = wav.take(36) // RIFF..fmt chunk end
+      val list = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      val out = new java.io.ByteArrayOutputStream
+      out.write(head); out.write(list); out.write(wav.drop(36))
+      out.toByteArray
+    }
+    val got2 = MediaPipeline.decodeSamples(withList)
+    assert(got2.isDefined && got2.get._2.sameElements(samples))
+    // truncated data chunk and stereo/8-bit formats dead-letter
+    assert(MediaPipeline.decodeSamples(wav.take(wav.length - 3)).isEmpty)
+    assert(MediaPipeline.decodeSamples("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("audio features match a direct computation on the raw signal") {
+    val s = MediaPipeline.sawtooth(n = 1000, pre = 100, period = 25, amp = 3000)
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val asset = MediaAsset(7L, "audio", MediaPipeline.wavPcmBytes(8000, s))
+    val f = MediaPipeline.audioFeatures(spark, Seq(asset).toDS()).head()
+    assert(f.decode_ok && f.doc_id == 7L && f.sample_rate == 8000)
+    assert(f.n_samples == 1000)
+    assert(f.n_silent == s.count(_ == 0))
+    assert(f.peak == s.map(v => math.abs(v.toInt)).max)
+    assert(f.rms2 == s.map(v => v.toLong * v).sum / 1000)
+    assert(f.zero_crossings ==
+      s.sliding(2).count(p => p(0).toInt * p(1) < 0))
+  }
+
   test("aHash is exactly invariant to a global brightness shift") {
     val px = MediaPipeline.pixelPattern(64, 64, 5L)
     val brighter = px.map(b => ((b & 0xff) + 20).toByte) // pattern < 229, no clamp
