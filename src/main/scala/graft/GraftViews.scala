@@ -93,6 +93,16 @@ object GraftViews {
       "pagerank_suppliers" -> "trade_centrality").foreach { case (q, view) =>
       SparkEntry.queries(q)(spark, dir).createOrReplaceTempView(view)
     }
+    // selection + modality surface (round 7 cont.): per-doc DSIR
+    // importance weights, similarity-graph cohesion, perceptual image
+    // dedup labels, and decoded audio features — each a table a SQL
+    // user joins against `documents` by doc_id
+    Seq("importance_weights" -> "doc_importance",
+      "similarity_triangles" -> "doc_similarity_cohesion",
+      "image_dedup_ahash" -> "image_dedup_labels",
+      "audio_features" -> "audio_features").foreach { case (q, view) =>
+      SparkEntry.queries(q)(spark, dir).createOrReplaceTempView(view)
+    }
     // data-quality surface: the corpus with its expectation violations
     // (empty array = clean row) plus the two split views — SQL users
     // triage the quarantine with a WHERE, not a re-ingest. Same checks

@@ -613,6 +613,84 @@ object EmbeddingQueries extends QueryModule {
     Q("embed_ann_pq",
       (s, dir) => pqTopK(vecs(s, dir), col("vec_id") < 20, k = 3,
         rerank = 12),
-      None)
+      None),
+
+    // Embedding outlier detection for corpus QC: cosine of each
+    // vector to its SOURCE's centroid, bottom-5 per source flagged —
+    // the garbage-embedding screen a curation pipeline runs before
+    // ANN indexing. HASH-ORACLED despite being "float math" via the
+    // fixed-point trick: vectors quantize to floor(x·2²⁰) (an
+    // exponent shift — no rounding ambiguity), centroids are integer
+    // sums ÷ count (associative, partition-order-free), and every
+    // downstream double op (conversion of an exact <2⁵³ integer,
+    // sqrt, one multiply, one divide) is IEEE-correctly-rounded and
+    // therefore bit-identical in Spark and DuckDB — the same recipe
+    // that makes PageRank exactly gateable, extended to cosine. The
+    // raw double is emitted unrounded (rounding is the only step the
+    // engines disagree on). Scale: one posexplode + one (source,
+    // pos) aggregate; the centroid frame is #sources×dim rows,
+    // broadcast back.
+    Q("embed_outliers",
+      (s, dir) => {
+        val dotLL = (a: Column, b: Column) =>
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        val q = vecs(s, dir)
+          .join(Tables.documents(s, dir)
+            .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+          .select(col("vec_id"), col("source"),
+            expr("transform(emb, x -> CAST(floor(x * 1048576) AS BIGINT))")
+              .as("qemb"))
+        // NOT `div`: Spark div truncates toward zero, DuckDB // floors,
+        // and centroid sums go negative. floor(sum/count) in double is
+        // exact here (|sum| < 2^53 and a non-integer quotient sits at
+        // least 1/count away from an integer) and reads identically in
+        // both engines.
+        val cent = q
+          .select(col("source"), posexplode(col("qemb")).as(Seq("pos", "x")))
+          .groupBy(col("source"), col("pos"))
+          .agg(expr("CAST(floor(sum(x) / count(1)) AS BIGINT)").as("m"))
+          .groupBy(col("source"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
+          .select(col("source"), expr("transform(sm, s -> s.m)").as("cemb"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("cos_centroid"), col("vec_id"))
+        q.join(broadcast(cent), Seq("source"))
+          .withColumn("cos_centroid",
+            dotLL(col("qemb"), col("cemb")).cast("double") /
+              (sqrt(dotLL(col("qemb"), col("qemb")).cast("double")) *
+                sqrt(dotLL(col("cemb"), col("cemb")).cast("double"))))
+          .withColumn("outlier_rank", row_number().over(w))
+          .select(col("vec_id"), col("source"), col("cos_centroid"),
+            col("outlier_rank"), (col("outlier_rank") <= 5).as("is_outlier"))
+      },
+      Some("""WITH q AS (
+             |  SELECT e.vec_id, d.source,
+             |         list_transform(e.embedding::DOUBLE[],
+             |                        x -> CAST(floor(x * 1048576) AS BIGINT)) AS qemb
+             |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+             |ex AS (
+             |  SELECT source, i AS pos, qemb[i] AS x
+             |  FROM (SELECT source, qemb, unnest(range(1, len(qemb) + 1)) AS i
+             |        FROM q)),
+             |cent AS (
+             |  SELECT source, pos,
+             |         CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
+             |  FROM ex GROUP BY source, pos),
+             |c AS (
+             |  SELECT source, list(m ORDER BY pos) AS cemb FROM cent GROUP BY source),
+             |s AS (
+             |  SELECT q.vec_id, q.source,
+             |         list_dot_product(q.qemb, c.cemb) /
+             |           (sqrt(list_dot_product(q.qemb, q.qemb)) *
+             |            sqrt(list_dot_product(c.cemb, c.cemb))) AS cos_centroid
+             |  FROM q JOIN c ON q.source = c.source)
+             |SELECT vec_id, source, cos_centroid,
+             |       row_number() OVER (PARTITION BY source
+             |                          ORDER BY cos_centroid, vec_id)
+             |         AS outlier_rank,
+             |       row_number() OVER (PARTITION BY source
+             |                          ORDER BY cos_centroid, vec_id) <= 5
+             |         AS is_outlier
+             |FROM s""".stripMargin))
   )
 }

@@ -114,6 +114,26 @@ class EmbeddingAnnSpec extends AnyFunSuite {
     } finally d.unpersist()
   }
 
+  test("embed_outliers: contiguous per-source ranks, outliers are the farthest members") {
+    val out = SparkEntry.queries("embed_outliers")(spark, "/root/testdata/sf0.001").cache()
+    try {
+      // outlier_rank is a permutation of 1..n within every source
+      val badRanks = out.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), max(col("outlier_rank")).as("mx"),
+          countDistinct(col("outlier_rank")).as("d"))
+        .filter(col("mx") =!= col("n") || col("d") =!= col("n")).count()
+      assert(badRanks == 0, "ranks must be dense and unique per source")
+      // no flagged outlier sits closer to the centroid than a kept member
+      val worstKept = out.filter(!col("is_outlier"))
+        .groupBy(col("source")).agg(min(col("cos_centroid")).as("min_kept"))
+      val bestOut = out.filter(col("is_outlier"))
+        .groupBy(col("source")).agg(max(col("cos_centroid")).as("max_out"))
+      val inverted = bestOut.join(worstKept, Seq("source"))
+        .filter(col("max_out") > col("min_kept")).count()
+      assert(inverted == 0, "outliers must be the lowest-cosine members")
+    } finally out.unpersist()
+  }
+
   test("k-means training drops empty clusters but keeps centroid count <= k") {
     val d = data
     val cents = EmbeddingQueries.kmeansPivots(d, k = 8, iters = 3).collect()

@@ -116,6 +116,37 @@ class GraftViewsSpec extends AnyFunSuite {
     assert(fromView == fromQuery)
   }
 
+  test("selection + modality views join documents by doc_id in pure SQL") {
+    GraftViews.register(spark, dir)
+    // every document has an importance weight; weights are in range
+    val iw = spark.sql(
+      """SELECT count(*) AS n,
+        |       count(CASE WHEN weight_fp < 0 OR weight_fp > 1000000 THEN 1 END)
+        |         AS oob
+        |FROM doc_importance""".stripMargin).head()
+    assert(iw.getLong(0) == spark.table("documents").count())
+    assert(iw.getLong(1) == 0)
+    // image dedup labels cover the corpus and compress it
+    val img = spark.sql(
+      """SELECT count(*) AS n, count(DISTINCT canonical_id) AS clusters
+        |FROM image_dedup_labels""".stripMargin).head()
+    assert(img.getLong(0) == spark.table("documents").count())
+    assert(img.getLong(1) < img.getLong(0), "planted dups must cluster")
+    // audio features decode for every doc; a SQL user filters silence
+    val aud = spark.sql(
+      """SELECT count(*) AS n,
+        |       count(CASE WHEN NOT decode_ok THEN 1 END) AS bad,
+        |       count(CASE WHEN n_silent * 5 > n_samples THEN 1 END) AS quiet
+        |FROM audio_features""".stripMargin).head()
+    assert(aud.getLong(0) == spark.table("documents").count())
+    assert(aud.getLong(1) == 0)
+    // cohesion view: degrees positive, lcc within [0, 1]
+    val coh = spark.sql(
+      """SELECT count(CASE WHEN degree < 1 OR lcc < 0 OR lcc > 1 THEN 1 END)
+        |FROM doc_similarity_cohesion""".stripMargin).head()
+    assert(coh.getLong(0) == 0)
+  }
+
   test("registered SQL functions work over the views") {
     // extensions normally attach at build time via
     // spark.sql.extensions=graft.GraftExtensions; for the already-built
