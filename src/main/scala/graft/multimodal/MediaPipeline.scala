@@ -434,6 +434,55 @@ object MediaPipeline {
     ftyp ++ moov
   }
 
+  /** Bytes per synthesized video frame (see frameByte). */
+  private[graft] val FrameBytes = 32
+
+  /** Closed-form frame payload byte: scene-structured so consecutive
+    * frames within a 5-frame scene differ by exactly +3 per byte
+    * (L1 = 96) while scene boundaries re-derive the base pattern — a
+    * detectable jump. Values stay < 212, no byte wrap, so the SQL
+    * oracle reproduces every byte with plain integer arithmetic. */
+  private[graft] def frameByte(h: Long, f: Int, j: Int): Int =
+    (((h + (f / 5) * 53 + j * 11) % 200) + (f % 5) * 3).toInt
+
+  /** Real ISO-BMFF stream WITH an mdat payload: the structural boxes
+    * of mp4Bytes plus nFrames × 32-byte frame blocks. */
+  private[graft] def mp4BytesWithFrames(width: Int, height: Int,
+                                        nFrames: Int, h: Long): Array[Byte] = {
+    val frames = new Array[Byte](nFrames * FrameBytes)
+    var f = 0
+    while (f < nFrames) {
+      var j = 0
+      while (j < FrameBytes) {
+        frames(f * FrameBytes + j) = frameByte(h, f, j).toByte
+        j += 1
+      }
+      f += 1
+    }
+    mp4Bytes(width, height, nFrames) ++ box("mdat", frames)
+  }
+
+  /** REAL mdat decode: walk top-level boxes to `mdat`, slice the
+    * payload into 32-byte frames. None on missing/ragged payloads. */
+  private[graft] def decodeFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = try {
+    var off = 0
+    while (off + 8 <= bytes.length) {
+      val bb = java.nio.ByteBuffer.wrap(bytes, off, 8)
+      val size = bb.getInt
+      val tpe = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
+      if (size < 8 || off + size > bytes.length) return None
+      if (tpe == "mdat") {
+        val len = size - 8
+        if (len % FrameBytes != 0) return None
+        return Some(Array.tabulate(len / FrameBytes)(f =>
+          java.util.Arrays.copyOfRange(bytes,
+            off + 8 + f * FrameBytes, off + 8 + (f + 1) * FrameBytes)))
+      }
+      off += size
+    }
+    None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Walk top-level boxes for `moov`, then its children for mvhd
     * (timescale+duration → frame count) and trak/tkhd (dims). */
   private[graft] def parseMp4(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
@@ -597,6 +646,60 @@ object MediaPipeline {
               if (n == 0) 0L else sq / n, zc, decode_ok = true)
           case None =>
             AudioFeatures(a.doc_id, 0L, 0L, 0L, 0L, 0L, 0L, decode_ok = false)
+        }
+      }
+    }
+  }
+
+  /** Decoded per-asset video motion features — integers end to end. */
+  final case class VideoFeatures(
+      doc_id: Long,
+      n_frames: Long,
+      total_l1: Long,
+      n_cuts: Long,
+      max_frame_l1: Long,
+      decode_ok: Boolean)
+
+  /** Synthesize per-doc MP4s with REAL mdat frame payloads: scene-
+    * structured 32-byte frames whose every byte the SQL oracle can
+    * reconstruct (frameByte), 2-10 scenes of 5 frames each. */
+  def attachVideo(docs: DataFrame): Dataset[MediaAsset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (docId, text) =>
+        val h = contentHash(text.getBytes("UTF-8"))
+        val n = (10L + (h / 19L) % 41L).toInt // 10..50 frames
+        MediaAsset(docId, "video", mp4BytesWithFrames(64, 48, n, h))
+    }
+  }
+
+  /** mdat decode + one-pass motion features per partition: per-frame
+    * L1 distance to the previous frame, scene cuts where L1 > 200
+    * (in-scene motion is exactly 96). Dead-letter on malformed. */
+  def videoFeatures(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodeFrames(a.content) match {
+          case Some(frames) =>
+            var total = 0L; var cuts = 0L; var mx = 0L
+            var f = 1
+            while (f < frames.length) {
+              var l1 = 0L
+              var j = 0
+              while (j < FrameBytes) {
+                l1 += math.abs((frames(f)(j) & 0xff) - (frames(f - 1)(j) & 0xff))
+                j += 1
+              }
+              total += l1
+              if (l1 > 200L) cuts += 1
+              if (l1 > mx) mx = l1
+              f += 1
+            }
+            VideoFeatures(a.doc_id, frames.length.toLong, total, cuts, mx,
+              decode_ok = true)
+          case None => VideoFeatures(a.doc_id, 0L, 0L, 0L, 0L, decode_ok = false)
         }
       }
     }

@@ -115,6 +115,49 @@ object MultimodalQueries extends QueryModule {
              |       TRUE AS decode_ok
              |FROM l GROUP BY doc_id, sr, n""".stripMargin)),
 
+    // Video motion analysis over REAL mdat payloads: synthesized MP4s
+    // carry scene-structured 32-byte frame blocks; the Spark path
+    // walks the boxes to mdat, slices frames, and computes per-frame
+    // L1 motion + scene cuts (in-scene motion is exactly 96 by
+    // construction, a cut is L1 > 200), while the oracle reconstructs
+    // every frame BYTE closed-form in SQL — like audio_features, a
+    // codec-level decode under the exact hash gate because the
+    // payload is integer-deterministic. The per-(doc, byte-position)
+    // lag + per-frame rollup is the same shape a real shot-boundary
+    // detector runs over decoded luma planes.
+    Q("video_scene_cuts",
+      (s, dir) => {
+        val assets = MediaPipeline.attachVideo(Tables.documents(s, dir))
+        MediaPipeline.videoFeatures(s, assets).toDF()
+      },
+      Some(s"""WITH p AS (
+             |  SELECT doc_id, $hashSql AS h,
+             |         10 + ($hashSql // 19) % 41 AS n
+             |  FROM documents),
+             |fj AS (
+             |  SELECT doc_id, f, j,
+             |         ((h + (f // 5) * 53 + j * 11) % 200) + (f % 5) * 3 AS b
+             |  FROM (SELECT doc_id, h, n, unnest(range(0, n)) AS f FROM p),
+             |       (SELECT unnest(range(0, 32)) AS j)),
+             |d AS (
+             |  SELECT doc_id, f, b,
+             |         lag(b) OVER (PARTITION BY doc_id, j ORDER BY f) AS pb
+             |  FROM fj),
+             |l AS (
+             |  SELECT doc_id, f, CAST(sum(abs(b - pb)) AS BIGINT) AS l1
+             |  FROM d WHERE pb IS NOT NULL GROUP BY doc_id, f),
+             |a AS (
+             |  SELECT doc_id, CAST(sum(l1) AS BIGINT) AS total_l1,
+             |         CAST(count(CASE WHEN l1 > 200 THEN 1 END) AS BIGINT) AS n_cuts,
+             |         CAST(max(l1) AS BIGINT) AS max_frame_l1
+             |  FROM l GROUP BY doc_id)
+             |SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_frames,
+             |       CAST(coalesce(a.total_l1, 0) AS BIGINT) AS total_l1,
+             |       CAST(coalesce(a.n_cuts, 0) AS BIGINT) AS n_cuts,
+             |       CAST(coalesce(a.max_frame_l1, 0) AS BIGINT) AS max_frame_l1,
+             |       TRUE AS decode_ok
+             |FROM p LEFT JOIN a ON p.doc_id = a.doc_id""".stripMargin)),
+
     // Image near-dup dedup over REAL pixels: synthesized grayscale
     // PNGs (genuine zlib IDAT, filters 0-4) are decoded by the
     // in-repo PNG decoder (chunk walk + inflate + all five

@@ -172,6 +172,33 @@ class MediaPipelineSpec extends AnyFunSuite {
       s.sliding(2).count(p => p(0).toInt * p(1) < 0))
   }
 
+  test("mdat frame decode round-trips; motion features match the raw frames") {
+    val h = 123456789L
+    val mp4 = MediaPipeline.mp4BytesWithFrames(64, 48, nFrames = 17, h)
+    // the structural parse still reads the header boxes
+    assert(MediaPipeline.parseMp4(mp4).exists { case (w, ht, _) => w == 64 && ht == 48 })
+    val frames = MediaPipeline.decodeFrames(mp4)
+    assert(frames.isDefined && frames.get.length == 17)
+    for (f <- 0 until 17; j <- 0 until MediaPipeline.FrameBytes)
+      assert((frames.get(f)(j) & 0xff) == MediaPipeline.frameByte(h, f, j))
+    // in-scene consecutive frames differ by exactly +3 per byte
+    val l1 = (0 until MediaPipeline.FrameBytes)
+      .map(j => math.abs((frames.get(1)(j) & 0xff) - (frames.get(0)(j) & 0xff))).sum
+    assert(l1 == 3 * MediaPipeline.FrameBytes)
+    // ragged mdat and headers-only streams dead-letter
+    assert(MediaPipeline.decodeFrames(mp4.take(mp4.length - 5)).isEmpty)
+    assert(MediaPipeline.decodeFrames(MediaPipeline.mp4Bytes(64, 48, 5)).isEmpty)
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val vf = MediaPipeline.videoFeatures(spark,
+      Seq(MediaPipeline.MediaAsset(9L, "video", mp4)).toDS()).head()
+    assert(vf.decode_ok && vf.n_frames == 17)
+    // 17 frames = scenes of 5: cuts at f=5,10,15 unless the re-derived
+    // base coincides; in-scene transitions contribute exactly 96 each
+    assert(vf.n_cuts <= 3 && vf.total_l1 >= 96L * (16 - vf.n_cuts))
+    assert(vf.max_frame_l1 >= 96)
+  }
+
   test("aHash is exactly invariant to a global brightness shift") {
     val px = MediaPipeline.pixelPattern(64, 64, 5L)
     val brighter = px.map(b => ((b & 0xff) + 20).toByte) // pattern < 229, no clamp
