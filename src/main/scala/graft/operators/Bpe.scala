@@ -114,6 +114,58 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a learned merge table as a shippable artifact: one
+    * parquet of `(rank, left, right)` plus a `_vocab_manifest.json`
+    * recording the merge count and an md5 integrity checksum over the
+    * canonical rank-ordered serialization. The manifest is written
+    * LAST (the CorpusWriter publish-marker convention): a reader that
+    * finds it can trust the parquet beside it. */
+  def save(spark: SparkSession, merges: Seq[Merge], path: String): Unit = {
+    require(merges.nonEmpty, "refusing to save an empty merge table")
+    import spark.implicits._
+    merges.sortBy(_.rank).map(m => (m.rank, m.left, m.right))
+      .toDF("rank", "left", "right")
+      .repartition(1) // vocabulary-sized: one file, stable layout
+      .write.mode("errorifexists").parquet(s"$path/merges.parquet")
+    val manifest = s"""{"n_merges": ${merges.size}, "checksum": "${checksum(merges)}"}"""
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_vocab_manifest.json"), false)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load a persisted merge table, failing fast (not quietly
+    * mis-tokenizing) when the manifest is missing, the rank sequence
+    * is not contiguous from 0, or the checksum disagrees — a tokenizer
+    * artifact that silently drifts corrupts every downstream token. */
+  def load(spark: SparkSession, path: String): Seq[Merge] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(path, "_vocab_manifest.json")
+    require(fs.exists(mf), s"no _vocab_manifest.json under $path — not a published vocab")
+    val manifest = {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val merges = spark.read.parquet(s"$path/merges.parquet")
+      .collect()
+      .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("left"), r.getAs[String]("right")))
+      .sortBy(_.rank).toSeq
+    require(merges.zipWithIndex.forall { case (m, i) => m.rank == i },
+      s"ranks not contiguous from 0 under $path")
+    val want = s""""checksum": "${checksum(merges)}""""
+    require(manifest.contains(want) && manifest.contains(s""""n_merges": ${merges.size}"""),
+      s"manifest/content mismatch under $path — artifact corrupt or partially written")
+    merges
+  }
+
+  private def checksum(merges: Seq[Merge]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    merges.sortBy(_.rank).foreach(m =>
+      md.update(s"${m.rank} ${m.left} ${m.right}\n".getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Segment text with a learned merge table: whitespace words →
     * initial symbols → merges applied in rank order (the standard
     * encode; a production encoder uses rank-priority queues — same

@@ -101,6 +101,39 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.train(docs, numMerges = 10).isEmpty)
   }
 
+  test("vocab artifact round-trips; tampering fails fast") {
+    import spark.implicits._
+    val docs = Seq("the lowest west nest", "lower and lower", "newest nest").toDF("text")
+    val merges = Bpe.train(docs, numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("vocab").toString + "/v1"
+    Bpe.save(spark, merges, dir)
+    val loaded = Bpe.load(spark, dir)
+    assert(loaded == merges.sortBy(_.rank))
+    // segmentation through the loaded artifact is identical
+    val a = Bpe.segment(spark, docs, merges)
+      .select(concat_ws("|", col("bpe_tokens"))).collect().map(_.getString(0)).sorted
+    val b = Bpe.segment(spark, docs, loaded)
+      .select(concat_ws("|", col("bpe_tokens"))).collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+    // double-publish refused; missing manifest refused
+    intercept[Exception](Bpe.save(spark, merges, dir))
+    val bare = java.nio.file.Files.createTempDirectory("vocab2").toString + "/v2"
+    spark.createDataFrame(Seq((0, "a", "b"))).toDF("rank", "left", "right")
+      .write.parquet(s"$bare/merges.parquet")
+    intercept[IllegalArgumentException](Bpe.load(spark, bare))
+    // checksum mismatch (manifest from a different table) refused
+    val other = java.nio.file.Files.createTempDirectory("vocab3").toString + "/v3"
+    Bpe.save(spark, merges.take(3), other)
+    val fs = new org.apache.hadoop.fs.Path(other)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // graft the full-table parquet beside the 3-merge manifest
+    fs.delete(new org.apache.hadoop.fs.Path(s"$other/merges.parquet"), true)
+    merges.sortBy(_.rank).map(m => (m.rank, m.left, m.right))
+      .toDF("rank", "left", "right").repartition(1)
+      .write.parquet(s"$other/merges.parquet")
+    intercept[IllegalArgumentException](Bpe.load(spark, other))
+  }
+
   test("bpe_encode query: every doc segmented, learned merges fire corpus-wide") {
     val out = SparkEntry.queries("bpe_encode")(spark, sf).cache()
     try {
