@@ -167,10 +167,19 @@ object MultimodalQueries extends QueryModule {
     // candidate search (8 bands × 8 bits — any pair within Hamming 7
     // shares a band by pigeonhole, so Hamming ≤ 6 candidates are
     // COMPLETE, never doc×doc), exact bit_count verification, and
-    // connected components. The image twin of dedup_minhash_lsh. No
-    // SQL oracle (zlib in SQL is a non-starter): MediaPipelineSpec
-    // pins decoder parity + planted-cluster recovery, the driver
-    // records the rows check.
+    // connected components. The image twin of dedup_minhash_lsh.
+    // HASH-GATED: zlib in SQL is a non-starter, but the oracle does
+    // not need it — the synthesized PIXELS are closed-form from
+    // doc_id (pixelPattern + 10 modular perturbations), so the SQL
+    // reconstructs the raster pre-compression, recomputes the integer
+    // aHash (HUGEINT bit-build, cast to signed BIGINT two's-
+    // complement to match Spark's Long), replays the band join +
+    // bit_count verify, and closes clusters with the recursive-CTE
+    // transitive closure dedup_clusters proved. The Spark side still
+    // round-trips real zlib IDAT + all five PNG unfilters — the gate
+    // now certifies that whole codec path bit-exactly, the way
+    // audio_features certifies the WAV walk. MediaPipelineSpec keeps
+    // the ImageIO decoder-parity + planted-cluster specs.
     Q("image_dedup_ahash",
       (s, dir) => {
         val hashes = MediaPipeline.imageHashes(s,
@@ -198,6 +207,55 @@ object MultimodalQueries extends QueryModule {
           .select(col("doc_id"), col("ahash"),
             coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
       },
-      None)
+      Some("""WITH RECURSIVE
+             |dd AS (SELECT doc_id, doc_id % 40 AS seed FROM documents),
+             |par AS (SELECT doc_id, 3 + seed % 5 AS a, 2 + seed % 7 AS b,
+             |               seed % 11 AS c, seed * 31 AS s31 FROM dd),
+             |px0 AS MATERIALIZED (
+             |  SELECT doc_id, x, y,
+             |         (x * a + y * b + ((x * y) % 13) * c + s31) % 229 AS v
+             |  FROM par, (SELECT unnest(range(0, 64)) AS x),
+             |       (SELECT unnest(range(0, 64)) AS y)),
+             |pert AS (SELECT doc_id,
+             |                abs(doc_id * 2654435761 + i * 40503) % 4096 AS pos,
+             |                count(*) AS k
+             |         FROM dd, (SELECT unnest(range(0, 10)) AS i) GROUP BY 1, 2),
+             |px AS (SELECT p.doc_id, p.x, p.y,
+             |              CASE WHEN pert.k IS NOT NULL THEN (p.v + 7 * pert.k) % 229
+             |                   ELSE p.v END AS v
+             |       FROM px0 p LEFT JOIN pert
+             |         ON p.doc_id = pert.doc_id AND p.y * 64 + p.x = pert.pos),
+             |cells AS (SELECT doc_id, (y // 8) * 8 + (x // 8) AS cell,
+             |                 CAST(sum(v) AS BIGINT) AS cv
+             |          FROM px GROUP BY 1, 2),
+             |gm AS (SELECT doc_id, CAST(sum(cv) AS BIGINT) // 64 AS mean
+             |       FROM cells GROUP BY 1),
+             |ahh AS (
+             |  SELECT c.doc_id,
+             |         CAST(sum(CASE WHEN cv > mean THEN 1::HUGEINT << (63 - cell)
+             |                       ELSE 0::HUGEINT END) AS HUGEINT) AS hb
+             |  FROM cells c JOIN gm USING (doc_id) GROUP BY 1),
+             |ah AS MATERIALIZED (
+             |  SELECT doc_id,
+             |         CAST(hb - CASE WHEN hb >= 9223372036854775808::HUGEINT
+             |                        THEN 18446744073709551616::HUGEINT
+             |                        ELSE 0::HUGEINT END AS BIGINT) AS ahash
+             |  FROM ahh),
+             |bs AS MATERIALIZED (
+             |  SELECT doc_id, ahash, band, (ahash >> (band * 8)) & 255 AS sig
+             |  FROM ah, (SELECT unnest(range(0, 8)) AS band)),
+             |ed AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |       FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig
+             |                          AND x.doc_id < y.doc_id
+             |       WHERE bit_count(xor(x.ahash, y.ahash)) <= 6),
+             |e2 AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+             |reach(a, b) AS (SELECT a, b FROM e2
+             |                UNION SELECT r.a, e.b
+             |                FROM reach r JOIN e2 e ON r.b = e.a),
+             |lab AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+             |        FROM reach GROUP BY a)
+             |SELECT ah.doc_id, ah.ahash,
+             |       coalesce(lab.canonical_id, ah.doc_id) AS canonical_id
+             |FROM ah LEFT JOIN lab USING (doc_id)""".stripMargin))
   )
 }

@@ -185,7 +185,77 @@ object TextQueries extends QueryModule {
     .empty[(SparkSession, String), Seq[graft.operators.Bpe.Merge]]
   private def bpeMergesCached(s: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
     bpeCache.getOrElseUpdate((s, dir),
-      graft.operators.Bpe.train(docs(s, dir), numMerges = 20))
+      graft.operators.Bpe.train(docs(s, dir), numMerges = BpeRounds))
+
+  /** Merge count shared by the trainer call and the unrolled oracle —
+    * the two MUST agree or the oracle replays a different tokenizer. */
+  private val BpeRounds = 20
+
+  /** Unrolled-CTE DuckDB replay of the BPE trainer — the same recipe
+    * that oracles PageRank: the operator is bit-deterministic by
+    * construction (integer counts, (cnt DESC, l, r) tie-break), so
+    * each training round is one CTE layer and the gate hash-compares
+    * the exact merge table. The per-word merge step (leftmost-greedy
+    * pair collapse, inherently sequential in Scala) becomes a plain
+    * string `replace`: each word's symbol sequence is encoded with
+    * EVERY symbol wrapped in chr(31) (US, absent from the printable
+    * fixture corpus) as US+sym+US, and non-overlapping left-to-right
+    * replace of US+l+US+US+r+US with US+lr+US is exactly the greedy
+    * collapse (matches can only align on symbol boundaries, and a
+    * just-merged token can never equal `l` -- b nonempty -- so the
+    * scan never re-matches its own output). CTEs are MATERIALIZED:
+    * each round references its predecessor twice (merge + early-stop
+    * fallback) and DuckDB's default inlining would go exponential.
+    */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val S = "chr(31)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH wsrc AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+         |            FROM documents),
+         |w AS (SELECT w AS word, count(*) AS n FROM wsrc WHERE len(w) > 0 GROUP BY 1),
+         |wc0 AS MATERIALIZED (SELECT word,
+         |  $S || array_to_string(list_concat(string_split(word, ''), ['</w>']), $S||$S) || $S AS rep,
+         |  n FROM w)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(",\n").append(
+        s"""p$r AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |  SELECT n, unnest(list_transform(range(1, len(syms)),
+           |                   i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr
+           |  FROM (SELECT list_filter(string_split(rep, $S), s -> s <> '') AS syms, n FROM wc$p)
+           |) GROUP BY 1, 2),
+           |m$r AS MATERIALIZED (SELECT l, r FROM p$r WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1),
+           |wc$r AS MATERIALIZED (SELECT word,
+           |    replace(rep, $S||l||$S||$S||r||$S, $S||l||r||$S) AS rep, n FROM wc$p, m$r
+           |  UNION ALL SELECT word, rep, n FROM wc$p WHERE NOT EXISTS (SELECT 1 FROM m$r))""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def bpeMergesOracle: String =
+    bpeOracleCtes(BpeRounds) + "\n" +
+      (1 to BpeRounds)
+        .map(r => s"""SELECT ${r - 1} AS rank, l AS "left", r AS "right" FROM m$r""")
+        .mkString("\nUNION ALL ") + "\nORDER BY rank"
+
+  private def bpeEncodeOracle: String = {
+    val S = "chr(31)"
+    val R = BpeRounds
+    bpeOracleCtes(R) +
+      s""",
+         |dw AS (SELECT doc_id, w FROM wsrc WHERE len(w) > 0),
+         |sy AS (SELECT dw.doc_id, list_filter(string_split(wc$R.rep, $S), s -> s <> '') AS syms
+         |       FROM dw JOIN wc$R ON dw.w = wc$R.word),
+         |enc AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
+         |               CAST(sum(len(list_filter(syms, t -> len(replace(t, '</w>', '')) > 1))) AS BIGINT)
+         |                 AS n_merged_symbols
+         |        FROM sy GROUP BY 1)
+         |SELECT d.doc_id, len(string_split(trim(d.text), ' ')) AS n_ws_tokens,
+         |       coalesce(enc.n_symbols, 0) AS n_symbols,
+         |       coalesce(enc.n_merged_symbols, 0) AS n_merged_symbols
+         |FROM documents d LEFT JOIN enc USING (doc_id)""".stripMargin
+  }
 
   /** Cached frames built INSIDE memoized pipelines (the minhash
     * signature frame) — not keyed by (session, dir), but still pinned
@@ -325,12 +395,13 @@ object TextQueries extends QueryModule {
              |FROM documents""".stripMargin)),
 
     // BPE tokenizer training (operators.Bpe): the learned merge table
-    // over the corpus — vocab induction, not just counting. No SQL
-    // oracle (the merge loop is iterative argmax, impractical in one
-    // SQL text); the gate is BpeSpec's reference-implementation
-    // equality + partitioning determinism, plus the driver rows
-    // check here. 20 merges: enough for multi-char tokens to emerge
-    // at every fixture SF, bounded bench cost (one job per round).
+    // over the corpus — vocab induction, not just counting. HASH-
+    // GATED: integer counts + the (cnt DESC, l, r) tie-break make the
+    // trainer bit-deterministic, so the oracle replays all 20 rounds
+    // as unrolled MATERIALIZED CTEs (see bpeOracleCtes) and the gate
+    // compares the exact merge table — the PageRank recipe applied to
+    // a driver-loop operator. 20 merges: enough for multi-char tokens
+    // to emerge at every fixture SF, bounded bench cost.
     Q("bpe_merges",
       (s, dir) => {
         import s.implicits._
@@ -338,17 +409,19 @@ object TextQueries extends QueryModule {
           .map(m => (m.rank, m.left, m.right))
           .toDF("rank", "left", "right")
       },
-      None),
+      Some(bpeMergesOracle)),
 
     // Apply the trained tokenizer: segment every document with the
     // learned merge table (train-then-encode, the artifact round-trip
     // a training pipeline ships — bpe_merges produces the vocab,
     // this consumes it). The merge table broadcasts (vocab-sized);
     // encoding is embarrassingly parallel, zero shuffle, so the plan
-    // is a bare scan + project at any corpus size. No SQL oracle
-    // (segmentation is an iterative merge program); the gate is
-    // BpeSpec's invertibility + merge-consistency assertions over the
-    // real corpus plus the driver rows check.
+    // is a bare scan + project at any corpus size. HASH-GATED: the
+    // oracle re-trains via the unrolled CTEs, then — because encoding
+    // a word with the full merge table equals the trainer's final
+    // symbol state for that word — joins each document's words
+    // against the round-20 word frame and aggregates symbol counts.
+    // BpeSpec separately asserts invertibility + merge consistency.
     Q("bpe_encode",
       (s, dir) => {
         val merges = bpeMergesCached(s, dir)
@@ -360,7 +433,7 @@ object TextQueries extends QueryModule {
               "filter(bpe_tokens, t -> length(replace(t, '</w>', '')) > 1)"))
               .as("n_merged_symbols"))
       },
-      None),
+      Some(bpeEncodeOracle)),
 
     // Term frequencies: the canonical explode → count shape; top-50
     // with token tiebreak for determinism
