@@ -74,12 +74,17 @@ object KmvOps {
     buf
   }
 
-  private def kOf(b: Array[Byte]): Int =
-    java.nio.ByteBuffer.wrap(b).getInt(0)
-  private def nOf(b: Array[Byte]): Int =
-    java.nio.ByteBuffer.wrap(b).getInt(4)
-  private def hashAt(b: Array[Byte], i: Int): Long =
-    java.nio.ByteBuffer.wrap(b).getLong(8 + 8 * i)
+  // allocation-free absolute reads (big-endian, matching ByteBuffer):
+  // union/intersect are per-row scalar paths that index the arrays O(k)
+  // times — a ByteBuffer.wrap per access would be O(k) garbage per row
+  private def readInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def readLong(b: Array[Byte], off: Int): Long =
+    (readInt(b, off).toLong << 32) | (readInt(b, off + 4).toLong & 0xffffffffL)
+  private def kOf(b: Array[Byte]): Int = readInt(b, 0)
+  private def nOf(b: Array[Byte]): Int = readInt(b, 4)
+  private def hashAt(b: Array[Byte], i: Int): Long = readLong(b, 8 + 8 * i)
 
   /** Normalized sampling threshold θ ∈ (0, 1]. */
   private def theta(b: Array[Byte]): Double = {

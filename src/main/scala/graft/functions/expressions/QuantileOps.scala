@@ -24,12 +24,21 @@ import scala.collection.mutable
   *
   * State: zero count + two sparse (bucket -> count) maps, one per
   * sign. NaN inputs are ignored (like nulls — no rank to assign).
-  * Each store is capped at [[QuantileOps.MaxBuckets]] buckets; on
-  * overflow the LOWEST-magnitude buckets collapse into one (the
-  * paper's policy: high quantiles, the ones ops care about, keep
-  * full accuracy). With the default alpha=0.01 the cap spans a
-  * dynamic range of gamma^4096 ~ 1e36, so collapse is a safety rail,
-  * not an expected path.
+  * Each store is capped at [[QuantileOps.MaxBuckets]] buckets, but the
+  * cap is enforced ONLY at the read/serialize boundary (canonicalize):
+  * insert and merge stay pure bucket addition, so the accumulated
+  * bucket multiset — and therefore the canonical fold over its SORTED
+  * key set — is independent of insertion and merge order even in the
+  * overflow regime. (A mid-merge collapse would make the surviving
+  * bucket set order-dependent, breaking the bit-determinism contract
+  * exactly when it silently degrades.) In-memory growth is
+  * intrinsically bounded: double's finite exponent range caps bucket
+  * indexes at ~±log_gamma(MaxDouble) (~35,400 per sign at alpha=0.01
+  * — a few MB worst case, unreachable in practice). The fold policy
+  * collapses the LOWEST-magnitude buckets into one (the paper's
+  * policy: high quantiles, the ones ops care about, keep full
+  * accuracy); with alpha=0.01 the cap spans gamma^4096 ~ 1e36, so the
+  * fold is a safety rail, not an expected path.
   */
 object QuantileOps {
 
@@ -59,21 +68,28 @@ object QuantileOps {
         else bump(neg, bucketOf(-x), 1L)
       }
 
-    private def bump(store: mutable.LongMap[Long], idx: Long, n: Long): Unit = {
+    private def bump(store: mutable.LongMap[Long], idx: Long, n: Long): Unit =
       store(idx) = store.getOrElse(idx, 0L) + n
-      // pos indexes grow with VALUE, neg indexes grow with MAGNITUDE:
-      // folding the lowest pos buckets sacrifices the low quantiles,
-      // but for neg the low-index buckets are the values NEAREST ZERO
-      // — the distribution's HIGH quantiles — so neg folds from the
-      // highest index (the extreme negative tail) to keep the same
-      // policy on both sides: overflow degrades the LOW-quantile tail,
-      // never the high quantiles.
-      if (store.size > MaxBuckets) collapse(store, foldLowest = store eq pos)
+
+    /** Enforce the bucket cap — called ONLY at the read/serialize
+      * boundary so accumulation stays pure addition (see class doc).
+      * pos indexes grow with VALUE, neg indexes grow with MAGNITUDE:
+      * folding the lowest pos buckets sacrifices the low quantiles,
+      * but for neg the low-index buckets are the values NEAREST ZERO
+      * — the distribution's HIGH quantiles — so neg folds from the
+      * highest index (the extreme negative tail) to keep the same
+      * policy on both sides: overflow degrades the LOW-quantile tail,
+      * never the high quantiles. */
+    def canonicalize(): Unit = {
+      collapse(pos, foldLowest = true)
+      collapse(neg, foldLowest = false)
     }
 
-    /** Fold one end's buckets together until within cap (see bump for
-      * which end and why). */
+    /** Fold one end's buckets together until within cap (see
+      * canonicalize for which end and why). Deterministic: a pure
+      * function of the store's key/count set. */
     private def collapse(store: mutable.LongMap[Long], foldLowest: Boolean): Unit = {
+      if (store.size <= MaxBuckets) return
       val keys = store.keys.toArray.sorted
       val order = if (foldLowest) keys else keys.reverse
       var i = 0
@@ -103,6 +119,7 @@ object QuantileOps {
       * floor(q * (n - 1)) — the nearest-rank form `percentile_cont`
       * collapses to when neighbors share a bucket. */
     def quantile(q: Double): Double = {
+      canonicalize() // reads see exactly what serialize() would persist
       val n = total
       if (n == 0L) return Double.NaN
       val rank = math.min((q * (n - 1).toDouble).toLong, n - 1)
@@ -133,6 +150,7 @@ object QuantileOps {
       * equal states serialize identically regardless of insertion
       * or merge order. */
     def serialize(): Array[Byte] = {
+      canonicalize()
       val negKeys = neg.keys.toArray.sorted
       val posKeys = pos.keys.toArray.sorted
       val bb = java.nio.ByteBuffer.allocate(

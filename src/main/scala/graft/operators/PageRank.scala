@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   * sum, one left join back to the node set, and a ONE-ROW broadcast of
   * the node count (the tfidf scalar shape — lazy alternative to a
   * driver count()). Plan depth grows LINEARLY with iters (each round
-  * referenced once — no exponential persist-chain nesting); for long
-  * runs callers should cache `edges`, which is re-scanned per round.
+  * referenced once — no exponential persist-chain nesting). `run`
+  * localCheckpoints the edge list itself (same lineage lesson as
+  * Triangles): the edge derivation — often the most expensive join in
+  * the caller's query — would otherwise be re-scanned ~(iters+2)×
+  * (per-round contribution join, plus nodes and degrees).
   */
 object PageRank {
 
@@ -39,7 +42,9 @@ object PageRank {
     * (node, rank_fp). */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
-    val e = edges.select(col("src"), col("dst"))
+    // eager: cut the caller's edge-derivation lineage once; every round
+    // then rescans a materialized LogicalRDD, not the upstream joins
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nn = broadcast(nodes.agg(count(lit(1)).as("n")))

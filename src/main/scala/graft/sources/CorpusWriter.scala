@@ -90,12 +90,18 @@ object CorpusWriter {
       // the cell salt folds in a per-row disambiguator: hashing the
       // sort key ALONE would send every tied value to one cell — a
       // low-cardinality sortCol (score buckets, dates) rebuilds the
-      // giant-file skew this sink exists to prevent. Ties spread
+      // giant-file skew this sink exists to prevent. The disambiguator
+      // is a hash over ALL data columns, never a nondeterministic id:
+      // repartition() on a key containing monotonically_increasing_id
+      // is the SPARK-23207 bug class (a recomputed upstream stage
+      // reorders rows, task attempts hash the same row to different
+      // cells, reducers see duplicated/dropped rows). Fully identical
+      // rows co-locating is acceptable bounded skew. Ties spread
       // evenly and file-internal sort order is unaffected (tied rows
       // share min/max stats wherever they land).
       val salted = df.join(broadcast(rhs), cond)
         .withColumn("__cell",
-          pmod(hash(col(sortCol), monotonically_increasing_id()), col("__nfiles")))
+          pmod(hash(df.columns.map(df(_)): _*), col("__nfiles")))
       salted
         .repartition((pcols :+ col("__cell")): _*)
         // prefix-sorted by the partition columns: the dynamic-partition

@@ -133,9 +133,19 @@ class QuantileSketchSpec extends AnyFunSuite {
     val st = new QuantileOps.State(a)
     val n = 12001
     (0 until n).foreach(k => st.insert(math.exp(k * 0.01))) // ~12k buckets
+    // accumulation is pure addition — the cap is enforced only at the
+    // read/serialize boundary so the fold is merge-order-independent
+    assert(st.pos.size > QuantileOps.MaxBuckets, "cap fired mid-insert")
+    st.canonicalize()
     assert(st.pos.size <= QuantileOps.MaxBuckets,
       s"store not collapsed: ${st.pos.size}")
     assert(st.total == n, "collapse lost counts")
+    // order-independence in the OVERFLOW regime (the fix's contract):
+    // reversed insertion order serializes bit-identically
+    val st2 = new QuantileOps.State(a)
+    (n - 1 to 0 by -1).foreach(k => st2.insert(math.exp(k * 0.01)))
+    assert(java.util.Arrays.equals(st.serialize(), st2.serialize()),
+      "overflow fold depends on insertion order")
     // the folded buckets are the LOWEST ones; p99 keeps full accuracy
     val exact99 = math.exp((0.99 * (n - 1)).toLong * 0.01)
     val est99 = st.quantile(0.99)
@@ -151,6 +161,7 @@ class QuantileSketchSpec extends AnyFunSuite {
     val st = new QuantileOps.State(a)
     val n = 12001
     (0 until n).foreach(k => st.insert(-math.exp(k * 0.01)))
+    st.canonicalize()
     assert(st.neg.size <= QuantileOps.MaxBuckets,
       s"store not collapsed: ${st.neg.size}")
     assert(st.total == n, "collapse lost counts")
