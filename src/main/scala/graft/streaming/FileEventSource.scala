@@ -26,23 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object FileEventSource {
 
-  /** Streaming Dataset[EventRow] over `<dir>/events.parquet`.
-    * `maxFilesPerTrigger` splits a multi-file fixture into multiple
-    * micro-batches (a single-file fixture yields one). */
+  /** Streaming Dataset[EventRow] over the event parquet file(s) in
+    * `dir` matching `glob` (default: the fixture's single
+    * `events.parquet`). `maxFilesPerTrigger` splits a multi-file feed
+    * into multiple micro-batches. A LIVE feed (files appearing while
+    * the query runs under `Trigger.ProcessingTime`) uses a wider glob
+    * (e.g. `events-*.parquet`) over a drop directory; at least one
+    * file must exist at build time — the schema is locked from it. */
   def events(spark: SparkSession, dir: String,
-             maxFilesPerTrigger: Int = 1): Dataset[EventRow] = {
+             maxFilesPerTrigger: Int = 1,
+             glob: String = "events.parquet"): Dataset[EventRow] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
     // file streams require an explicit schema; lock it to the batch
     // reader's inference so stream and batch can never disagree
-    val schema = spark.read.parquet(path).schema
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     // a file stream monitors a DIRECTORY; the fixture dir holds every
     // table, so a glob pins discovery to the events file(s) only
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
     val typed =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -59,16 +59,29 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * batch's VERIFIED edge list — bounded by construction at ≤
   * [[MinhashBands]] edges per arriving doc (each doc probes 4 band
   * signatures → ≤ 4 distinct owners), i.e. O(micro-batch), the same
-  * driver-bounded class as a MemoryStream feed. If micro-batches grew
-  * to tens of millions of docs, the drop-in replacement is one
+  * driver-bounded class as a MemoryStream feed. That bound is an
+  * ENFORCED CONTRACT, not a hope: `upsertBatch` collects at most
+  * `maxDriverEdges + 1` rows (default [[DefaultMaxDriverEdges]], ~a
+  * few hundred MB of tuples at the default) and FAILS FAST with a
+  * remediation message when a batch exceeds it — a silently swelling
+  * trigger must surface as a visible error at the cap, never as a
+  * driver OOM past it. Operators of genuinely larger micro-batches
+  * either shrink the trigger or swap in one
   * [[graft.operators.ConnectedComponents]] round over the same edge
-  * frame. The merge log stays tiny (one row per cluster-merge event
-  * ever) and is pointer-jumped in DataFrame ops, never collected.
+  * frame (drop-in: same (a, b) columns). The merge log stays tiny
+  * (one row per cluster-merge event ever) and is pointer-jumped in
+  * DataFrame ops, never collected.
   */
 object MinHashDedupStream {
 
   val DefaultPrefix = "mh_dedup"
   val DefaultBuckets = 32
+
+  /** Default cap on verified edges collected per batch for the driver
+    * union-find — the ≤ 4-edges-per-doc construction means this
+    * admits micro-batches of ~4M docs before tripping. See the class
+    * scaladoc "Scale notes" for the contract and remediations. */
+  val DefaultMaxDriverEdges = 16000000
 
   private[graft] def bandsTable(p: String): String = p + "_bands"
   private[graft] def shinglesTable(p: String): String = p + "_shingles"
@@ -160,7 +173,10 @@ object MinHashDedupStream {
   def upsertBatch(spark: SparkSession, batch: DataFrame,
                   prefix: String = DefaultPrefix,
                   buckets: Int = DefaultBuckets,
-                  batchId: Option[Long] = None): Unit = {
+                  batchId: Option[Long] = None,
+                  maxDriverEdges: Int = DefaultMaxDriverEdges): Unit = {
+    require(maxDriverEdges > 0,
+      s"maxDriverEdges must be positive, got $maxDriverEdges")
     // first-writer-wins on every store: the already-ingested row keeps
     // the crown (mirrors DocDedupStream), and replays become no-ops
     val firstWins = (_: String, existing: org.apache.spark.sql.Column,
@@ -239,7 +255,20 @@ object MinHashDedupStream {
       // one arrival merge onto the smaller canonical, and batch-local
       // clusters root at their min doc — both exactly the batch CC
       // component-min on an ordered feed.
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      // enforce the driver-memory contract BEFORE materializing: limit
+      // caps what can ever reach the driver (cap+1 rows max, so the
+      // failure mode at an oversized batch is this clear error, never
+      // an OOM), and the +1 row distinguishes "exactly at cap" from
+      // "over it"
+      val es = edges.limit(maxDriverEdges + 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      require(es.length <= maxDriverEdges,
+        s"micro-batch produced more than $maxDriverEdges verified near-dup " +
+          "edges — the per-batch driver union-find contract is exceeded. " +
+          "Shrink the streaming trigger (fewer docs per micro-batch), raise " +
+          "maxDriverEdges if driver memory allows, or replace the driver " +
+          "union-find with one graft.operators.ConnectedComponents round " +
+          "over the same (a, b) edge frame.")
       val storeNodes = es.filter(_._3).map(_._1).toSet
       def rank(x: Long): (Int, Long) = (if (storeNodes(x)) 0 else 1, x)
       val parent = scala.collection.mutable.Map.empty[Long, Long]

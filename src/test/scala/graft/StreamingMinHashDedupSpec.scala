@@ -135,4 +135,32 @@ class StreamingMinHashDedupSpec extends AnyFunSuite {
         s"re-sent duplicate must join doc 5's cluster: ${after._1}")
     } finally MinHashDedupStream.drop(spark, prefix)
   }
+
+  test("batch exceeding the driver union-find edge cap fails fast with remediation") {
+    import spark.implicits._
+    val prefix = "mhs_cap"
+    MinHashDedupStream.drop(spark, prefix)
+    MinHashDedupStream.init(spark, prefix, buckets = 4)
+    try {
+      // seed the store with one doc, then send a batch of near-dups of
+      // it: each verifies one edge to the owner, so a cap of 2 trips on
+      // 3+ edges — the contract must surface as this error, not an OOM
+      val base = "alpha beta gamma delta epsilon zeta eta theta"
+      MinHashDedupStream.upsertBatch(spark,
+        Seq(Doc(1L, base)).toDF(), prefix, 4, Some(0L))
+      val flood = (2L to 6L).map(i => Doc(i, base)).toDF()
+      val e = intercept[IllegalArgumentException] {
+        MinHashDedupStream.upsertBatch(spark, flood, prefix, 4, Some(1L),
+          maxDriverEdges = 2)
+      }
+      assert(e.getMessage.contains("maxDriverEdges") &&
+        e.getMessage.contains("ConnectedComponents"),
+        s"error must name the knob and the scale remediation: ${e.getMessage}")
+      // the same batch under the default cap ingests fine
+      MinHashDedupStream.upsertBatch(spark, flood, prefix, 4, Some(1L))
+      val labels = labelMap(prefix)
+      assert((2L to 6L).forall(labels(_) == 1L),
+        s"post-failure retry with an adequate cap must cluster: $labels")
+    } finally MinHashDedupStream.drop(spark, prefix)
+  }
 }
