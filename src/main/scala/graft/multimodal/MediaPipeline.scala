@@ -287,6 +287,386 @@ object MediaPipeline {
     bits
   }
 
+  // ---- JPEG (baseline SOF0, grayscale) --------------------------------
+  // Real crawl corpora are overwhelmingly JPEG; this completes the
+  // image codec story the zlib-IDAT PNG path started. The DECODER is
+  // general baseline JPEG for one grayscale component: marker walk,
+  // DQT/DHT table parsing (any canonical huffman tables, not just the
+  // ones this encoder writes), byte-unstuffed entropy decode with
+  // restart-marker tolerance, dequantization, separable float IDCT —
+  // it reads ImageIO-written JPEGs (asserted in MediaPipelineSpec).
+  // The ENCODER writes DC-only streams (every 8×8 block constant):
+  // still a fully standard SOF0 JPEG any decoder reads, chosen because
+  // a constant block survives the DCT round-trip EXACTLY (only the DC
+  // coefficient is nonzero, quant 8 divides 8·(v−128) evenly), which
+  // is what lets the image-dedup hash oracle reconstruct JPEG assets
+  // closed-form the way it does PNG rasters — lossy-in-general,
+  // lossless on these streams.
+
+  /** Transmission (zigzag) order → natural (row·8+col) position. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** DC luminance huffman spec (JPEG Annex K): code counts per length
+    * 1..16, then the category symbols 0..11. */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Byte] = (0 to 11).map(_.toByte).toArray
+  /** Minimal AC table: this encoder emits only EOB (symbol 0x00); a
+    * one-symbol canonical table (single 1-bit code) is legal DHT. */
+  private val AcBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcVals: Array[Byte] = Array(0x00)
+
+  /** Canonical huffman assignment: symbol → (code, length). */
+  private def huffCodes(bits: Array[Int], vals: Array[Byte]): Map[Int, (Int, Int)] = {
+    val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var code = 0; var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        m(vals(k) & 0xff) = (code, len); code += 1; k += 1; i += 1
+      }
+      code <<= 1; len += 1
+    }
+    m.toMap
+  }
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); n += 1
+        if (n == 8) flush()
+        i -= 1
+      }
+    }
+    private def flush(): Unit = {
+      out.write(acc & 0xff)
+      if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+      acc = 0; n = 0
+    }
+    def finish(): Array[Byte] = {
+      if (n > 0) { acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1); n = 8; flush() }
+      out.toByteArray
+    }
+  }
+
+  private def jpegSeg(marker: Int, payload: Array[Byte]): Array[Byte] = {
+    val len = payload.length + 2
+    Array(0xff.toByte, marker.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+  }
+
+  /** Per-block grayscale values from a cluster seed — the JPEG twin of
+    * [[pixelPattern]], at 8×8-block granularity so the encoded stream
+    * is DC-only (see the section comment). Same modulus/param family
+    * as the PNG pattern, different mixing so the two format families
+    * never hash-collide into one cluster. */
+  private[graft] def blockPattern(seed: Long): Array[Int] = {
+    val a = 3 + (seed % 5); val b = 2 + (seed % 7); val c = seed % 11
+    Array.tabulate(64) { i =>
+      val gx = i % 8; val gy = i / 8
+      ((gx * a + gy * b + ((gx.toLong * gy) % 5) * c + seed * 37) % 229).toInt
+    }
+  }
+
+  /** Encode a block-constant grayscale image as a REAL baseline JPEG:
+    * SOI, DQT (DC quant 8 — divides every 8·(v−128) exactly), SOF0,
+    * DHT ×2, SOS, huffman-coded DC diffs + EOB per block, EOI. */
+  private[graft] def jpegBlockBytes(width: Int, height: Int,
+                                    blockVals: Array[Int]): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, "dims must be multiples of 8")
+    val (bw, bh) = (width / 8, height / 8)
+    require(blockVals.length == bw * bh, "block buffer/dims mismatch")
+    val qt = new Array[Byte](64)
+    qt(0) = 8 // DC slot (zigzag 0); AC slots irrelevant for DC-only
+    java.util.Arrays.fill(qt, 1, 64, 16.toByte)
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array(0xff.toByte, 0xd8.toByte)) // SOI
+    out.write(jpegSeg(0xdb, 0x00.toByte +: qt)) // DQT Pq=0 Tq=0
+    out.write(jpegSeg(0xc0, Array[Byte](8, // SOF0: precision
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      1, 1, 0x11, 0))) // 1 component, id 1, 1×1 sampling, quant 0
+    out.write(jpegSeg(0xc4, 0x00.toByte +: (DcBits.map(_.toByte) ++ DcVals)))
+    out.write(jpegSeg(0xc4, 0x10.toByte +: (AcBits.map(_.toByte) ++ AcVals)))
+    out.write(jpegSeg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))) // SOS
+    val dcCodes = huffCodes(DcBits, DcVals)
+    val (eobCode, eobLen) = huffCodes(AcBits, AcVals)(0x00)
+    val bits = new BitWriter
+    var prev = 0
+    var i = 0
+    while (i < blockVals.length) {
+      val level = blockVals(i) - 128 // quantized DC: 8·(v−128) / q=8
+      val diff = level - prev
+      prev = level
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (c, l) = dcCodes(s)
+      bits.put(c, l)
+      if (s > 0) bits.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bits.put(eobCode, eobLen)
+      i += 1
+    }
+    out.write(bits.finish())
+    out.write(Array(0xff.toByte, 0xd9.toByte)) // EOI
+    out.toByteArray
+  }
+
+  /** Entropy-segment reader: byte-unstuffs FF00, transparently skips
+    * restart markers (resetting the bit accumulator; the caller resets
+    * the DC predictor via [[restartSeen]]), stops at any other marker. */
+  private final class BitReader(bytes: Array[Byte], start: Int) {
+    private var pos = start
+    private var acc = 0
+    private var n = 0
+    var restartSeen = false
+    private def fill(): Boolean = {
+      while (n <= 24) {
+        if (pos >= bytes.length) return n > 0
+        val b = bytes(pos) & 0xff
+        if (b == 0xff) {
+          if (pos + 1 >= bytes.length) return n > 0
+          val m = bytes(pos + 1) & 0xff
+          if (m == 0x00) { // stuffed: a literal FF data byte
+            acc = (acc << 8) | 0xff; n += 8; pos += 2
+          } else if (m >= 0xd0 && m <= 0xd7) { // RSTn: byte-align + reset
+            pos += 2; acc = 0; n = 0; restartSeen = true
+          } else return n > 0 // real marker: scan is over
+        } else {
+          acc = (acc << 8) | b; n += 8; pos += 1
+        }
+      }
+      true
+    }
+    def bit(): Int = {
+      if (n == 0 && !fill()) return -1
+      if (n == 0) return -1
+      n -= 1
+      (acc >> n) & 1
+    }
+    def bits(k: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < k) { val b = bit(); if (b < 0) return -1; v = (v << 1) | b; i += 1 }
+      v
+    }
+  }
+
+  /** Canonical huffman decode tables per (class, id): for each code
+    * length, the first code value and the index of its first symbol. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var len = 1
+      while (len <= 16) {
+        valPtr(len) = k
+        minCode(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxCode(len) = if (bits(len - 1) > 0) code - 1 else -1
+        code <<= 1; len += 1
+      }
+    }
+    def decode(r: BitReader): Int = {
+      var code = 0
+      var len = 1
+      while (len <= 16) {
+        val b = r.bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        if (maxCode(len) >= 0 && code <= maxCode(len) && code >= minCode(len))
+          return vals(valPtr(len) + code - minCode(len)) & 0xff
+        len += 1
+      }
+      -1
+    }
+  }
+
+  private val CosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val CScale: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Separable 2D IDCT-III of one dequantized block (natural order),
+    * level-shifted and clamped to [0, 255]. */
+  private def idctBlock(coef: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows: u → x
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += CScale(u) * coef(y * 8 + u) * CosT(x)(u); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](64)
+    var x = 0
+    while (x < 8) { // cols: v → y
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += CScale(v) * tmp(v * 8 + x) * CosT(yy)(v); v += 1 }
+        val r = math.round(s / 4.0 + 128.0).toInt
+        out(yy * 8 + x) = math.max(0, math.min(255, r))
+        yy += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  private def extendJpeg(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** General baseline-JPEG decode of ONE grayscale component:
+    * `(width, height, row-major pixels)`, None on anything malformed,
+    * progressive (SOF2), multi-component, or 16-bit. */
+  private[graft] def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    var off = 2
+    var w = 0; var h = 0
+    var sofSeen = false
+    var compQt = 0
+    val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
+    val dcTables = scala.collection.mutable.Map.empty[Int, HuffTable]
+    val acTables = scala.collection.mutable.Map.empty[Int, HuffTable]
+    var scanTd = 0; var scanTa = 0
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (off + 4 > bytes.length) return None
+      if ((bytes(off) & 0xff) != 0xff) return None
+      val marker = bytes(off + 1) & 0xff
+      if (marker == 0xd9) return None // EOI before SOS
+      val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      if (len < 2 || off + 2 + len > bytes.length) return None
+      val p = off + 4
+      marker match {
+        case 0xdb => // DQT: one or more tables
+          var q = p
+          while (q < off + 2 + len) {
+            val pq = (bytes(q) & 0xf0) >> 4
+            val tq = bytes(q) & 0x0f
+            if (pq != 0) return None // 16-bit tables unsupported
+            if (q + 65 > off + 2 + len) return None
+            quant(tq) = Array.tabulate(64)(i => bytes(q + 1 + i) & 0xff)
+            q += 65
+          }
+        case 0xc0 => // SOF0 baseline
+          if (bytes(p) != 8) return None
+          h = ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) & 0xff)
+          w = ((bytes(p + 3) & 0xff) << 8) | (bytes(p + 4) & 0xff)
+          val ncomp = bytes(p + 5) & 0xff
+          if (ncomp != 1 || w <= 0 || h <= 0 || w.toLong * h > (1L << 26))
+            return None
+          compQt = bytes(p + 8) & 0x0f // sampling irrelevant for 1 comp
+          sofSeen = true
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // progressive / extended / arithmetic
+        case 0xc4 => // DHT: one or more tables
+          var q = p
+          while (q < off + 2 + len) {
+            val tc = (bytes(q) & 0xf0) >> 4
+            val th = bytes(q) & 0x0f
+            val counts = Array.tabulate(16)(i => bytes(q + 1 + i) & 0xff)
+            val nv = counts.sum
+            if (q + 17 + nv > off + 2 + len) return None
+            val vals = java.util.Arrays.copyOfRange(bytes, q + 17, q + 17 + nv)
+            val t = new HuffTable(counts, vals)
+            if (tc == 0) dcTables(th) = t else acTables(th) = t
+            q += 17 + nv
+          }
+        case 0xda => // SOS
+          if (!sofSeen) return None
+          if ((bytes(p) & 0xff) != 1) return None
+          scanTd = (bytes(p + 2) & 0xf0) >> 4
+          scanTa = bytes(p + 2) & 0x0f
+          scanStart = off + 2 + len
+        case _ => () // APPn / COM / DRI — skipped (RSTs handled inline)
+      }
+      off += 2 + len
+    }
+    val qt = quant.getOrElse(compQt, return None)
+    val dcT = dcTables.getOrElse(scanTd, return None)
+    val acT = acTables.getOrElse(scanTa, return None)
+    val (bw, bh) = ((w + 7) / 8, (h + 7) / 8)
+    val px = new Array[Byte](w * h)
+    val r = new BitReader(bytes, scanStart)
+    var dc = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (r.restartSeen) { dc = 0; r.restartSeen = false }
+        val coef = new Array[Int](64)
+        val s = dcT.decode(r)
+        if (s < 0 || s > 15) return None
+        val dv = if (s == 0) 0 else { val v = r.bits(s); if (v < 0) return None; extendJpeg(v, s) }
+        dc += dv
+        coef(0) = dc * qt(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = acT.decode(r)
+          if (rs < 0) return None
+          val run = rs >> 4
+          val size = rs & 0x0f
+          if (size == 0) {
+            if (run == 15) k += 16 else eob = true // ZRL vs EOB
+          } else {
+            k += run
+            if (k > 63) return None
+            val v = r.bits(size)
+            if (v < 0) return None
+            coef(Zigzag(k)) = extendJpeg(v, size) * qt(k)
+            k += 1
+          }
+        }
+        val block = idctBlock(coef)
+        var yy = 0
+        while (yy < 8) {
+          val py = by * 8 + yy
+          if (py < h) {
+            var xx = 0
+            while (xx < 8) {
+              val pxx = bx * 8 + xx
+              if (pxx < w) px(py * w + pxx) = block(yy * 8 + xx).toByte
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w, h, px))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Format-sniffing image decode: JPEG by FFD8 magic, else PNG. */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    if (bytes != null && bytes.length >= 2 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) decodeJpeg(bytes)
+    else decodePixels(bytes)
+
   // ---- WAV (audio) ----------------------------------------------------
 
   /** Canonical 44-byte WAV header (PCM, mono, 16-bit), zero-length
@@ -706,35 +1086,51 @@ object MediaPipeline {
   }
 
   /** Synthesize per-doc grayscale images with PLANTED near-dup
-    * structure: the base pattern comes from `doc_id % nClusters`, then
-    * ~10 doc-specific single-pixel perturbations are applied — enough
-    * to separate exact-dup from near-dup, small enough that aHash
-    * stays within a few bits of the cluster's hash. Fully
-    * deterministic from doc_id (rows-check + spec gate need replays
-    * to agree). */
+    * structure, split across the two real codecs a crawl corpus mixes:
+    * EVEN doc_ids get a PNG (per-pixel [[pixelPattern]] + ~10
+    * single-pixel perturbations through genuine zlib IDAT + cycling
+    * filters), ODD doc_ids get a baseline JPEG ([[blockPattern]] at
+    * 8×8-block granularity + 2 block perturbations — DC-only, so the
+    * lossy codec is exactly lossless on these streams and the dedup
+    * oracle can reconstruct them closed-form). Perturbations are small
+    * enough that aHash stays within a few bits of the cluster's hash.
+    * Fully deterministic from doc_id (hash-oracle + spec gate need
+    * replays to agree). */
   def attachPixelImages(docs: DataFrame, nClusters: Int = 40): Dataset[MediaAsset] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { docId =>
-      val px = pixelPattern(64, 64, docId % nClusters)
-      var i = 0
-      while (i < 10) {
-        val pos = (math.abs(docId * 2654435761L + i * 40503L) % px.length).toInt
-        px(pos) = (((px(pos) & 0xff) + 7) % 229).toByte
-        i += 1
+      if (docId % 2 == 1) {
+        val bv = blockPattern(docId % nClusters)
+        var i = 0
+        while (i < 2) {
+          val pos = (math.abs(docId * 2654435761L + i * 48271L) % 64).toInt
+          bv(pos) = (bv(pos) + 7) % 229
+          i += 1
+        }
+        MediaAsset(docId, "image", jpegBlockBytes(64, 64, bv))
+      } else {
+        val px = pixelPattern(64, 64, docId % nClusters)
+        var i = 0
+        while (i < 10) {
+          val pos = (math.abs(docId * 2654435761L + i * 40503L) % px.length).toInt
+          px(pos) = (((px(pos) & 0xff) + 7) % 229).toByte
+          i += 1
+        }
+        MediaAsset(docId, "image", pngPixelBytes(64, 64, px))
       }
-      MediaAsset(docId, "image", pngPixelBytes(64, 64, px))
     }
   }
 
-  /** Pixel decode + perceptual hash, one decoder per partition:
+  /** Pixel decode + perceptual hash, one decoder per partition,
+    * format-sniffed per asset (JPEG by magic, else PNG):
     * `(doc_id, ahash, decode_ok)`. Failed decodes dead-letter with
     * ahash 0 rather than killing the stage. */
   def imageHashes(spark: SparkSession, assets: Dataset[MediaAsset]): DataFrame = {
     import spark.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        decodePixels(a.content) match {
+        decodeImage(a.content) match {
           case Some((w, h, px)) => (a.doc_id, aHash(w, h, px), true)
           case None => (a.doc_id, 0L, false)
         }

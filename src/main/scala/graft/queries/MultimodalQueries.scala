@@ -168,18 +168,21 @@ object MultimodalQueries extends QueryModule {
     // shares a band by pigeonhole, so Hamming ≤ 6 candidates are
     // COMPLETE, never doc×doc), exact bit_count verification, and
     // connected components. The image twin of dedup_minhash_lsh.
-    // HASH-GATED: zlib in SQL is a non-starter, but the oracle does
-    // not need it — the synthesized PIXELS are closed-form from
-    // doc_id (pixelPattern + 10 modular perturbations), so the SQL
-    // reconstructs the raster pre-compression, recomputes the integer
-    // aHash (HUGEINT bit-build, cast to signed BIGINT two's-
-    // complement to match Spark's Long), replays the band join +
-    // bit_count verify, and closes clusters with the recursive-CTE
-    // transitive closure dedup_clusters proved. The Spark side still
-    // round-trips real zlib IDAT + all five PNG unfilters — the gate
-    // now certifies that whole codec path bit-exactly, the way
-    // audio_features certifies the WAV walk. MediaPipelineSpec keeps
-    // the ImageIO decoder-parity + planted-cluster specs.
+    // HASH-GATED over a MIXED PNG/JPEG corpus: neither zlib nor a DCT
+    // is expressible in SQL, but the oracle needs neither — the
+    // synthesized content is closed-form from doc_id. Even docs are
+    // PNGs (pixelPattern + 10 modular perturbations; the SQL
+    // reconstructs the raster pre-compression), odd docs are baseline
+    // JPEGs whose blocks are constant (blockPattern + 2 block
+    // perturbations; DC-only blocks make the lossy codec exactly
+    // lossless, so cell values are just 64·blockval). Both branches
+    // feed one integer aHash (HUGEINT bit-build, cast to signed
+    // BIGINT two's-complement to match Spark's Long), the band join +
+    // bit_count verify, and the recursive-CTE transitive closure
+    // dedup_clusters proved. The Spark side round-trips real zlib
+    // IDAT + all five PNG unfilters AND a real SOF0 huffman decode +
+    // dequant + IDCT — the gate certifies both codec paths bit-
+    // exactly. MediaPipelineSpec keeps ImageIO parity for both.
     Q("image_dedup_ahash",
       (s, dir) => {
         val hashes = MediaPipeline.imageHashes(s,
@@ -210,24 +213,43 @@ object MultimodalQueries extends QueryModule {
       Some("""WITH RECURSIVE
              |dd AS (SELECT doc_id, doc_id % 40 AS seed FROM documents),
              |par AS (SELECT doc_id, 3 + seed % 5 AS a, 2 + seed % 7 AS b,
-             |               seed % 11 AS c, seed * 31 AS s31 FROM dd),
+             |               seed % 11 AS c, seed FROM dd),
              |px0 AS MATERIALIZED (
              |  SELECT doc_id, x, y,
-             |         (x * a + y * b + ((x * y) % 13) * c + s31) % 229 AS v
+             |         (x * a + y * b + ((x * y) % 13) * c + seed * 31) % 229 AS v
              |  FROM par, (SELECT unnest(range(0, 64)) AS x),
-             |       (SELECT unnest(range(0, 64)) AS y)),
+             |       (SELECT unnest(range(0, 64)) AS y)
+             |  WHERE doc_id % 2 = 0),
              |pert AS (SELECT doc_id,
              |                abs(doc_id * 2654435761 + i * 40503) % 4096 AS pos,
              |                count(*) AS k
-             |         FROM dd, (SELECT unnest(range(0, 10)) AS i) GROUP BY 1, 2),
+             |         FROM dd, (SELECT unnest(range(0, 10)) AS i)
+             |         WHERE doc_id % 2 = 0 GROUP BY 1, 2),
              |px AS (SELECT p.doc_id, p.x, p.y,
              |              CASE WHEN pert.k IS NOT NULL THEN (p.v + 7 * pert.k) % 229
              |                   ELSE p.v END AS v
              |       FROM px0 p LEFT JOIN pert
              |         ON p.doc_id = pert.doc_id AND p.y * 64 + p.x = pert.pos),
-             |cells AS (SELECT doc_id, (y // 8) * 8 + (x // 8) AS cell,
-             |                 CAST(sum(v) AS BIGINT) AS cv
-             |          FROM px GROUP BY 1, 2),
+             |cellsP AS (SELECT doc_id, (y // 8) * 8 + (x // 8) AS cell,
+             |                  CAST(sum(v) AS BIGINT) AS cv
+             |           FROM px GROUP BY 1, 2),
+             |bv0 AS (SELECT doc_id, gy * 8 + gx AS cell,
+             |               (gx * a + gy * b + ((gx * gy) % 5) * c + seed * 37) % 229 AS bv
+             |        FROM par, (SELECT unnest(range(0, 8)) AS gx),
+             |             (SELECT unnest(range(0, 8)) AS gy)
+             |        WHERE doc_id % 2 = 1),
+             |pertJ AS (SELECT doc_id,
+             |                 abs(doc_id * 2654435761 + i * 48271) % 64 AS pos,
+             |                 count(*) AS k
+             |          FROM dd, (SELECT unnest(range(0, 2)) AS i)
+             |          WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+             |cellsJ AS (SELECT b.doc_id, b.cell,
+             |                  64 * (CASE WHEN pertJ.k IS NOT NULL
+             |                             THEN (b.bv + 7 * pertJ.k) % 229
+             |                             ELSE b.bv END)::BIGINT AS cv
+             |           FROM bv0 b LEFT JOIN pertJ
+             |             ON b.doc_id = pertJ.doc_id AND b.cell = pertJ.pos),
+             |cells AS (SELECT * FROM cellsP UNION ALL SELECT * FROM cellsJ),
              |gm AS (SELECT doc_id, CAST(sum(cv) AS BIGINT) // 64 AS mean
              |       FROM cells GROUP BY 1),
              |ahh AS (

@@ -206,6 +206,77 @@ class MediaPipelineSpec extends AnyFunSuite {
       MediaPipeline.aHash(64, 64, brighter))
   }
 
+  test("baseline JPEG encode/decode round-trips block-constant images exactly") {
+    // DC-only streams survive the lossy codec losslessly (quant 8
+    // divides 8·(v−128) exactly) — the property the dedup hash oracle
+    // relies on
+    for (seed <- Seq(0L, 7L, 23L, 39L)) {
+      val bv = MediaPipeline.blockPattern(seed)
+      val jpg = MediaPipeline.jpegBlockBytes(64, 64, bv)
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "not a JPEG")
+      val got = MediaPipeline.decodeJpeg(jpg)
+      assert(got.isDefined, s"decode failed for seed=$seed")
+      val (w, h, px) = got.get
+      assert((w, h) == ((64, 64)))
+      for (gy <- 0 until 8; gx <- 0 until 8; y <- 0 until 8; x <- 0 until 8)
+        assert((px((gy * 8 + y) * 64 + gx * 8 + x) & 0xff) == bv(gy * 8 + gx),
+          s"block ($gx,$gy) pixel ($x,$y) wrong for seed=$seed")
+    }
+  }
+
+  test("javax.imageio reads our baseline JPEG to the same pixels") {
+    val bv = MediaPipeline.blockPattern(11L)
+    val jpg = MediaPipeline.jpegBlockBytes(64, 64, bv)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null, "ImageIO could not read the synthesized JPEG")
+    assert(img.getWidth == 64 && img.getHeight == 64)
+    val raster = img.getRaster
+    val (_, _, ours) = MediaPipeline.decodeJpeg(jpg).get
+    var worst = 0
+    for (y <- 0 until 64; x <- 0 until 64)
+      worst = math.max(worst,
+        math.abs(raster.getSample(x, y, 0) - (ours(y * 64 + x) & 0xff)))
+    // both IDCTs are exact on DC-only blocks; allow ±1 for any
+    // implementation's final-descale rounding
+    assert(worst <= 1, s"ImageIO disagrees by $worst")
+  }
+
+  test("in-repo JPEG decoder reads an ImageIO-WRITTEN jpeg (real huffman + AC)") {
+    // a stream this code did not produce: full standard tables, AC
+    // coefficients, APPn segments — the generality test
+    val px = MediaPipeline.pixelPattern(48, 32, 5L)
+    val img = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 32; x <- 0 until 48)
+      img.getRaster.setSample(x, y, 0, px(y * 48 + x) & 0xff)
+    val baos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos), "no jpeg writer")
+    val jpg = baos.toByteArray
+    val got = MediaPipeline.decodeJpeg(jpg)
+    assert(got.isDefined, "decoder rejected a standard baseline stream")
+    val (w, h, ours) = got.get
+    assert((w, h) == ((48, 32)))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var worst = 0
+    for (y <- 0 until 32; x <- 0 until 48)
+      worst = math.max(worst,
+        math.abs(ref.getRaster.getSample(x, y, 0) - (ours(y * 48 + x) & 0xff)))
+    // same coefficients, independent IDCTs: only rounding may differ
+    assert(worst <= 1, s"decoders disagree by $worst")
+  }
+
+  test("JPEG decoder dead-letters truncation, progressive, and junk") {
+    val jpg = MediaPipeline.jpegBlockBytes(64, 64, MediaPipeline.blockPattern(3L))
+    assert(MediaPipeline.decodeJpeg(jpg.take(jpg.length / 2)).isEmpty,
+      "truncated stream must dead-letter")
+    assert(MediaPipeline.decodeJpeg("not a jpeg".getBytes).isEmpty)
+    // flip SOF0 to SOF2 (progressive) — must refuse, not mis-decode
+    val prog = jpg.clone()
+    val sof = prog.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    prog(sof + 1) = 0xc2.toByte
+    assert(MediaPipeline.decodeJpeg(prog).isEmpty, "progressive must dead-letter")
+  }
+
   test("banded candidate search is COMPLETE for Hamming <= 6 on planted clusters") {
     val spark = SparkTestSession.spark
     import spark.implicits._
