@@ -242,5 +242,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ZOrderCode(exprs)
       }))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // store-operation statements (GRAFT SNAPSHOT/ROLLBACK) — the
+    // training-run pin and the bad-publish escape hatch as plain SQL
+    e.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
   }
 }

@@ -1,0 +1,87 @@
+package graft.plans
+
+import graft.sources.BucketedUpsert
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+
+/** SQL statements for the store operations a training pipeline scripts
+  * daily — the pin-before-train / undo-a-poisoned-merge pair:
+  *
+  *   GRAFT SNAPSHOT <store> TO '<dir>'   -- O(#files) hard-link pin
+  *   GRAFT ROLLBACK <store>              -- republish previous generation
+  *
+  * Implemented the way Spark-ecosystem table formats add VACUUM /
+  * OPTIMIZE: a delegating [[ParserInterface]] injected through
+  * `SparkSessionExtensions.injectParser` recognizes the two graft
+  * statements and hands everything else to the session's default
+  * parser, and each statement lowers to an eagerly-executed
+  * [[LeafRunnableCommand]] (driver-side metadata work — exactly what
+  * a command node is for; no job, no shuffle). A `spark.sql`-only
+  * user (JDBC/Thrift included) can therefore pin a store state before
+  * a training run and roll a bad publish off the serve path without
+  * touching the Scala API ([[BucketedUpsert.snapshot]] /
+  * [[BucketedUpsert.rollback]] remain the implementation).
+  */
+case class GraftSnapshotCommand(table: String, dir: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("snapshot_dir", StringType, nullable = false)(),
+    AttributeReference("n_files", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(table, dir, BucketedUpsert.snapshot(spark, table, dir)))
+}
+
+/** See [[GraftSnapshotCommand]]. Returns the generation now served. */
+case class GraftRollbackCommand(table: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("serving_generation", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(table, BucketedUpsert.rollback(spark, table)))
+}
+
+/** Delegating parser: two regex-matched graft statements, everything
+  * else verbatim to the session's default parser (so the extension can
+  * never change the semantics of real SQL). Statement shapes are
+  * deliberately rigid — an identifier and a quoted local path — and a
+  * leading GRAFT keyword guarantees no overlap with the ANSI grammar. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val Snapshot =
+    """(?is)\s*GRAFT\s+SNAPSHOT\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+'([^']+)'\s*;?\s*""".r
+  private val Rollback =
+    """(?is)\s*GRAFT\s+ROLLBACK\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Snapshot(table, dir) => GraftSnapshotCommand(table, dir)
+    case Rollback(table) => GraftRollbackCommand(table)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -162,4 +162,48 @@ class GraftViewsSpec extends AnyFunSuite {
       .filter("sig IS NOT NULL").count()
     assert(n > 0)
   }
+
+  test("pin → merge → rollback, all through spark.sql (GRAFT statements)") {
+    import spark.implicits._
+    import graft.sources.BucketedUpsert
+    val table = "views_sql_store"
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("views_sql_pin").resolve("snap").toString
+    def state(): Map[Long, Int] =
+      BucketedUpsert.read(spark, table).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    BucketedUpsert.drop(spark, table)
+    try {
+      BucketedUpsert.materialize(
+        (1L to 20L).map(k => k -> 1).toDF("k", "v"), table, "k", 8)
+      val pinned = state()
+
+      // the daily training-run script: pin the exact store state read
+      val pin = spark.sql(s"GRAFT SNAPSHOT $table TO '$snapDir'").collect()
+      assert(pin.length == 1 && pin(0).getInt(2) > 0,
+        s"snapshot must report linked files: ${pin.toSeq}")
+      assert(pin(0).getString(0) == table && pin(0).getString(1) == snapDir)
+
+      // a poisoned merge lands...
+      BucketedUpsert.upsert(spark, table,
+        Seq(1L -> 99, 21L -> 99).toDF("k", "v"), Seq("k"), "k", 8)
+      assert(state() != pinned, "merge must change the served state")
+
+      // ...and SQL rolls it off the serve path
+      val rb = spark.sql(s"GRAFT ROLLBACK $table").collect()
+      assert(rb.length == 1 && rb(0).getString(0) == table &&
+        rb(0).getString(1).nonEmpty)
+      assert(state() == pinned, "rollback must serve the pre-merge state")
+
+      // the pin reads back the same state through any engine's reader
+      val snap = BucketedUpsert.readSnapshot(spark, snapDir, Some(table))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(snap == pinned)
+
+      // real SQL is untouched by the injected parser
+      assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
+      // and a malformed graft statement does not shadow the ANSI error
+      intercept[Exception](spark.sql("GRAFT SNAPSHOT"))
+    } finally BucketedUpsert.drop(spark, table)
+  }
 }

@@ -59,6 +59,56 @@ class LogisticRegressionSpec extends AnyFunSuite {
       s"agreement $agree vs majority $majority")
   }
 
+  test("held-out generalization beyond the rule teacher (planted mislabels)") {
+    // Distillation metrics (rule agreement) cannot distinguish "learned
+    // the quality signal" from "memorized the teacher". Plant ground
+    // truth the teacher systematically gets wrong: TRUE quality is the
+    // hyperplane, but the RULE teacher flips its answer on the x1 > 1.9
+    // tail (~2.5% of docs — a rule gate whose length cutoff misfires on
+    // one extreme stratum, the realistic failure; every true label
+    // there is positive, so the teacher is 100% wrong on the stratum).
+    // Train on RULE labels from a disjoint train split; evaluate on the
+    // held-out split against TRUTH.
+    val x1 = u("a"); val x2 = u("b")
+    val all = spark.range(8000).select(
+      col("id"),
+      array(lit(1.0), x1, x2).as("features"),
+      (lit(2.0) * x1 - x2 + 0.5 > 0).cast("double").as("truth"),
+      (x1 > 1.9).as("planted"))
+      .withColumn("label", // the corrupted teacher
+        when(col("planted"), lit(1.0) - col("truth")).otherwise(col("truth")))
+      // deterministic 80/20 split on a hash, not on id ranges (ranges
+      // would correlate with the hash-derived features)
+      .withColumn("held_out", pmod(xxhash64(col("id")), lit(5)) === 0)
+      .cache()
+    val train = all.filter(!col("held_out"))
+    val test = all.filter(col("held_out"))
+    assert(test.filter(col("planted")).count() > 20,
+      "held-out split must contain planted mislabels to measure")
+
+    val w = LogisticRegression.train(
+      train.select(col("features"), col("label")), 3, 300, 2.0)
+    val scored = LogisticRegression.scores(
+      test.select(col("features"), col("truth").as("label"), col("planted")), w)
+
+    val n = scored.count().toDouble
+    val accTruth = scored.filter(col("predicted") === (col("label") > 0.5))
+      .count() / n
+    assert(accTruth >= 0.9,
+      s"held-out TRUE-label accuracy $accTruth — the learner should " +
+        "track the quality signal, not the teacher's corruption")
+    // on the planted docs the rule is 100% wrong by construction; a
+    // learner that generalizes recovers the majority of them AGAINST
+    // its own teacher
+    val planted = scored.filter(col("planted"))
+    val recovered = planted.filter(col("predicted") === (col("label") > 0.5))
+      .count().toDouble / planted.count()
+    assert(recovered > 0.5,
+      s"only $recovered of planted teacher-mislabeled docs recovered — " +
+        "the classifier is memorizing the rule gate, not the signal")
+    all.unpersist()
+  }
+
   test("argument validation") {
     intercept[IllegalArgumentException] {
       LogisticRegression.train(synth, 0, 1, 1.0)
