@@ -159,15 +159,16 @@ object MultimodalQueries extends QueryModule {
              |FROM p LEFT JOIN a ON p.doc_id = a.doc_id""".stripMargin)),
 
     // Image near-dup dedup over REAL pixels: synthesized grayscale
-    // PNGs (genuine zlib IDAT, filters 0-4) are decoded by the
-    // in-repo PNG decoder (chunk walk + inflate + all five
-    // unfilters, ImageIO-cross-checked in MediaPipelineSpec),
-    // perceptually hashed (integer aHash — bit-stable, brightness-
-    // shift-invariant), then clustered the LSH way: banded Hamming
-    // candidate search (8 bands × 8 bits — any pair within Hamming 7
-    // shares a band by pigeonhole, so Hamming ≤ 6 candidates are
-    // COMPLETE, never doc×doc), exact bit_count verification, and
-    // connected components. The image twin of dedup_minhash_lsh.
+    // images decoded by the in-repo codecs (PNG chunk walk + inflate
+    // + all five unfilters; baseline-JPEG huffman + dequant + IDCT —
+    // both ImageIO-cross-checked in MediaPipelineSpec), perceptually
+    // hashed (integer aHash — bit-stable, brightness-shift-
+    // invariant), then clustered the LSH way: collapse to DISTINCT
+    // hash values (see below), banded Hamming buckets (8 bands ×
+    // 8 bits — any pair within Hamming 7 shares a band by pigeonhole,
+    // so every ≤6 near-dup reaches some bucket, never doc×doc), exact
+    // bit_count verification, and connected components. The image
+    // twin of dedup_minhash_lsh.
     // HASH-GATED over a MIXED PNG/JPEG corpus: neither zlib nor a DCT
     // is expressible in SQL, but the oracle needs neither — the
     // synthesized content is closed-form from doc_id. Even docs are
@@ -188,27 +189,48 @@ object MultimodalQueries extends QueryModule {
         val hashes = MediaPipeline.imageHashes(s,
           MediaPipeline.attachPixelImages(Tables.documents(s, dir)))
           .filter(col("decode_ok"))
-        val banded = hashes.select(col("doc_id"), col("ahash"),
+        // Collapse to DISTINCT hash values before the candidate join.
+        // Docs sharing an identical ahash are dups at Hamming 0, so
+        // the verified near-dup graph over docs is exactly the blow-up
+        // of the graph over distinct hashes: clustering hash VALUES
+        // and mapping labels back preserves all-pairs semantics
+        // bit-for-bit (ImageDedupStarSpec re-derives the doc-level
+        // all-pairs clustering and asserts equality). The payoff is
+        // scale: within a true dup cluster doc-level all-pairs is
+        // QUADRATIC in cluster size (the 10× sweep measured 6.9M →
+        // 692M bucket pairs sf0.1 → sf1 — planted clusters grow
+        // linearly with the corpus, like popular crawl images), while
+        // hash diversity is set by content, not corpus size (~100
+        // distinct hashes and ~3k bucket pairs at BOTH scales). The
+        // exact-dup mass — the part that grows linearly — never enters
+        // the join.
+        val dh = hashes.select(col("ahash")).distinct()
+        val banded = dh.select(col("ahash"),
           explode(array((0 until 8).map(b =>
             struct(lit(b).as("band"),
               shiftrightunsigned(col("ahash"), b * 8)
                 .bitwiseAND(lit(255L)).as("sig"))): _*)).as("bs"))
-          .select(col("doc_id"), col("ahash"),
+          .select(col("ahash"),
             col("bs.band").as("band"), col("bs.sig").as("sig"))
-        val edges = banded.as("x")
+        val hedges = banded.as("x")
           .join(banded.as("y"), Seq("band", "sig"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("x.ahash").as("ha"),
-            col("y.doc_id").as("b"), col("y.ahash").as("hb"))
+          .filter(col("x.ahash") < col("y.ahash"))
+          .filter(bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))) <= 6)
+          .select(col("x.ahash").as("a"), col("y.ahash").as("b"))
           .distinct()
-          .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 6)
-          .select(col("a"), col("b"))
-        val labels = graft.operators.ConnectedComponents.components(edges)
-          .select(col("node").as("doc_id"), col("component").as("canonical_id"))
-        hashes.select(col("doc_id"), col("ahash"))
-          .join(labels, Seq("doc_id"), "left_outer")
+        // CC over hash nodes (diversity-sized); an isolated hash is
+        // its own component. No broadcast hints: diversity is bounded
+        // by content in practice but not provably, so AQE decides.
+        val hlabels = graft.operators.ConnectedComponents.components(hedges)
+          .select(col("node").as("ahash"), col("component").as("hcomp"))
+        val docComp = hashes.select(col("doc_id"), col("ahash"))
+          .join(hlabels, Seq("ahash"), "left_outer")
           .select(col("doc_id"), col("ahash"),
-            coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+            coalesce(col("hcomp"), col("ahash")).as("hcomp"))
+        val canon = docComp.groupBy(col("hcomp"))
+          .agg(min(col("doc_id")).as("canonical_id"))
+        docComp.join(canon, Seq("hcomp"))
+          .select(col("doc_id"), col("ahash"), col("canonical_id"))
       },
       Some("""WITH RECURSIVE
              |dd AS (SELECT doc_id, doc_id % 40 AS seed FROM documents),
@@ -263,21 +285,26 @@ object MultimodalQueries extends QueryModule {
              |                        THEN 18446744073709551616::HUGEINT
              |                        ELSE 0::HUGEINT END AS BIGINT) AS ahash
              |  FROM ahh),
+             |dh AS (SELECT DISTINCT ahash FROM ah),
              |bs AS MATERIALIZED (
-             |  SELECT doc_id, ahash, band, (ahash >> (band * 8)) & 255 AS sig
-             |  FROM ah, (SELECT unnest(range(0, 8)) AS band)),
-             |ed AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  SELECT ahash, band, (ahash >> (band * 8)) & 255 AS sig
+             |  FROM dh, (SELECT unnest(range(0, 8)) AS band)),
+             |ed AS (SELECT DISTINCT x.ahash AS a, y.ahash AS b
              |       FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig
-             |                          AND x.doc_id < y.doc_id
+             |                          AND x.ahash < y.ahash
              |       WHERE bit_count(xor(x.ahash, y.ahash)) <= 6),
              |e2 AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
              |reach(a, b) AS (SELECT a, b FROM e2
              |                UNION SELECT r.a, e.b
              |                FROM reach r JOIN e2 e ON r.b = e.a),
-             |lab AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
-             |        FROM reach GROUP BY a)
-             |SELECT ah.doc_id, ah.ahash,
-             |       coalesce(lab.canonical_id, ah.doc_id) AS canonical_id
-             |FROM ah LEFT JOIN lab USING (doc_id)""".stripMargin))
+             |hcl AS (SELECT a AS ahash, least(a, min(b)) AS hcomp
+             |        FROM reach GROUP BY a),
+             |dc AS (SELECT ah.doc_id, ah.ahash,
+             |              coalesce(hcl.hcomp, ah.ahash) AS hcomp
+             |       FROM ah LEFT JOIN hcl USING (ahash)),
+             |canon AS (SELECT hcomp, min(doc_id) AS canonical_id
+             |          FROM dc GROUP BY 1)
+             |SELECT dc.doc_id, dc.ahash, canon.canonical_id
+             |FROM dc JOIN canon USING (hcomp)""".stripMargin))
   )
 }
