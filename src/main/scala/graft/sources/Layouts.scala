@@ -59,12 +59,31 @@ object Layouts {
     * the layout story for 100 TB corpus scans filtered by more than
     * one dimension (e.g. quality score x length x language id). */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
-                    files: Int): Unit =
-    df.withColumn("__z", zorderColumn(df, cols))
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
+                    files: Int): Unit = {
+    val spark = df.sparkSession
+    // File boundaries ARE the skipping index: range bounds off by a
+    // percentile smear a z-block across an extra file, and Spark's
+    // default range-exchange sample (100 rows/partition) leaves
+    // exactly that slop — box queries touched a nondeterministic
+    // 2-4 files in LayoutsSpec. A layout write is a once-per-table
+    // maintenance pass, so pay for near-exact bounds: one denser
+    // sample per write, restored afterwards.
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "20000")
+    try {
+      df.withColumn("__z", zorderColumn(df, cols))
+        .repartitionByRange(files, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 
   /** One leaf directory's before/after in a [[compactLeaves]] run. */
   final case class CompactionStat(dir: String, filesBefore: Int,
