@@ -32,7 +32,8 @@ object PlanAudit {
     "corpus_assemble", "corpus_split_leakage_safe", "expectations_audit",
     "negative_samples", "corpus_shard", "assemble_provenance",
     "source_overlap_kmv", "pagerank_suppliers", "dedup_semantic",
-    "importance_weights", "similarity_triangles", "image_dedup_ahash")
+    "importance_weights", "similarity_triangles", "image_dedup_ahash",
+    "corpus_mix_temperature")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

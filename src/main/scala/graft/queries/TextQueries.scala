@@ -944,6 +944,104 @@ object TextQueries extends QueryModule {
              |FROM r JOIN q ON r.lang = q.lang
              |WHERE rk <= quota""".stripMargin)),
 
+    // Temperature-based source mixing (the pretraining data-mixture
+    // step: sample sources ∝ mass^τ so no source dominates and no
+    // source starves). τ = 0.5, i.e. weight = sqrt(character mass) —
+    // chosen BECAUSE IEEE-754 sqrt is correctly rounded, scaling by
+    // 2^20 is exact, and floor is exact, so the fixed-point weights
+    // are bit-identical in any binary64 engine and the query stays
+    // HASH-GATED (a free-τ pow() would drift by ulps between libms).
+    // Quotas over a half-corpus budget use largest-remainder rounding
+    // (deterministic, sums exactly to the budget; the one later
+    // double — w/W·N — is three correctly-rounded IEEE ops evaluated
+    // in the same order by both engines), capped at each source's doc
+    // count (τ<1 can award a small source more than it has; the
+    // shortfall is documented budget underfill, never silently
+    // rebalanced). WHICH docs fill a quota is the portable-hash rank,
+    // so membership is reproducible and growth-stable.
+    //
+    // Scale design: masses/quotas live on the #sources-row frame
+    // (partition-less windows over an aggregated tiny frame, the
+    // corpus_mix convention); per-doc selection is the same TWO-PHASE
+    // rank (64 range cells per source + broadcast prefix) — no
+    // per-stratum WindowExec over data, no driver loop. At 100 TB
+    // only the broadcast prefix (#sources × 64 rows) and quota frame
+    // move to the driver.
+    Q("corpus_mix_temperature",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+        val all = Window.partitionBy()
+        val quotas = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_s"), sum(col("n_chars")).as("mass"))
+          .withColumn("w",
+            floor(sqrt(col("mass").cast("double")) * lit(1048576.0)).cast("long"))
+          .withColumn("tw", sum(col("w")).over(all))
+          .withColumn("budget",
+            expr("sum(n_s) over () div 2"))
+          .withColumn("ex", col("w").cast("double") / col("tw").cast("double")
+            * col("budget").cast("double"))
+          .withColumn("base", floor(col("ex")).cast("long"))
+          .withColumn("shortfall", col("budget") - sum(col("base")).over(all))
+          .withColumn("rr", row_number().over(
+            Window.partitionBy().orderBy((col("ex") - col("base")).desc,
+              col("source"))))
+          .withColumn("quota", least(
+            col("base") + when(col("rr") <= col("shortfall"), 1L).otherwise(0L),
+            col("n_s")))
+          .select(col("source"), col("quota"))
+        val cells = d
+          .withColumn("h", portableHash(col("doc_id").cast("string")))
+          .withColumn("cell", shiftright(col("h"), 54))
+        val localRk = row_number().over(
+          Window.partitionBy(col("source"), col("cell"))
+            .orderBy(col("h"), col("doc_id")))
+        val prefix = cells.groupBy(col("source"), col("cell"))
+          .agg(count(lit(1)).as("cn"))
+          .withColumn("before", coalesce(
+            sum(col("cn")).over(Window.partitionBy(col("source"))
+              .orderBy(col("cell"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col("cell"), col("before"))
+        cells.withColumn("lrk", localRk)
+          .join(broadcast(prefix), Seq("source", "cell"))
+          .withColumn("rk", col("lrk") + col("before"))
+          .join(broadcast(quotas), Seq("source"))
+          .filter(col("rk") <= col("quota"))
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""WITH m AS (SELECT source, count(*) AS n_s,
+             |                  CAST(sum(n_chars) AS BIGINT) AS mass
+             |           FROM documents GROUP BY 1),
+             |wts AS (SELECT source, n_s,
+             |               CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+             |        FROM m),
+             |t AS (SELECT source, n_s, w,
+             |             CAST(sum(w) OVER () AS BIGINT) AS tw,
+             |             CAST(sum(n_s) OVER () AS BIGINT) // 2 AS budget
+             |      FROM wts),
+             |e AS (SELECT source, n_s, budget,
+             |             CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)
+             |               * CAST(budget AS DOUBLE) AS ex
+             |      FROM t),
+             |b AS (SELECT source, n_s, budget,
+             |             CAST(floor(ex) AS BIGINT) AS base, ex FROM e),
+             |sh2 AS (SELECT source, n_s, base, ex,
+             |               budget - CAST(sum(base) OVER () AS BIGINT) AS shortfall,
+             |               row_number() OVER (ORDER BY ex - base DESC, source) AS rr
+             |        FROM b),
+             |q AS (SELECT source,
+             |             least(base + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END,
+             |                   n_s) AS quota
+             |      FROM sh2),
+             |r AS (SELECT doc_id, source,
+             |             row_number() OVER (PARTITION BY source
+             |               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             |                        doc_id) AS rk
+             |      FROM documents)
+             |SELECT r.doc_id, r.source
+             |FROM r JOIN q ON r.source = q.source
+             |WHERE rk <= quota""".stripMargin)),
+
     // SimHash: 32-bit signature over the token multiset; docs sharing
     // a signature are near-dup candidates. The signature is the native
     // fused expression (graft.functions.expressions.SimHash) — the HOF
