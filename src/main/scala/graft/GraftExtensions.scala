@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, KmvEstimate, KmvIntersect, KmvSketchBuild, KmvUnion, MisraGriesAgg, QSketchQuantile, QSketchUnion, QuantileSketchAgg, QuantileSketchBuild, SimHash, ZOrderCode}
+import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, CmsEstimate, CosineSimilarity, CountMinAgg, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, KmvEstimate, KmvIntersect, KmvSketchBuild, KmvUnion, MisraGriesAgg, QSketchQuantile, QSketchUnion, QuantileSketchAgg, QuantileSketchBuild, SimHash, ZOrderCode}
 import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -105,6 +105,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 1, s"hll_estimate takes 1 argument, got ${exprs.length}")
         HllEstimate(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "cms_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, s"cms_sketch takes 1 argument, got ${exprs.length}")
+        CountMinAgg(exprs.head).toAggregateExpression()
+      }))
+    e.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, s"cms_estimate takes 2 arguments, got ${exprs.length}")
+        CmsEstimate(exprs(0), exprs(1))
       }))
     e.injectFunction((
       FunctionIdentifier("simhash"),

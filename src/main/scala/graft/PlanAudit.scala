@@ -33,7 +33,7 @@ object PlanAudit {
     "negative_samples", "corpus_shard", "assemble_provenance",
     "source_overlap_kmv", "pagerank_suppliers", "dedup_semantic",
     "importance_weights", "similarity_triangles", "image_dedup_ahash",
-    "corpus_mix_temperature")
+    "corpus_mix_temperature", "token_freq_cms")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -60,12 +60,14 @@ object PlanAudit {
   // bounded O(sources²) over a broadcast of O(sources·k) bytes).
   // pagerank_suppliers rides the ONE-ROW broadcast node-count frame
   // in every Jacobi round (the tfidf scalar shape).
+  // token_freq_cms joins candidates against the ONE-ROW broadcast
+  // sketch frame (8 KiB binary scalar — the tfidf shape again).
   val ExpectedBnlj: Set[String] = Set(
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
     "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens",
     "q11_important_parts", "corpus_drift", "embed_ann_indexed",
     "negative_samples", "source_overlap_kmv", "pagerank_suppliers",
-    "dedup_semantic")
+    "dedup_semantic", "token_freq_cms")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

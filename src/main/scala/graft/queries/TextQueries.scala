@@ -1072,6 +1072,54 @@ object TextQueries extends QueryModule {
            |FROM sig""".stripMargin
       }),
 
+    // Count-Min point-frequency sketch, fully under the hash gate —
+    // the one sketch family whose ESTIMATES the oracle reproduces
+    // bit-for-bit, not bound-checks: counters are exact integer sums
+    // per (row, cell), the merge is elementwise addition (partition-
+    // order-free), and the row hashes are the portable md5 convention,
+    // so DuckDB rebuilds the whole 4×256 counter matrix with one
+    // GROUP BY and takes the same min-of-rows lookup
+    // (CmsOps.rowHash ≡ portableHash(v || ':' || r) — JVM/SQL parity
+    // asserted in CountMinSpec). md5 costs more per update than
+    // xxhash64; that is the price of the oracle, and why the
+    // PRODUCTION distinct-count sketches (HLL family) stay on
+    // xxhash64 + bound checks instead.
+    //
+    // Scale: the sketch is 8 KiB regardless of cardinality — the
+    // partial aggregate never spills where an exact groupBy carries
+    // the vocabulary through the shuffle; estimates then answer point
+    // lookups (here: every token the exact count puts at ≥100, so
+    // overestimation — CMS never underestimates — is visible to the
+    // gate as estimate ≥ exact with equality off-collision).
+    Q("token_freq_cms",
+      (s, dir) => {
+        val tok = docs(s, dir).select(explode(tokens(col("text"))).as("t"))
+        val sketch = tok.agg(
+          graft.functions.expressions.CountMinAgg(col("t")).as("cms"))
+        val cand = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
+          .filter(col("exact_n") >= 100)
+        cand.join(broadcast(sketch)) // ONE-row broadcast (tfidf scalar shape)
+          .select(col("t").as("token"), col("exact_n"),
+            graft.functions.expressions.CmsEstimate(col("cms"), col("t"))
+              .as("cms_estimate"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS t
+             |            FROM documents),
+             |cand AS (SELECT t, count(*) AS exact_n
+             |         FROM tok GROUP BY 1 HAVING count(*) >= 100),
+             |cells AS (SELECT r,
+             |                 ('0x' || substr(md5(t || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT % 256 AS c,
+             |                 CAST(count(*) AS BIGINT) AS n
+             |          FROM tok, (SELECT unnest(range(0, 4)) AS r)
+             |          GROUP BY 1, 2),
+             |probe AS (SELECT t, exact_n, r,
+             |                 ('0x' || substr(md5(t || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT % 256 AS c
+             |          FROM cand, (SELECT unnest(range(0, 4)) AS r))
+             |SELECT p.t AS token, p.exact_n,
+             |       min(coalesce(cells.n, 0)) AS cms_estimate
+             |FROM probe p LEFT JOIN cells ON p.r = cells.r AND p.c = cells.c
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Heavy hitters: tokens above 0.5% corpus frequency via the
     // two-pass sketch-then-verify shape. Pass 1 is a Misra–Gries
     // summary (O(capacity) state per partition, mergeable — never a
