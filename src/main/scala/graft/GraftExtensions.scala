@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, CmsEstimate, CosineSimilarity, CountMinAgg, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, KmvEstimate, KmvIntersect, KmvSketchBuild, KmvUnion, MisraGriesAgg, QSketchQuantile, QSketchUnion, QuantileSketchAgg, QuantileSketchBuild, SimHash, ZOrderCode}
+import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, CmsEstimate, CmsUnion, CosineSimilarity, CountMinAgg, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, KmvEstimate, KmvIntersect, KmvSketchBuild, KmvUnion, MisraGriesAgg, QSketchQuantile, QSketchUnion, QuantileSketchAgg, QuantileSketchBuild, SimHash, ZOrderCode}
 import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -112,6 +112,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 1, s"cms_sketch takes 1 argument, got ${exprs.length}")
         CountMinAgg(exprs.head).toAggregateExpression()
+      }))
+    e.injectFunction((
+      FunctionIdentifier("cms_union"),
+      new ExpressionInfo(classOf[CmsUnion].getName, "cms_union"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, s"cms_union takes 2 arguments, got ${exprs.length}")
+        CmsUnion(exprs(0), exprs(1))
       }))
     e.injectFunction((
       FunctionIdentifier("cms_estimate"),

@@ -74,6 +74,10 @@ object CmsOps {
     Array.fill(bytes.length / 8)(bb.getLong)
   }
 
+  /** Codegen entry for [[CmsUnion]]. */
+  def unionBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    serialize(mergeInto(deserialize(a), deserialize(b)))
+
   /** Point-frequency estimate of `v` from a serialized sketch: min of
     * the value's cell across rows. One ByteBuffer wrap per call,
     * absolute reads (the KmvSketch allocation lesson). */
@@ -175,4 +179,39 @@ object CmsEstimate {
     org.apache.spark.sql.graft.ColumnBridge.column(
       CmsEstimate(org.apache.spark.sql.graft.ColumnBridge.expression(sketch),
         org.apache.spark.sql.graft.ColumnBridge.expression(v)))
+}
+
+/** `cms_union(a, b)` — elementwise counter addition of two serialized
+  * sketches (associative, commutative): yesterday's sketch + today's
+  * = the sketch of the union stream, bit-for-bit. The family twin of
+  * hll_union / kmv_union / qsketch_union. */
+case class CmsUnion(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_union expects (binary, binary), got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CmsOps.serialize(CmsOps.mergeInto(
+      CmsOps.deserialize(a.asInstanceOf[Array[Byte]]),
+      CmsOps.deserialize(b.asInstanceOf[Array[Byte]])))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.CmsOps.unionBytes($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsUnion =
+    copy(left = newLeft, right = newRight)
+}
+
+object CmsUnion {
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      CmsUnion(org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 }

@@ -73,5 +73,11 @@ class CountMinSpec extends AnyFunSuite {
       .agg(CountMinAgg(col("t")).as("s"))
       .select(CmsEstimate(col("s"), lit("a"))).head().getLong(0)
     assert(viaCol == out.getLong(0))
+    // cms_union in SQL: sketch + itself doubles the estimate
+    val doubled = spark.sql(
+      """SELECT cms_estimate(cms_union(s, s), 'a') AS e
+        |FROM (SELECT cms_sketch(t) AS s FROM cms_in)""".stripMargin)
+      .head().getLong(0)
+    assert(doubled == 2 * out.getLong(0))
   }
 }
