@@ -33,7 +33,8 @@ object PlanAudit {
     "negative_samples", "corpus_shard", "assemble_provenance",
     "source_overlap_kmv", "pagerank_suppliers", "dedup_semantic",
     "importance_weights", "similarity_triangles", "image_dedup_ahash",
-    "corpus_mix_temperature", "token_freq_cms")
+    "corpus_mix_temperature", "token_freq_cms", "dedup_substring_spans",
+    "decontaminate_bloom")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

@@ -1184,6 +1184,49 @@ object TextQueries extends QueryModule {
               |FROM tr LEFT JOIN ev ON tr.s = ev.s
               |GROUP BY tr.doc_id""".stripMargin)),
 
+    // Decontamination, 100 TB shape: the benchmark/eval gram set is
+    // tiny and static next to the training corpus, so instead of
+    // shuffling EVERY train gram into the confirm join (what
+    // decontaminate_overlap pays), build a Bloom filter of the eval
+    // grams' portable hashes ONCE (driver literal, O(bits) —
+    // bloom_semi_join's codegen-friendly shape) and prune the train
+    // gram stream at the scan: only grams the bloom admits (true hits
+    // + ~FPR of the stream) reach the shuffle. Bloom has no false
+    // negatives and the exact gram join confirms every candidate, so
+    // the answer is IDENTICAL to the exact query — same oracle —
+    // while the shuffle shrinks from corpus-sized to benchmark-sized.
+    // total_grams comes from a join-free per-doc rollup of the same
+    // cached frame.
+    Q("decontaminate_bloom",
+      (s, dir) => {
+        val sh = shingleRowsCached(s, dir)
+        val ev = sh.filter(col("doc_id") % 10 === 0)
+          .select(col("s"), col("h")).distinct()
+        val bloomBytes = ev.agg(
+          graft.functions.expressions.BloomFilterAgg(col("h")).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val train = sh.filter(col("doc_id") % 10 =!= 0)
+        val totals = train.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("total_grams"))
+        val shared = train
+          .filter(graft.functions.expressions.BloomMightContain(
+            lit(bloomBytes), col("h")))
+          .join(ev.select(col("s")), Seq("s"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_grams"))
+        totals.join(shared, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("total_grams"),
+            coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+          .withColumn("contaminated", col("shared_grams") >= 3)
+      },
+      Some(s"""WITH $shingleCte,
+              |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+              |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+              |SELECT tr.doc_id, count(*) AS total_grams,
+              |       count(ev.s) AS shared_grams,
+              |       count(ev.s) >= 3 AS contaminated
+              |FROM tr LEFT JOIN ev ON tr.s = ev.s
+              |GROUP BY tr.doc_id""".stripMargin)),
+
     // Repetition quality signals (the Gopher-report family, adapted to
     // the single-line corpus): duplicate-token fraction and the share
     // of the text covered by its single most frequent word 2-gram.
@@ -1385,6 +1428,35 @@ object TextQueries extends QueryModule {
               |            THEN CAST(2 * coalesce(tc.tri, 0) AS DOUBLE) /
               |                 CAST(dg.deg * (dg.deg - 1) AS DOUBLE)
               |            ELSE 0.0 END AS lcc
-              |FROM dg LEFT JOIN tc ON dg.v = tc.v""".stripMargin))
+              |FROM dg LEFT JOIN tc ON dg.v = tc.v""".stripMargin)),
+
+    // Exact substring-span dedup: maximal >= 8-token spans repeated
+    // anywhere in the corpus, via gram-hash bucketing + a per-doc
+    // gaps-and-islands merge — the distributed stand-in for the
+    // suffix-array ExactSubstr pass. Algorithm + scale rationale:
+    // operators/SubstringDedup.scala.
+    Q("dedup_substring_spans",
+      (s, dir) => graft.operators.SubstringDedup.spans(docs(s, dir)),
+      Some("""WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             |gr AS (SELECT doc_id, u.i AS pos,
+             |              array_to_string(list_slice(t, u.i, u.i + 7), ' ') AS g
+             |       FROM tok, unnest(range(1, len(t) - 6)) AS u(i)
+             |       WHERE len(t) >= 8),
+             |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+             |hit AS (SELECT doc_id, pos AS s, pos + 7 AS e
+             |        FROM gr JOIN dup USING (g)),
+             |m AS (SELECT doc_id, s, e,
+             |             max(e) OVER (PARTITION BY doc_id ORDER BY s
+             |                          ROWS BETWEEN UNBOUNDED PRECEDING
+             |                          AND 1 PRECEDING) AS pme
+             |      FROM hit),
+             |isl AS (SELECT doc_id, s, e,
+             |               sum(CASE WHEN pme IS NULL OR s > pme + 1
+             |                        THEN 1 ELSE 0 END)
+             |                 OVER (PARTITION BY doc_id ORDER BY s) AS island
+             |        FROM m)
+             |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+             |       max(e) - min(s) + 1 AS span_tokens
+             |FROM isl GROUP BY doc_id, island""".stripMargin))
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.SubstringDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the substring-dedup contract on handcrafted docs: coverage of
+  * every >= k-token repeat, exclusion of sub-k repeats, intra-doc
+  * repeats counting as duplication, and overlapping/adjacent range
+  * merge into maximal spans. (Corpus-scale answers are hash-gated
+  * against the independent DuckDB oracle — dedup_substring_spans.) */
+class SubstringDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def run(docs: (Long, String)*): Map[Long, Seq[(Long, Long, Long)]] = {
+    import spark.implicits._
+    SubstringDedup.spans(docs.toDF("doc_id", "text"), k = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).sorted.toSeq }
+  }
+
+  private def words(range: Range): String = range.map(i => s"w$i").mkString(" ")
+
+  test("a shared >= k passage is covered by exactly one maximal span") {
+    // docs share tokens w10..w16 (7 tokens, k=4): grams at 4 sites each
+    val shared = words(10 to 16)
+    val out = run(
+      1L -> (words(1 to 5) + " " + shared),            // shared at pos 6..12
+      2L -> (shared + " " + words(30 to 34)))          // shared at pos 1..7
+    assert(out(1L) == Seq((6L, 12L, 7L)))
+    assert(out(2L) == Seq((1L, 7L, 7L)))
+  }
+
+  test("repeats shorter than k mark nothing") {
+    val out = run(
+      1L -> (words(1 to 3) + " " + words(20 to 26)),   // w1 w2 w3 unique tail
+      2L -> (words(1 to 3) + " " + words(40 to 46)))   // 3-token repeat < k=4
+    assert(out.isEmpty)
+  }
+
+  test("an intra-doc repeat duplicates both sites") {
+    val p = words(1 to 4)
+    val out = run(1L -> (p + " " + words(50 to 55) + " " + p))
+    // sites: pos 1..4 and pos 11..14, separated by 6 unique tokens
+    assert(out(1L) == Seq((1L, 4L, 4L), (11L, 14L, 4L)))
+  }
+
+  test("adjacent duplicated ranges merge into one span") {
+    // doc 1 holds A (w1..w4) immediately followed by B (w5..w8);
+    // A repeats in doc 2, B in doc 3 — doc 1's two marked ranges
+    // [1,4] and [5,8] are adjacent and merge to one 8-token span.
+    val out = run(
+      1L -> words(1 to 8),
+      2L -> (words(1 to 4) + " " + words(60 to 65)),
+      3L -> (words(5 to 8) + " " + words(70 to 75)))
+    assert(out(1L) == Seq((1L, 8L, 8L)))
+  }
+
+  test("disjoint duplicated regions stay separate spans") {
+    val a = words(1 to 4); val b = words(80 to 83)
+    val out = run(
+      1L -> (a + " " + words(90 to 97) + " " + b),     // a at 1..4, b at 13..16
+      2L -> (a + " " + words(100 to 105)),
+      3L -> (b + " " + words(110 to 115)))
+    assert(out(1L) == Seq((1L, 4L, 4L), (13L, 16L, 4L)))
+  }
+}
