@@ -7,17 +7,18 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 
 /** SQL statements for the store operations a training pipeline scripts
   * daily — the pin-before-train / undo-a-poisoned-merge pair:
   *
   *   GRAFT SNAPSHOT <store> TO '<dir>'   -- O(#files) hard-link pin
   *   GRAFT ROLLBACK <store>              -- republish previous generation
+  *   GRAFT COMPACT '<dir>' [TARGET n MB] -- pack small files, new manifest
   *
   * Implemented the way Spark-ecosystem table formats add VACUUM /
   * OPTIMIZE: a delegating [[ParserInterface]] injected through
-  * `SparkSessionExtensions.injectParser` recognizes the two graft
+  * `SparkSessionExtensions.injectParser` recognizes the graft
   * statements and hands everything else to the session's default
   * parser, and each statement lowers to an eagerly-executed
   * [[LeafRunnableCommand]] (driver-side metadata work — exactly what
@@ -50,7 +51,34 @@ case class GraftRollbackCommand(table: String) extends LeafRunnableCommand {
     Seq(Row(table, BucketedUpsert.rollback(spark, table)))
 }
 
-/** Delegating parser: two regex-matched graft statements, everything
+/** See [[GraftSnapshotCommand]] — the third daily store operation:
+  *
+  *   GRAFT COMPACT '<corpus dir>' [TARGET <n> MB]
+  *
+  * the single-writer small-file maintenance pass over a published
+  * corpus ([[graft.sources.CorpusWriter.compact]]: crash-idempotent
+  * leaf rewrite + manifest republish — the Delta OPTIMIZE / Iceberg
+  * rewrite_data_files analogue). Returns one row per rewritten leaf;
+  * an already-packed corpus returns zero rows. Unlike SNAPSHOT and
+  * ROLLBACK this one launches jobs (it rewrites data files), but it
+  * is still a command node: the statement itself is imperative
+  * maintenance, not a query. */
+case class GraftCompactCommand(dir: String, targetBytes: Option[Long])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("leaf_dir", StringType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.sources.CorpusWriter.compact(spark, dir,
+      targetBytes.getOrElse(graft.sources.Layouts.DefaultTargetBytes))
+      .map(s => Row(s.dir, s.filesBefore, s.filesAfter, s.bytes))
+}
+
+/** Delegating parser: three regex-matched graft statements, everything
   * else verbatim to the session's default parser (so the extension can
   * never change the semantics of real SQL). Statement shapes are
   * deliberately rigid — an identifier and a quoted local path — and a
@@ -61,10 +89,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+SNAPSHOT\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+'([^']+)'\s*;?\s*""".r
   private val Rollback =
     """(?is)\s*GRAFT\s+ROLLBACK\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val Compact =
+    """(?is)\s*GRAFT\s+COMPACT\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s*MB)?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Snapshot(table, dir) => GraftSnapshotCommand(table, dir)
     case Rollback(table) => GraftRollbackCommand(table)
+    case Compact(dir, mb) => GraftCompactCommand(dir,
+      Option(mb).map(_.toLong * 1024 * 1024))
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -135,4 +135,34 @@ class CompactionSpec extends AnyFunSuite {
     assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty,
       "compacted corpus must round-trip row-for-row")
   }
+
+  test("GRAFT COMPACT drives the maintenance pass through spark.sql") {
+    val path = tmp("graft_sql_compact")
+    val in = Tables.documents(spark, sf)
+      .withColumn("n_tok", size(split(trim(col("text")), " ")).cast("long"))
+      .select("doc_id", "lang", "n_tok", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try CorpusWriter.write(in, path, Seq("lang"), "doc_id",
+      rowsPerFile = 20, tokenCol = Some("n_tok"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    val report = spark.sql(s"GRAFT COMPACT '$path' TARGET 128 MB").collect()
+    assert(report.nonEmpty, "fragmented corpus must report rewritten leaves")
+    report.foreach { r =>
+      assert(r.getInt(1) > r.getInt(2),
+        s"${r.getString(0)}: files_before must shrink: $r")
+      assert(r.getInt(2) == 1, s"128 MB target packs each leaf to 1 file: $r")
+    }
+
+    // manifest describes the packed layout; data round-trips exactly
+    val m = CorpusWriter.manifest(spark, path).collect()
+    assert(m.forall(_.getLong(3) == 1L), "manifest must see 1 file per leaf")
+    val back = CorpusWriter.read(spark, path)
+      .select("doc_id", "lang", "n_tok", "text")
+    assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty,
+      "SQL-compacted corpus must round-trip row-for-row")
+
+    // idempotent: a second statement finds nothing to rewrite
+    assert(spark.sql(s"GRAFT COMPACT '$path'").collect().isEmpty)
+  }
 }
