@@ -34,7 +34,7 @@ object PlanAudit {
     "source_overlap_kmv", "pagerank_suppliers", "dedup_semantic",
     "importance_weights", "similarity_triangles", "image_dedup_ahash",
     "corpus_mix_temperature", "token_freq_cms", "dedup_substring_spans",
-    "decontaminate_bloom")
+    "decontaminate_bloom", "embed_ann_recall")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -63,12 +63,15 @@ object PlanAudit {
   // in every Jacobi round (the tfidf scalar shape).
   // token_freq_cms joins candidates against the ONE-ROW broadcast
   // sketch frame (8 KiB binary scalar — the tfidf shape again).
+  // embed_ann_recall composes embed_ann_ivf (≤16 broadcast pivots)
+  // with embed_cosine_topk's exact side (20 broadcast queries × the
+  // corpus — ground truth for a SAMPLED query set, by design).
   val ExpectedBnlj: Set[String] = Set(
     "embed_ann_ivf", "embed_ann_ivf_kmeans", "embed_cosine_topk",
     "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens",
     "q11_important_parts", "corpus_drift", "embed_ann_indexed",
     "negative_samples", "source_overlap_kmv", "pagerank_suppliers",
-    "dedup_semantic", "token_freq_cms")
+    "dedup_semantic", "token_freq_cms", "embed_ann_recall")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

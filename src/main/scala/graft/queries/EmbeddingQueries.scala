@@ -537,6 +537,78 @@ object EmbeddingQueries extends QueryModule {
       (s, dir) => ivfTopK(vecs(s, dir), col("vec_id") < 20, k = 3),
       Some(ivfProbeSql)),
 
+    // Index-quality QC: recall@3 of the IVF probe against the exact
+    // brute-force top-3 over the SAME query set — the metric an index
+    // rollout gates on (probe more cells? retrain pivots?) measured
+    // IN-ENGINE, the FAISS-benchmark loop as one query. Both sides are
+    // deterministic (same tie-breaks, IEEE-identical fused cosine), so
+    // even this evaluation sits under the exact hash gate. Scale: the
+    // exact side is the expensive one by design — ground truth for a
+    // SAMPLED query set (here 20), never the corpus; the hit check is
+    // an equi-join on (query_id, neighbor_id).
+    Q("embed_ann_recall",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val ivf = ivfTopK(e, col("vec_id") < 20, k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        val exact = q
+          .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("emb")))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("sim", cosine(col("qemb"), col("emb")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("query_id"), col("neighbor_id"))
+        exact.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hits"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 6).as("recall"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             |piv AS (SELECT vec_id AS pid, emb AS pemb FROM e WHERE vec_id < 16),
+             |a AS (SELECT e.vec_id, e.emb, p.pid,
+             |             list_dot_product(e.emb, p.pemb)
+             |               / (sqrt(list_dot_product(e.emb, e.emb))
+             |                  * sqrt(list_dot_product(p.pemb, p.pemb))) AS psim
+             |      FROM e CROSS JOIN piv p),
+             |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |                                    ORDER BY psim DESC, pid) AS prn
+             |       FROM a),
+             |cells AS (SELECT vec_id AS neighbor_id, emb, pid AS cell
+             |          FROM r0 WHERE prn = 1),
+             |qp AS (SELECT vec_id AS query_id, emb AS qemb, pid AS cell
+             |       FROM r0 WHERE vec_id < 20 AND prn <= 2),
+             |pr AS (SELECT qp.query_id, n.neighbor_id,
+             |              list_dot_product(qp.qemb, n.emb)
+             |                / (sqrt(list_dot_product(qp.qemb, qp.qemb))
+             |                   * sqrt(list_dot_product(n.emb, n.emb))) AS sim
+             |       FROM qp JOIN cells n
+             |         ON qp.cell = n.cell AND n.neighbor_id <> qp.query_id),
+             |ivf AS (SELECT query_id, neighbor_id
+             |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |                                           ORDER BY sim DESC, neighbor_id) AS rnk
+             |              FROM pr) t WHERE rnk <= 3),
+             |px AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |              list_dot_product(q.emb, n.emb)
+             |                / (sqrt(list_dot_product(q.emb, q.emb))
+             |                   * sqrt(list_dot_product(n.emb, n.emb))) AS sim
+             |       FROM e q JOIN e n ON n.vec_id <> q.vec_id
+             |       WHERE q.vec_id < 20),
+             |exact AS (SELECT query_id, neighbor_id
+             |          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |                                             ORDER BY sim DESC, neighbor_id) AS rnk
+             |                FROM px) t WHERE rnk <= 3)
+             |SELECT x.query_id, count(i.neighbor_id) AS n_hits,
+             |       round(count(i.neighbor_id) / (1.0 * count(*)), 6) AS recall
+             |FROM exact x LEFT JOIN ivf i
+             |  ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+             |GROUP BY x.query_id""".stripMargin)),
+
     // The SAME probe against the PERSISTED index (IvfIndexStore):
     // cell assignments are materialized once per (session, source) and
     // maintained incrementally on ingest; the probe reads only the
