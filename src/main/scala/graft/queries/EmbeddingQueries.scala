@@ -421,6 +421,70 @@ object EmbeddingQueries extends QueryModule {
              |SELECT c.vec_id, c.cell, d.dup_of, d.dup_of IS NULL AS kept
              |FROM cells c LEFT JOIN dom d ON c.vec_id = d.vec_id""".stripMargin)),
 
+    // Semantic decontamination: flag training docs whose EMBEDDING is
+    // near a held-out eval doc's — the cosine-space complement of
+    // decontaminate_overlap's n-gram check (paraphrased leakage shares
+    // no 8-gram but sits right next to the benchmark in embedding
+    // space). Same split convention (id % 10 == 0 = eval). Scale
+    // shape: the EVAL side — the small one by construction, benchmark
+    // suites are thousands of docs however big the corpus is — takes
+    // the multi-probe expansion (bits+1 probes/vec, recovering
+    // neighbors one sign-plane away), and the corpus side computes its
+    // bucket once and equi-joins on it: shuffle keyed by bucket, never
+    // corpus × eval, and AQE broadcasts the expanded eval frame when
+    // it is small enough. Output covers EVERY train vec (flag +
+    // hit count + max cosine), so the gate hashes the negatives too.
+    Q("decontaminate_semantic",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val ev = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("eval_id"), col("emb").as("eemb"),
+            explode(probeBuckets(bucketCol(col("emb")))).as("bucket"))
+        val tr = e.filter(col("vec_id") % 10 =!= 0)
+          .withColumn("bucket", bucketCol(col("emb")))
+        // probe buckets are distinct and a train vec has ONE bucket, so
+        // each (train, eval) pair joins at most once — count(*) would
+        // do; countDistinct documents the pair-level semantics
+        val hits = tr.join(ev, Seq("bucket"))
+          .withColumn("sim", cosine(col("emb"), col("eemb")))
+          .filter(col("sim") >= 0.3)
+          .groupBy(col("vec_id"))
+          .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+            max(round(col("sim"), 5)).as("max_sim"))
+        tr.select(col("vec_id"))
+          .join(hits, Seq("vec_id"), "left_outer")
+          .select(col("vec_id"),
+            coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+            col("max_sim"),
+            (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("contaminated"))
+      },
+      Some {
+        val probes = (s"b0" +: (0 until LshBits).map(i =>
+          s"xor(b0, ${1L << i})")).mkString(", ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |ev0 AS (SELECT vec_id AS eval_id, emb AS eemb, $bucketSql AS b0
+           |        FROM e WHERE vec_id % 10 = 0),
+           |ev AS (SELECT eval_id, eemb, unnest([$probes]) AS bucket FROM ev0),
+           |tr AS (SELECT vec_id, emb, $bucketSql AS bucket
+           |       FROM e WHERE vec_id % 10 <> 0),
+           |h AS (SELECT tr.vec_id,
+           |             count(DISTINCT ev.eval_id) AS n_eval_hits,
+           |             max(round(list_dot_product(tr.emb, ev.eemb)
+           |                   / (sqrt(list_dot_product(tr.emb, tr.emb))
+           |                      * sqrt(list_dot_product(ev.eemb, ev.eemb))), 5))
+           |               AS max_sim
+           |      FROM tr JOIN ev ON tr.bucket = ev.bucket
+           |      WHERE list_dot_product(tr.emb, ev.eemb)
+           |              / (sqrt(list_dot_product(tr.emb, tr.emb))
+           |                 * sqrt(list_dot_product(ev.eemb, ev.eemb))) >= 0.3
+           |      GROUP BY tr.vec_id)
+           |SELECT tr.vec_id,
+           |       coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+           |       h.max_sim,
+           |       coalesce(h.n_eval_hits, 0) > 0 AS contaminated
+           |FROM tr LEFT JOIN h ON tr.vec_id = h.vec_id""".stripMargin
+      }),
+
     // Brute-force cosine top-5 for a fixed query set — the exact ANN
     // baseline every approximate variant is measured against
     Q("embed_cosine_topk",

@@ -61,20 +61,33 @@ object Tables extends org.apache.spark.internal.Logging {
     if (estSplits >= cores) df else df.repartition(cores)
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as a long (nanosAsLong) and floor-convert to a
-    * microsecond TimestampType — integer `div`, not double division
-    * (epoch-nanos exceed double's 53-bit mantissa). DuckDB's oracle
-    * reads the same column as TIMESTAMP_NS and `epoch_us` floors
-    * identically, so window bucketing and ordering agree. */
+  /** Normalize `events.ts` to a microsecond TimestampType whatever
+    * physical type the fixture generation produced:
+    *   - parquet TIMESTAMP(NANOS) → read as long (nanosAsLong) and
+    *     floor-convert with integer `div`, not double division
+    *     (epoch-nanos exceed double's 53-bit mantissa);
+    *   - parquet timestamp[us] WITHOUT isAdjustedToUTC → Spark 4 infers
+    *     TIMESTAMP_NTZ, which `unix_micros`/`session_window.start`
+    *     reject — cast to TimestampType. All engine sessions pin
+    *     `spark.sql.session.timeZone=UTC`, so the cast maps the naive
+    *     wall-clock to the same instant DuckDB's `epoch_us` reads.
+    * Downstream operators therefore always see one ts type; window
+    * bucketing and ordering agree with the oracle in every case. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(p(dir, "events"))
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    normalizeTs(spark.read.parquet(p(dir, "events")))
+  }
+
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   // Only `documents` gets the fanout rebalance unconditionally: its
   // consumers run heavy per-row CPU (regex normalization, shingling,

@@ -48,10 +48,8 @@ object FileEventSource {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", glob)
       .parquet(dir)
-    val typed =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    typed.as[EventRow]
+    // same ts normalization as the batch reader (nanos-long or NTZ →
+    // TimestampType), so stream and batch rows are byte-identical
+    graft.sources.Tables.normalizeTs(raw).as[EventRow]
   }
 }
