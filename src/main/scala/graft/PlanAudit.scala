@@ -34,7 +34,10 @@ object PlanAudit {
     "source_overlap_kmv", "pagerank_suppliers", "dedup_semantic",
     "importance_weights", "similarity_triangles", "image_dedup_ahash",
     "corpus_mix_temperature", "token_freq_cms", "dedup_substring_spans",
-    "decontaminate_bloom", "embed_ann_recall")
+    "decontaminate_bloom", "embed_ann_recall",
+    // the round-8 NTZ casualties (their plans were unauditable while
+    // broken) + the semantic decontamination join
+    "sessionization", "range_join_binned", "decontaminate_semantic")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
