@@ -715,6 +715,49 @@ object TextQueries extends QueryModule {
              |                  THEN 1 END) AS n_sampled
              |FROM documents GROUP BY lang""".stripMargin)),
 
+    // Quality-weighted subsampling (the FineWeb/DCLM move: upsample
+    // the high-quality stratum instead of hard-filtering). Each doc's
+    // inclusion probability is proportional to its tier's per-mille
+    // rate via the SAME portable-hash cell carve as corpus_sample —
+    // integer compare against an integer threshold, so the sample is
+    // reproducible across runs, engines and cluster sizes, and the
+    // gate stays exact (no RNG, no floats). One scan, one hash-keyed
+    // aggregation: the shape that holds at 100 TB (tiering is per-row
+    // arithmetic; nothing joins or sorts).
+    Q("corpus_sample_weighted",
+      (s, dir) => {
+        val nTok = size(tokens(col("text")))
+        val tier = when(nTok >= 40, "high").when(nTok >= 15, "mid")
+          .otherwise("low")
+        val rate = when(nTok >= 40, 500).when(nTok >= 15, 200).otherwise(50)
+        val inS = portableHash(col("doc_id").cast("string")) % 1000 < rate
+        docs(s, dir)
+          .select(col("lang"), tier.as("tier"),
+            nTok.cast("long").as("n_tokens"), inS.as("in_sample"))
+          .groupBy(col("lang"), col("tier"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("in_sample"), lit(1))).as("n_sampled"),
+            sum(when(col("in_sample"), col("n_tokens")).otherwise(lit(0L)))
+              .as("tokens_sampled"))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, len(string_split(trim(text), ' ')) AS n_tokens,
+             |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS cell
+             |  FROM documents),
+             |w AS (
+             |  SELECT lang,
+             |         CASE WHEN n_tokens >= 40 THEN 'high'
+             |              WHEN n_tokens >= 15 THEN 'mid' ELSE 'low' END AS tier,
+             |         n_tokens,
+             |         cell < CASE WHEN n_tokens >= 40 THEN 500
+             |                     WHEN n_tokens >= 15 THEN 200 ELSE 50 END AS in_sample
+             |  FROM t)
+             |SELECT lang, tier, count(*) AS n_docs,
+             |       count(CASE WHEN in_sample THEN 1 END) AS n_sampled,
+             |       CAST(sum(CASE WHEN in_sample THEN n_tokens ELSE 0 END) AS BIGINT)
+             |         AS tokens_sampled
+             |FROM w GROUP BY lang, tier""".stripMargin)),
+
     // Winnowing fingerprints (Schleimer et al., SIGMOD '03): the
     // ROLLING-HASH fingerprinting scheme — every window of W=4
     // consecutive 3-gram hashes contributes its minimum, so any shared
