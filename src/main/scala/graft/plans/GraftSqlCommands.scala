@@ -78,10 +78,31 @@ case class GraftCompactCommand(dir: String, targetBytes: Option[Long])
       .map(s => Row(s.dir, s.filesBefore, s.filesAfter, s.bytes))
 }
 
-/** Delegating parser: three regex-matched graft statements, everything
+/** See [[GraftSnapshotCommand]] — the run-level pin:
+  *
+  *   GRAFT PIN RUN '<dir>' TABLES <t1>[, <t2>…]
+  *
+  * one statement snapshots EVERY store a training run reads into one
+  * immutable run directory and writes the run manifest last (the
+  * publish marker — [[graft.sources.RunManifest]]). Returns one row
+  * per pinned store. */
+case class GraftPinRunCommand(dir: String, tables: Seq[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("snapshot_dir", StringType, nullable = false)(),
+    AttributeReference("n_files", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.sources.RunManifest.pin(spark, dir, tables)
+      .map { case (t, n) => Row(t, s"$dir/$t", n) }
+}
+
+/** Delegating parser: four regex-matched graft statements, everything
   * else verbatim to the session's default parser (so the extension can
   * never change the semantics of real SQL). Statement shapes are
-  * deliberately rigid — an identifier and a quoted local path — and a
+  * deliberately rigid — identifiers and a quoted local path — and a
   * leading GRAFT keyword guarantees no overlap with the ANSI grammar. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
@@ -91,12 +112,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ROLLBACK\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val Compact =
     """(?is)\s*GRAFT\s+COMPACT\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s*MB)?\s*;?\s*""".r
+  private val PinRun =
+    """(?is)\s*GRAFT\s+PIN\s+RUN\s+'([^']+)'\s+TABLES\s+([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Snapshot(table, dir) => GraftSnapshotCommand(table, dir)
     case Rollback(table) => GraftRollbackCommand(table)
     case Compact(dir, mb) => GraftCompactCommand(dir,
       Option(mb).map(_.toLong * 1024 * 1024))
+    case PinRun(dir, ts) =>
+      GraftPinRunCommand(dir, ts.split(",").map(_.trim).toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 
