@@ -103,6 +103,14 @@ object GraftViews {
       "audio_features" -> "audio_features").foreach { case (q, view) =>
       SparkEntry.queries(q)(spark, dir).createOrReplaceTempView(view)
     }
+    // decontamination + sampling surface (round 9): the per-train-doc
+    // semantic contamination verdict (join against `documents` by id,
+    // WHERE contaminated to exclude) and the quality-weighted sample's
+    // stratum accounting
+    Seq("decontaminate_semantic" -> "semantic_contamination",
+      "corpus_sample_weighted" -> "corpus_sample_strata").foreach { case (q, view) =>
+      SparkEntry.queries(q)(spark, dir).createOrReplaceTempView(view)
+    }
     // data-quality surface: the corpus with its expectation violations
     // (empty array = clean row) plus the two split views — SQL users
     // triage the quarantine with a WHERE, not a re-ingest. Same checks

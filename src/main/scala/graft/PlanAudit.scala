@@ -36,8 +36,9 @@ object PlanAudit {
     "corpus_mix_temperature", "token_freq_cms", "dedup_substring_spans",
     "decontaminate_bloom", "embed_ann_recall",
     // the round-8 NTZ casualties (their plans were unauditable while
-    // broken) + the semantic decontamination join
-    "sessionization", "range_join_binned", "decontaminate_semantic")
+    // broken) + the round-9 additions
+    "sessionization", "range_join_binned", "decontaminate_semantic",
+    "corpus_sample_weighted")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

@@ -99,6 +99,28 @@ class GraftViewsSpec extends AnyFunSuite {
     assert(cent.getLong(0) > 0 && cent.getLong(1) > 0 && cent.getLong(2) > 0)
   }
 
+  test("decontamination + sampling views serve the round-9 surface in SQL") {
+    GraftViews.register(spark, dir)
+    // excluding benchmark-adjacent docs is one WHERE over the view;
+    // the view covers EVERY train vec (negatives hash-gated too)
+    val nTrain = spark.sql(
+      "SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0")
+      .head().getLong(0)
+    val contam = spark.sql(
+      """SELECT count(*) AS n,
+        |       count(CASE WHEN contaminated THEN 1 END) AS n_contam
+        |FROM semantic_contamination""".stripMargin).head()
+    assert(contam.getLong(0) == nTrain)
+    assert(contam.getLong(1) > 0, "fixture must exercise the contamination path")
+    // stratum accounting conserves the corpus and never oversamples
+    val strata = spark.sql(
+      """SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |       count(CASE WHEN n_sampled > n_docs THEN 1 END) AS bad
+        |FROM corpus_sample_strata""".stripMargin).head()
+    val total = spark.sql("SELECT count(*) FROM documents").head().getLong(0)
+    assert(strata.getLong(0) == total && strata.getLong(1) == 0)
+  }
+
   test("quality views: annotated covers the corpus, splits agree with the gate query") {
     GraftViews.register(spark, dir)
     val total = spark.sql("SELECT count(*) FROM documents").head().getLong(0)
