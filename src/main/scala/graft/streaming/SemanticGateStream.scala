@@ -51,31 +51,37 @@ object SemanticGateStream {
       }
   }
 
+  /** Tag one micro-batch against the eval probe frame: the batch's
+    * columns plus `n_eval_hits`/`max_sim` (null = clean). Probe
+    * buckets are distinct and a batch vec has ONE bucket, so each
+    * (vec, eval) pair joins at most once (same argument as the batch
+    * query); the rollup keeps the verdict one-row-per-vec. Shared by
+    * this sink and the composed [[EmbeddingIngestStream]]. */
+  private[graft] def tagged(batch: DataFrame, probes: DataFrame,
+                            threshold: Double): DataFrame = {
+    val b = batch.withColumn("bucket",
+      graft.queries.EmbeddingQueries.bucketCol(col("emb")))
+    val hits = b.join(probes, Seq("bucket"))
+      .withColumn("sim", cosine(col("emb"), col("eemb")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+        max(round(col("sim"), 5)).as("max_sim"))
+    b.drop("bucket").join(hits, Seq("vec_id"), "left_outer")
+  }
+
   /** One micro-batch's gate pass (also the redelivery unit). */
   private[graft] def writeBatch(batch: DataFrame, probes: DataFrame,
                                 threshold: Double, cleanDir: String,
                                 contamDir: String, id: Long): Unit = {
-    val b = batch
-      .withColumn("bucket",
-        graft.queries.EmbeddingQueries.bucketCol(col("emb")))
-      .persist()
+    val t = tagged(batch, probes, threshold).persist()
     try {
-      // probe buckets are distinct and a batch vec has ONE bucket, so
-      // each (vec, eval) pair joins at most once (same argument as the
-      // batch query); the rollup keeps the quarantine one-row-per-vec
-      val hits = b.join(probes, Seq("bucket"))
-        .withColumn("sim", cosine(col("emb"), col("eemb")))
-        .filter(col("sim") >= threshold)
-        .groupBy(col("vec_id"))
-        .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
-          max(round(col("sim"), 5)).as("max_sim"))
-      val tagged = b.drop("bucket").join(hits, Seq("vec_id"), "left_outer")
-      tagged.filter(col("n_eval_hits").isNull)
+      t.filter(col("n_eval_hits").isNull)
         .drop("n_eval_hits", "max_sim")
         .write.mode(SaveMode.Overwrite).parquet(s"$cleanDir/batch_id=$id")
-      tagged.filter(col("n_eval_hits").isNotNull)
+      t.filter(col("n_eval_hits").isNotNull)
         .write.mode(SaveMode.Overwrite).parquet(s"$contamDir/batch_id=$id")
-    } finally b.unpersist()
+    } finally t.unpersist()
   }
 
   /** All admitted embeddings across batches. */
