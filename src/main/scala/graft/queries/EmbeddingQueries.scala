@@ -741,6 +741,110 @@ object EmbeddingQueries extends QueryModule {
       },
       None),
 
+    // TRAINED-quantizer IVF under the EXACT hash gate: the k-means
+    // float-LSB problem above disappears when the whole pipeline runs
+    // in integer fixed point (the PageRank/DSIR recipe applied to
+    // ANN). Vectors quantize to floor(x·2^20) longs (exact: ×2^20 is
+    // a power-of-two float op, |x|<1 keeps every product under 2^46 —
+    // inside both long and double exactness), one Lloyd round updates
+    // centroids with order-free integer sums and truncating integer
+    // division, and assignment/probe rank by integer squared-L2 with
+    // id tie-breaks — bit-identical under any partitioning, so DuckDB
+    // replays training AND probe as an unrolled CTE. At 100 TB the
+    // plan is the kmeansPivots/ivfTopKWith shape: k-row broadcast
+    // crossJoins (bounded BNLJ), one shuffle per Lloyd round for the
+    // (cell, dim) partial sums, candidates only from probed cells.
+    Q("embed_ann_ivf_fp",
+      (s, dir) => {
+        val S = 1L << 20
+        val e = vecs(s, dir).select(col("vec_id"),
+          transform(col("emb"), x => floor(x * S).cast("long")).as("q"))
+        def l2(a: Column, b: Column): Column = aggregate(
+          zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+        def assign(cent: DataFrame): DataFrame =
+          e.crossJoin(broadcast(cent))
+            .withColumn("d", l2(col("q"), col("cq")))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("vec_id")).orderBy(col("d"), col("pid"))))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("q"), col("pid").as("cell"))
+        val c0 = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("pid"), col("q").as("cq"))
+        // one Lloyd round: integer per-dimension means (sum div count)
+        val c1 = assign(c0)
+          .select(col("cell"), posexplode(col("q")).as(Seq("i", "v")))
+          .groupBy(col("cell"), col("i"))
+          .agg(expr("sum(v) div count(1)").as("cv"))
+          .groupBy(col("cell"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("cv")))),
+            s => s.getField("cv")).as("cq"))
+          .select(col("cell").as("pid"), col("cq"))
+        val cells = assign(c1)
+        val qs = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"))
+        val qcells = qs.crossJoin(broadcast(c1))
+          .withColumn("d", l2(col("qq"), col("cq")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("d"), col("pid"))))
+          .filter(col("rn") <= 2)
+          .select(col("query_id"), col("qq"), col("pid").as("cell"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("d_fp"), col("neighbor_id"))
+        qcells.join(cells.select(col("cell"),
+            col("vec_id").as("neighbor_id"), col("q")), Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("d_fp", l2(col("qq"), col("q")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"), col("d_fp"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding::DOUBLE[],
+             |                        x -> CAST(floor(x * 1048576) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |c0 AS (SELECT vec_id AS pid, q AS cq FROM e WHERE vec_id < 16),
+             |d1 AS (SELECT e.vec_id, e.q, c.pid,
+             |              CAST(list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+             |                   - 2 * list_dot_product(CAST(e.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+             |                   + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
+             |       FROM e CROSS JOIN c0 c),
+             |a1 AS (SELECT vec_id, q, pid AS cell FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, pid) AS rn
+             |         FROM d1) WHERE rn = 1),
+             |u AS (SELECT cell, i, CAST(sum(q[i]) AS BIGINT) // count(*) AS cv
+             |      FROM a1 CROSS JOIN range(1, 65) t(i)
+             |      GROUP BY cell, i),
+             |c1 AS (SELECT cell AS pid, list(cv ORDER BY i) AS cq FROM u GROUP BY cell),
+             |d2 AS (SELECT e.vec_id, e.q, c.pid,
+             |              CAST(list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+             |                   - 2 * list_dot_product(CAST(e.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+             |                   + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
+             |       FROM e CROSS JOIN c1 c),
+             |cells AS (SELECT vec_id, q, pid AS cell FROM (
+             |            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, pid) AS rn
+             |            FROM d2) WHERE rn = 1),
+             |qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 20),
+             |qd AS (SELECT qs.query_id, qs.qq, c.pid,
+             |              CAST(list_dot_product(CAST(qs.qq AS DOUBLE[]), CAST(qs.qq AS DOUBLE[]))
+             |                   - 2 * list_dot_product(CAST(qs.qq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+             |                   + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
+             |       FROM qs CROSS JOIN c1 c),
+             |qcells AS (SELECT query_id, qq, pid AS cell FROM (
+             |             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, pid) AS rn
+             |             FROM qd) WHERE rn <= 2),
+             |cand AS (SELECT qc.query_id, cl.vec_id AS neighbor_id,
+             |                CAST(list_dot_product(CAST(qc.qq AS DOUBLE[]), CAST(qc.qq AS DOUBLE[]))
+             |                     - 2 * list_dot_product(CAST(qc.qq AS DOUBLE[]), CAST(cl.q AS DOUBLE[]))
+             |                     + list_dot_product(CAST(cl.q AS DOUBLE[]), CAST(cl.q AS DOUBLE[])) AS BIGINT) AS d_fp
+             |         FROM qcells qc JOIN cells cl ON qc.cell = cl.cell
+             |         WHERE cl.vec_id <> qc.query_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |                                   ORDER BY d_fp, neighbor_id) AS rnk
+             |      FROM cand)
+             |SELECT query_id, neighbor_id, rnk, d_fp FROM r WHERE rnk <= 3""".stripMargin)),
+
     // Product-quantization ANN: m=4 subspace codebooks, asymmetric-
     // distance shortlist via the LUT join + exact re-rank of the
     // shortlist (IVFADC+R, the production shape — see pqTopK
