@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, CmsEstimate, CmsUnion, CosineSimilarity, CountMinAgg, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, KmvEstimate, KmvIntersect, KmvSketchBuild, KmvUnion, MisraGriesAgg, QSketchQuantile, QSketchUnion, QuantileSketchAgg, QuantileSketchBuild, SimHash, ZOrderCode}
+import graft.functions.expressions.{BloomFilterAgg, BloomMightContain, CmsEstimate, CmsUnion, CosineSimilarity, CountMinAgg, HllEstimate, HllSketchAgg, HllSketchBuild, HllUnion, KmvEstimate, KmvIntersect, KmvSketchBuild, KmvUnion, L2DistanceFp, MisraGriesAgg, QSketchQuantile, QSketchUnion, QuantileSketchAgg, QuantileSketchBuild, SimHash, ZOrderCode}
 import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -80,6 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("l2_fp"),
+      new ExpressionInfo(classOf[L2DistanceFp].getName, "l2_fp"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        L2DistanceFp(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_distinct"),

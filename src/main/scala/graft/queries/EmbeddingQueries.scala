@@ -759,8 +759,10 @@ object EmbeddingQueries extends QueryModule {
         val S = 1L << 20
         val e = vecs(s, dir).select(col("vec_id"),
           transform(col("emb"), x => floor(x * S).cast("long")).as("q"))
-        def l2(a: Column, b: Column): Column = aggregate(
-          zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+        // native codegen'd loop; bit-equal to the HOF formulation
+        // (integer ops associative — parity pinned in ScaleOpsSpec)
+        def l2(a: Column, b: Column): Column =
+          graft.functions.expressions.L2DistanceFp(a, b)
         def assign(cent: DataFrame): DataFrame =
           e.crossJoin(broadcast(cent))
             .withColumn("d", l2(col("q"), col("cq")))

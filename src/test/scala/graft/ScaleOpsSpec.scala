@@ -44,4 +44,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       .select("k", "id", "v").collect().map(_.toSeq).toSet
     assert(salted == plain)
   }
+
+  test("native l2_fp is bit-equal to the HOF formulation (and null-safe)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        Seq.fill(64)(((rnd.nextDouble() * 2 - 1) * (1L << 20)).toLong),
+        Seq.fill(64)(((rnd.nextDouble() * 2 - 1) * (1L << 20)).toLong))
+    }.toDF("id", "a", "b")
+    val both = rows.select(
+      graft.functions.expressions.L2DistanceFp(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // SQL registration + null/length-mismatch behavior
+    rows.limit(1).createOrReplaceTempView("l2_fp_t")
+    val viaSql = spark.sql(
+      "SELECT l2_fp(a, b) = aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0L, (s, v) -> s + v) FROM l2_fp_t")
+      .head.getBoolean(0)
+    assert(viaSql)
+    assert(spark.sql("SELECT l2_fp(array(1L), array(1L, 2L))").head.isNullAt(0))
+    assert(spark.sql("SELECT l2_fp(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
+      .head.isNullAt(0))
+  }
 }
