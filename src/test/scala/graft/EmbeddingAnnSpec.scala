@@ -201,6 +201,31 @@ class EmbeddingAnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"fixed-point IVF recall $recall unexpectedly low")
   }
 
+  test("fixed-point PQ: ADC shortlist + exact re-rank keeps recall vs the integer baseline") {
+    val sf = "/root/testdata/sf0.001"
+    val got = pairs(SparkEntry.queries("embed_ann_pq_fp")(spark, sf))
+    val S = 1L << 20
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * S).cast("long")).as("q"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d_fp"), col("neighbor_id"))
+    val exact = pairs(q.crossJoin(
+        e.select(col("vec_id").as("neighbor_id"), col("q")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("d_fp", graft.functions.expressions.L2DistanceFp(
+        col("qq"), col("q")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id")))
+    val recall = (got intersect exact).size.toDouble / exact.size
+    info(f"fixed-point PQ (ADC+R) recall@3 vs exact: $recall%.3f (${exact.size} pairs)")
+    assert(recall >= 0.5, s"fixed-point PQ recall $recall unexpectedly low")
+  }
+
   test("semantic dedup: kept/dropped partition the corpus; dominators precede") {
     val out = SparkEntry.queries("dedup_semantic")(
       spark, "/root/testdata/sf0.001").cache()
