@@ -38,7 +38,8 @@ object PlanAudit {
     // the round-8 NTZ casualties (their plans were unauditable while
     // broken) + the round-9 additions
     "sessionization", "range_join_binned", "decontaminate_semantic",
-    "corpus_sample_weighted")
+    "corpus_sample_weighted", "embed_ann_ivf_fp", "embed_ann_pq_fp",
+    "bm25_search", "hybrid_rrf")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -75,7 +76,12 @@ object PlanAudit {
     "tfidf_top_terms", "q22_idle_balances", "heavy_hitter_tokens",
     "q11_important_parts", "corpus_drift", "embed_ann_indexed",
     "negative_samples", "source_overlap_kmv", "pagerank_suppliers",
-    "dedup_semantic", "token_freq_cms", "embed_ann_recall")
+    "dedup_semantic", "token_freq_cms", "embed_ann_recall",
+    // the fixed-point ANN pair crosses each (sub)vector against ≤16
+    // broadcast integer centroids (the IVF-assignment shape); the
+    // retrieval pair rides ONE-ROW broadcasts (corpus stats / the
+    // query embedding)
+    "embed_ann_ivf_fp", "embed_ann_pq_fp", "bm25_search", "hybrid_rrf")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

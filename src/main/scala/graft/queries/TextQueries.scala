@@ -345,6 +345,68 @@ object TextQueries extends QueryModule {
           .as("est_shared_vocab"))
   }
 
+  /** Fixed lexical query for the retrieval pair (bm25_search /
+    * hybrid_rrf); mid-df corpus terms so idf is non-trivial. */
+  private val Bm25Terms = Seq("join", "scan", "filter")
+
+  /** BM25 top-20 (k1=1.2, b=0.75): one pruned token scan, broadcast
+    * df/corpus-stats frames, per-doc score assembled in one fixed
+    * expression order (see bm25_search scaladoc). */
+  private def bm25Top(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t = tokens(col("text"))
+    val dl = d.select(col("doc_id"), size(t).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = d.select(col("doc_id"), explode(t).as("token"))
+      .filter(col("token").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf.join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib", col("idf") * ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+    val perDoc = contrib.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("token") === Bm25Terms(0), col("contrib")).otherwise(lit(0.0))).as("c0"),
+        sum(when(col("token") === Bm25Terms(1), col("contrib")).otherwise(lit(0.0))).as("c1"),
+        sum(when(col("token") === Bm25Terms(2), col("contrib")).otherwise(lit(0.0))).as("c2"))
+      .withColumn("bm25", round(col("c0") + col("c1") + col("c2"), 6))
+    perDoc.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("bm25"), col("rnk"))
+  }
+
+  /** The BM25 CTE chain shared by both retrieval oracles (ends at `b`:
+    * doc_id, bm25). Token-for-token the same arithmetic as
+    * [[bm25Top]] so the doubles agree bit-for-bit. */
+  private val bm25Cte: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      |           FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl
+      |       FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM t
+      |       WHERE token IN ('join', 'scan', 'filter') GROUP BY doc_id, token),
+      |df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+      |c AS (SELECT tf.doc_id, tf.token,
+      |             ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |               * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))) AS contrib
+      |      FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+      |      CROSS JOIN stats s),
+      |p AS (SELECT doc_id,
+      |             sum(CASE WHEN token = 'join' THEN contrib ELSE 0.0 END) AS c0,
+      |             sum(CASE WHEN token = 'scan' THEN contrib ELSE 0.0 END) AS c1,
+      |             sum(CASE WHEN token = 'filter' THEN contrib ELSE 0.0 END) AS c2
+      |      FROM c GROUP BY doc_id),
+      |b AS (SELECT doc_id, round(c0 + c1 + c2, 6) AS bm25 FROM p)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Token counting + basic stats (integer sums → exact compare).
@@ -757,6 +819,74 @@ object TextQueries extends QueryModule {
              |       CAST(sum(CASE WHEN in_sample THEN n_tokens ELSE 0 END) AS BIGINT)
              |         AS tokens_sampled
              |FROM w GROUP BY lang, tier""".stripMargin)),
+
+    // BM25 lexical retrieval for a fixed query-term set — the lexical
+    // half of a retrieval stack next to the ANN family. Determinism
+    // discipline for the exact gate: the per-(doc, term) contribution
+    // is computed once per row (libm log rounds away at 1e-17 scale,
+    // the tfidf precedent), and the per-doc score is assembled by
+    // PIVOTING the fixed term list into columns and adding them in
+    // ONE fixed expression order — never a float sum() across rows,
+    // whose partition-dependent order could flip a last-ulp. Ranking
+    // keys are rounded (engine-independent cutoff), the top-k is
+    // TakeOrderedAndProject (no global window over the corpus), and
+    // the token explode is pruned to the query terms BEFORE any
+    // shuffle — per-query state is O(|query terms|), the serve shape.
+    Q("bm25_search",
+      (s, dir) => bm25Top(s, dir),
+      Some(bm25Cte + "\n" +
+        """SELECT doc_id, bm25,
+          |       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+          |FROM b ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 list and a
+    // cosine ANN list for one query (terms + an embedding) — the
+    // two-tower serve pattern. RRF needs only the two rank columns
+    // (1/(60+r) in one fixed-order sum, rounded), so the fusion is a
+    // 20∪20-row full-outer join whatever the corpus size.
+    Q("hybrid_rrf",
+      (s, dir) => {
+        val lex = bm25Top(s, dir).select(col("doc_id"), col("rnk").as("lex_rnk"))
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val qv = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+        val sims = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("sim", round(graft.functions.expressions.CosineSimilarity(
+            col("emb"), col("qemb")), 5))
+        val vecTop = sims.orderBy(col("sim").desc, col("vec_id")).limit(20)
+          .withColumn("vec_rnk", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("vec_rnk"))
+        val fused = lex.join(vecTop, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60.0) + col("lex_rnk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("vec_rnk")), lit(0.0)), 6))
+        fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("rrf").desc, col("doc_id"))))
+          .select(col("doc_id"), col("lex_rnk"), col("vec_rnk"),
+            col("rrf"), col("rnk"))
+      },
+      Some(bm25Cte + ",\n" +
+        """lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rnk
+          |        FROM b ORDER BY bm25 DESC, doc_id LIMIT 20),
+          |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          |qv AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+          |vs AS (SELECT e.vec_id AS doc_id,
+          |              round(list_dot_product(e.emb, q.qemb)
+          |                    / (sqrt(list_dot_product(e.emb, e.emb))
+          |                       * sqrt(list_dot_product(q.qemb, q.qemb))), 5) AS sim
+          |       FROM e CROSS JOIN qv q WHERE e.vec_id <> 0),
+          |vec AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rnk
+          |        FROM vs ORDER BY sim DESC, doc_id LIMIT 20),
+          |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rnk, v.vec_rnk,
+          |             round(coalesce(1.0 / (60.0 + l.lex_rnk), 0.0)
+          |                   + coalesce(1.0 / (60.0 + v.vec_rnk), 0.0), 6) AS rrf
+          |      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+          |SELECT doc_id, lex_rnk, vec_rnk, rrf,
+          |       row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+          |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
     // Winnowing fingerprints (Schleimer et al., SIGMOD '03): the
     // ROLLING-HASH fingerprinting scheme — every window of W=4
