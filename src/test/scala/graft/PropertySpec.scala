@@ -142,4 +142,22 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"flips=$flips")
     }
   }
+
+  test("l2_fp: symmetric, zero on self, bit-equal to the HOF form on random vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val genVec = Gen.listOfN(16, Gen.choose(-(1L << 20), 1L << 20))
+    val pairs = samples(for { a <- genVec; b <- genVec } yield (a, b), 60)
+    val rows = pairs.toDF("a", "b").select(
+      graft.functions.expressions.L2DistanceFp(col("a"), col("b")).as("ab"),
+      graft.functions.expressions.L2DistanceFp(col("b"), col("a")).as("ba"),
+      graft.functions.expressions.L2DistanceFp(col("a"), col("a")).as("aa"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "symmetry")
+      assert(r.getLong(2) == 0L, "identity")
+      assert(r.getLong(0) == r.getLong(3), "HOF parity")
+    }
+  }
 }
