@@ -78,25 +78,31 @@ object Bench {
     // reference publishes ~2,000 req/s, BASELINE.md).
     val streamEps = try StreamBench.run(spark, sfDir, nChunks = 5)._1
       catch { case _: Throwable => -1.0 }
-    // Full per-query map on its own line (no "metric" key — this is the
-    // diagnostic record, not the driver's parse target).
-    println(s"""{"bench_all":$qs,"failed":$failed}""")
     // The driver captures only the TAIL of stdout (observed: last 2000
-    // chars) and parses the JSON "metric" line out of it; with the full
-    // registry the one-line-with-every-query form overflows that window
-    // and the round artifact records "parsed": null. So the LAST line —
-    // the parse target — is compact: totals, failure flags, streaming
-    // throughput, and per-query seconds for the 22 TPC-H headline
-    // queries only (the full map is the line above, still within tail
-    // reach for the judge).
+    // chars) and parses the JSON "metric" line out of it; r8 AND r9
+    // both recorded "parsed": null because the full-registry per-query
+    // line overflowed that window. So the full per-query record goes to
+    // a FILE artifact (machine-readable regardless of tail size), and
+    // the LAST stdout line — the parse target — is compact: totals,
+    // failure flags, streaming throughput, per-query seconds for the 22
+    // TPC-H headline queries, and a pointer to the file.
+    val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.writeString(fullPath,
+      s"""{"bench_all":$qs,"failed":$failed,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
     val headline = results.filter { case (k, _, _) =>
       k.matches("q\\d+_.*")
     }.map { case (k, v, ok) =>
       s""""$k":${if (ok) "%.3f".format(v) else "-1"}"""
     }.mkString("{", ",", "}")
-    val failedCompact = results.collect { case (k, _, false) => s""""$k"""" }
-      .take(10).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
+    // compact failed list is self-describing: an "..." sentinel marks
+    // truncation so 10 names next to a larger n_failed cannot read as
+    // an artifact inconsistency
+    val failedNames = results.collect { case (k, _, false) => s""""$k"""" }
+    val failedCompact = (if (failedNames.size > 10)
+      failedNames.take(10) :+ "\"...\"" else failedNames)
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"full":"${fullPath.toString}","sf":"$sfDir"}""")
     spark.stop()
     // A run with failing queries (or a dead streaming bench) must not
     // exit 0 — the driver records rc, and rc=0 buried the round-8

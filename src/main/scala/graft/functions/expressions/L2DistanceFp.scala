@@ -12,9 +12,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0, +)` evaluates
   * its lambdas interpreted (CodegenFallback); this generates one fused
   * primitive loop via `doGenCode` — the CosineSimilarity treatment for
-  * the integer metric. Arithmetic is exact by construction: callers
-  * quantize to |q| ≤ 2^20, so the per-dimension square is ≤ 2^42 and a
-  * 64-dim sum ≤ 2^48, far inside long range — no overflow path needed.
+  * the integer metric. The internal fixed-point callers quantize to
+  * |q| ≤ 2^20 (per-dimension square ≤ 2^42, 64-dim sum ≤ 2^48 — far
+  * inside long range), but `l2_fp` is also registered as a session
+  * SQL function, so arbitrary `array<bigint>` input is reachable:
+  * arithmetic uses Math.{subtract,multiply,add}Exact and FAILS LOUDLY
+  * (ArithmeticException) on overflow instead of silently wrapping to
+  * a wrong distance.
   *
   * Semantics match the HOF formulation exactly (integer ops are
   * associative, so fusion cannot change the value — bit-parity pinned
@@ -48,8 +52,8 @@ case class L2DistanceFp(left: Expression, right: Expression)
     else {
       var acc = 0L; var i = 0
       while (i < n) {
-        val d = x.getLong(i) - y.getLong(i)
-        acc += d * d
+        val d = Math.subtractExact(x.getLong(i), y.getLong(i))
+        acc = Math.addExact(acc, Math.multiplyExact(d, d))
         i += 1
       }
       java.lang.Long.valueOf(acc)
@@ -69,8 +73,8 @@ case class L2DistanceFp(left: Expression, right: Expression)
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final long $d = $x.getLong($i) - $y.getLong($i);
-         |    $acc += $d * $d;
+         |    final long $d = java.lang.Math.subtractExact($x.getLong($i), $y.getLong($i));
+         |    $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));
          |  }
          |  ${ev.value} = $acc;
          |}

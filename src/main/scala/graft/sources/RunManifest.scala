@@ -49,8 +49,17 @@ object RunManifest {
     }
     val json = counts
       .map { case (t, n) => s"""{"table": "$t", "n_files": $n}""" }
-      .mkString("{\"tables\": [", ", ", "]}")
-    java.nio.file.Files.writeString(manifestPath(runDir), json)
+      .mkString(s"""{"n_tables": ${counts.size}, "tables": [""", ", ", "]}")
+    // publish marker must be all-or-nothing: a crash mid-write of an
+    // in-place writeString can leave truncated bytes that still parse
+    // to a SUBSET of entries — a partial pin reading as a complete run.
+    // Write to a temp file in the same directory and ATOMIC_MOVE it
+    // into place; n_tables is the belt to that suspender ([[tables]]
+    // refuses a manifest whose entry count disagrees).
+    val tmp = java.nio.file.Files.createTempFile(root, ".run_manifest", ".tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, manifestPath(runDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     counts
   }
 
@@ -64,8 +73,16 @@ object RunManifest {
     val json = java.nio.file.Files.readString(p)
     // identifiers are [A-Za-z0-9_] by construction (enforced at pin),
     // so the extraction is regex-safe
-    """"table": "([A-Za-z_][A-Za-z0-9_]*)"""".r
+    val ts = """"table": "([A-Za-z_][A-Za-z0-9_]*)"""".r
       .findAllMatchIn(json).map(_.group(1)).toSeq
+    // closing-sentinel check: the recorded entry count must match what
+    // the bytes actually yield, so truncated/corrupt manifest bytes
+    // can never read as a smaller-but-complete pin
+    val n = """"n_tables": (\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+    require(n.contains(ts.size),
+      s"run '$runDir' manifest is corrupt: records ${n.getOrElse("no")} " +
+        s"table count but yields ${ts.size} entries — refuse the partial pin")
+    ts
   }
 
   /** Read one pinned store of a complete run (schema from the live

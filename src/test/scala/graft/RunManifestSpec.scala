@@ -72,6 +72,27 @@ class RunManifestSpec extends AnyFunSuite {
     } finally BucketedUpsert.drop(spark, t)
   }
 
+  test("a truncated manifest is refused, not read as a smaller pin") {
+    import spark.implicits._
+    val (ta, tb) = ("run_trunc_a", "run_trunc_b")
+    val runDir = tmpRun("rm_trunc")
+    Seq(ta, tb).foreach(BucketedUpsert.drop(spark, _))
+    try {
+      Seq(ta, tb).foreach(t => BucketedUpsert.materialize(
+        (1L to 5L).map(k => k -> 1).toDF("k", "v"), t, "k", 2))
+      RunManifest.pin(spark, runDir, Seq(ta, tb))
+      val p = java.nio.file.Paths.get(runDir, RunManifest.ManifestFile)
+      val bytes = java.nio.file.Files.readString(p)
+      // simulate a torn write that still yields ONE well-formed entry:
+      // without the n_tables sentinel this would read as a complete
+      // one-table pin
+      val cut = bytes.substring(0, bytes.indexOf(s""""$tb""""))
+      java.nio.file.Files.writeString(p, cut)
+      val e = intercept[IllegalArgumentException] { RunManifest.tables(runDir) }
+      assert(e.getMessage.contains("corrupt"))
+    } finally Seq(ta, tb).foreach(BucketedUpsert.drop(spark, _))
+  }
+
   test("GRAFT PIN RUN pins through plain SQL") {
     import spark.implicits._
     val (ta, tb) = ("run_sql_a", "run_sql_b")

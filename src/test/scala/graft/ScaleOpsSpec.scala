@@ -68,4 +68,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT l2_fp(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
       .head.isNullAt(0))
   }
+
+  test("l2_fp fails loudly on long overflow instead of wrapping") {
+    // SQL exposure means arbitrary array<bigint> input: inputs outside
+    // the internal |q| <= 2^20 quantization contract must raise, never
+    // return a silently wrapped wrong distance
+    // constant inputs fold at the driver (raw ArithmeticException);
+    // data-driven inputs surface it wrapped in a SparkException
+    val e = intercept[Throwable] {
+      spark.sql(s"SELECT l2_fp(array(${Long.MaxValue}L), array(-2L))").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got $e")
+  }
 }
