@@ -271,6 +271,9 @@ object TextQueries extends QueryModule {
       c.clear()
     }
     bpeCache.clear()
+    postingsCache.foreach { case ((s, _), p) =>
+      graft.sources.PostingsStore.drop(s, p) }
+    postingsCache.clear()
     var df = auxCached.poll()
     while (df != null) { df.unpersist(false); df = auxCached.poll() }
   }
@@ -349,21 +352,14 @@ object TextQueries extends QueryModule {
     * hybrid_rrf); mid-df corpus terms so idf is non-trivial. */
   private val Bm25Terms = Seq("join", "scan", "filter")
 
-  /** BM25 top-20 (k1=1.2, b=0.75): one pruned token scan, broadcast
-    * df/corpus-stats frames, per-doc score assembled in one fixed
-    * expression order (see bm25_search scaladoc). */
-  private def bm25Top(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val t = tokens(col("text"))
-    val dl = d.select(col("doc_id"), size(t).cast("double").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val tf = d.select(col("doc_id"), explode(t).as("token"))
-      .filter(col("token").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy(col("token"))
-      .agg(count(lit(1)).cast("double").as("df"))
+  /** BM25 score assembly (k1=1.2, b=0.75) shared by the per-query
+    * corpus scan ([[bm25Top]]) and the persisted-index probe
+    * ([[bm25IndexedTop]]): given per-(doc, token) `tf`, per-token
+    * `df`, per-doc `dl` and one-row corpus `stats (n_docs, avgdl)` —
+    * all doubles — assemble top-20 in one fixed expression order, so
+    * the two paths (and the DuckDB oracle) agree bit-for-bit. */
+  private def bm25Assemble(tf: DataFrame, df: DataFrame, dl: DataFrame,
+                           stats: DataFrame): DataFrame = {
     val contrib = tf.join(broadcast(df), Seq("token"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -381,6 +377,59 @@ object TextQueries extends QueryModule {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
       .select(col("doc_id"), col("bm25"), col("rnk"))
+  }
+
+  /** BM25 top-20: one pruned token scan, broadcast df/corpus-stats
+    * frames (see bm25_search scaladoc). */
+  private def bm25Top(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t = tokens(col("text"))
+    val dl = d.select(col("doc_id"), size(t).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = d.select(col("doc_id"), explode(t).as("token"))
+      .filter(col("token").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    bm25Assemble(tf, df, dl, stats)
+  }
+
+  /** Session-scoped memo of the PERSISTED postings index
+    * (PostingsStore): built once per (session, source) — drop/init/
+    * full ingest — then probed read-only by every bm25_indexed run.
+    * The lexical twin of EmbeddingQueries' ivfIndexPrefix memo. */
+  private val postingsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def postingsPrefix(s: SparkSession, dir: String): String =
+    postingsCache.getOrElseUpdate((s, dir), {
+      val p = "bm25ix_" + java.lang.Integer.toHexString(dir.hashCode)
+      graft.sources.PostingsStore.drop(s, p)
+      graft.sources.PostingsStore.init(s, p)
+      graft.sources.PostingsStore.upsertBatch(s,
+        docs(s, dir).select(col("doc_id"), col("text")), p)
+      p
+    })
+
+  /** The SAME BM25 top-20 against the persisted index: tf/dl come from
+    * the query terms' postings buckets, df is the per-term row count of
+    * that same pruned read, n_docs/avgdl from the one-row stats store —
+    * the corpus token scan never happens at query time. Hash-matches
+    * [[bm25Top]]'s oracle (asserted per-round as `bm25_indexed`). */
+  private def bm25IndexedTop(s: SparkSession, dir: String): DataFrame = {
+    val p = postingsPrefix(s, dir)
+    val posts = graft.sources.PostingsStore.postingsFor(s, Bm25Terms, p)
+    val tf = posts.select(col("doc_id"), col("term").as("token"),
+      col("tf").cast("double").as("tf"))
+    val df = posts.groupBy(col("term").as("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val dl = posts.select(col("doc_id"), col("dl").cast("double").as("dl"))
+      .distinct()
+    val stats = graft.sources.PostingsStore.stats(s, p)
+      .select(col("n_docs").cast("double").as("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    bm25Assemble(tf, df, dl, stats)
   }
 
   /** The BM25 CTE chain shared by both retrieval oracles (ends at `b`:
@@ -834,6 +883,20 @@ object TextQueries extends QueryModule {
     // shuffle — per-query state is O(|query terms|), the serve shape.
     Q("bm25_search",
       (s, dir) => bm25Top(s, dir),
+      Some(bm25Cte + "\n" +
+        """SELECT doc_id, bm25,
+          |       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+          |FROM b ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // The SAME top-20 against the PERSISTED postings index
+    // (PostingsStore): term-bucketed tf/dl rows + one-row corpus
+    // stats, maintained incrementally on ingest; the probe reads ONLY
+    // the query terms' bucket files instead of re-tokenizing the
+    // corpus (the embed_ann_indexed ≡ embed_ann_ivf recipe, applied
+    // to lexical retrieval). Shares bm25_search's oracle text — the
+    // two must hash-match.
+    Q("bm25_indexed",
+      (s, dir) => bm25IndexedTop(s, dir),
       Some(bm25Cte + "\n" +
         """SELECT doc_id, bm25,
           |       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
