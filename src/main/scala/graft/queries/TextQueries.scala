@@ -902,6 +902,72 @@ object TextQueries extends QueryModule {
           |       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
           |FROM b ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // FIXED-POINT BM25 — the one hash-gated float query without an
+    // IEEE determinism argument was bm25_search: its gate rides ln()
+    // agreeing bit-for-bit between JVM and DuckDB after round-to-6,
+    // which holds today but carries no correctly-rounded guarantee.
+    // This variant is integer end to end (the embed_outliers recipe):
+    // the idf drops the log for its rational argument —
+    // idf_fp = floor(2^20·(N−df+0.5)/(df+0.5)) — a per-term monotone
+    // surrogate, and the tf saturation clears denominators exactly:
+    //   tf·2.2/(tf + 1.2·(0.25 + 0.75·dl·N/SD))
+    //     = 22·tf·SD / (10·tf·SD + 3·SD + 9·dl·N)
+    // (SD = Σdl). Every op is BIGINT mul/add/floor-div — deterministic
+    // under any partitioning, engine, or merge order, no libm anywhere.
+    // THIS is the form to serve at 100 TB: the float variant stays for
+    // contrast (classic BM25 ordering), but a determinism-critical
+    // pipeline ranks on the fp score. Operand bound: terms are
+    // ≤ 22·tf·SD·2^20 — rescale the 2^20 factor down if N·avgdl
+    // outgrows ~2^40 (a corpus-constant, checked once at build).
+    Q("bm25_search_fp",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val t = tokens(col("text"))
+        val dl = d.select(col("doc_id"), size(t).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val tf = d.select(col("doc_id"), explode(t).as("token"))
+          .filter(col("token").isin(Bm25Terms: _*))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val perDoc = tf.join(broadcast(df), Seq("token"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("idf_fp",
+            expr("((2 * n_docs - 2 * df + 1) * 1048576) div (2 * df + 1)"))
+          .withColumn("tfc_fp",
+            expr("(22 * tf * sum_dl * 1048576) div " +
+              "(10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"))
+          .withColumn("contrib", expr("(idf_fp * tfc_fp) div 1048576"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("contrib")).as("bm25_fp"))
+        perDoc.orderBy(col("bm25_fp").desc, col("doc_id")).limit(20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("bm25_fp").desc, col("doc_id"))))
+          .select(col("doc_id"), col("bm25_fp"), col("rnk"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+             |           FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl
+             |       FROM documents),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+             |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t
+             |       WHERE token IN ('join', 'scan', 'filter') GROUP BY doc_id, token),
+             |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+             |c AS (SELECT tf.doc_id,
+             |             CAST((((2 * s.n_docs - 2 * df.df + 1) * 1048576) // (2 * df.df + 1))
+             |                  * ((22 * tf.tf * s.sum_dl * 1048576)
+             |                     // (10 * tf.tf * s.sum_dl + 3 * s.sum_dl + 9 * dl.dl * s.n_docs))
+             |                  // 1048576 AS BIGINT) AS contrib
+             |      FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+             |      CROSS JOIN stats s),
+             |p AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_fp
+             |      FROM c GROUP BY doc_id)
+             |SELECT doc_id, bm25_fp,
+             |       row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS rnk
+             |FROM p ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 list and a
     // cosine ANN list for one query (terms + an embedding) — the
     // two-tower serve pattern. RRF needs only the two rank columns
