@@ -57,13 +57,31 @@ object EmbeddingQueries extends QueryModule {
       p
     })
 
+  /** Session-scoped memo of the PERSISTED PQ index (IvfIndexStore
+    * codebooks + codes): train-once codebooks over the corpus, full
+    * encode at build, then probed read-only by every
+    * embed_ann_pq_indexed run — the FAISS train/encode/serve split.
+    * The value is the store's table prefix. */
+  private val pqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def pqIndexPrefix(s: SparkSession, dir: String): String =
+    pqIndexCache.getOrElseUpdate((s, dir), {
+      val p = "pqix_" + java.lang.Integer.toHexString(dir.hashCode)
+      graft.sources.IvfIndexStore.drop(s, p)
+      graft.sources.IvfIndexStore.initPq(s, vecs(s, dir), p)
+      graft.sources.IvfIndexStore.upsertPqBatch(s, vecs(s, dir), p)
+      p
+    })
+
   /** Drop this module's session memos (see [[graft.Caches]]). */
   private[graft] def clearCaches(): Unit = {
     vecCache.values.foreach(_.unpersist(false))
     vecCache.clear()
-    ivfIndexCache.foreach { case ((s, _), p) =>
-      graft.sources.IvfIndexStore.drop(s, p) }
-    ivfIndexCache.clear()
+    Seq(ivfIndexCache, pqIndexCache).foreach { c =>
+      c.foreach { case ((s, _), p) =>
+        graft.sources.IvfIndexStore.drop(s, p) }
+      c.clear()
+    }
   }
 
   /** Sign-bit LSH bucket: Σ 2^i · [emb_i > 0] over the first `bits`
@@ -362,6 +380,65 @@ object EmbeddingQueries extends QueryModule {
       |      FROM p)
       |SELECT query_id, neighbor_id, rnk, round(sim, 5) AS sim
       |FROM r WHERE rnk <= 3""".stripMargin
+
+  /** The fixed-point PQ oracle — DuckDB replays training, ADC and
+    * re-rank as one unrolled CTE. Shared verbatim by embed_ann_pq_fp
+    * (in-query training/encode) and embed_ann_pq_indexed (persisted
+    * codebooks/codes) — the two must hash-match. */
+  private val pqFpSql: String =
+    """WITH e AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding::DOUBLE[],
+             |                        x -> CAST(floor(x * 1048576) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |sub AS (SELECT vec_id, t.s,
+             |               list_slice(q, t.s * 16 + 1, t.s * 16 + 16) AS sq
+             |        FROM e CROSS JOIN range(0, 4) t(s)),
+             |c0 AS (SELECT s, vec_id AS pid, sq AS cq FROM sub WHERE vec_id < 16),
+             |d1 AS (SELECT sub.vec_id, sub.s, sub.sq, c.pid,
+             |              CAST(list_dot_product(CAST(sub.sq AS DOUBLE[]), CAST(sub.sq AS DOUBLE[]))
+             |                   - 2 * list_dot_product(CAST(sub.sq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+             |                   + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
+             |       FROM sub JOIN c0 c ON sub.s = c.s),
+             |a1 AS (SELECT vec_id, s, sq, pid FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, pid) AS rn
+             |         FROM d1) WHERE rn = 1),
+             |u AS (SELECT s, pid, i, CAST(sum(sq[i]) AS BIGINT) // count(*) AS cv
+             |      FROM a1 CROSS JOIN range(1, 17) t(i)
+             |      GROUP BY s, pid, i),
+             |c1 AS (SELECT s, pid, list(cv ORDER BY i) AS cq FROM u GROUP BY s, pid),
+             |d2 AS (SELECT sub.vec_id, sub.s, c.pid,
+             |              CAST(list_dot_product(CAST(sub.sq AS DOUBLE[]), CAST(sub.sq AS DOUBLE[]))
+             |                   - 2 * list_dot_product(CAST(sub.sq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+             |                   + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
+             |       FROM sub JOIN c1 c ON sub.s = c.s),
+             |codes AS (SELECT vec_id, s, pid FROM (
+             |            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, pid) AS rn
+             |            FROM d2) WHERE rn = 1),
+             |qsub AS (SELECT vec_id AS query_id, s, sq FROM sub WHERE vec_id < 20),
+             |lut AS (SELECT q.query_id, q.s, c.pid,
+             |               CAST(list_dot_product(CAST(q.sq AS DOUBLE[]), CAST(q.sq AS DOUBLE[]))
+             |                    - 2 * list_dot_product(CAST(q.sq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+             |                    + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
+             |        FROM qsub q JOIN c1 c ON q.s = c.s),
+             |adc AS (SELECT l.query_id, cd.vec_id, CAST(sum(l.d) AS BIGINT) AS adc
+             |        FROM codes cd JOIN lut l ON cd.s = l.s AND cd.pid = l.pid
+             |        WHERE cd.vec_id <> l.query_id
+             |        GROUP BY l.query_id, cd.vec_id),
+             |short AS (SELECT query_id, vec_id AS neighbor_id FROM (
+             |            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+             |            FROM adc) WHERE rn <= 24),
+             |r AS (SELECT sh.query_id, sh.neighbor_id,
+             |             CAST(list_dot_product(CAST(eq.q AS DOUBLE[]), CAST(eq.q AS DOUBLE[]))
+             |                  - 2 * list_dot_product(CAST(eq.q AS DOUBLE[]), CAST(en.q AS DOUBLE[]))
+             |                  + list_dot_product(CAST(en.q AS DOUBLE[]), CAST(en.q AS DOUBLE[])) AS BIGINT) AS d_fp
+             |      FROM short sh
+             |      JOIN e eq ON sh.query_id = eq.vec_id
+             |      JOIN e en ON sh.neighbor_id = en.vec_id),
+             |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |                                    ORDER BY d_fp, neighbor_id) AS rnk
+             |       FROM r)
+             |SELECT query_id, neighbor_id, rnk, d_fp FROM rr WHERE rnk <= 3""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -872,115 +949,33 @@ object EmbeddingQueries extends QueryModule {
     // rows-checked for contrast.
     Q("embed_ann_pq_fp",
       (s, dir) => {
-        val S = 1L << 20
-        val e = vecs(s, dir).select(col("vec_id"),
-          transform(col("emb"), x => floor(x * S).cast("long")).as("q"))
-        def l2(a: Column, b: Column): Column =
-          graft.functions.expressions.L2DistanceFp(a, b)
-        val sub = e
-          .select(col("vec_id"), col("q"),
-            explode(sequence(lit(0), lit(3))).as("s"))
-          .withColumn("sq", expr("slice(q, s * 16 + 1, 16)"))
-          .select(col("vec_id"), col("s"), col("sq"))
-        def assign(cent: DataFrame): DataFrame =
-          sub.join(broadcast(cent), Seq("s"))
-            .withColumn("d", l2(col("sq"), col("cq")))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("vec_id"), col("s"))
-                .orderBy(col("d"), col("pid"))))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("s"), col("sq"), col("pid"))
-        val c0 = sub.filter(col("vec_id") < 16)
-          .select(col("s"), col("vec_id").as("pid"), col("sq").as("cq"))
-        val c1 = assign(c0)
-          .select(col("s"), col("pid"), posexplode(col("sq")).as(Seq("i", "v")))
-          .groupBy(col("s"), col("pid"), col("i"))
-          .agg(expr("sum(v) div count(1)").as("cv"))
-          .groupBy(col("s"), col("pid"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("i"), col("cv")))),
-            f => f.getField("cv")).as("cq"))
-        val codes = assign(c1).select(col("vec_id"), col("s"), col("pid"))
+        import graft.operators.PqFp
+        val e = PqFp.quantize(vecs(s, dir))
+        val sub = PqFp.subvectors(e)
+        val c1 = PqFp.trainCodebooks(sub, PqFp.defaultSeeds(sub))
+        val codes = PqFp.assign(sub, c1).select(col("vec_id"), col("s"), col("pid"))
         val qsub = sub.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("s"), col("sq"))
-        val lut = qsub.join(broadcast(c1), Seq("s"))
-          .withColumn("d", l2(col("sq"), col("cq")))
-          .select(col("query_id"), col("s"), col("pid"), col("d"))
-        val adc = codes.join(lut, Seq("s", "pid"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .groupBy(col("query_id"), col("vec_id"))
-          .agg(sum(col("d")).as("adc"))
-        val short = adc
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("adc"), col("vec_id"))))
-          .filter(col("rn") <= 24)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("d_fp"), col("neighbor_id"))
-        short
-          .join(e.select(col("vec_id").as("query_id"), col("q").as("qq")),
-            Seq("query_id"))
-          .join(e.select(col("vec_id").as("neighbor_id"), col("q")),
-            Seq("neighbor_id"))
-          .withColumn("d_fp", l2(col("qq"), col("q")))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select(col("query_id"), col("neighbor_id"), col("rnk"), col("d_fp"))
+        val short = PqFp.adcShortlist(codes, PqFp.lut(qsub, c1), rerank = 24)
+        PqFp.rerankTopK(short, e, k = 3)
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id,
-             |         list_transform(embedding::DOUBLE[],
-             |                        x -> CAST(floor(x * 1048576) AS BIGINT)) AS q
-             |  FROM embeddings),
-             |sub AS (SELECT vec_id, t.s,
-             |               list_slice(q, t.s * 16 + 1, t.s * 16 + 16) AS sq
-             |        FROM e CROSS JOIN range(0, 4) t(s)),
-             |c0 AS (SELECT s, vec_id AS pid, sq AS cq FROM sub WHERE vec_id < 16),
-             |d1 AS (SELECT sub.vec_id, sub.s, sub.sq, c.pid,
-             |              CAST(list_dot_product(CAST(sub.sq AS DOUBLE[]), CAST(sub.sq AS DOUBLE[]))
-             |                   - 2 * list_dot_product(CAST(sub.sq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
-             |                   + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
-             |       FROM sub JOIN c0 c ON sub.s = c.s),
-             |a1 AS (SELECT vec_id, s, sq, pid FROM (
-             |         SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, pid) AS rn
-             |         FROM d1) WHERE rn = 1),
-             |u AS (SELECT s, pid, i, CAST(sum(sq[i]) AS BIGINT) // count(*) AS cv
-             |      FROM a1 CROSS JOIN range(1, 17) t(i)
-             |      GROUP BY s, pid, i),
-             |c1 AS (SELECT s, pid, list(cv ORDER BY i) AS cq FROM u GROUP BY s, pid),
-             |d2 AS (SELECT sub.vec_id, sub.s, c.pid,
-             |              CAST(list_dot_product(CAST(sub.sq AS DOUBLE[]), CAST(sub.sq AS DOUBLE[]))
-             |                   - 2 * list_dot_product(CAST(sub.sq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
-             |                   + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
-             |       FROM sub JOIN c1 c ON sub.s = c.s),
-             |codes AS (SELECT vec_id, s, pid FROM (
-             |            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, pid) AS rn
-             |            FROM d2) WHERE rn = 1),
-             |qsub AS (SELECT vec_id AS query_id, s, sq FROM sub WHERE vec_id < 20),
-             |lut AS (SELECT q.query_id, q.s, c.pid,
-             |               CAST(list_dot_product(CAST(q.sq AS DOUBLE[]), CAST(q.sq AS DOUBLE[]))
-             |                    - 2 * list_dot_product(CAST(q.sq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
-             |                    + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
-             |        FROM qsub q JOIN c1 c ON q.s = c.s),
-             |adc AS (SELECT l.query_id, cd.vec_id, CAST(sum(l.d) AS BIGINT) AS adc
-             |        FROM codes cd JOIN lut l ON cd.s = l.s AND cd.pid = l.pid
-             |        WHERE cd.vec_id <> l.query_id
-             |        GROUP BY l.query_id, cd.vec_id),
-             |short AS (SELECT query_id, vec_id AS neighbor_id FROM (
-             |            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
-             |            FROM adc) WHERE rn <= 24),
-             |r AS (SELECT sh.query_id, sh.neighbor_id,
-             |             CAST(list_dot_product(CAST(eq.q AS DOUBLE[]), CAST(eq.q AS DOUBLE[]))
-             |                  - 2 * list_dot_product(CAST(eq.q AS DOUBLE[]), CAST(en.q AS DOUBLE[]))
-             |                  + list_dot_product(CAST(en.q AS DOUBLE[]), CAST(en.q AS DOUBLE[])) AS BIGINT) AS d_fp
-             |      FROM short sh
-             |      JOIN e eq ON sh.query_id = eq.vec_id
-             |      JOIN e en ON sh.neighbor_id = en.vec_id),
-             |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
-             |                                    ORDER BY d_fp, neighbor_id) AS rnk
-             |       FROM r)
-             |SELECT query_id, neighbor_id, rnk, d_fp FROM rr WHERE rnk <= 3""".stripMargin)),
+      Some(pqFpSql)),
+
+    // The SAME PQ probe against the PERSISTED index (IvfIndexStore
+    // codebooks + codes): codebooks trained once at build, codes
+    // encoded at ingest and merged next to the cell assignments, the
+    // probe joins the query LUT to stored codes WITHOUT re-training
+    // or re-encoding anything — IVFADC serving. Shares
+    // embed_ann_pq_fp's oracle text — the two must hash-match.
+    Q("embed_ann_pq_indexed",
+      (s, dir) => {
+        val p = pqIndexPrefix(s, dir)
+        graft.sources.IvfIndexStore.pqTopK(s,
+          vecs(s, dir).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("emb").as("qemb")),
+          p, k = 3, rerank = 24, fullVecs = vecs(s, dir))
+      },
+      Some(pqFpSql)),
 
     // Embedding outlier detection for corpus QC: cosine of each
     // vector to its SOURCE's centroid, bottom-5 per source flagged —

@@ -37,6 +37,8 @@ object IvfIndexStore {
 
   private[graft] def pivotsTable(p: String): String = p + "_pivots"
   private[graft] def cellsTable(p: String): String = p + "_cells"
+  private[graft] def codebooksTable(p: String): String = p + "_codebooks"
+  private[graft] def codesTable(p: String): String = p + "_codes"
 
   private def cosine(a: Column, b: Column): Column =
     graft.functions.expressions.CosineSimilarity(a, b)
@@ -55,7 +57,8 @@ object IvfIndexStore {
   }
 
   def drop(spark: SparkSession, prefix: String): Unit =
-    Seq(pivotsTable(prefix), cellsTable(prefix))
+    Seq(pivotsTable(prefix), cellsTable(prefix),
+      codebooksTable(prefix), codesTable(prefix))
       .foreach(BucketedUpsert.drop(spark, _))
 
   /** Nearest-pivot cell assignment of a vector frame `(vec_id, emb)` —
@@ -97,6 +100,78 @@ object IvfIndexStore {
   /** The materialized index: `(cell, vec_id, emb)`. */
   def read(spark: SparkSession, prefix: String): DataFrame =
     BucketedUpsert.read(spark, cellsTable(prefix))
+
+  /** Train-once PQ codebooks from `train` `(vec_id, emb)` and create
+    * the empty code store — the FAISS serving contract: codebooks are
+    * FROZEN at init (like the coarse pivots), codes are encoded
+    * against them on ingest, and a probe reads codes without ever
+    * re-encoding the corpus. Without this the 16× PQ compression
+    * never pays off across queries — every embed_ann_pq_fp run
+    * re-trained and re-encoded in-query. Changing codebooks means
+    * rebuilding the code store (new prefix). */
+  def initPq(spark: SparkSession, train: DataFrame, prefix: String,
+             buckets: Int = DefaultBuckets): Unit = {
+    import spark.implicits._
+    import graft.operators.PqFp
+    if (!spark.catalog.tableExists(codebooksTable(prefix))) {
+      val sub = PqFp.subvectors(PqFp.quantize(train))
+      BucketedUpsert.materialize(
+        PqFp.trainCodebooks(sub, PqFp.defaultSeeds(sub)),
+        codebooksTable(prefix), "s", 1)
+    }
+    if (!spark.catalog.tableExists(codesTable(prefix)))
+      BucketedUpsert.materialize(
+        Seq.empty[(Long, Int, Long)].toDF("vec_id", "s", "pid"),
+        codesTable(prefix), "vec_id", buckets)
+  }
+
+  /** Encode one batch of vectors against the frozen codebooks and
+    * merge O(batch) code rows (first-writer-wins — the cell-store
+    * immutability contract). M code rows per vector — 4 small ints
+    * where the vector was 64 doubles: the 16× shipping compression. */
+  def upsertPqBatch(spark: SparkSession, vecs: DataFrame, prefix: String,
+                    buckets: Int = DefaultBuckets,
+                    batchId: Option[Long] = None): Unit = {
+    import graft.operators.PqFp
+    val cb = BucketedUpsert.read(spark, codebooksTable(prefix))
+    val codes = PqFp
+      .assign(PqFp.subvectors(PqFp.quantize(
+        vecs.select(col("vec_id"), col("emb")))), cb)
+      .select(col("vec_id"), col("s"), col("pid"))
+    BucketedUpsert.upsert(spark, codesTable(prefix), codes,
+      Seq("vec_id", "s"), "vec_id", buckets,
+      merge = (_, existing, delta) => coalesce(existing, delta),
+      batchId = batchId)
+  }
+
+  /** Streaming sink: vector stream → incremental code maintenance
+    * (compose with [[writer]] for cells+codes in one ingest). */
+  def pqWriter(vecs: DataFrame, prefix: String,
+               buckets: Int = DefaultBuckets): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        upsertPqBatch(batch.sparkSession, batch, prefix, buckets, Some(id))
+      }
+
+  /** IVFADC-style probe over the PERSISTED codes: LUT against the
+    * frozen codebooks (broadcast, M·|codebook| rows per query), ADC
+    * over the code table (integer adds — the corpus is scanned as
+    * 4 small ints per vector, not 64 doubles), exact integer re-rank
+    * of the `rerank`-deep shortlist against `fullVecs` `(vec_id,
+    * emb)` — at scale that refine source is the cell store's vectors.
+    * Bit-identical to the in-query embed_ann_pq_fp plan when the
+    * codebooks were trained on the same corpus (IvfIndexStoreSpec). */
+  def pqTopK(spark: SparkSession, queries: DataFrame, prefix: String,
+             k: Int, rerank: Int, fullVecs: DataFrame): DataFrame = {
+    import graft.operators.PqFp
+    val cb = BucketedUpsert.read(spark, codebooksTable(prefix))
+    val qsub = PqFp.subvectors(PqFp.quantize(
+      queries.select(col("query_id").as("vec_id"), col("qemb").as("emb"))))
+      .select(col("vec_id").as("query_id"), col("s"), col("sq"))
+    val codes = BucketedUpsert.read(spark, codesTable(prefix))
+    val short = PqFp.adcShortlist(codes, PqFp.lut(qsub, cb), rerank)
+    PqFp.rerankTopK(short, PqFp.quantize(fullVecs), k)
+  }
 
   /** ANN top-k for a query frame `(query_id, qemb)`: rank the frozen
     * pivots per query, then scan ONLY the probed cells' bucket files

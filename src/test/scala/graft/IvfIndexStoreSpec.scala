@@ -93,6 +93,46 @@ class IvfIndexStoreSpec extends AnyFunSuite {
     } finally IvfIndexStore.drop(spark, prefix)
   }
 
+  test("incremental PQ codes equal the one-shot encode; probe matches the in-query plan") {
+    import spark.implicits._
+    val (inc, full) = ("pq_inc", "pq_full")
+    Seq(inc, full).foreach(IvfIndexStore.drop(spark, _))
+    try {
+      // codebooks train ONCE on the full corpus in both stores (the
+      // frozen-codebook contract); only code encoding is incremental
+      IvfIndexStore.initPq(spark, vecs, inc, buckets = 8)
+      IvfIndexStore.initPq(spark, vecs, full, buckets = 8)
+      IvfIndexStore.upsertPqBatch(spark, vecs, full, 8)
+
+      val rows = vecs.as[Vec].collect()
+      val ms = MemoryStream[Vec](spark)
+      val q = IvfIndexStore.pqWriter(ms.toDF(), inc, buckets = 8)
+        .queryName("pq_inc_q").start()
+      try rows.grouped(math.max(1, rows.length / 3)).foreach { c =>
+        ms.addData(c.toSeq); q.processAllAvailable()
+      } finally q.stop()
+
+      def codeSet(p: String): Set[(Long, Int, Long)] =
+        BucketedUpsert.read(spark, IvfIndexStore.codesTable(p)).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(codeSet(inc) == codeSet(full))
+      assert(codeSet(inc).size == rows.length * graft.operators.PqFp.M,
+        "every vector encoded exactly once per subspace")
+
+      // a probe against the incrementally-encoded store is
+      // bit-identical to the in-query train+encode+probe plan
+      val queries = vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val got = IvfIndexStore.pqTopK(spark, queries, inc, k = 3,
+        rerank = 24, fullVecs = vecs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted
+      val want = SparkEntry.queries("embed_ann_pq_fp")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted
+      assert(got.sameElements(want),
+        s"PQ probe diverges: got=${got.take(3).toSeq} want=${want.take(3).toSeq}")
+    } finally Seq(inc, full).foreach(IvfIndexStore.drop(spark, _))
+  }
+
   test("redelivered batch is a no-op; re-sent vector keeps its first row") {
     import spark.implicits._
     val prefix = "ivf_replay"
