@@ -122,6 +122,63 @@ object KmvOps {
     java.util.Arrays.copyOf(out.array(), 8 + 8 * m)
   }
 
+  // ---- portable md5 40-bit family: the EXACT-GATE variant ----------
+  //
+  // The xxhash64 build above is the production path (cheapest per
+  // update) but its estimates are only bound-checkable — no other
+  // engine reproduces Spark's xxhash64 seed convention. This family is
+  // the token_freq_cms recipe applied to the SET-OPERATION sketch:
+  // hashes are the first 10 hex chars of md5 (DuckDB:
+  // `('0x' || substr(md5(s), 1, 10))::BIGINT` — 40 bits, so every
+  // estimator below stays in exact BIGINT arithmetic), and the
+  // estimators replace float θ-division with integer floor division,
+  // making sketch bytes AND estimates bit-reproducible from a plain
+  // GROUP BY + min-k in any engine. 40-bit collisions are harmless to
+  // the gate (both engines hash identically, so they see the same
+  // hashed set) and negligible to accuracy below ~2^20 distinct.
+
+  /** Normalized hash space of the md5-40 family: 2^40. */
+  val HashSpace40: Long = 1L << 40
+
+  /** First 40 bits of md5(s) — bit-identical to the DuckDB expression
+    * above (first 5 digest bytes, big-endian). */
+  def md5Hash40(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+      ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+  }
+
+  /** θ as a raw 40-bit hash value (2^40 ≡ θ=1 when not full). */
+  private def theta40(b: Array[Byte]): Long = {
+    val (k, n) = (kOf(b), nOf(b))
+    if (n < k) HashSpace40 else hashAt(b, n - 1)
+  }
+
+  /** Distinct estimate in pure integer arithmetic:
+    * n < k → n (exact); else (k−1)·2^40 // θ_hash. */
+  def estimate40(b: Array[Byte]): Long = {
+    val (k, n) = (kOf(b), nOf(b))
+    if (n < k) n.toLong else (k - 1).toLong * HashSpace40 / theta40(b)
+  }
+
+  /** Distinct-intersection estimate, integer form: shared hashes
+    * strictly below the joint raw threshold, scaled by
+    * 2^40 // θ*_hash. Exact when neither sketch is full. */
+  def intersect40(a: Array[Byte], b: Array[Byte]): Long = {
+    val t = math.min(theta40(a), theta40(b))
+    val (na, nb) = (nOf(a), nOf(b))
+    var (i, j, shared) = (0, 0, 0L)
+    while (i < na && j < nb) {
+      val (va, vb) = (hashAt(a, i), hashAt(b, j))
+      if (va == vb) {
+        if (va < t) shared += 1
+        i += 1; j += 1
+      } else if (va < vb) i += 1
+      else j += 1
+    }
+    shared * HashSpace40 / t
+  }
+
   /** Distinct-intersection estimate: shared hashes below the joint
     * threshold, scaled by the sampling rate. Exact when neither sketch
     * is full (both kept every hash). */
@@ -279,6 +336,120 @@ case class KmvIntersect(left: Expression, right: Expression)
 object KmvIntersect {
   def apply(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(KmvIntersect(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+}
+
+/** Aggregate a STRING column into md5-40 KMV sketch bytes — the
+  * exact-gate twin of [[KmvSketchBuild]] (see KmvOps' md5-40 notes). */
+case class KmvSketchBuildMd5(
+    child: Expression,
+    k: Int = 1024,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvOps.Buffer] {
+
+  require(k >= 8 && k <= (1 << 20), s"k must be in [8, 2^20], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch_md5 expects string, got ${child.dataType}")
+
+  override def createAggregationBuffer(): KmvOps.Buffer = new KmvOps.Buffer(k)
+
+  override def update(buf: KmvOps.Buffer, input: InternalRow): KmvOps.Buffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(KmvOps.md5Hash40(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes))
+    buf
+  }
+
+  override def merge(a: KmvOps.Buffer, b: KmvOps.Buffer): KmvOps.Buffer = {
+    val it = b.set.iterator()
+    while (it.hasNext) a.insert(it.next().longValue())
+    a
+  }
+
+  override def eval(buf: KmvOps.Buffer): Any = KmvOps.serialize(buf)
+
+  override def serialize(buf: KmvOps.Buffer): Array[Byte] = KmvOps.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): KmvOps.Buffer =
+    KmvOps.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(off: Int): KmvSketchBuildMd5 =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): KmvSketchBuildMd5 =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketchBuildMd5 =
+    copy(child = newChildren.head)
+}
+
+object KmvSketchBuildMd5 {
+  def apply(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      KmvSketchBuildMd5(org.apache.spark.sql.graft.ColumnBridge.expression(c), k)
+        .toAggregateExpression())
+  def apply(c: Column): Column = apply(c, 1024)
+}
+
+/** Integer distinct-cardinality estimate of an md5-40 KMV sketch. */
+case class KmvEstimateFp(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_estimate_fp expects binary, got ${child.dataType}")
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    KmvOps.estimate40(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"graft.functions.expressions.KmvOps.estimate40($b)")
+
+  override protected def withNewChildInternal(newChild: Expression): KmvEstimateFp =
+    copy(child = newChild)
+}
+
+object KmvEstimateFp {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      KmvEstimateFp(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+}
+
+/** Integer distinct-intersection estimate of two md5-40 KMV sketches. */
+case class KmvIntersectFp(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_intersect_fp expects (binary, binary), got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    KmvOps.intersect40(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.KmvOps.intersect40($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvIntersectFp =
+    copy(left = newLeft, right = newRight)
+}
+
+object KmvIntersectFp {
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(KmvIntersectFp(
       org.apache.spark.sql.graft.ColumnBridge.expression(a),
       org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 }

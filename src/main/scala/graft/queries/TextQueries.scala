@@ -1585,6 +1585,63 @@ object TextQueries extends QueryModule {
       (s, dir) => sourceOverlap(sourceSketches(docs(s, dir))),
       None),
 
+    // The SAME overlap matrix under the EXACT hash gate — the
+    // token_freq_cms recipe applied to the set-operation sketch
+    // family: hashes are portable md5-40 (DuckDB rebuilds the
+    // identical sketch with a GROUP BY + min-k window) and the
+    // estimators use integer floor division in the 2^40 hash space
+    // ((k−1)·2^40 // θ_hash), so sketch bytes AND estimates are
+    // bit-reproducible across engines. k=256 like the fast path; the
+    // xxhash64 variant above stays as the production path (cheaper
+    // per update), this one proves the family end to end.
+    Q("source_overlap_kmv_md5",
+      (s, dir) => {
+        val sk = docs(s, dir)
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("source"))
+          .agg(graft.functions.expressions.KmvSketchBuildMd5(col("token"), 256)
+            .as("sk"))
+        val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+        val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+        a.join(broadcast(b), col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            graft.functions.expressions.KmvEstimateFp(col("sk_a")).as("est_vocab_a"),
+            graft.functions.expressions.KmvEstimateFp(col("sk_b")).as("est_vocab_b"),
+            graft.functions.expressions.KmvIntersectFp(col("sk_a"), col("sk_b"))
+              .as("est_shared_vocab"))
+      },
+      Some("""WITH tok AS (SELECT source, unnest(string_split(trim(text), ' ')) AS t
+             |            FROM documents),
+             |h AS (SELECT DISTINCT source, ('0x' || substr(md5(t), 1, 10))::BIGINT AS h
+             |      FROM tok),
+             |r AS (SELECT source, h,
+             |             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             |      FROM h),
+             |sk AS (SELECT source, h FROM r WHERE rn <= 256),
+             |st AS (SELECT source, count(*) AS n,
+             |              CASE WHEN count(*) >= 256 THEN max(h)
+             |                   ELSE 1099511627776 END AS th
+             |       FROM sk GROUP BY source),
+             |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+             |              CASE WHEN a.n < 256 THEN a.n
+             |                   ELSE (255 * 1099511627776) // a.th END AS est_vocab_a,
+             |              CASE WHEN b.n < 256 THEN b.n
+             |                   ELSE (255 * 1099511627776) // b.th END AS est_vocab_b,
+             |              least(a.th, b.th) AS tstar
+             |       FROM st a JOIN st b ON a.source < b.source),
+             |sh AS (SELECT sa.source AS source_a, sb.source AS source_b,
+             |              pr.tstar, count(*) AS shared
+             |       FROM sk sa
+             |       JOIN sk sb ON sa.h = sb.h AND sa.source < sb.source
+             |       JOIN pr ON pr.source_a = sa.source AND pr.source_b = sb.source
+             |       WHERE sa.h < pr.tstar
+             |       GROUP BY sa.source, sb.source, pr.tstar)
+             |SELECT pr.source_a, pr.source_b, pr.est_vocab_a, pr.est_vocab_b,
+             |       CAST((coalesce(sh.shared, 0) * 1099511627776) // pr.tstar AS BIGINT)
+             |         AS est_shared_vocab
+             |FROM pr LEFT JOIN sh
+             |  ON pr.source_a = sh.source_a AND pr.source_b = sh.source_b""".stripMargin)),
+
     // Model-based quality scoring: train a logistic-regression scorer
     // to imitate the rule gate (`text_quality`'s is_quality) from
     // generic features — the distillation shape GPT-3/CCNet-class

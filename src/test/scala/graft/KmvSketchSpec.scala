@@ -136,6 +136,38 @@ class KmvSketchSpec extends AnyFunSuite {
       "self-intersection must equal the estimate")
   }
 
+  test("md5-40 family: exact below capacity, canonical under partitioning, sane when full") {
+    import graft.functions.expressions.{KmvEstimateFp, KmvIntersectFp, KmvSketchBuildMd5}
+    // exact path: k above every vocab → integer estimators equal joins
+    val sk = toks.groupBy(col("source"))
+      .agg(KmvSketchBuildMd5(col("token"), 1 << 18).as("sk"))
+      .select(col("source"), KmvEstimateFp(col("sk")).as("est"), col("sk"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getAs[Array[Byte]]("sk")))
+      .toMap
+    sk.foreach { case (src, (est, _)) => assert(est == exactVocab(src), src) }
+    val srcs = sk.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      assert(KmvOps.intersect40(sk(a)._2, sk(b)._2) == exactShared(a, b),
+        s"exact-path md5-40 intersection must equal the join for ($a, $b)")
+    }
+    // canonical bytes: sketch is a function of the hash SET, not the
+    // partitioning — and the full (k=256) sampling path stays within
+    // a few stderr of exact (the gate itself is pinned by the
+    // source_overlap_kmv_md5 oracle; this bounds semantics drift)
+    def bytes(parts: Int): Map[String, Array[Byte]] = toks.repartition(parts)
+      .groupBy(col("source")).agg(KmvSketchBuildMd5(col("token"), 256).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val (b1, b17) = (bytes(1), bytes(17))
+    srcs.foreach(s => assert(java.util.Arrays.equals(b1(s), b17(s)),
+      s"md5-40 sketch bytes must be partition-invariant for $s"))
+    val fullEst = b1.map { case (s, bs) => s -> KmvOps.estimate40(bs) }
+    fullEst.foreach { case (s, est) =>
+      val exact = exactVocab(s).toDouble
+      assert(math.abs(est - exact) <= 4 * exact / math.sqrt(254),
+        s"$s: est=$est exact=$exact outside 4/sqrt(k-2) bound")
+    }
+  }
+
   test("plan-time argument validation carries the usage string") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT kmv_sketch(token, 4) FROM kmv_toks").collect()
