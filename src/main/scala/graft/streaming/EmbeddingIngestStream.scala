@@ -31,7 +31,9 @@ object EmbeddingIngestStream {
   def writer(vecs: DataFrame, eval: DataFrame, threshold: Double,
              contamDir: String, prefix: String,
              buckets: Int = IvfIndexStore.DefaultBuckets): DataStreamWriter[Row] = {
-    val probes = SemanticGateStream.evalProbes(eval)
+    // persisted for the stream's lifetime — the SemanticGateStream
+    // frozen-eval contract: no per-micro-batch eval re-scan
+    val probes = SemanticGateStream.evalProbes(eval).persist()
     vecs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatch(batch, probes, threshold, contamDir, prefix, buckets, id)

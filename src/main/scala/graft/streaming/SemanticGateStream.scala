@@ -20,9 +20,13 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * thousands of docs however big the corpus — carries the multi-probe
   * expansion (bits+1 buckets per eval vec, recovering neighbors one
   * sign-plane away). The equi-join is keyed on bucket, so per-batch
-  * work is O(|batch| + collisions), never |batch|×|eval|. Callers at
-  * scale should pass a persisted `eval` frame (it is re-read every
-  * micro-batch).
+  * work is O(|batch| + collisions), never |batch|×|eval|. The probe
+  * frame is PERSISTED by [[writer]] for the stream's lifetime: the
+  * first micro-batch materializes it and every later batch joins the
+  * cached rows — without the pin each batch would silently re-scan
+  * the eval source, O(batches × eval) at scale (asserted in
+  * StreamingSemanticGateSpec: the eval source can vanish after batch
+  * one and the gate keeps serving the frozen probe set).
   *
   * Layout = [[QualityGateStream]]'s replay contract: each micro-batch
   * OVERWRITES its own `batch_id=<id>` partition directory on both
@@ -41,10 +45,13 @@ object SemanticGateStream {
       explode(graft.queries.EmbeddingQueries.probeBuckets(
         graft.queries.EmbeddingQueries.bucketCol(col("eemb")))).as("bucket"))
 
-  /** Streaming sink over a `(vec_id, emb)` embedding stream. */
+  /** Streaming sink over a `(vec_id, emb)` embedding stream. The eval
+    * probe frame is persisted here (frozen-eval contract): it stays
+    * pinned for the stream's lifetime — the price of one small cached
+    * frame buys never re-reading the eval source per micro-batch. */
   def writer(vecs: DataFrame, eval: DataFrame, threshold: Double,
              cleanDir: String, contamDir: String): DataStreamWriter[Row] = {
-    val probes = evalProbes(eval)
+    val probes = evalProbes(eval).persist()
     vecs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         writeBatch(batch, probes, threshold, cleanDir, contamDir, id)

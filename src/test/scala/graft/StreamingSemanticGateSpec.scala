@@ -67,6 +67,45 @@ class StreamingSemanticGateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("eval frame is read once: later batches join the pinned probes, never the source") {
+    import spark.implicits._
+    val (cleanDir, contamDir) = (tmp("sg_clean3"), tmp("sg_contam3"))
+    // eval comes from a DELETABLE parquet dir: if any later micro-batch
+    // re-scanned the eval source it would fail (files gone) or see the
+    // new bytes — serving the FROZEN probe set proves the pin
+    val evalDir = tmp("sg_eval")
+    evalSet.write.mode("overwrite").parquet(evalDir)
+    val evalFromDisk = spark.read.parquet(evalDir)
+    val train = trainVecs.as[Vec].collect()
+    val ms = MemoryStream[Vec](spark)
+    val q = SemanticGateStream
+      .writer(ms.toDF(), evalFromDisk, 0.3, cleanDir, contamDir)
+      .option("checkpointLocation", tmp("sg_ckpt3"))
+      .queryName("sg_pinned").start()
+    try {
+      val chunks = train.grouped(math.max(1, train.length / 3)).toSeq
+      ms.addData(chunks.head.toSeq); q.processAllAvailable()
+      // destroy the eval source between batches
+      val dir = java.nio.file.Paths.get(evalDir)
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.walk(dir)
+      try listing.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally listing.close()
+      chunks.tail.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      assert(q.exception.isEmpty,
+        s"stream must survive eval-source deletion: ${q.exception}")
+      // and the verdicts match the batch ground truth computed on the
+      // ORIGINAL eval set — the gate served the frozen probes
+      val batch = SparkEntry.queries("decontaminate_semantic")(spark, sf)
+      val wantContam = batch.filter(col("contaminated"))
+        .select(col("vec_id")).as[Long].collect().sorted
+      val gotContam = SemanticGateStream.contaminated(spark, contamDir)
+        .select(col("vec_id")).as[Long].collect().sorted
+      assert(gotContam.sameElements(wantContam))
+    } finally q.stop()
+  }
+
   test("redelivered batch overwrites its own partition (replay no-op)") {
     import spark.implicits._
     val (cleanDir, contamDir) = (tmp("sg_clean2"), tmp("sg_contam2"))
