@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   * partition-dependent, so trained weights are deterministic only to
   * ~1 ulp per step — fine for scoring, which is why classifier
   * queries are rows-checked rather than hash-gated.
+  *
+  * 100 TB shape — TRAIN ON A SAMPLE, SCORE THE CORPUS: full-batch
+  * iterations pay one corpus pass per step, and a linear scorer's
+  * weights converge on far less data than the corpus (d+1 parameters
+  * vs billions of rows). The intended deployment trains on a
+  * DETERMINISTIC hash sample (the corpus_sample carve:
+  * `portableHash(doc_id) % m = 0` — reproducible across runs, engines
+  * and cluster sizes, no RNG state to ship) and scores the full
+  * corpus with the broadcast weights via [[scores]], which is a pure
+  * projection. LogisticRegressionSpec pins the contract: sample-
+  * trained weights score the full fixture within the agreement bound
+  * of full-trained weights.
   */
 object LogisticRegression {
 

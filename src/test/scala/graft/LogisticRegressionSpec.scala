@@ -59,6 +59,43 @@ class LogisticRegressionSpec extends AnyFunSuite {
       s"agreement $agree vs majority $majority")
   }
 
+  test("100 TB shape: hash-sample-trained weights score the full corpus within the bound") {
+    import graft.functions.TextOps
+    // the quality_classifier feature/label recipe over the fixture
+    val t = TextOps.tokens(col("text"))
+    val nTok = size(t)
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stop = TextOps.markerHits(t, TextOps.LangMarkers.head._2)
+      .cast("double") / nTok
+    val feats = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        array(lit(1.0), ttr, stop,
+          least(nTok, lit(100)).cast("double") / 100).as("features"),
+        (ttr > 0.5 && nTok >= 10 && stop < 0.3).cast("double").as("label"))
+      .cache()
+    try {
+      // deterministic hash sample (the corpus_sample carve) — ~1/3 of
+      // the corpus; reproducible across runs/engines/cluster sizes
+      val sample = feats.filter(
+        TextOps.portableHash(col("doc_id").cast("string")) % 3 === 0)
+      val nSample = sample.count().toDouble
+      val nAll = feats.count().toDouble
+      assert(nSample > 0 && nSample < nAll * 0.6, s"sample $nSample of $nAll")
+      val wSample = LogisticRegression.train(sample, 4, 20, 10.0)
+      val wFull = LogisticRegression.train(feats, 4, 20, 10.0)
+      def agreement(w: Array[Double]): Double =
+        LogisticRegression.scores(feats, w)
+          .filter(col("predicted") === (col("label") > 0.5))
+          .count().toDouble / nAll
+      val (aS, aF) = (agreement(wSample), agreement(wFull))
+      // sampled training must score the FULL corpus about as well as
+      // full training — the contract that makes one-pass-per-step
+      // affordable at scale
+      assert(aS >= 0.85, s"sample-trained full-corpus agreement $aS")
+      assert(aF - aS <= 0.05, s"sampling cost too high: full=$aF sampled=$aS")
+    } finally feats.unpersist()
+  }
+
   test("held-out generalization beyond the rule teacher (planted mislabels)") {
     // Distillation metrics (rule agreement) cannot distinguish "learned
     // the quality signal" from "memorized the teacher". Plant ground
