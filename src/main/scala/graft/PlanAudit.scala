@@ -39,7 +39,11 @@ object PlanAudit {
     // broken) + the round-9 additions
     "sessionization", "range_join_binned", "decontaminate_semantic",
     "corpus_sample_weighted", "embed_ann_ivf_fp", "embed_ann_pq_fp",
-    "bm25_search", "hybrid_rrf")
+    "bm25_search", "hybrid_rrf",
+    // round-10 additions: the persisted serving shapes + exact-gate
+    // sketch/score variants
+    "bm25_indexed", "bm25_search_fp", "embed_ann_pq_indexed",
+    "source_overlap_kmv_md5", "hybrid_rrf_indexed")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -81,7 +85,16 @@ object PlanAudit {
     // broadcast integer centroids (the IVF-assignment shape); the
     // retrieval pair rides ONE-ROW broadcasts (corpus stats / the
     // query embedding)
-    "embed_ann_ivf_fp", "embed_ann_pq_fp", "bm25_search", "hybrid_rrf")
+    "embed_ann_ivf_fp", "embed_ann_pq_fp", "bm25_search", "hybrid_rrf",
+    // round 10: the indexed/fp BM25 pair rides the same ONE-ROW
+    // broadcast corpus-stats frame; source_overlap_kmv_md5 pairs the
+    // #sources-row sketch frame against itself on source_a < source_b
+    // (no equi-key by construction) like its xxhash64 twin
+    "bm25_indexed", "bm25_search_fp", "source_overlap_kmv_md5",
+    // hybrid_rrf_indexed composes bm25_indexed (one-row stats
+    // broadcast) with embed_ann_indexed's query-side pivot ranking
+    // (1 query × ≤16 broadcast pivots)
+    "hybrid_rrf_indexed")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

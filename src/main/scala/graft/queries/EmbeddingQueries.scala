@@ -45,7 +45,7 @@ object EmbeddingQueries extends QueryModule {
     * The value is the store's table prefix. */
   private val ivfIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
-  private def ivfIndexPrefix(s: SparkSession, dir: String): String =
+  private[queries] def ivfIndexPrefix(s: SparkSession, dir: String): String =
     ivfIndexCache.getOrElseUpdate((s, dir), {
       // hex of hashCode: unsigned, catalog-identifier-safe
       val p = "ivfq_" + java.lang.Integer.toHexString(dir.hashCode)

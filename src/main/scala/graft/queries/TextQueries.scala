@@ -1017,6 +1017,73 @@ object TextQueries extends QueryModule {
           |       row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
           |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // The END-TO-END SERVING SHAPE: hybrid retrieval where BOTH legs
+    // probe persisted indexes — the lexical rank list from the
+    // PostingsStore (only the query terms' bucket files) and the
+    // vector rank list from the IvfIndexStore cell probe (only the
+    // probed cells' bucket files) — fused by reciprocal rank. At
+    // 100 TB this query never scans a corpus: its IO is O(#terms +
+    // nProbe) bucket files, which is the whole point of building the
+    // two stores. Own oracle (the vector leg is the IVF probe, not
+    // hybrid_rrf's exact brute force): DuckDB replays both index
+    // builds + probes from the raw tables.
+    Q("hybrid_rrf_indexed",
+      (s, dir) => {
+        val lex = bm25IndexedTop(s, dir)
+          .select(col("doc_id"), col("rnk").as("lex_rnk"))
+        val p = EmbeddingQueries.ivfIndexPrefix(s, dir)
+        val q0 = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .filter(col("vec_id") === 0)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        val vecTop = graft.sources.IvfIndexStore
+          .topK(s, q0, p, k = 20, nProbe = 2)
+          .select(col("neighbor_id").as("doc_id"), col("rnk").as("vec_rnk"))
+        val fused = lex.join(vecTop, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60.0) + col("lex_rnk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("vec_rnk")), lit(0.0)), 6))
+        fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("rrf").desc, col("doc_id"))))
+          .select(col("doc_id"), col("lex_rnk"), col("vec_rnk"),
+            col("rrf"), col("rnk"))
+      },
+      Some(bm25Cte + ",\n" +
+        """lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rnk
+          |        FROM b ORDER BY bm25 DESC, doc_id LIMIT 20),
+          |ev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          |piv AS (SELECT vec_id AS pid, emb AS pemb FROM ev WHERE vec_id < 16),
+          |a0 AS (SELECT ev.vec_id, ev.emb, p2.pid,
+          |              list_dot_product(ev.emb, p2.pemb)
+          |                / (sqrt(list_dot_product(ev.emb, ev.emb))
+          |                   * sqrt(list_dot_product(p2.pemb, p2.pemb))) AS psim
+          |       FROM ev CROSS JOIN piv p2),
+          |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          |                                    ORDER BY psim DESC, pid) AS prn
+          |       FROM a0),
+          |cells AS (SELECT vec_id AS neighbor_id, emb, pid AS cell
+          |          FROM r0 WHERE prn = 1),
+          |qp AS (SELECT vec_id AS query_id, emb AS qemb, pid AS cell
+          |       FROM r0 WHERE vec_id = 0 AND prn <= 2),
+          |pv AS (SELECT qp.query_id, n.neighbor_id,
+          |              list_dot_product(qp.qemb, n.emb)
+          |                / (sqrt(list_dot_product(qp.qemb, qp.qemb))
+          |                   * sqrt(list_dot_product(n.emb, n.emb))) AS sim
+          |       FROM qp JOIN cells n
+          |         ON qp.cell = n.cell AND n.neighbor_id <> qp.query_id),
+          |vec AS (SELECT doc_id, vec_rnk FROM (
+          |          SELECT neighbor_id AS doc_id,
+          |                 row_number() OVER (ORDER BY sim DESC, neighbor_id) AS vec_rnk
+          |          FROM pv) WHERE vec_rnk <= 20),
+          |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rnk, v.vec_rnk,
+          |             round(coalesce(1.0 / (60.0 + l.lex_rnk), 0.0)
+          |                   + coalesce(1.0 / (60.0 + v.vec_rnk), 0.0), 6) AS rrf
+          |      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+          |SELECT doc_id, lex_rnk, vec_rnk, rrf,
+          |       row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+          |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
     // Winnowing fingerprints (Schleimer et al., SIGMOD '03): the
     // ROLLING-HASH fingerprinting scheme — every window of W=4
     // consecutive 3-gram hashes contributes its minimum, so any shared
