@@ -22,6 +22,14 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * index merge carries the batch id into [[graft.sources
   * .BucketedUpsert]]'s replay guard, so a redelivered micro-batch is
   * a no-op on both sides.
+  *
+  * PQ code maintenance composes in: when the prefix carries trained
+  * codebooks ([[IvfIndexStore.initPq]] before the stream starts —
+  * the same freeze-before-ingest contract as the pivots), each clean
+  * vector is ALSO encoded against them and its code rows merged in
+  * the same micro-batch — the IVFADC serving index stays current
+  * without a second pass or a second stream. No codebooks → cells
+  * only (opt-in by init, never by flag drift).
   */
 object EmbeddingIngestStream {
 
@@ -50,10 +58,12 @@ object EmbeddingIngestStream {
     try {
       t.filter(col("n_eval_hits").isNotNull)
         .write.mode(SaveMode.Overwrite).parquet(s"$contamDir/batch_id=$id")
-      IvfIndexStore.upsertBatch(batch.sparkSession,
-        t.filter(col("n_eval_hits").isNull)
-          .select(col("vec_id"), col("emb")),
-        prefix, buckets, Some(id))
+      val clean = t.filter(col("n_eval_hits").isNull)
+        .select(col("vec_id"), col("emb"))
+      val spark = batch.sparkSession
+      IvfIndexStore.upsertBatch(spark, clean, prefix, buckets, Some(id))
+      if (spark.catalog.tableExists(IvfIndexStore.codebooksTable(prefix)))
+        IvfIndexStore.upsertPqBatch(spark, clean, prefix, buckets, Some(id))
     } finally t.unpersist()
   }
 }

@@ -78,6 +78,46 @@ class StreamingEmbeddingIngestSpec extends AnyFunSuite {
     } finally Seq(inc, clean).foreach(IvfIndexStore.drop(spark, _))
   }
 
+  test("composed ingest also maintains PQ codes when codebooks are frozen at the prefix") {
+    import spark.implicits._
+    val (inc, clean) = ("emb_pq_inc", "emb_pq_clean")
+    val contamDir = tmp("eipq_contam")
+    Seq(inc, clean).foreach(IvfIndexStore.drop(spark, _))
+    try {
+      // freeze pivots AND codebooks before the stream starts (both
+      // trained on the same frame so the two stores share codebooks)
+      Seq(inc, clean).foreach { p =>
+        IvfIndexStore.init(spark, pivots, p, buckets = 8)
+        IvfIndexStore.initPq(spark, vecs, p, buckets = 8)
+      }
+      val contamIds = SparkEntry.queries("decontaminate_semantic")(spark, sf)
+        .filter(col("contaminated")).select(col("vec_id")).as[Long].collect().toSet
+      val cleanVecs = trainVecs.filter(!col("vec_id").isInCollection(contamIds))
+      IvfIndexStore.upsertBatch(spark, cleanVecs, clean, 8)
+      IvfIndexStore.upsertPqBatch(spark, cleanVecs, clean, 8)
+
+      val rows = trainVecs.as[Vec].collect()
+      val ms = MemoryStream[Vec](spark)
+      val q = EmbeddingIngestStream
+        .writer(ms.toDF(), evalSet, 0.3, contamDir, inc, buckets = 8)
+        .option("checkpointLocation", tmp("eipq_ckpt"))
+        .queryName("eipq_converge").start()
+      try rows.grouped(math.max(1, rows.length / 3)).foreach { c =>
+        ms.addData(c.toSeq); q.processAllAvailable()
+      } finally q.stop()
+
+      def codeSet(p: String): Set[(Long, Int, Long)] =
+        graft.sources.BucketedUpsert.read(spark, IvfIndexStore.codesTable(p))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(cellSet(inc) == cellSet(clean))
+      assert(codeSet(inc) == codeSet(clean),
+        "streamed code maintenance must equal the one-shot encode of the clean set")
+      assert(codeSet(inc).size ==
+        (rows.length - contamIds.size) * graft.operators.PqFp.M,
+        "every admitted vector encoded exactly once per subspace; no quarantined code")
+    } finally Seq(inc, clean).foreach(IvfIndexStore.drop(spark, _))
+  }
+
   test("redelivered batch is a no-op on both the index and the quarantine") {
     import spark.implicits._
     val inc = "emb_ingest_replay"
