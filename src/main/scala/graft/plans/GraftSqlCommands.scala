@@ -99,7 +99,64 @@ case class GraftPinRunCommand(dir: String, tables: Seq[String])
       .map { case (t, n) => Row(t, s"$dir/$t", n) }
 }
 
-/** Delegating parser: four regex-matched graft statements, everything
+/** See [[GraftSnapshotCommand]] — the index-build statements for the
+  * round-10 serving stores, so a `spark.sql`-only user can stand up
+  * the build-once/probe-many shapes without the Scala API:
+  *
+  *   GRAFT BUILD POSTINGS <prefix> FROM <table> [BUCKETS n]
+  *     -- <table>: (doc_id, text); term-bucketed BM25 postings +
+  *        doc-membership + corpus stats ([[graft.sources
+  *        .PostingsStore]]); idempotent re-run (re-sent docs no-op)
+  *   GRAFT BUILD PQ <prefix> FROM <table> [BUCKETS n]
+  *     -- <table>: (vec_id, emb array<double>); trains frozen
+  *        codebooks on the table's CURRENT rows (train-once — later
+  *        runs encode only) and encodes every vector
+  *        ([[graft.sources.IvfIndexStore.initPq]]/upsertPqBatch)
+  *
+  * Both launch jobs like COMPACT (they build data), but remain
+  * command nodes: imperative store maintenance, not queries. */
+case class GraftBuildPostingsCommand(prefix: String, table: String,
+                                     buckets: Int)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("prefix", StringType, nullable = false)(),
+    AttributeReference("postings_table", StringType, nullable = false)(),
+    AttributeReference("n_docs", LongType, nullable = false)(),
+    AttributeReference("sum_dl", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val ps = graft.sources.PostingsStore
+    ps.init(spark, prefix, buckets)
+    ps.upsertBatch(spark,
+      spark.table(table).select(col("doc_id"), col("text")), prefix, buckets)
+    val st = ps.stats(spark, prefix).collect().head
+    Seq(Row(prefix, ps.postingsTable(prefix), st.getLong(0), st.getLong(1)))
+  }
+}
+
+/** See [[GraftBuildPostingsCommand]]. */
+case class GraftBuildPqCommand(prefix: String, table: String, buckets: Int)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("prefix", StringType, nullable = false)(),
+    AttributeReference("codes_table", StringType, nullable = false)(),
+    AttributeReference("n_codes", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val ivf = graft.sources.IvfIndexStore
+    val vecs = spark.table(table).select(col("vec_id"), col("emb"))
+    ivf.initPq(spark, vecs, prefix, buckets)
+    ivf.upsertPqBatch(spark, vecs, prefix, buckets)
+    val n = BucketedUpsert.read(spark, ivf.codesTable(prefix)).count()
+    Seq(Row(prefix, ivf.codesTable(prefix), n))
+  }
+}
+
+/** Delegating parser: six regex-matched graft statements, everything
   * else verbatim to the session's default parser (so the extension can
   * never change the semantics of real SQL). Statement shapes are
   * deliberately rigid — identifiers and a quoted local path — and a
@@ -114,6 +171,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+COMPACT\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s*MB)?\s*;?\s*""".r
   private val PinRun =
     """(?is)\s*GRAFT\s+PIN\s+RUN\s+'([^']+)'\s+TABLES\s+([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
+  private val BuildPostings =
+    """(?is)\s*GRAFT\s+BUILD\s+POSTINGS\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*;?\s*""".r
+  private val BuildPq =
+    """(?is)\s*GRAFT\s+BUILD\s+PQ\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Snapshot(table, dir) => GraftSnapshotCommand(table, dir)
@@ -122,6 +183,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       Option(mb).map(_.toLong * 1024 * 1024))
     case PinRun(dir, ts) =>
       GraftPinRunCommand(dir, ts.split(",").map(_.trim).toSeq)
+    case BuildPostings(prefix, table, b) => GraftBuildPostingsCommand(
+      prefix, table, Option(b).map(_.toInt)
+        .getOrElse(graft.sources.PostingsStore.DefaultBuckets))
+    case BuildPq(prefix, table, b) => GraftBuildPqCommand(
+      prefix, table, Option(b).map(_.toInt)
+        .getOrElse(graft.sources.IvfIndexStore.DefaultBuckets))
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -228,4 +228,41 @@ class GraftViewsSpec extends AnyFunSuite {
       intercept[Exception](spark.sql("GRAFT SNAPSHOT"))
     } finally BucketedUpsert.drop(spark, table)
   }
+
+  test("GRAFT BUILD POSTINGS / PQ stand up the serving stores from pure SQL") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IvfIndexStore, PostingsStore}
+    val (pfx, vfx) = ("views_sql_postings", "views_sql_pq")
+    PostingsStore.drop(spark, pfx)
+    IvfIndexStore.drop(spark, vfx)
+    try {
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("views_sql_docs")
+      val built = spark.sql(
+        s"GRAFT BUILD POSTINGS $pfx FROM views_sql_docs BUCKETS 8").collect()
+      assert(built.length == 1 && built(0).getLong(2) == 500,
+        s"postings build must report the corpus stats: ${built.toSeq}")
+      // the built store probes like the Scala-built one
+      val probe = PostingsStore.postingsFor(spark, Seq("join"), pfx, 8)
+      assert(probe.count() > 0)
+      // idempotent re-run: membership filter drops every re-sent doc
+      val again = spark.sql(
+        s"GRAFT BUILD POSTINGS $pfx FROM views_sql_docs BUCKETS 8").collect()
+      assert(again(0).getLong(2) == 500, "re-build must not double-count stats")
+
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .createOrReplaceTempView("views_sql_vecs")
+      val pq = spark.sql(
+        s"GRAFT BUILD PQ $vfx FROM views_sql_vecs BUCKETS 8").collect()
+      val nVecs = spark.table("views_sql_vecs").count()
+      assert(pq.length == 1 && pq(0).getLong(2) ==
+        nVecs * graft.operators.PqFp.M,
+        s"every vector encoded once per subspace: ${pq.toSeq}")
+    } finally {
+      PostingsStore.drop(spark, pfx)
+      IvfIndexStore.drop(spark, vfx)
+    }
+  }
 }
