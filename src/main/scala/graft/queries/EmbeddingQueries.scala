@@ -970,10 +970,16 @@ object EmbeddingQueries extends QueryModule {
     Q("embed_ann_pq_indexed",
       (s, dir) => {
         val p = pqIndexPrefix(s, dir)
+        // the +R refine leg reads the PERSISTED cell store's vectors
+        // (ivfIndexPrefix shares this corpus), so every byte the probe
+        // touches — codebooks, codes, refine vectors — is store-served
+        val refine = graft.sources.IvfIndexStore
+          .read(s, ivfIndexPrefix(s, dir))
+          .select(col("vec_id"), col("emb"))
         graft.sources.IvfIndexStore.pqTopK(s,
           vecs(s, dir).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("emb").as("qemb")),
-          p, k = 3, rerank = 24, fullVecs = vecs(s, dir))
+          p, k = 3, rerank = 24, fullVecs = refine)
       },
       Some(pqFpSql)),
 
