@@ -20,7 +20,8 @@ object SparkEntry {
     PackingQueries,
     EmbeddingQueries,
     MultimodalQueries,
-    QualityQueries
+    QualityQueries,
+    LmQueries
   )
 
   private lazy val registry: Seq[Q] = {

@@ -83,10 +83,24 @@ object TextQueries extends QueryModule {
     * dedup_clusters. `sh` must be the distinct `(doc_id, s, h)` frame
     * (hash precomputed by the gram pass). */
   private def minhashPairs(sh: DataFrame): DataFrame = {
-    // cached: the banding self-join below reads mh from BOTH sides —
-    // uncached, Spark recomputes the whole shingle→minhash aggregate
-    // per side (ReuseExchange does not fire across the explode).
-    // Tracked in auxCached so clearCaches() releases it too.
+    val banded = bandedSigs(sh)
+    val cands = banded.as("x")
+      .join(banded.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    jaccardOf(sharedCounts(sh, Some(cands)), sh)
+  }
+
+  /** LSH band signatures `(doc_id, band, sig)` of a distinct
+    * `(doc_id, s, h)` shingle frame — the per-doc artifact a
+    * signature store persists (MinHashDedupStream's index rows).
+    * The minhash aggregate is cached: the banding self-join (and the
+    * incremental probe) read it from both sides, and uncached Spark
+    * recomputes the whole shingle→minhash aggregate per side
+    * (ReuseExchange does not fire across the explode). Tracked in
+    * auxCached so clearCaches() releases it too. */
+  private def bandedSigs(sh: DataFrame): DataFrame = {
     val mh = sh.groupBy(col("doc_id"))
       .agg(min(minhashExpr(col("h"), 0)).as("mh0"),
         (1 until MinhashAB.size).map(i =>
@@ -100,14 +114,8 @@ object TextQueries extends QueryModule {
         (0 until MinhashRows).map(r => col(s"mh${b * MinhashRows + r}")): _*)
       struct(lit(b).as("band"), sig.as("sig"))
     }: _*)
-    val banded = mh.select(col("doc_id"), explode(bandStructs).as("bs"))
+    mh.select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cands = banded.as("x")
-      .join(banded.as("y"), Seq("band", "sig"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    jaccardOf(sharedCounts(sh, Some(cands)), sh)
   }
 
   /** Session-scoped memo of the verified near-dup pairs and the CC
@@ -809,6 +817,43 @@ object TextQueries extends QueryModule {
               |      FROM lab JOIN q ON lab.doc_id = q.doc_id)
               |SELECT doc_id, canonical_id, round(ttr, 6) AS ttr, rn = 1 AS kept
               |FROM r""".stripMargin)),
+
+    // INCREMENTAL dedup: verdicts for the newest 20% of the corpus
+    // (the delta batch) against everything before it plus itself —
+    // the shape every growing corpus actually runs: the base was
+    // deduped yesterday, today only the delta needs answering. The
+    // plan is delta-scoped end to end: band signatures are computed
+    // for the delta, candidates come from joining ONLY delta band
+    // keys against the full signature side (at 100 TB the base
+    // signatures are the persisted MinHashDedupStream index — build
+    // once, probe per batch; here both sides derive from the same
+    // cached minhash frame), and Jaccard verification touches only
+    // collision pairs. Work is O(|delta| + collisions), never
+    // O(corpus). Result ≡ the full-batch pipeline filtered to pairs
+    // whose newer side is in the delta — which is exactly what the
+    // oracle replays.
+    Q("dedup_incremental",
+      (s, dir) => {
+        val sh = shingleRowsCached(s, dir)
+        val banded = bandedSigs(sh)
+        val t = docs(s, dir).agg(expr("(8 * count(1)) div 10").as("t"))
+        val delta = banded.crossJoin(broadcast(t))
+          .filter(col("doc_id") >= col("t"))
+          .select(col("doc_id"), col("band"), col("sig"))
+        val cands = banded.as("x").join(delta.as("y"), Seq("band", "sig"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        jaccardOf(sharedCounts(sh, Some(cands)), sh)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("d2").as("doc_id"), col("d1").as("dup_of"),
+            round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some(s"""WITH $minhashPairsCte,
+              |tct AS (SELECT (8 * count(*)) // 10 AS t FROM documents)
+              |SELECT d2 AS doc_id, d1 AS dup_of, round(jaccard, 6) AS jaccard
+              |FROM mh_pairs CROSS JOIN tct
+              |WHERE jaccard >= 0.5 AND d2 >= t""".stripMargin)),
 
     // Deterministic corpus sampling: hash-mod sampling is reproducible
     // across runs/engines/cluster sizes (unlike TABLESAMPLE's
