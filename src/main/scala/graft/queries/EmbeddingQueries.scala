@@ -354,6 +354,78 @@ object EmbeddingQueries extends QueryModule {
     * persisted-index `embed_ann_indexed`): same pivots, same nProbe,
     * same tie-breaks ⇒ the index must reproduce the inline plan's
     * output bit-for-bit — one SQL text, two hash-matched queries. */
+  /** Vectors quantized to floor(x·2^20) longs — the exact fixed-point
+    * representation every `*_fp` embedding query ranks on (×2^20 is a
+    * power-of-two float op; |x|<1 keeps products inside long/double
+    * exactness). */
+  private def fpQuantized(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).select(col("vec_id"),
+      transform(col("emb"), x => floor(x * (1L << 20)).cast("long")).as("q"))
+
+  /** One integer Lloyd round over a quantized `(vec_id, q)` frame:
+    * seeds = vec_id < 16, centroid update = per-dimension order-free
+    * integer `sum div count`, assignment = integer squared-L2 with
+    * (d, pid) tie-break. Returns (trained centroids `(pid, cq)`,
+    * assignments `(vec_id, q, cell)`). Bit-deterministic under any
+    * partitioning; DuckDB replays it as [[fpCellsCte]]. Plan shape:
+    * k-row broadcast crossJoins (bounded BNLJ), one shuffle for the
+    * (cell, dim) partial sums. */
+  private[queries] def fpLloydCells(e: DataFrame): (DataFrame, DataFrame) = {
+    def l2(a: Column, b: Column): Column =
+      graft.functions.expressions.L2DistanceFp(a, b)
+    def assign(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cent))
+        .withColumn("d", l2(col("q"), col("cq")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d"), col("pid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("q"), col("pid").as("cell"))
+    val c0 = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("pid"), col("q").as("cq"))
+    val c1 = assign(c0)
+      .select(col("cell"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("cell"), col("i"))
+      .agg(expr("sum(v) div count(1)").as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("cv")))),
+        s => s.getField("cv")).as("cq"))
+      .select(col("cell").as("pid"), col("cq"))
+    (c1, assign(c1))
+  }
+
+  /** DuckDB replay of [[fpLloydCells]]: CTEs `e` (quantized), `c0`
+    * (seeds), `c1` (trained centroids `(pid, cq)`), `cells`
+    * (assignments `(vec_id, q, cell)`). Shared by every oracle that
+    * rides the fp-trained quantizer. */
+  private[queries] val fpCellsCte: String =
+    """e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[],
+      |                        x -> CAST(floor(x * 1048576) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS pid, q AS cq FROM e WHERE vec_id < 16),
+      |d1 AS (SELECT e.vec_id, e.q, c.pid,
+      |              CAST(list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+      |                   - 2 * list_dot_product(CAST(e.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+      |                   + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
+      |       FROM e CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, q, pid AS cell FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, pid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |u AS (SELECT cell, i, CAST(sum(q[i]) AS BIGINT) // count(*) AS cv
+      |      FROM a1 CROSS JOIN range(1, 65) t(i)
+      |      GROUP BY cell, i),
+      |c1 AS (SELECT cell AS pid, list(cv ORDER BY i) AS cq FROM u GROUP BY cell),
+      |d2 AS (SELECT e.vec_id, e.q, c.pid,
+      |              CAST(list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+      |                   - 2 * list_dot_product(CAST(e.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+      |                   + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
+      |       FROM e CROSS JOIN c1 c),
+      |cells AS (SELECT vec_id, q, pid AS cell FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, pid) AS rn
+      |            FROM d2) WHERE rn = 1)""".stripMargin
+
   private val ivfProbeSql =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |piv AS (SELECT vec_id AS pid, emb AS pemb FROM e WHERE vec_id < 16),
@@ -833,33 +905,10 @@ object EmbeddingQueries extends QueryModule {
     // (cell, dim) partial sums, candidates only from probed cells.
     Q("embed_ann_ivf_fp",
       (s, dir) => {
-        val S = 1L << 20
-        val e = vecs(s, dir).select(col("vec_id"),
-          transform(col("emb"), x => floor(x * S).cast("long")).as("q"))
-        // native codegen'd loop; bit-equal to the HOF formulation
-        // (integer ops associative — parity pinned in ScaleOpsSpec)
+        val e = fpQuantized(s, dir)
         def l2(a: Column, b: Column): Column =
           graft.functions.expressions.L2DistanceFp(a, b)
-        def assign(cent: DataFrame): DataFrame =
-          e.crossJoin(broadcast(cent))
-            .withColumn("d", l2(col("q"), col("cq")))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("vec_id")).orderBy(col("d"), col("pid"))))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("q"), col("pid").as("cell"))
-        val c0 = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("pid"), col("q").as("cq"))
-        // one Lloyd round: integer per-dimension means (sum div count)
-        val c1 = assign(c0)
-          .select(col("cell"), posexplode(col("q")).as(Seq("i", "v")))
-          .groupBy(col("cell"), col("i"))
-          .agg(expr("sum(v) div count(1)").as("cv"))
-          .groupBy(col("cell"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("i"), col("cv")))),
-            s => s.getField("cv")).as("cq"))
-          .select(col("cell").as("pid"), col("cq"))
-        val cells = assign(c1)
+        val (c1, cells) = fpLloydCells(e)
         val qs = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("q").as("qq"))
         val qcells = qs.crossJoin(broadcast(c1))
@@ -878,32 +927,7 @@ object EmbeddingQueries extends QueryModule {
           .filter(col("rnk") <= 3)
           .select(col("query_id"), col("neighbor_id"), col("rnk"), col("d_fp"))
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id,
-             |         list_transform(embedding::DOUBLE[],
-             |                        x -> CAST(floor(x * 1048576) AS BIGINT)) AS q
-             |  FROM embeddings),
-             |c0 AS (SELECT vec_id AS pid, q AS cq FROM e WHERE vec_id < 16),
-             |d1 AS (SELECT e.vec_id, e.q, c.pid,
-             |              CAST(list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
-             |                   - 2 * list_dot_product(CAST(e.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
-             |                   + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
-             |       FROM e CROSS JOIN c0 c),
-             |a1 AS (SELECT vec_id, q, pid AS cell FROM (
-             |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, pid) AS rn
-             |         FROM d1) WHERE rn = 1),
-             |u AS (SELECT cell, i, CAST(sum(q[i]) AS BIGINT) // count(*) AS cv
-             |      FROM a1 CROSS JOIN range(1, 65) t(i)
-             |      GROUP BY cell, i),
-             |c1 AS (SELECT cell AS pid, list(cv ORDER BY i) AS cq FROM u GROUP BY cell),
-             |d2 AS (SELECT e.vec_id, e.q, c.pid,
-             |              CAST(list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
-             |                   - 2 * list_dot_product(CAST(e.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
-             |                   + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS d
-             |       FROM e CROSS JOIN c1 c),
-             |cells AS (SELECT vec_id, q, pid AS cell FROM (
-             |            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, pid) AS rn
-             |            FROM d2) WHERE rn = 1),
+      Some(s"""WITH $fpCellsCte,
              |qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 20),
              |qd AS (SELECT qs.query_id, qs.qq, c.pid,
              |              CAST(list_dot_product(CAST(qs.qq AS DOUBLE[]), CAST(qs.qq AS DOUBLE[]))
@@ -986,6 +1010,46 @@ object EmbeddingQueries extends QueryModule {
     // Embedding outlier detection for corpus QC: cosine of each
     // vector to its SOURCE's centroid, bottom-5 per source flagged —
     // the garbage-embedding screen a curation pipeline runs before
+    // CLUSTER-BALANCED corpus sampling (the SemDeDup/DoReMi-adjacent
+    // curation move: sample an equal number of items per semantic
+    // cluster so dominant clusters — boilerplate, one mega-domain —
+    // can't monopolize the training mix). Clusters come from the SAME
+    // fp-trained quantizer embed_ann_ivf_fp serves with, so the whole
+    // query sits under the exact hash gate: per-cell target rate is
+    // integer per-mille least(1000, 20·1000 div n_cell), membership is
+    // the portable-hash carve (corpus_sample's recipe) — reproducible
+    // across runs, engines and cluster sizes, NO per-cell windows (a
+    // rank-based exact-k cap would sort every stratum; the rate form
+    // is one scan + a k-row broadcast join, the shape that holds at
+    // 100 TB where cells hold billions of rows each).
+    Q("corpus_cluster_balance",
+      (s, dir) => {
+        val (_, cells) = fpLloydCells(fpQuantized(s, dir))
+        val n = cells.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"))
+        val r = n.withColumn("rate_pm",
+          least(lit(1000L), expr("(20 * 1000) div n_vecs")))
+        val samp = cells.join(broadcast(r), Seq("cell"))
+          .withColumn("in_sample",
+            graft.functions.TextOps.portableHash(
+              col("vec_id").cast("string")) % 1000 < col("rate_pm"))
+          .groupBy(col("cell"))
+          .agg(count(when(col("in_sample"), lit(1))).as("n_sampled"))
+        r.join(samp, Seq("cell"))
+          .select(col("cell"), col("n_vecs"), col("rate_pm"), col("n_sampled"))
+      },
+      Some(s"""WITH $fpCellsCte,
+              |n AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+              |      FROM cells GROUP BY cell),
+              |r AS (SELECT cell, n_vecs,
+              |             least(1000, (20 * 1000) // n_vecs) AS rate_pm FROM n),
+              |sm AS (SELECT c.cell,
+              |              count(CASE WHEN ('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15))::BIGINT
+              |                              % 1000 < r.rate_pm THEN 1 END) AS n_sampled
+              |       FROM cells c JOIN r ON c.cell = r.cell GROUP BY c.cell)
+              |SELECT r.cell, r.n_vecs, r.rate_pm, sm.n_sampled
+              |FROM r JOIN sm ON r.cell = sm.cell""".stripMargin)),
+
     // ANN indexing. HASH-ORACLED despite being "float math" via the
     // fixed-point trick: vectors quantize to floor(x·2²⁰) (an
     // exponent shift — no rounding ambiguity), centroids are integer
