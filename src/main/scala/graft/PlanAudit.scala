@@ -43,7 +43,10 @@ object PlanAudit {
     // round-10 additions: the persisted serving shapes + exact-gate
     // sketch/score variants
     "bm25_indexed", "bm25_search_fp", "embed_ann_pq_indexed",
-    "source_overlap_kmv_md5", "hybrid_rrf_indexed")
+    "source_overlap_kmv_md5", "hybrid_rrf_indexed",
+    // round-10 late additions: LM scoring, delta-scoped dedup,
+    // cluster-balanced sampling
+    "lm_perplexity_fp", "dedup_incremental", "corpus_cluster_balance")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -94,7 +97,12 @@ object PlanAudit {
     // hybrid_rrf_indexed composes bm25_indexed (one-row stats
     // broadcast) with embed_ann_indexed's query-side pivot ranking
     // (1 query × ≤16 broadcast pivots)
-    "hybrid_rrf_indexed")
+    "hybrid_rrf_indexed",
+    // lm_perplexity_fp rides the ONE-ROW broadcast total-token frame
+    // (the bm25 corpus-stats shape); dedup_incremental the ONE-ROW
+    // broadcast delta threshold; corpus_cluster_balance the ≤16
+    // broadcast integer centroids (the IVF-assignment shape)
+    "lm_perplexity_fp", "dedup_incremental", "corpus_cluster_balance")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

@@ -78,6 +78,34 @@ object LmCountsStream {
       Seq("k"), "k", 1, merge = additive, batchId = batchId)
   }
 
+  /** Remove documents' contributions — the retention/GDPR path, the
+    * decrement twin of [[upsertBatch]]: counts are LINEAR in the
+    * corpus, so deletion is the additive merge of the departing docs'
+    * NEGATED counts (PostingsStore.deleteDocs needs a membership
+    * gate for this; the LM stores don't because they never key by
+    * doc). Zeroed rows stay physically present until a compaction
+    * but are invisible to scoring ([[readCounts]] filters to positive
+    * counts). Caller contract: delete only documents that were
+    * ingested — the stores don't track membership, and deleting an
+    * unseen doc would leave (readCounts-invisible but wrong) negative
+    * residue. */
+  def deleteBatch(spark: SparkSession, docs: DataFrame,
+                  prefix: String = "", buckets: Int = DefaultBuckets,
+                  batchId: Option[Long] = None): Unit = {
+    val c = NgramLm.train(docs)
+    def neg(df: DataFrame, cnt: String): DataFrame =
+      df.withColumn(cnt, -col(cnt))
+    BucketedUpsert.upsert(spark, prefix + BigramTable, neg(c.bigrams, "c12"),
+      Seq("w1", "w2"), "w1", buckets, merge = additive, batchId = batchId)
+    BucketedUpsert.upsert(spark, prefix + ContextTable, neg(c.contexts, "c1"),
+      Seq("w1"), "w1", buckets, merge = additive, batchId = batchId)
+    BucketedUpsert.upsert(spark, prefix + UnigramTable, neg(c.unigrams, "c2"),
+      Seq("token"), "token", buckets, merge = additive, batchId = batchId)
+    BucketedUpsert.upsert(spark, prefix + TotalsTable,
+      neg(c.totals, "n_tok").select(lit(0L).as("k"), col("n_tok")),
+      Seq("k"), "k", 1, merge = additive, batchId = batchId)
+  }
+
   /** Streaming sink: `docs.writeStream` → incremental count merges.
     * Run with a checkpointLocation so batch ids are monotone across
     * restarts (the AggStore writer contract). */
@@ -89,12 +117,18 @@ object LmCountsStream {
       }
 
   /** The accumulated counts as a [[NgramLm.Counts]] — drop-in for
-    * `NgramLm.score`, which is how the store serves. */
+    * `NgramLm.score`, which is how the store serves. Filtered to
+    * POSITIVE counts so rows zeroed by [[deleteBatch]] behave exactly
+    * as if they were never ingested (a zero count reaching the
+    * scorer's log would be undefined). */
   def readCounts(spark: SparkSession, prefix: String = ""): NgramLm.Counts =
     NgramLm.Counts(
-      bigrams = BucketedUpsert.read(spark, prefix + BigramTable),
-      contexts = BucketedUpsert.read(spark, prefix + ContextTable),
-      unigrams = BucketedUpsert.read(spark, prefix + UnigramTable),
+      bigrams = BucketedUpsert.read(spark, prefix + BigramTable)
+        .filter(col("c12") > 0),
+      contexts = BucketedUpsert.read(spark, prefix + ContextTable)
+        .filter(col("c1") > 0),
+      unigrams = BucketedUpsert.read(spark, prefix + UnigramTable)
+        .filter(col("c2") > 0),
       totals = BucketedUpsert.read(spark, prefix + TotalsTable)
         .select(col("n_tok")))
 

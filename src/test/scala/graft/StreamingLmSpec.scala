@@ -80,6 +80,23 @@ class StreamingLmSpec extends AnyFunSuite {
       assert(rows3(g2.bigrams).sameElements(after1))
       assert(g2.totals.collect().head.getLong(0) ==
         ref.totals.collect().head.getLong(0) + 4L)
+
+      // retention delete: counts are linear, so removing a doc set
+      // leaves EXACTLY train(remaining ∪ extra) — including fully
+      // zeroed rows, which readCounts must hide from the scorer
+      val departing = corpus.filter(_.doc_id % 3 == 0)
+      LmCountsStream.deleteBatch(spark,
+        departing.toDF("doc_id", "text"), prefix, 4, Some(100L))
+      val remaining = corpus.filterNot(_.doc_id % 3 == 0)
+        .toDF("doc_id", "text").union(extra)
+      val refRem = NgramLm.train(remaining)
+      val g3 = LmCountsStream.readCounts(spark, prefix)
+      assert(rows3(g3.bigrams).sameElements(rows3(refRem.bigrams)))
+      assert(rows2(g3.unigrams).sameElements(rows2(refRem.unigrams)))
+      assert(g3.totals.collect().head.getLong(0) ==
+        refRem.totals.collect().head.getLong(0))
+      assert(scored(LmCountsStream.score(spark, eval, prefix))
+        .sameElements(scored(NgramLm.score(eval, refRem))))
     } finally LmCountsStream.drop(spark, prefix)
   }
 }
