@@ -156,7 +156,39 @@ case class GraftBuildPqCommand(prefix: String, table: String, buckets: Int)
   }
 }
 
-/** Delegating parser: six regex-matched graft statements, everything
+/** See [[GraftBuildPostingsCommand]] — the LM twin:
+  *
+  *   GRAFT BUILD LM <prefix> FROM <table> [BUCKETS n]
+  *     -- <table>: (doc_id, text); (re)builds the stupid-backoff LM
+  *        count stores ([[graft.streaming.LmCountsStream]]) from the
+  *        table's CURRENT rows. DROP-AND-REBUILD semantics: the LM
+  *        merge is additive (not first-writer like postings), so an
+  *        accumulate re-run would double-count — the statement
+  *        rebuilds from scratch instead, making re-runs idempotent;
+  *        incremental accumulation stays the streaming writer's job.
+  */
+case class GraftBuildLmCommand(prefix: String, table: String, buckets: Int)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("prefix", StringType, nullable = false)(),
+    AttributeReference("bigram_table", StringType, nullable = false)(),
+    AttributeReference("n_tok", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val lm = graft.streaming.LmCountsStream
+    lm.drop(spark, prefix)
+    lm.init(spark, prefix, buckets)
+    lm.upsertBatch(spark,
+      spark.table(table).select(col("doc_id"), col("text")), prefix, buckets)
+    val n = lm.readCounts(spark, prefix).totals.collect()
+      .headOption.map(_.getLong(0)).getOrElse(0L)
+    Seq(Row(prefix, prefix + graft.streaming.LmCountsStream.BigramTable, n))
+  }
+}
+
+/** Delegating parser: seven regex-matched graft statements, everything
   * else verbatim to the session's default parser (so the extension can
   * never change the semantics of real SQL). Statement shapes are
   * deliberately rigid — identifiers and a quoted local path — and a
@@ -175,6 +207,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+BUILD\s+POSTINGS\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*;?\s*""".r
   private val BuildPq =
     """(?is)\s*GRAFT\s+BUILD\s+PQ\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*;?\s*""".r
+  private val BuildLm =
+    """(?is)\s*GRAFT\s+BUILD\s+LM\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Snapshot(table, dir) => GraftSnapshotCommand(table, dir)
@@ -189,6 +223,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case BuildPq(prefix, table, b) => GraftBuildPqCommand(
       prefix, table, Option(b).map(_.toInt)
         .getOrElse(graft.sources.IvfIndexStore.DefaultBuckets))
+    case BuildLm(prefix, table, b) => GraftBuildLmCommand(
+      prefix, table, Option(b).map(_.toInt)
+        .getOrElse(graft.streaming.LmCountsStream.DefaultBuckets))
     case _ => delegate.parsePlan(sqlText)
   }
 

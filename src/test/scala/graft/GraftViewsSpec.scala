@@ -265,4 +265,35 @@ class GraftViewsSpec extends AnyFunSuite {
       IvfIndexStore.drop(spark, vfx)
     }
   }
+
+  test("GRAFT BUILD LM rebuilds the count stores idempotently from SQL") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.LmCountsStream
+    val lfx = "views_sql_lm_"
+    LmCountsStream.drop(spark, lfx)
+    try {
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("views_sql_lm_docs")
+      val ref = graft.operators.NgramLm
+        .train(spark.table("views_sql_lm_docs"))
+      val want = ref.totals.collect().head.getLong(0)
+      val built = spark.sql(
+        s"GRAFT BUILD LM $lfx FROM views_sql_lm_docs BUCKETS 8").collect()
+      assert(built.length == 1 && built(0).getLong(2) == want,
+        s"LM build must report total training tokens: ${built.toSeq}")
+      // additive merge would double-count on a re-run; the statement
+      // is drop-and-rebuild, so the second run reports the same totals
+      val again = spark.sql(
+        s"GRAFT BUILD LM $lfx FROM views_sql_lm_docs BUCKETS 8").collect()
+      assert(again(0).getLong(2) == want, "re-build must not double-count")
+      // the built store scores like the one-shot counts
+      val eval = spark.table("views_sql_lm_docs").limit(20)
+      val got = LmCountsStream.score(spark, eval, lfx).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+      val exp = graft.operators.NgramLm.score(eval, ref).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+      assert(got.sameElements(exp))
+    } finally LmCountsStream.drop(spark, lfx)
+  }
 }
