@@ -46,7 +46,8 @@ object PlanAudit {
     "source_overlap_kmv_md5", "hybrid_rrf_indexed",
     // round-10 late additions: LM scoring, delta-scoped dedup,
     // cluster-balanced sampling
-    "lm_perplexity_fp", "dedup_incremental", "corpus_cluster_balance")
+    "lm_perplexity_fp", "dedup_incremental", "corpus_cluster_balance",
+    "embed_hard_negatives")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -100,9 +101,12 @@ object PlanAudit {
     "hybrid_rrf_indexed",
     // lm_perplexity_fp rides the ONE-ROW broadcast total-token frame
     // (the bm25 corpus-stats shape); dedup_incremental the ONE-ROW
-    // broadcast delta threshold; corpus_cluster_balance the ≤16
-    // broadcast integer centroids (the IVF-assignment shape)
-    "lm_perplexity_fp", "dedup_incremental", "corpus_cluster_balance")
+    // broadcast delta threshold; corpus_cluster_balance and
+    // embed_hard_negatives the ≤16 broadcast integer centroids (the
+    // IVF-assignment shape — hard-negative anchors rank probe cells
+    // against the broadcast centroid frame)
+    "lm_perplexity_fp", "dedup_incremental", "corpus_cluster_balance",
+    "embed_hard_negatives")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

@@ -1050,6 +1050,94 @@ object EmbeddingQueries extends QueryModule {
               |SELECT r.cell, r.n_vecs, r.rate_pm, sm.n_sampled
               |FROM r JOIN sm ON r.cell = sm.cell""".stripMargin)),
 
+    // CONTRASTIVE TRIPLET MINING (the embedding-training data op:
+    // for each sampled anchor, the nearest SAME-label neighbor is the
+    // positive and the nearest DIFFERENT-label neighbor the negative;
+    // `hard` marks margin violations d_neg < d_pos — the pairs a
+    // contrastive fine-tune learns most from). Candidates come from
+    // the anchor's 2 probed fp-quantizer cells — the ANN-scoped
+    // mining shape: per-anchor work is bounded by probed cell sizes,
+    // never corpus², and at 100 TB the cells are the persisted
+    // IvfIndexStore so mining never rescans the corpus. Anchors are a
+    // deterministic 5% id carve (every 20th vector) — mining runs on
+    // a sample by design. Integer L2 end to end ⇒ exact hash gate;
+    // anchors missing a same- or different-label candidate in their
+    // probed cells drop out (inner join on both legs, replayed by the
+    // oracle).
+    Q("embed_hard_negatives",
+      (s, dir) => {
+        val e = fpQuantized(s, dir)
+        def l2(a: Column, b: Column): Column =
+          graft.functions.expressions.L2DistanceFp(a, b)
+        val (c1, cells) = fpLloydCells(e)
+        val lab = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"))
+        val anch = cells.join(lab, Seq("vec_id"))
+          .filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("anchor_id"), col("q").as("aq"),
+            col("label").as("albl"))
+        val acells = anch.crossJoin(broadcast(c1))
+          .withColumn("d", l2(col("aq"), col("cq")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("anchor_id")).orderBy(col("d"), col("pid"))))
+          .filter(col("rn") <= 2)
+          .select(col("anchor_id"), col("aq"), col("albl"),
+            col("pid").as("cell"))
+        val cand = acells
+          .join(cells.select(col("cell"), col("vec_id").as("cand_id"),
+            col("q")), Seq("cell"))
+          .join(lab.select(col("vec_id").as("cand_id"),
+            col("label").as("clbl")), Seq("cand_id"))
+          .filter(col("cand_id") =!= col("anchor_id"))
+          .withColumn("d_fp", l2(col("aq"), col("q")))
+        def top1(pred: Column, idName: String, dName: String): DataFrame =
+          cand.filter(pred)
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("anchor_id"))
+                .orderBy(col("d_fp"), col("cand_id"))))
+            .filter(col("rn") === 1)
+            .select(col("anchor_id"), col("cand_id").as(idName),
+              col("d_fp").as(dName))
+        top1(col("clbl") === col("albl"), "pos_id", "d_pos_fp")
+          .join(top1(col("clbl") =!= col("albl"), "neg_id", "d_neg_fp"),
+            Seq("anchor_id"))
+          .withColumn("hard", col("d_neg_fp") < col("d_pos_fp"))
+      },
+      Some {
+        def l2sql(a: String, b: String) =
+          s"CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))" +
+            s" - 2 * list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
+            s" + list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
+        s"""WITH $fpCellsCte,
+           |lab AS (SELECT vec_id, label FROM embeddings),
+           |anch AS (SELECT c.vec_id AS anchor_id, c.q AS aq, l.label AS albl
+           |         FROM cells c JOIN lab l ON c.vec_id = l.vec_id
+           |         WHERE c.vec_id % 20 = 0),
+           |ad AS (SELECT a.anchor_id, a.aq, a.albl, c.pid,
+           |              ${l2sql("a.aq", "c.cq")} AS d
+           |       FROM anch a CROSS JOIN c1 c),
+           |acells AS (SELECT anchor_id, aq, albl, pid AS cell FROM (
+           |             SELECT *, row_number() OVER (PARTITION BY anchor_id
+           |                                          ORDER BY d, pid) AS rn
+           |             FROM ad) WHERE rn <= 2),
+           |cand AS (SELECT ac.anchor_id, ac.albl, cl.vec_id AS cand_id,
+           |                l.label AS clbl, ${l2sql("ac.aq", "cl.q")} AS d_fp
+           |         FROM acells ac JOIN cells cl ON ac.cell = cl.cell
+           |         JOIN lab l ON cl.vec_id = l.vec_id
+           |         WHERE cl.vec_id <> ac.anchor_id),
+           |pos AS (SELECT anchor_id, cand_id AS pos_id, d_fp AS d_pos_fp FROM (
+           |          SELECT *, row_number() OVER (PARTITION BY anchor_id
+           |                                       ORDER BY d_fp, cand_id) AS rn
+           |          FROM cand WHERE clbl = albl) WHERE rn = 1),
+           |neg AS (SELECT anchor_id, cand_id AS neg_id, d_fp AS d_neg_fp FROM (
+           |          SELECT *, row_number() OVER (PARTITION BY anchor_id
+           |                                       ORDER BY d_fp, cand_id) AS rn
+           |          FROM cand WHERE clbl <> albl) WHERE rn = 1)
+           |SELECT p.anchor_id, p.pos_id, p.d_pos_fp, n.neg_id, n.d_neg_fp,
+           |       n.d_neg_fp < p.d_pos_fp AS hard
+           |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id""".stripMargin
+      }),
+
     // ANN indexing. HASH-ORACLED despite being "float math" via the
     // fixed-point trick: vectors quantize to floor(x·2²⁰) (an
     // exponent shift — no rounding ambiguity), centroids are integer
