@@ -47,7 +47,7 @@ object PlanAudit {
     // round-10 late additions: LM scoring, delta-scoped dedup,
     // cluster-balanced sampling
     "lm_perplexity_fp", "dedup_incremental", "corpus_cluster_balance",
-    "embed_hard_negatives")
+    "embed_hard_negatives", "corpus_curriculum")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -106,7 +106,10 @@ object PlanAudit {
     // IVF-assignment shape — hard-negative anchors rank probe cells
     // against the broadcast centroid frame)
     "lm_perplexity_fp", "dedup_incremental", "corpus_cluster_balance",
-    "embed_hard_negatives")
+    "embed_hard_negatives",
+    // corpus_curriculum scores through the same ONE-ROW broadcast
+    // total-token frame as lm_perplexity_fp
+    "corpus_curriculum")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

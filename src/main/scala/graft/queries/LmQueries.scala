@@ -3,14 +3,16 @@ package graft.queries
 import graft.functions.FixedPointOps._
 import graft.operators.NgramLm
 import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Count-based language-model scoring as corpus-curation queries (the
   * CCNet move: an n-gram LM trained on a trusted slice scores every
   * candidate document; high mean surprisal ⇒ boilerplate / gibberish /
-  * wrong-language, filtered or down-weighted before training). Engine
-  * side is [[graft.operators.NgramLm]]; everything is integer fixed
-  * point under the exact hash gate — DuckDB replays train AND score.
+  * wrong-language, filtered, down-weighted or curriculum-ordered
+  * before training). Engine side is [[graft.operators.NgramLm]];
+  * everything is integer fixed point under the exact hash gate —
+  * DuckDB replays train AND score.
   */
 object LmQueries extends QueryModule {
 
@@ -20,6 +22,53 @@ object LmQueries extends QueryModule {
     * sf0.01 AND sf0.1 (medians 5145662 / 5126322 — the QualityQueries
     * discipline: a filter that only ever says yes tests nothing). */
   private val KeptBelowBitsFp = 5130000L
+
+  /** Curriculum tier cuts (2^20 fixed point): easy < 5110000 ≈ 4.873
+    * bits ≤ mid < 5150000 ≈ 4.911 bits ≤ hard. Calibrated so all
+    * three tiers are populated at sf0.01, sf0.1 and the sf1 sweep
+    * (score quantiles are stable across scale — BENCHNOTES). */
+  private val EasyBelowFp = 5110000L
+  private val MidBelowFp = 5150000L
+
+  /** The LM trained on the trusted doc_id % 5 != 0 slice. */
+  private def trustedLm(s: SparkSession, dir: String): NgramLm.Counts =
+    NgramLm.train(Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0))
+
+  /** DuckDB replay of trustedLm + scoring of the docs selected by
+    * `evalFilter` (a SQL predicate over the bigram rows' `e.doc_id`):
+    * CTE chain ending in `p(doc_id, n_bigrams, bits_fp)`. Single
+    * source of truth for every LM oracle. */
+  private def lmScoreCte(evalFilter: String): String = {
+    def lg(x: String) = log2LinFpSql(x)
+    s"""tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |bg AS (SELECT doc_id,
+       |              unnest(list_transform(range(1, len(t)),
+       |                     i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+       |       FROM tok WHERE len(t) >= 2),
+       |w AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+       |             split_part(bg, ' ', 2) AS w2 FROM bg),
+       |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |        FROM w WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+       |uni AS (SELECT unnest(t) AS token FROM tok WHERE doc_id % 5 <> 0),
+       |c2 AS (SELECT token, CAST(count(*) AS BIGINT) AS c2 FROM uni GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c2) AS BIGINT) AS n_tok FROM c2),
+       |sc AS (SELECT e.doc_id,
+       |              CASE WHEN c12.c12 IS NOT NULL
+       |                     THEN ${lg("c1.c1")} - ${lg("c12.c12")}
+       |                   WHEN c2.c2 IS NOT NULL
+       |                     THEN ${lg("4 * t.n_tok")} - ${lg("c2.c2")}
+       |                   ELSE ${NgramLm.OovBitsFp} END AS s
+       |       FROM w e
+       |       LEFT JOIN c12 ON e.w1 = c12.w1 AND e.w2 = c12.w2
+       |       LEFT JOIN c1 ON e.w1 = c1.w1
+       |       LEFT JOIN c2 ON e.w2 = c2.token
+       |       CROSS JOIN tot t
+       |       WHERE $evalFilter),
+       |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |             CAST(sum(s) // count(*) AS BIGINT) AS bits_fp
+       |      FROM sc GROUP BY doc_id)""".stripMargin
+  }
 
   override def all: Seq[Q] = Seq(
 
@@ -33,47 +82,54 @@ object LmQueries extends QueryModule {
     // (map-side combined), three equi-joins on token keys, a one-row
     // broadcast of N, an order-free integer per-doc sum. No windows,
     // no floats, no driver state — holds at 100 TB where the count
-    // frames persist once (BucketedUpsert by token key) and scoring
-    // probes them per batch.
+    // frames persist once (LmCountsStream's BucketedUpsert stores by
+    // token key) and scoring probes them per batch.
     Q("lm_perplexity_fp",
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        val c = NgramLm.train(d.filter(col("doc_id") % 5 =!= 0))
-        NgramLm.score(d.filter(col("doc_id") % 5 === 0), c)
+        NgramLm.score(d.filter(col("doc_id") % 5 === 0), trustedLm(s, dir))
           .withColumn("kept", col("bits_fp") < lit(KeptBelowBitsFp))
       },
-      Some {
-        def lg(x: String) = log2LinFpSql(x)
-        s"""WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-           |bg AS (SELECT doc_id,
-           |              unnest(list_transform(range(1, len(t)),
-           |                     i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
-           |       FROM tok WHERE len(t) >= 2),
-           |w AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
-           |             split_part(bg, ' ', 2) AS w2 FROM bg),
-           |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-           |        FROM w WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
-           |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
-           |uni AS (SELECT unnest(t) AS token FROM tok WHERE doc_id % 5 <> 0),
-           |c2 AS (SELECT token, CAST(count(*) AS BIGINT) AS c2 FROM uni GROUP BY 1),
-           |tot AS (SELECT CAST(sum(c2) AS BIGINT) AS n_tok FROM c2),
-           |sc AS (SELECT e.doc_id,
-           |              CASE WHEN c12.c12 IS NOT NULL
-           |                     THEN ${lg("c1.c1")} - ${lg("c12.c12")}
-           |                   WHEN c2.c2 IS NOT NULL
-           |                     THEN ${lg("4 * t.n_tok")} - ${lg("c2.c2")}
-           |                   ELSE ${NgramLm.OovBitsFp} END AS s
-           |       FROM w e
-           |       LEFT JOIN c12 ON e.w1 = c12.w1 AND e.w2 = c12.w2
-           |       LEFT JOIN c1 ON e.w1 = c1.w1
-           |       LEFT JOIN c2 ON e.w2 = c2.token
-           |       CROSS JOIN tot t
-           |       WHERE e.doc_id % 5 = 0),
-           |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           |             CAST(sum(s) // count(*) AS BIGINT) AS bits_fp
-           |      FROM sc GROUP BY doc_id)
+      Some(s"""WITH ${lmScoreCte("e.doc_id % 5 = 0")}
            |SELECT doc_id, n_bigrams, bits_fp,
-           |       bits_fp < $KeptBelowBitsFp AS kept FROM p""".stripMargin
-      })
+           |       bits_fp < $KeptBelowBitsFp AS kept FROM p""".stripMargin)),
+
+    // LM-scored CURRICULUM tiering: the whole corpus bucketed into
+    // easy/mid/hard difficulty tiers by mean surprisal under the
+    // trusted-slice LM, reported per (lang, tier) with document and
+    // token mass — the frame a curriculum schedule (easy-first
+    // ordering, anti-curriculum mixes, tier-weighted sampling) is
+    // planned from. Fixed integer tier cuts, NOT rank/ntile (a global
+    // rank would need a corpus-wide sort; the cuts make tiering a
+    // per-row projection that composes with the one scoring pass).
+    // Docs with < 2 tokens have no bigrams and sit outside the
+    // curriculum (no score exists — both engines drop them).
+    Q("corpus_curriculum",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val scored = NgramLm.score(d, trustedLm(s, dir))
+        val tier = when(col("bits_fp") < EasyBelowFp, "easy")
+          .when(col("bits_fp") < MidBelowFp, "mid").otherwise("hard")
+        scored
+          .join(d.select(col("doc_id"), col("lang"),
+            size(graft.functions.TextOps.tokens(col("text")))
+              .cast("long").as("n_tokens")), Seq("doc_id"))
+          .select(col("lang"), tier.as("tier"), col("n_tokens"))
+          .groupBy(col("lang"), col("tier"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"))
+      },
+      Some(s"""WITH ${lmScoreCte("TRUE")},
+           |t2 AS (SELECT p.doc_id,
+           |              CASE WHEN p.bits_fp < $EasyBelowFp THEN 'easy'
+           |                   WHEN p.bits_fp < $MidBelowFp THEN 'mid'
+           |                   ELSE 'hard' END AS tier,
+           |              d.lang,
+           |              CAST(len(string_split(trim(d.text), ' ')) AS BIGINT)
+           |                AS n_tokens
+           |       FROM p JOIN documents d ON p.doc_id = d.doc_id)
+           |SELECT lang, tier, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+           |FROM t2 GROUP BY lang, tier""".stripMargin))
   )
 }
