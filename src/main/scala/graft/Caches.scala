@@ -19,6 +19,7 @@ object Caches {
     queries.EventQueries.clearCaches()
     queries.TextQueries.clearCaches()
     queries.EmbeddingQueries.clearCaches()
+    queries.LmQueries.clearCaches()
     operators.AccessService.clearCaches()
   }
 }

@@ -30,9 +30,31 @@ object LmQueries extends QueryModule {
   private val EasyBelowFp = 5110000L
   private val MidBelowFp = 5150000L
 
-  /** The LM trained on the trusted doc_id % 5 != 0 slice. */
+  /** Session-scoped memo of the LM trained on the trusted
+    * doc_id % 5 != 0 slice — training runs once per (session, corpus)
+    * and both LM queries read the artifact (train-then-apply, the
+    * bpeMergesCached shape). The count frames are cached: the
+    * curriculum query reads them for the whole corpus and the filter
+    * query for the held-out slice, and uncached each would re-run
+    * both count aggregations. */
+  private val lmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), NgramLm.Counts]
   private def trustedLm(s: SparkSession, dir: String): NgramLm.Counts =
-    NgramLm.train(Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0))
+    lmCache.getOrElseUpdate((s, dir), {
+      val c = NgramLm.train(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0))
+      NgramLm.Counts(c.bigrams.cache(), c.contexts.cache(),
+        c.unigrams.cache(), c.totals.cache())
+    })
+
+  /** Drop this module's session memos (see [[graft.Caches]]). */
+  private[graft] def clearCaches(): Unit = {
+    lmCache.values.foreach { c =>
+      Seq(c.bigrams, c.contexts, c.unigrams, c.totals)
+        .foreach(_.unpersist(false))
+    }
+    lmCache.clear()
+  }
 
   /** DuckDB replay of trustedLm + scoring of the docs selected by
     * `evalFilter` (a SQL predicate over the bigram rows' `e.doc_id`):
