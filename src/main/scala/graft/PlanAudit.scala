@@ -47,7 +47,10 @@ object PlanAudit {
     // round-10 late additions: LM scoring, delta-scoped dedup,
     // cluster-balanced sampling
     "lm_perplexity_fp", "dedup_incremental", "corpus_cluster_balance",
-    "embed_hard_negatives", "corpus_curriculum")
+    "embed_hard_negatives", "corpus_curriculum",
+    // round-10 continuation: the event-analytics family (funnel
+    // chaining joins, cohort triangle, gap-filled day grid)
+    "funnel_conversion", "cohort_retention", "timeseries_gapfill")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

@@ -21,7 +21,8 @@ object SparkEntry {
     EmbeddingQueries,
     MultimodalQueries,
     QualityQueries,
-    LmQueries
+    LmQueries,
+    AnalyticsQueries
   )
 
   private lazy val registry: Seq[Q] = {

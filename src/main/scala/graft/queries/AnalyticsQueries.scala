@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the `events` stream table: ordered
+  * funnels, cohort retention, and gap-filled (resampled) time series —
+  * the product-analytics surface a pipeline's own telemetry needs
+  * (ingest funnels, user retention by onboarding cohort, per-source
+  * daily volume with silence detection).
+  *
+  * Exact-gate discipline: timestamps leave the engine only as integer
+  * epoch-µs (or integer day/week indexes derived by BIGINT `div` —
+  * engine-portable, unlike float `floor(x/y)` which can flip at exact
+  * multiples), money sums go through DECIMAL (order-independent; see
+  * RelationalQueries' oracle-parity rule), and every count is BIGINT.
+  *
+  * Scale notes (100 TB): every join here is an equi-join of the raw
+  * events scan against a per-user (or per-type) aggregate that is
+  * orders of magnitude smaller — AQE broadcast-or-shuffle decides at
+  * runtime. Aggregations are all map-side combinable. The only windows
+  * run over the gap-filled day domain, whose size is #types × #days
+  * (schedule-bounded, not data-bounded), so the per-partition window
+  * sort is O(days) regardless of corpus size.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  private def dec(c: Column): Column = c.cast("decimal(28,6)")
+  private def dbl4(c: Column): Column = round(c, 4).cast("double")
+
+  private val WeekUs = 604800000000L // 7 * 86400 * 1e6
+  private val DayUs = 86400000000L
+
+  /** Funnel step-conversion window: 24 h in µs (see funnel_conversion). */
+  private val StepWindowUs = 86400000000L
+
+  override def all: Seq[Q] = Seq(
+
+    // Ordered conversion funnel signup → click → purchase: a user is at
+    // stage k when each step's FIRST qualifying event happens at or
+    // after the previous step's AND within the 24 h conversion window
+    // (min-timestamp chaining — the standard "ordered funnel"
+    // semantics; a click before the signup, or days later, does not
+    // count; calibrated so all three stages are populated at sf0.01
+    // — 150/65/29 users — AND sf0.1 — 1500/557/199: a funnel every
+    // user completes tests nothing). Three filtered per-user
+    // min-aggregations chained by equi-joins on user_id — no windows,
+    // no per-user event sort, so the plan is three map-side-combined
+    // shuffles on user_id however large the event log.
+    // sum_conversion_us (signup→purchase lag, integer µs, stage-3
+    // users only) rides along for funnel-latency dashboards.
+    Q("funnel_conversion",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val sg = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+        val ck = e.filter(col("event_type") === "click")
+          .join(sg, Seq("user_id"))
+          .filter(col("us") >= col("s_us") && col("us") < col("s_us") + StepWindowUs)
+          .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+        val pu = e.filter(col("event_type") === "purchase")
+          .join(ck, Seq("user_id"))
+          .filter(col("us") >= col("c_us") && col("us") < col("c_us") + StepWindowUs)
+          .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+        sg.join(ck, Seq("user_id"), "left_outer")
+          .join(pu, Seq("user_id"), "left_outer")
+          .select(
+            when(col("p_us").isNotNull, 3L)
+              .when(col("c_us").isNotNull, 2L).otherwise(1L).as("stage"),
+            (col("p_us") - col("s_us")).as("conv_us"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_users"),
+            coalesce(sum(col("conv_us")), lit(0L)).as("sum_conversion_us"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |s AS (SELECT user_id, min(us) AS s_us FROM ev
+             |      WHERE event_type = 'signup' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.us) AS c_us
+             |      FROM ev e JOIN s ON e.user_id = s.user_id
+             |      WHERE e.event_type = 'click' AND e.us >= s.s_us
+             |        AND e.us < s.s_us + 86400000000
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.us) AS p_us
+             |      FROM ev e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.us >= c.c_us
+             |        AND e.us < c.c_us + 86400000000
+             |      GROUP BY e.user_id),
+             |st AS (SELECT s.user_id,
+             |              CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+             |                        WHEN c.user_id IS NOT NULL THEN 2
+             |                        ELSE 1 END AS BIGINT) AS stage,
+             |              p.p_us - s.s_us AS conv_us
+             |       FROM s LEFT JOIN c ON s.user_id = c.user_id
+             |              LEFT JOIN p ON s.user_id = p.user_id)
+             |SELECT stage, count(*) AS n_users,
+             |       CAST(coalesce(sum(conv_us), 0) AS BIGINT) AS sum_conversion_us
+             |FROM st GROUP BY stage""".stripMargin)),
+
+    // Cohort retention: cohort = the ISO-epoch week index (BIGINT div
+    // of epoch-µs — no calendar ambiguity between engines) of a user's
+    // FIRST event; a cohort "retains" a user at offset k if the user
+    // has any event k weeks after their cohort week. The classic
+    // retention triangle (cohort_week × week_offset → n_users +
+    // retention_rate vs the offset-0 cohort size). Plan: one per-user
+    // min (map-side combined), one equi-join back to the events scan,
+    // one distinct-count aggregation; the rate window runs over the
+    // triangle frame (#weeks² rows — schedule-bounded).
+    Q("cohort_retention",
+      (s, dir) => {
+        val ew = Tables.events(s, dir).select(col("user_id"),
+          expr(s"unix_micros(ts) div $WeekUs").as("w"))
+        val coh = ew.groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+        val tri = ew.join(coh, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (col("w") - col("cohort_week")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        val cohortSize = max(when(col("week_offset") === 0, col("n_users")))
+          .over(Window.partitionBy(col("cohort_week")))
+        tri.select(col("cohort_week"), col("week_offset"), col("n_users"),
+          round(col("n_users") / cohortSize, 6).as("retention_rate"))
+      },
+      Some(s"""WITH ew AS (SELECT user_id, epoch_us(ts) // $WeekUs AS w FROM events),
+              |coh AS (SELECT user_id, min(w) AS cohort_week FROM ew GROUP BY user_id),
+              |tri AS (SELECT c.cohort_week, e.w - c.cohort_week AS week_offset,
+              |               count(DISTINCT e.user_id) AS n_users
+              |        FROM ew e JOIN coh c ON e.user_id = c.user_id
+              |        GROUP BY 1, 2)
+              |SELECT cohort_week, week_offset, n_users,
+              |       round(n_users / (1.0 * max(CASE WHEN week_offset = 0 THEN n_users END)
+              |         OVER (PARTITION BY cohort_week)), 6) AS retention_rate
+              |FROM tri""".stripMargin)),
+
+    // Gap-filled daily series per event type: the aggregated day grid
+    // is completed with `sequence(min_day, max_day)` (missing days
+    // appear with n_events = 0), revenue accumulates across gaps via a
+    // running DECIMAL sum, and days_since_active carries the last
+    // active day forward (LOCF) — silence detection for a source that
+    // stopped emitting. Resampling happens AFTER aggregation: the
+    // domain explode and both windows touch only the #types × #days
+    // frame, never the raw event log.
+    Q("timeseries_gapfill",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr(s"unix_micros(ts) div $DayUs").as("day"))
+          .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("rev"))
+        val dom = daily.groupBy(col("event_type"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("event_type"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val filled = dom.join(daily, Seq("event_type", "day"), "left_outer")
+          .select(col("event_type"), col("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("rev"), dec(lit(0))).as("rev"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        filled.select(col("event_type"), col("day"), col("n_events"),
+          dbl4(sum(col("rev")).over(w)).as("cum_revenue"),
+          (col("day") - max(when(col("n_events") > 0, col("day"))).over(w))
+            .as("days_since_active"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+              |         count(*) AS n_events,
+              |         sum(CAST(value AS DECIMAL(28,6))) AS rev
+              |  FROM events GROUP BY 1, 2),
+              |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+              |      FROM d GROUP BY event_type),
+              |dom AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM b),
+              |f AS (SELECT dom.event_type, dom.day,
+              |             coalesce(d.n_events, 0) AS n_events,
+              |             coalesce(d.rev, CAST(0 AS DECIMAL(28,6))) AS rev
+              |      FROM dom LEFT JOIN d
+              |        ON dom.event_type = d.event_type AND dom.day = d.day)
+              |SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+              |       CAST(round(sum(rev) OVER (PARTITION BY event_type ORDER BY day
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+              |         AS cum_revenue,
+              |       day - max(CASE WHEN n_events > 0 THEN day END)
+              |         OVER (PARTITION BY event_type ORDER BY day
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |         AS days_since_active
+              |FROM f""".stripMargin))
+  )
+}

@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the event-analytics family
+  * (queries/AnalyticsQueries.scala): the DuckDB oracle proves
+  * Spark≡SQL on the driver corpus; these pin the SEMANTICS — ordered
+  * funnel chaining with the 24 h step window, cohort/offset math, and
+  * gap-fill zero-rows + LOCF — on inputs small enough to verify by
+  * eye.
+  */
+class AnalyticsQueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val HourUs = 3600000000L
+  private val DayUs = 86400000000L
+  private val WeekUs = 604800000000L
+
+  /** Write an events fixture (schema = the driver table's) to a temp
+    * dir and return the dir Tables.events can read. */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("aq_fix")
+    dir.toFile.deleteOnExit()
+    rows.map { case (id, us, user, typ, v) =>
+      (id, new Timestamp(us / 1000L), user, typ, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    dir.toString
+  }
+
+  test("funnel: ordered chaining, 24h step window, pre-signup clicks ignored") {
+    val base = 1000L * WeekUs
+    val dir = eventsDir(Seq(
+      // u1 converts fully: signup, click +30min, purchase +1h
+      (1L, base, 1L, "signup", 0.0),
+      (2L, base + HourUs / 2, 1L, "click", 0.0),
+      (3L, base + HourUs, 1L, "purchase", 5.0),
+      // u2: click BEFORE signup (ignored), next click within window,
+      // but no purchase -> stage 2
+      (4L, base - HourUs, 2L, "click", 0.0),
+      (5L, base, 2L, "signup", 0.0),
+      (6L, base + 2 * HourUs, 2L, "click", 0.0),
+      // u3: click 2 days after signup -> outside 24h window -> stage 1
+      (7L, base, 3L, "signup", 0.0),
+      (8L, base + 2 * DayUs, 3L, "click", 0.0),
+      // u4: no signup -> not in the funnel at all
+      (9L, base, 4L, "click", 0.0),
+      (10L, base + HourUs, 4L, "purchase", 1.0)))
+    val got = SparkEntry.queries("funnel_conversion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 0L),       // u3
+      (2L, 1L, 0L),       // u2
+      (3L, 1L, HourUs)))  // u1, signup->purchase lag 1h
+  }
+
+  test("funnel: purchase window measured from the click, not the signup") {
+    val base = 1001L * WeekUs
+    // click 20h after signup; purchase 30h after signup but only 10h
+    // after the click — inside the click's 24h window -> stage 3
+    val dir = eventsDir(Seq(
+      (1L, base, 1L, "signup", 0.0),
+      (2L, base + 20 * HourUs, 1L, "click", 0.0),
+      (3L, base + 30 * HourUs, 1L, "purchase", 1.0)))
+    val got = SparkEntry.queries("funnel_conversion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 1L, 30 * HourUs)))
+  }
+
+  test("cohort retention: offsets against the first-event week, rate vs cohort size") {
+    val w0 = 2000L * WeekUs
+    val dir = eventsDir(Seq(
+      // cohort week 2000: u1 active weeks 0+1, u2 week 0, u3 weeks 0+2
+      (1L, w0, 1L, "click", 0.0), (2L, w0 + WeekUs, 1L, "click", 0.0),
+      (3L, w0 + 1, 2L, "click", 0.0),
+      (4L, w0 + 2, 3L, "click", 0.0), (5L, w0 + 2 * WeekUs, 3L, "click", 0.0),
+      // cohort week 2001: u4
+      (6L, w0 + WeekUs + 3, 4L, "click", 0.0)))
+    val got = SparkEntry.queries("cohort_retention")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      (2000L, 0L, 3L, 1.0),
+      (2000L, 1L, 1L, 0.333333),
+      (2000L, 2L, 1L, 0.333333),
+      (2001L, 0L, 1L, 1.0)))
+  }
+
+  test("gap-fill: zero rows on silent days, cumulative revenue, LOCF distance") {
+    val d100 = 100L * DayUs
+    val dir = eventsDir(Seq(
+      (1L, d100, 1L, "purchase", 1.5),
+      (2L, d100 + HourUs, 2L, "purchase", 2.5),
+      (3L, d100 + 3 * DayUs, 1L, "purchase", 1.0)))
+    val got = SparkEntry.queries("timeseries_gapfill")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(_._2)
+    assert(got.toSeq == Seq(
+      ("purchase", 100L, 2L, 4.0, 0L),
+      ("purchase", 101L, 0L, 4.0, 1L),
+      ("purchase", 102L, 0L, 4.0, 2L),
+      ("purchase", 103L, 1L, 5.0, 0L)))
+  }
+
+  test("driver corpus: all three stages populated and retention triangle closed") {
+    val sf = "/root/testdata/sf0.01"
+    val funnel = SparkEntry.queries("funnel_conversion")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(funnel.keySet == Set(1L, 2L, 3L),
+      s"funnel must discriminate (got stages ${funnel.keySet})")
+    assert(funnel.values.forall(_ > 0))
+    val tri = SparkEntry.queries("cohort_retention")(spark, sf).collect()
+    // every cohort has an offset-0 row with rate exactly 1.0
+    val zeros = tri.filter(_.getLong(1) == 0L)
+    assert(zeros.nonEmpty && zeros.forall(_.getDouble(3) == 1.0))
+    // rates never exceed 1 (an offset can't retain more than the cohort)
+    assert(tri.forall(_.getDouble(3) <= 1.0))
+  }
+}
