@@ -49,8 +49,10 @@ object PlanAudit {
     "lm_perplexity_fp", "dedup_incremental", "corpus_cluster_balance",
     "embed_hard_negatives", "corpus_curriculum",
     // round-10 continuation: the event-analytics family (funnel
-    // chaining joins, cohort triangle, gap-filled day grid)
-    "funnel_conversion", "cohort_retention", "timeseries_gapfill")
+    // chaining joins, cohort triangle, gap-filled day grid) + PMI
+    // collocation mining on the shared LM count frames
+    "funnel_conversion", "cohort_retention", "timeseries_gapfill",
+    "collocations_pmi_fp")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -112,7 +114,10 @@ object PlanAudit {
     "embed_hard_negatives",
     // corpus_curriculum scores through the same ONE-ROW broadcast
     // total-token frame as lm_perplexity_fp
-    "corpus_curriculum")
+    "corpus_curriculum",
+    // collocations_pmi_fp rides the same ONE-ROW broadcast
+    // total-token frame (everything else is token-keyed equi-joins)
+    "collocations_pmi_fp")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

@@ -47,6 +47,18 @@ object LmQueries extends QueryModule {
         c.unigrams.cache(), c.totals.cache())
     })
 
+  /** Session-scoped memo of the FULL-corpus count frames (the PMI
+    * collocation query needs corpus-wide statistics, not the trusted
+    * slice). Same cache discipline as [[trustedLm]]. */
+  private val fullLmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), NgramLm.Counts]
+  private def fullLm(s: SparkSession, dir: String): NgramLm.Counts =
+    fullLmCache.getOrElseUpdate((s, dir), {
+      val c = NgramLm.train(Tables.documents(s, dir))
+      NgramLm.Counts(c.bigrams.cache(), c.contexts,
+        c.unigrams.cache(), c.totals.cache())
+    })
+
   /** Drop this module's session memos (see [[graft.Caches]]). */
   private[graft] def clearCaches(): Unit = {
     lmCache.values.foreach { c =>
@@ -54,7 +66,22 @@ object LmQueries extends QueryModule {
         .foreach(_.unpersist(false))
     }
     lmCache.clear()
+    fullLmCache.values.foreach { c =>
+      Seq(c.bigrams, c.unigrams, c.totals).foreach(_.unpersist(false))
+    }
+    fullLmCache.clear()
   }
+
+  /** Collocation keep thresholds: support ≥ 5 occurrences and PMI ≥
+    * 0.125 bits (131072 at 2^20 scale). Calibrated discriminating at
+    * sf0.01 (268 of 900 candidate bigrams kept) AND sf0.1 (31 of 927);
+    * the 10× key-shifted sweep fixture is a known artifact here — its
+    * per-copy token suffixing shrinks every word's relative frequency
+    * 10× while pair support stays, lifting all PMI by ~log2(10), so at
+    * target/sf1_scaled the PMI cut keeps everything (support still
+    * filters). */
+  private val MinPairCount = 5L
+  private val PmiKeepFp = 131072L
 
   /** DuckDB replay of trustedLm + scoring of the docs selected by
     * `evalFilter` (a SQL predicate over the bigram rows' `e.doc_id`):
@@ -152,6 +179,59 @@ object LmQueries extends QueryModule {
            |       FROM p JOIN documents d ON p.doc_id = d.doc_id)
            |SELECT lang, tier, CAST(count(*) AS BIGINT) AS n_docs,
            |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-           |FROM t2 GROUP BY lang, tier""".stripMargin))
+           |FROM t2 GROUP BY lang, tier""".stripMargin)),
+
+    // PMI collocations (Church & Hanks, CL '90): bigrams whose
+    // observed co-occurrence beats the independence expectation —
+    // pmi = log2(c12·N / (u1·u2)) — with a support floor, the
+    // classic multi-word-expression miner (phrase vocabularies for
+    // tokenizers, stop-phrase lists, NER gazetteer seeds). Entirely on
+    // the memoized full-corpus count frames (one bigram + one unigram
+    // aggregation shared with any other full-corpus LM consumer), then
+    // two token-keyed equi-joins sized |distinct bigrams with c12≥5| —
+    // Zipf-small — and a one-row broadcast of N. The log is the exact
+    // bin()-based surrogate, so the whole score is integer arithmetic
+    // under the hash gate; no global sort (the keep set is a filter,
+    // not a top-k — rank client-side or feed corpus_curriculum-style
+    // tiering).
+    Q("collocations_pmi_fp",
+      (s, dir) => {
+        val c = fullLm(s, dir)
+        c.bigrams.filter(col("c12") >= MinPairCount)
+          .join(c.unigrams.select(col("token").as("w1"), col("c2").as("u1")),
+            Seq("w1"))
+          .join(c.unigrams.select(col("token").as("w2"), col("c2").as("u2")),
+            Seq("w2"))
+          .crossJoin(broadcast(c.totals))
+          .select(col("w1"), col("w2"), col("c12"),
+            (log2LinFp(col("c12")) + log2LinFp(col("n_tok"))
+              - log2LinFp(col("u1")) - log2LinFp(col("u2"))).as("pmi_fp"))
+          .filter(col("pmi_fp") >= PmiKeepFp)
+      },
+      Some {
+        def lg(x: String) = log2LinFpSql(x)
+        s"""WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+           |              i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+           |       FROM tok WHERE len(t) >= 2),
+           |w AS (SELECT split_part(bg, ' ', 1) AS w1,
+           |             split_part(bg, ' ', 2) AS w2 FROM bg),
+           |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           |        FROM w GROUP BY 1, 2),
+           |uni AS (SELECT unnest(t) AS token FROM tok),
+           |c2 AS (SELECT token, CAST(count(*) AS BIGINT) AS c2
+           |       FROM uni GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c2) AS BIGINT) AS n_tok FROM c2),
+           |p AS (SELECT c12.w1, c12.w2, c12.c12,
+           |             ${lg("c12.c12")} + ${lg("t.n_tok")}
+           |               - ${lg("u1.c2")} - ${lg("u2.c2")} AS pmi_fp
+           |      FROM c12
+           |      JOIN c2 u1 ON c12.w1 = u1.token
+           |      JOIN c2 u2 ON c12.w2 = u2.token
+           |      CROSS JOIN tot t
+           |      WHERE c12.c12 >= $MinPairCount)
+           |SELECT w1, w2, c12, pmi_fp FROM p
+           |WHERE pmi_fp >= $PmiKeepFp""".stripMargin
+      })
   )
 }

@@ -78,6 +78,34 @@ class NgramLmSpec extends AnyFunSuite {
     assert(s1.sameElements(s2))
   }
 
+  test("PMI collocations: support floor and independence cut both bite") {
+    import spark.implicits._
+    // planted structure: "ice cream" — 6 exclusive co-occurrences
+    // (high PMI, above support); "salt lake" — exclusive but support
+    // 4 < 5 (cut by the floor); "u v" — support 5 but u and v each
+    // appear 40 times across other contexts (PMI < 0, cut by the
+    // independence test); 70 scatter docs of support-1 pairs.
+    val docs =
+      (1 to 6).map(i => (100L + i, "ice cream")) ++
+        (1 to 4).map(i => (200L + i, "salt lake")) ++
+        (1 to 5).map(i => (300L + i, "u v")) ++
+        (1 to 35).map(i => (400L + i, s"u f$i")) ++
+        (1 to 35).map(i => (500L + i, s"g$i v"))
+    val dir = java.nio.file.Files.createTempDirectory("pmi_fix")
+    dir.toFile.deleteOnExit()
+    docs.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    val got = SparkEntry.queries("collocations_pmi_fp")(spark, dir.toString)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // N = 12 + 8 + 10 + 70 + 70 = 170 tokens;
+    // pmi(ice,cream) = lg(6) + lg(170) − lg(6) − lg(6) = lg(170) − lg(6)
+    val want = ("ice", "cream", 6L, refLog2Fp(170L) - refLog2Fp(6L))
+    assert(got.toSeq == Seq(want),
+      s"keep set must be exactly the planted collocation, got ${got.toSeq}")
+    graft.Caches.clearAll()
+  }
+
   private object Tables {
     def documentsOrSynth(s: org.apache.spark.sql.SparkSession) = {
       import s.implicits._
