@@ -52,7 +52,7 @@ object PlanAudit {
     // chaining joins, cohort triangle, gap-filled day grid) + PMI
     // collocation mining on the shared LM count frames
     "funnel_conversion", "cohort_retention", "timeseries_gapfill",
-    "collocations_pmi_fp")
+    "collocations_pmi_fp", "embed_knn_label_fp")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -116,8 +116,10 @@ object PlanAudit {
     // total-token frame as lm_perplexity_fp
     "corpus_curriculum",
     // collocations_pmi_fp rides the same ONE-ROW broadcast
-    // total-token frame (everything else is token-keyed equi-joins)
-    "collocations_pmi_fp")
+    // total-token frame (everything else is token-keyed equi-joins);
+    // embed_knn_label_fp ranks query vectors against the ≤16
+    // broadcast integer centroids (the IVF-assignment shape)
+    "collocations_pmi_fp", "embed_knn_label_fp")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

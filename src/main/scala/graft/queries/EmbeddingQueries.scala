@@ -1138,6 +1138,98 @@ object EmbeddingQueries extends QueryModule {
            |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id""".stripMargin
       }),
 
+    // kNN label assignment (transductive classification / weak
+    // labeling): every held-out vector (vec_id % 10 == 0, labels
+    // withheld) is labeled by majority vote of its 5 nearest LABELED
+    // neighbors inside its 2 probed quantizer cells — the standard
+    // label-propagation step for pseudo-labeling an unlabeled crawl
+    // slice from a labeled seed set. Rides the same fp-trained Lloyd
+    // cells as embed_hard_negatives (train once per session, probe
+    // cells only — never all-pairs), integer L2 via the fused
+    // L2DistanceFp expression, and deterministic tie-breaks at every
+    // step (distance→cand_id for the k-set; votes→smaller distance
+    // sum→smaller label for the winner), so the whole vote is
+    // hash-gated. Queries whose probed cells hold no labeled
+    // candidate drop out (inner join — both engines agree).
+    Q("embed_knn_label_fp",
+      (s, dir) => {
+        val e = fpQuantized(s, dir)
+        def l2(a: Column, b: Column): Column =
+          graft.functions.expressions.L2DistanceFp(a, b)
+        val (c1, cells) = fpLloydCells(e)
+        val lab = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"))
+        val qs = cells.join(lab, Seq("vec_id"))
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"),
+            col("label").as("true_label"))
+        val qcells = qs.crossJoin(broadcast(c1))
+          .withColumn("d", l2(col("qq"), col("cq")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("d"), col("pid"))))
+          .filter(col("rn") <= 2)
+          .select(col("query_id"), col("qq"), col("true_label"),
+            col("pid").as("cell"))
+        val knn = qcells
+          .join(cells.select(col("cell"), col("vec_id").as("cand_id"),
+            col("q")), Seq("cell"))
+          .filter(col("cand_id") % 10 =!= 0) // vote among labeled only
+          .withColumn("d_fp", l2(col("qq"), col("q")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("d_fp"), col("cand_id"))))
+          .filter(col("rn") <= 5)
+          .join(lab.select(col("vec_id").as("cand_id"),
+            col("label").as("clbl")), Seq("cand_id"))
+        knn.groupBy(col("query_id"), col("true_label"), col("clbl"))
+          .agg(count(lit(1)).as("n_votes"), sum(col("d_fp")).as("d_sum"))
+          .withColumn("vr", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("n_votes").desc, col("d_sum"), col("clbl"))))
+          .filter(col("vr") === 1)
+          .select(col("query_id"), col("clbl").as("pred_label"),
+            col("n_votes"), col("true_label"),
+            (col("clbl") === col("true_label")).as("correct"))
+      },
+      Some {
+        def l2sql(a: String, b: String) =
+          s"CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))" +
+            s" - 2 * list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
+            s" + list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
+        s"""WITH $fpCellsCte,
+           |lab AS (SELECT vec_id, label FROM embeddings),
+           |qs AS (SELECT c.vec_id AS query_id, c.q AS qq, l.label AS true_label
+           |       FROM cells c JOIN lab l ON c.vec_id = l.vec_id
+           |       WHERE c.vec_id % 10 = 0),
+           |qd AS (SELECT q.query_id, q.qq, q.true_label, c.pid,
+           |              ${l2sql("q.qq", "c.cq")} AS d
+           |       FROM qs q CROSS JOIN c1 c),
+           |qcells AS (SELECT query_id, qq, true_label, pid AS cell FROM (
+           |             SELECT *, row_number() OVER (PARTITION BY query_id
+           |                                          ORDER BY d, pid) AS rn
+           |             FROM qd) WHERE rn <= 2),
+           |knn AS (SELECT query_id, true_label, cand_id, d_fp FROM (
+           |          SELECT qc.query_id, qc.true_label,
+           |                 cl.vec_id AS cand_id,
+           |                 ${l2sql("qc.qq", "cl.q")} AS d_fp,
+           |                 row_number() OVER (
+           |                   PARTITION BY qc.query_id
+           |                   ORDER BY ${l2sql("qc.qq", "cl.q")}, cl.vec_id) AS rn
+           |          FROM qcells qc JOIN cells cl ON qc.cell = cl.cell
+           |          WHERE cl.vec_id % 10 <> 0) WHERE rn <= 5),
+           |votes AS (SELECT k.query_id, k.true_label, l.label AS clbl,
+           |                 CAST(count(*) AS BIGINT) AS n_votes,
+           |                 CAST(sum(k.d_fp) AS BIGINT) AS d_sum
+           |          FROM knn k JOIN lab l ON k.cand_id = l.vec_id
+           |          GROUP BY 1, 2, 3)
+           |SELECT query_id, clbl AS pred_label, n_votes, true_label,
+           |       clbl = true_label AS correct
+           |FROM (SELECT *, row_number() OVER (
+           |        PARTITION BY query_id
+           |        ORDER BY n_votes DESC, d_sum, clbl) AS vr
+           |      FROM votes) WHERE vr = 1""".stripMargin
+      }),
+
     // ANN indexing. HASH-ORACLED despite being "float math" via the
     // fixed-point trick: vectors quantize to floor(x·2²⁰) (an
     // exponent shift — no rounding ambiguity), centroids are integer

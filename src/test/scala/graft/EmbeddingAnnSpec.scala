@@ -243,4 +243,43 @@ class EmbeddingAnnSpec extends AnyFunSuite {
       .filter(col("cell") =!= col("dom_cell")).count() == 0,
       "dominators must share the dropped vector's cell")
   }
+
+  test("kNN labeling: planted clusters vote unanimously and correctly") {
+    import spark.implicits._
+    // two well-separated dim-64 clusters; labels follow the cluster.
+    // vec_ids 0..15 seed the quantizer from BOTH clusters (parity
+    // split), held-out queries are %10==0; jitter is deterministic
+    // and tiny vs the 1.0 inter-cluster gap.
+    val rows = (0L until 40L).map { i =>
+      val lbl = (i % 2).toInt
+      val base = if (lbl == 0) 0.5f else -0.5f
+      val emb = Array.tabulate(64)(j =>
+        base + 0.001f * (((i * 7 + j * 13) % 11).toInt - 5))
+      (i, emb, lbl)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("knn_fix")
+    dir.toFile.deleteOnExit()
+    rows.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(dir.resolve("embeddings.parquet").toString)
+    val got = SparkEntry.queries("embed_knn_label_fp")(spark, dir.toString)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))
+    assert(got.map(_._1).toSet == Set(0L, 10L, 20L, 30L),
+      "every held-out query must be labeled")
+    assert(got.forall(_._5), s"planted clusters must classify perfectly: $got")
+    // cells are cluster-pure, so the winning vote is unanimous over
+    // however many candidates the 2 probed cells held (16 seed cells
+    // over 40 vectors leaves some cells sparse — k=5 is a cap)
+    assert(got.forall(g => g._3 >= 1L && g._3 <= 5L))
+    graft.Caches.clearAll()
+  }
+
+  test("kNN labeling on the driver corpus: one verdict per query, votes within k") {
+    val out = SparkEntry.queries("embed_knn_label_fp")(
+      spark, "/root/testdata/sf0.01").cache()
+    assert(out.count() == 50, "one row per held-out vec_id % 10 == 0")
+    assert(out.filter(col("n_votes") < 1 || col("n_votes") > 5).count() == 0)
+    assert(out.select(col("query_id")).distinct().count() == 50)
+  }
 }
