@@ -1,0 +1,108 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.FunnelStream
+import graft.streaming.FunnelStream.FunnelTransition
+import graft.streaming.EventPipeline.EventRow
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming funnel tracker vs its batch twin: in-order event feed
+  * across micro-batches must converge to batchStages (which itself
+  * mirrors the oracled funnel_conversion query), transitions are
+  * strictly increasing per user, and completed funnels free state.
+  */
+class StreamingFunnelSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def ev(id: Long, user: Long, typ: String, hour: Int, minute: Int = 0,
+                 day: Int = 1): EventRow =
+    EventRow(id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:$minute%02d:00"),
+      user, typ, 1.0, "{}")
+
+  private val fixture = Seq(
+    // u1 full conversion inside the windows
+    ev(1, 1, "signup", 10), ev(2, 1, "click", 10, 30), ev(3, 1, "purchase", 11),
+    // u2: click before signup ignored; later click counts; no purchase
+    ev(4, 2, "click", 9), ev(5, 2, "signup", 10), ev(6, 2, "click", 12),
+    // u3: click outside the 24h window -> stays stage 1
+    ev(7, 3, "signup", 10), ev(8, 3, "click", 11, 0, 3),
+    // u4: no signup -> never in the funnel
+    ev(9, 4, "click", 10), ev(10, 4, "purchase", 11))
+
+  private def runStream(batches: Seq[Seq[EventRow]], name: String): Seq[FunnelTransition] = {
+    import spark.implicits._
+    val ms = MemoryStream[EventRow](spark)
+    val q = FunnelStream.transitions(spark, ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[FunnelTransition].collect().toSeq
+  }
+
+  test("transitions match the batch twin; per-user stages strictly increase") {
+    import spark.implicits._
+    val got = runStream(fixture.grouped(4).toSeq, "funnel_stream")
+    // monotone per user, no stage skipped or repeated
+    got.groupBy(_.user_id).foreach { case (_, ts) =>
+      assert(ts.sortBy(_.at_us).map(_.stage) == (1 to ts.size).toSeq)
+    }
+    // final reached stage per user == batch twin
+    val streamed = got.groupBy(_.user_id).view.mapValues(_.map(_.stage).max).toMap
+    val batch = FunnelStream.batchStages(fixture.toDF())
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch)
+    assert(batch == Map(1L -> 3, 2L -> 2, 3L -> 1))
+    // stage timestamps agree too (first qualifying event times)
+    val sUs = got.filter(_.stage == 1).map(t => t.user_id -> t.at_us).toMap
+    val batchS = FunnelStream.batchStages(fixture.toDF())
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sUs == batchS)
+  }
+
+  test("driver corpus in-order feed converges to the oracled batch funnel") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf).as[EventRow]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val got = runStream(rows.grouped(rows.size / 3 + 1).toSeq, "funnel_sf")
+    val streamed = got.groupBy(_.user_id).view.mapValues(_.map(_.stage).max)
+      .toMap
+    val batch = FunnelStream.batchStages(Tables.events(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch)
+    // and the aggregated stage counts equal the oracled query's
+    val q = SparkEntry.queries("funnel_conversion")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromStream = streamed.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    // batch query reports max-stage counts: stage k = users whose max is k
+    assert(q == fromStream.map { case (k, v) => k.toLong -> v })
+  }
+
+  test("completed funnels free their state; in-flight funnels keep it") {
+    import spark.implicits._
+    val ms = MemoryStream[EventRow](spark)
+    val q = FunnelStream.transitions(spark, ms.toDS())
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode("append").start()
+    try {
+      ms.addData(fixture)
+      q.processAllAvailable()
+      val rows = q.lastProgress.stateOperators(0).numRowsTotal
+      // u1 completed (state removed); u2 and u3 in flight; u4 never
+      // entered the funnel but was seen (signup-less fold keeps the
+      // empty state row)
+      assert(rows <= 3, s"state rows $rows: completed funnel must drop")
+      // a fresh purchase from u1 after completion must NOT re-emit
+      // (stage already reached; state re-created empty, purchase
+      // without signup ignores)
+      ms.addData(Seq(ev(11, 1, "purchase", 12)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("funnel_state").as[FunnelTransition].collect()
+    assert(emitted.count(t => t.user_id == 1L) == 3)
+  }
+}
