@@ -52,7 +52,7 @@ object PlanAudit {
     // chaining joins, cohort triangle, gap-filled day grid) + PMI
     // collocation mining on the shared LM count frames
     "funnel_conversion", "cohort_retention", "timeseries_gapfill",
-    "collocations_pmi_fp", "embed_knn_label_fp")
+    "collocations_pmi_fp", "embed_knn_label_fp", "revenue_anomaly_mad")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

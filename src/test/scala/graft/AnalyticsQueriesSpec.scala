@@ -109,6 +109,22 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       ("purchase", 103L, 1L, 5.0, 0L)))
   }
 
+  test("MAD anomaly: a planted spike is flagged, steady days are not") {
+    val d0 = 200L * DayUs
+    // 9 steady days at 10.0 ± 0.5, one 100.0 spike
+    val steady = (0 until 9).map { i =>
+      (i.toLong + 1L, d0 + i * DayUs, 1L, "purchase",
+        10.0 + (if (i % 2 == 0) 0.5 else -0.5))
+    }
+    val dir = eventsDir(steady :+ (99L, d0 + 9 * DayUs, 1L, "purchase", 100.0))
+    val got = SparkEntry.queries("revenue_anomaly_mad")(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    assert(got.size == 10)
+    assert(got(209L), "the 10x spike day must be anomalous")
+    assert(got.filter(_._1 != 209L).values.forall(!_),
+      "steady days inside the MAD band must not be flagged")
+  }
+
   test("driver corpus: all three stages populated and retention triangle closed") {
     val sf = "/root/testdata/sf0.01"
     val funnel = SparkEntry.queries("funnel_conversion")(spark, sf)
