@@ -52,7 +52,8 @@ object PlanAudit {
     // chaining joins, cohort triangle, gap-filled day grid) + PMI
     // collocation mining on the shared LM count frames
     "funnel_conversion", "cohort_retention", "timeseries_gapfill",
-    "collocations_pmi_fp", "embed_knn_label_fp", "revenue_anomaly_mad")
+    "collocations_pmi_fp", "embed_knn_label_fp", "revenue_anomaly_mad",
+    "ppr_suppliers")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -118,8 +119,10 @@ object PlanAudit {
     // collocations_pmi_fp rides the same ONE-ROW broadcast
     // total-token frame (everything else is token-keyed equi-joins);
     // embed_knn_label_fp ranks query vectors against the ≤16
-    // broadcast integer centroids (the IVF-assignment shape)
-    "collocations_pmi_fp", "embed_knn_label_fp")
+    // broadcast integer centroids (the IVF-assignment shape);
+    // ppr_suppliers rides the ONE-ROW broadcast seed-count frame
+    // (the pagerank_suppliers node-count shape)
+    "collocations_pmi_fp", "embed_knn_label_fp", "ppr_suppliers")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

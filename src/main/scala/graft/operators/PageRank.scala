@@ -64,4 +64,47 @@ object PageRank {
     }
     rank.select(col("node"), col("r").as("rank_fp"))
   }
+
+  /** Personalized PageRank (random walk with restart): the 15% restart
+    * mass lands ONLY on `seeds` (a one-column `node` frame) instead of
+    * uniformly — ranks measure proximity to the seed set, the standard
+    * graph-expansion signal for seed-based data selection (grow a
+    * labeled "good documents/hosts" set along the link structure).
+    * Same exact integer fixed point as [[run]]: seed share is
+    * `Scale div |S∩V|`, zero elsewhere; initial rank = the restart
+    * vector. Seeds outside the graph are ignored (mass normalizes over
+    * present seeds). Nodes unreachable from every seed converge to
+    * exactly 0 — integer arithmetic has no epsilon tail. Plan shape
+    * identical to [[run]] plus one semi-join deriving the seed mass
+    * (computed once, localCheckpointed alongside the edges). */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val sd = nodes.join(seeds.select(col("node")), Seq("node"), "left_semi")
+    val ns = broadcast(sd.agg(count(lit(1)).as("n")))
+    // restart vector: Scale div |S| on seeds, 0 elsewhere — one
+    // nodes-sized frame reused every round, so cut its lineage once
+    val base = nodes
+      .join(sd.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .crossJoin(ns)
+      .select(col("node"),
+        when(col("is_seed").isNotNull, expr(s"$Scale div n"))
+          .otherwise(lit(0L)).as("b"))
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var rank = base.select(col("node"), col("b").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("r div d").as("c"))
+      val sums = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
+      rank = base.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          expr("(15 * b) div 100 + (85 * coalesce(s, 0L)) div 100").as("r"))
+    }
+    rank.select(col("node"), col("r").as("rank_fp"))
+  }
 }

@@ -1209,6 +1209,63 @@ object RelationalQueries extends QueryModule {
              |              (15 * (1000000000000 // n)) // 100 +
              |              (85 * coalesce(s3.s, 0)) // 100 AS r
              |       FROM nd LEFT JOIN s3 ON nd.node = s3.node, nn)
+             |SELECT node, r AS rank_fp FROM r3""".stripMargin)),
+
+    // Personalized PageRank: restart mass pinned to the BUILDING-
+    // segment customers — ranks measure proximity to that seed set
+    // over the customer⇄supplier order graph (the seed-expansion
+    // signal: grow a trusted seed set along link structure, the
+    // harmonic-centrality cousin of the uniform pagerank above).
+    // Same exact integer arithmetic ⇒ same unrolled-CTE oracle shape;
+    // suppliers trading only with other segments rank strictly lower,
+    // nodes with no seed-reachable path rank exactly 0.
+    Q("ppr_suppliers",
+      (s, dir) => {
+        val e0 = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"))
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        val both = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(concat(lit("c"), col("c_custkey")).as("node"))
+        graft.operators.PageRank.personalized(both, seeds, 3)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+             |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (SELECT src, dst FROM e0
+             |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+             |nd AS (SELECT DISTINCT src AS node FROM e),
+             |sd AS (SELECT node FROM nd
+             |       WHERE node IN (SELECT 'c' || c_custkey FROM customer
+             |                      WHERE c_mktsegment = 'BUILDING')),
+             |ns AS (SELECT count(*) AS n FROM sd),
+             |b AS (SELECT nd.node,
+             |             CASE WHEN sd.node IS NOT NULL
+             |                  THEN 1000000000000 // ns.n ELSE 0 END AS b
+             |      FROM nd LEFT JOIN sd ON nd.node = sd.node, ns),
+             |dg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+             |s1 AS (SELECT e.dst AS node, CAST(sum(b.b // dg.d) AS BIGINT) AS s
+             |       FROM e JOIN b ON e.src = b.node JOIN dg ON e.src = dg.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT b.node,
+             |              (15 * b.b) // 100 + (85 * coalesce(s1.s, 0)) // 100 AS r
+             |       FROM b LEFT JOIN s1 ON b.node = s1.node),
+             |s2 AS (SELECT e.dst AS node, CAST(sum(r1.r // dg.d) AS BIGINT) AS s
+             |       FROM e JOIN r1 ON e.src = r1.node JOIN dg ON e.src = dg.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT b.node,
+             |              (15 * b.b) // 100 + (85 * coalesce(s2.s, 0)) // 100 AS r
+             |       FROM b LEFT JOIN s2 ON b.node = s2.node),
+             |s3 AS (SELECT e.dst AS node, CAST(sum(r2.r // dg.d) AS BIGINT) AS s
+             |       FROM e JOIN r2 ON e.src = r2.node JOIN dg ON e.src = dg.src
+             |       GROUP BY e.dst),
+             |r3 AS (SELECT b.node,
+             |              (15 * b.b) // 100 + (85 * coalesce(s3.s, 0)) // 100 AS r
+             |       FROM b LEFT JOIN s3 ON b.node = s3.node)
              |SELECT node, r AS rank_fp FROM r3""".stripMargin))
   )
 }

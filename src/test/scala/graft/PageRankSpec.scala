@@ -65,4 +65,42 @@ class PageRankSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { PageRank.run(star, 0) }
     intercept[IllegalArgumentException] { PageRank.run(star, 21) }
   }
+
+  test("personalized: restart mass stays near seeds; unreachable nodes are exactly 0") {
+    // two components: a<->b<->c (seeded at a) and x<->y (unseeded);
+    // plus a phantom seed 'zz' not in the graph (must be ignored)
+    val comp = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val seeds = Seq("a", "zz").toDF("node")
+    val got = PageRank.personalized(comp, seeds, 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("a", "b", "c", "x", "y"))
+    // |S ∩ V| = 1 → all restart mass on a
+    assert(got("x") == 0L && got("y") == 0L,
+      s"unseeded component must rank exactly 0: $got")
+    // the whole seeded component accumulates mass (the walk reaches
+    // every node within the 4 rounds); exact per-round ordering on a
+    // path graph oscillates, so assert reachability + conservation
+    assert(got("a") > 0L && got("b") > 0L && got("c") > 0L)
+    assert(got.values.sum <= PageRank.Scale,
+      "restart mass Scale bounds the total")
+    // round 1 hand-check: b(a)=Scale, b(b)=b(c)=0; d(a)=1
+    // r1(a) = (15*Scale)/100; r1(b) = (85*Scale)/100; r1(c) = 0
+    val r1 = PageRank.personalized(comp, seeds, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1("a") == 15L * PageRank.Scale / 100L)
+    assert(r1("b") == 85L * PageRank.Scale / 100L)
+    assert(r1("c") == 0L)
+  }
+
+  test("personalized with the full node set as seeds equals uniform pagerank") {
+    val both = star.union(star.select(col("dst").as("src"), col("src").as("dst")))
+    val allNodes = both.select(col("src").as("node")).distinct()
+    val uni = PageRank.run(both, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    val per = PageRank.personalized(both, allNodes, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(uni.sameElements(per),
+      "uniform seeds must reduce personalized PPR to plain PageRank")
+  }
 }
