@@ -53,7 +53,7 @@ object PlanAudit {
     // collocation mining on the shared LM count frames
     "funnel_conversion", "cohort_retention", "timeseries_gapfill",
     "collocations_pmi_fp", "embed_knn_label_fp", "revenue_anomaly_mad",
-    "ppr_suppliers")
+    "ppr_suppliers", "embed_mmr_topk_fp")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -121,8 +121,12 @@ object PlanAudit {
     // embed_knn_label_fp ranks query vectors against the ≤16
     // broadcast integer centroids (the IVF-assignment shape);
     // ppr_suppliers rides the ONE-ROW broadcast seed-count frame
-    // (the pagerank_suppliers node-count shape)
-    "collocations_pmi_fp", "embed_knn_label_fp", "ppr_suppliers")
+    // (the pagerank_suppliers node-count shape);
+    // embed_mmr_topk_fp crosses the corpus against the ONE-ROW
+    // broadcast query vector (the embed_cosine_topk shape) and then
+    // ≤12-row shortlist frames against the ≤5-row selected set
+    "collocations_pmi_fp", "embed_knn_label_fp", "ppr_suppliers",
+    "embed_mmr_topk_fp")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

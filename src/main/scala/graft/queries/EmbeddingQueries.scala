@@ -1138,6 +1138,89 @@ object EmbeddingQueries extends QueryModule {
            |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id""".stripMargin
       }),
 
+    // MMR diversified re-ranking (Carbonell & Goldstein, SIGIR '98):
+    // greedy top-5 from a 12-candidate shortlist where each pick
+    // maximizes (min integer-L2 distance to the already-selected set)
+    // − (distance to the query) — equal λ=1/2 weighting reduced to an
+    // exact integer difference, so relevance and diversity trade off
+    // with zero float ops. The greedy recursion unrolls into 4 CTE
+    // step layers in the oracle exactly like PageRank's Jacobi rounds
+    // — an inherently SEQUENTIAL operator under the exact hash gate.
+    // Plan shape: the shortlist forms via TakeOrderedAndProject
+    // (per-partition top-k + merge, no global sort), then each greedy
+    // step is a ≤12×5 broadcast cross of the remaining candidates
+    // against the selected set — corpus size touches only the first
+    // scan. At 100 TB the shortlist would come from the persisted IVF
+    // probe (embed_ann_indexed) instead of the exact scan; the MMR
+    // tail is corpus-size-free either way.
+    Q("embed_mmr_topk_fp",
+      (s, dir) => {
+        val e = fpQuantized(s, dir)
+        def l2(a: Column, b: Column): Column =
+          graft.functions.expressions.L2DistanceFp(a, b)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("q").as("qq")))
+        val shortlist = e.filter(col("vec_id") =!= 0).crossJoin(qv)
+          .select(col("vec_id"), col("q"), l2(col("q"), col("qq")).as("dq"))
+          .orderBy(col("dq"), col("vec_id")).limit(12)
+          .localCheckpoint(true) // 12 rows; cut the scan lineage once
+        var sel = shortlist.orderBy(col("dq"), col("vec_id")).limit(1)
+          .withColumn("rank", lit(1L))
+        var rest = shortlist.join(sel.select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+        for (k <- 2 to 5) {
+          val pick = rest
+            .crossJoin(broadcast(sel.select(col("q").as("sq"))))
+            .select(col("vec_id"), col("dq"), l2(col("q"), col("sq")).as("ds"))
+            .groupBy(col("vec_id"), col("dq"))
+            .agg(min(col("ds")).as("md"))
+            .orderBy((col("md") - col("dq")).desc, col("vec_id")).limit(1)
+            .select(col("vec_id"))
+          val pickRow = shortlist.join(pick, Seq("vec_id"))
+            .withColumn("rank", lit(k.toLong))
+          sel = sel.unionByName(pickRow)
+          rest = rest.join(pick, Seq("vec_id"), "left_anti")
+        }
+        sel.select(col("rank"), col("vec_id"), col("dq").as("d_q_fp"))
+      },
+      Some {
+        def l2sql(a: String, b: String) =
+          s"CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))" +
+            s" - 2 * list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
+            s" + list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
+        def step(k: Int): String =
+          s"""m$k AS (SELECT r.vec_id, r.dq,
+             |             min(${l2sql("r.q", "s.q")}) AS md
+             |       FROM rest${k - 1} r, sel${k - 1} s GROUP BY r.vec_id, r.dq, r.q),
+             |p$k AS (SELECT sl.vec_id, sl.q, sl.dq, $k AS rank FROM m$k
+             |        JOIN sl ON m$k.vec_id = sl.vec_id
+             |        ORDER BY m$k.md - m$k.dq DESC, m$k.vec_id LIMIT 1),
+             |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM p$k),
+             |rest$k AS (SELECT * FROM rest${k - 1}
+             |           WHERE vec_id NOT IN (SELECT vec_id FROM p$k))""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding::DOUBLE[],
+           |                        x -> CAST(floor(x * 1048576) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),
+           |scored AS (SELECT e.vec_id, e.q, ${l2sql("e.q", "qv.qq")} AS dq
+           |           FROM e, qv WHERE e.vec_id <> 0),
+           |sl AS (SELECT vec_id, q, dq FROM (
+           |         SELECT *, row_number() OVER (ORDER BY dq, vec_id) AS rn
+           |         FROM scored) WHERE rn <= 12),
+           |sel1 AS (SELECT vec_id, q, dq, 1 AS rank FROM sl
+           |         ORDER BY dq, vec_id LIMIT 1),
+           |rest1 AS (SELECT * FROM sl
+           |          WHERE vec_id NOT IN (SELECT vec_id FROM sel1)),
+           |${step(2)},
+           |${step(3)},
+           |${step(4)},
+           |${step(5)}
+           |SELECT CAST(rank AS BIGINT) AS rank, vec_id, dq AS d_q_fp
+           |FROM sel5""".stripMargin
+      }),
+
     // kNN label assignment (transductive classification / weak
     // labeling): every held-out vector (vec_id % 10 == 0, labels
     // withheld) is labeled by majority vote of its 5 nearest LABELED

@@ -275,6 +275,55 @@ class EmbeddingAnnSpec extends AnyFunSuite {
     graft.Caches.clearAll()
   }
 
+  test("MMR: greedy selection matches a driver-side reference; diversity beats redundancy") {
+    import spark.implicits._
+    // query = vec 0 at the origin; vecs 1-3 a near-duplicate cluster
+    // closest to the query; 4 and 5 genuinely different directions,
+    // slightly farther. Plain top-3 would return the whole dup
+    // cluster; MMR must interleave the diverse points.
+    def v(x: Double, y: Double) =
+      Array.tabulate(64)(j => if (j == 0) x.toFloat else if (j == 1) y.toFloat else 0.0f)
+    val rows = Seq(
+      (0L, v(0.0, 0.0), 0), (1L, v(0.10, 0.0), 0), (2L, v(0.101, 0.0), 0),
+      (3L, v(0.102, 0.0), 0), (4L, v(-0.11, 0.0), 0), (5L, v(0.0, 0.12), 0))
+    val dir = java.nio.file.Files.createTempDirectory("mmr_fix")
+    dir.toFile.deleteOnExit()
+    rows.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(dir.resolve("embeddings.parquet").toString)
+    val got = SparkEntry.queries("embed_mmr_topk_fp")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+
+    // driver-side reference: same quantization, same greedy rule
+    val q = rows.map { case (id, e, _) =>
+      id -> e.map(x => math.floor(x * (1L << 20)).toLong)
+    }.toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val dq = rows.filter(_._1 != 0L)
+      .map { case (id, _, _) => id -> l2(q(id), q(0L)) }.toMap
+    val sl = dq.toSeq.sortBy { case (id, d) => (d, id) }.take(12)
+    var sel = List(sl.head._1)
+    var rest = sl.tail.map(_._1)
+    while (sel.size < 5 && rest.nonEmpty) {
+      val pick = rest.map { id =>
+        val md = sel.map(s => l2(q(id), q(s))).min
+        (id, md - dq(id))
+      }.maxBy { case (id, sc) => (sc, -id) }._1
+      sel = sel :+ pick
+      rest = rest.filterNot(_ == pick)
+    }
+    val want = sel.zipWithIndex.map { case (id, i) =>
+      (i + 1L, id, dq(id))
+    }
+    assert(got.toSeq == want, s"engine MMR must equal reference: $got vs $want")
+    // diversity: the 2nd pick is NOT from the duplicate cluster
+    assert(!Set(2L, 3L).contains(got(1)._2),
+      s"second pick must be a diverse point, got ${got(1)._2}")
+    graft.Caches.clearAll()
+  }
+
   test("kNN labeling on the driver corpus: one verdict per query, votes within k") {
     val out = SparkEntry.queries("embed_knn_label_fp")(
       spark, "/root/testdata/sf0.01").cache()
