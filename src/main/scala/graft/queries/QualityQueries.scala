@@ -94,5 +94,45 @@ object QualityQueries extends QueryModule {
         SELECT 'o_custkey' AS "column", n_rows, n_rows - nn0 AS n_nulls, nd0 AS n_distinct FROM a
         UNION ALL SELECT 'o_orderstatus',   n_rows, n_rows - nn1, nd1 FROM a
         UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn2, nd2 FROM a
-      """)))
+      """)),
+
+    // Shannon token entropy per document, exact integer fixed point:
+    // H_fp = log2fp(n) − (Σ c·log2fp(c)) div n over the doc's token
+    // counts — low entropy ⇒ repetitive/templated text (the
+    // compression-ratio quality signal without a codec; used alongside
+    // repetition_stats by the C4/Gopher-style filter stack). The log
+    // is the bin()-based surrogate (FixedPointOps), counts are BIGINT,
+    // the per-doc reduction is an order-free integer sum — hash-gated.
+    // kept threshold 4.0 bits ≈ 4194304 fp splits the fixtures both
+    // ways at sf0.01 AND sf0.1 (p10≈3.9e6 < cut < median≈4.65e6).
+    // Plan: one explode + one (doc, token) count + one per-doc sum —
+    // all map-side combinable; no joins, no windows.
+    Q("token_entropy_fp",
+      (s, dir) => {
+        import graft.functions.FixedPointOps._
+        val tc = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        tc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"),
+            sum(col("c") * log2LinFp(col("c"))).as("s"))
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            (log2LinFp(col("n")) - expr("s div n")).as("entropy_fp"))
+          .withColumn("kept", col("entropy_fp") >= lit(4194304L))
+      },
+      Some {
+        import graft.functions.FixedPointOps.log2LinFpSql
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+           |            FROM documents),
+           |tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+           |       FROM tok GROUP BY 1, 2),
+           |h AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+           |             CAST(sum(c * ${log2LinFpSql("c")}) AS BIGINT) AS s
+           |      FROM tc GROUP BY doc_id)
+           |SELECT doc_id, n AS n_tokens,
+           |       ${log2LinFpSql("n")} - s // n AS entropy_fp,
+           |       ${log2LinFpSql("n")} - s // n >= 4194304 AS kept
+           |FROM h""".stripMargin
+      }))
 }
