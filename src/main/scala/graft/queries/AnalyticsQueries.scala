@@ -231,6 +231,42 @@ object AnalyticsQueries extends QueryModule {
               |       FROM a GROUP BY event_type)
               |SELECT a.event_type, a.day, a.revenue, a.med, md.mad,
               |       a.dev > md.mad * 2.5 AS anomaly
-              |FROM a JOIN md ON a.event_type = md.event_type""".stripMargin))
+              |FROM a JOIN md ON a.event_type = md.event_type""".stripMargin)),
+
+    // Sequential pattern mining: the corpus-wide frequency of every
+    // 3-event behavioral motif (consecutive event-type trigrams per
+    // user in event-time order) — the Markov-chain view of user
+    // behavior that feeds journey analysis and bot/anomaly detection
+    // (a user emitting error>error>error loops looks nothing like
+    // signup>click>purchase). Per-user lead() windows sort only each
+    // user's own events (hash-partitioned by user — no global sort);
+    // the output is bounded by |event types|³, not corpus size, and
+    // n_users rides along to separate widespread motifs from one
+    // user's loop.
+    Q("event_motifs",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type").as("t1"),
+            lead(col("event_type"), 1).over(w).as("t2"),
+            lead(col("event_type"), 2).over(w).as("t3"))
+          .filter(col("t2").isNotNull && col("t3").isNotNull)
+          .groupBy(concat_ws(">", col("t1"), col("t2"), col("t3")).as("motif"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type AS t1,
+             |         lead(event_type, 1) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS t2,
+             |         lead(event_type, 2) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS t3
+             |  FROM events)
+             |SELECT t1 || '>' || t2 || '>' || t3 AS motif,
+             |       count(*) AS n,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+             |GROUP BY 1""".stripMargin))
   )
 }

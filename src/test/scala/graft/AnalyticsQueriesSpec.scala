@@ -125,6 +125,24 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       "steady days inside the MAD band must not be flagged")
   }
 
+  test("event motifs: per-user trigram counts in event-time order") {
+    val base = 3000L * WeekUs
+    val dir = eventsDir(Seq(
+      // u1: a>b>c>a -> motifs a>b>c, b>c>a
+      (1L, base + 1, 1L, "a", 0.0), (2L, base + 2, 1L, "b", 0.0),
+      (3L, base + 3, 1L, "c", 0.0), (4L, base + 4, 1L, "a", 0.0),
+      // u2: a>b>c -> motif a>b>c (same motif, second user)
+      (5L, base + 1, 2L, "a", 0.0), (6L, base + 2, 2L, "b", 0.0),
+      (7L, base + 3, 2L, "c", 0.0),
+      // u3: only two events -> no trigram
+      (8L, base + 1, 3L, "a", 0.0), (9L, base + 2, 3L, "b", 0.0)))
+    val got = SparkEntry.queries("event_motifs")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "a>b>c" -> ((2L, 2L)),
+      "b>c>a" -> ((1L, 1L))))
+  }
+
   test("driver corpus: all three stages populated and retention triangle closed") {
     val sf = "/root/testdata/sf0.01"
     val funnel = SparkEntry.queries("funnel_conversion")(spark, sf)
