@@ -20,6 +20,7 @@ object Caches {
     queries.TextQueries.clearCaches()
     queries.EmbeddingQueries.clearCaches()
     queries.LmQueries.clearCaches()
+    queries.RelationalQueries.clearCaches()
     operators.AccessService.clearCaches()
   }
 }

@@ -125,5 +125,16 @@ object GraftViews {
       annotated.filter(!graft.operators.Expectations.isClean)
         .createOrReplaceTempView("documents_quarantined")
     }
+    // telemetry-analytics surface (round 10 cont.): the funnel report,
+    // the retention triangle, the gap-filled daily series with anomaly
+    // flags, and the behavioral motif frequencies — the dashboards a
+    // pipeline operator reads as plain tables
+    Seq("funnel_conversion" -> "funnel_report",
+      "cohort_retention" -> "retention_triangle",
+      "timeseries_gapfill" -> "daily_series",
+      "revenue_anomaly_mad" -> "daily_anomalies",
+      "event_motifs" -> "behavior_motifs").foreach { case (q, view) =>
+      SparkEntry.queries(q)(spark, dir).createOrReplaceTempView(view)
+    }
   }
 }

@@ -32,6 +32,32 @@ object RelationalQueries extends QueryModule {
 
   private def dec(c: Column): Column = c.cast("decimal(28,6)")
 
+  /** Session-scoped memo of the customer⇄supplier trade-graph edge
+    * list (both directions, distinct) — the most expensive join of the
+    * graph family, shared by pagerank_suppliers AND ppr_suppliers.
+    * localCheckpoint(true) materializes it once; both consumers' 3
+    * Jacobi rounds then rescan a LogicalRDD (PageRank re-checkpoints
+    * its input, which on an already-checkpointed frame is one cheap
+    * RDD scan, not a join replay). See [[graft.Caches]]. */
+  private val tradeEdgeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    tradeEdgeCache.getOrElseUpdate((s, dir), {
+      val e0 = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+    })
+
+  /** Drop this module's session memos (see [[graft.Caches]]): the
+    * checkpointed edge RDDs are released to GC with their refs. */
+  private[graft] def clearCaches(): Unit = tradeEdgeCache.clear()
+
   /** Canonical final-output form for a decimal aggregate: round in exact
     * decimal space (both engines round half-away-from-zero; DuckDB's bare
     * decimal→decimal CAST truncates, so `round` it is), then cast to
@@ -1169,17 +1195,7 @@ object RelationalQueries extends QueryModule {
     // hash-compares exact BIGINTs — an ITERATIVE operator under the
     // exact-equality gate, like the dedup clusters' recursive CTE.
     Q("pagerank_suppliers",
-      (s, dir) => {
-        val e0 = Tables.orders(s, dir)
-          .select(col("o_custkey"), col("o_orderkey"))
-          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-          .distinct()
-        val both = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        graft.operators.PageRank.run(both, 3)
-      },
+      (s, dir) => graft.operators.PageRank.run(tradeEdges(s, dir), 3),
       Some("""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
              |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
              |e AS (SELECT src, dst FROM e0
@@ -1221,18 +1237,10 @@ object RelationalQueries extends QueryModule {
     // nodes with no seed-reachable path rank exactly 0.
     Q("ppr_suppliers",
       (s, dir) => {
-        val e0 = Tables.orders(s, dir)
-          .select(col("o_custkey"), col("o_orderkey"))
-          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-          .distinct()
-        val both = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = Tables.customer(s, dir)
           .filter(col("c_mktsegment") === "BUILDING")
           .select(concat(lit("c"), col("c_custkey")).as("node"))
-        graft.operators.PageRank.personalized(both, seeds, 3)
+        graft.operators.PageRank.personalized(tradeEdges(s, dir), seeds, 3)
       },
       Some("""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
              |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

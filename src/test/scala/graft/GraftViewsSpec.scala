@@ -296,4 +296,32 @@ class GraftViewsSpec extends AnyFunSuite {
       assert(got.sameElements(exp))
     } finally LmCountsStream.drop(spark, lfx)
   }
+
+  test("telemetry-analytics views: funnel/retention/series/motifs in pure SQL") {
+    GraftViews.register(spark, dir)
+    // funnel stages are 1..3 with positive user counts
+    val funnel = spark.sql(
+      "SELECT stage, n_users FROM funnel_report ORDER BY stage").collect()
+    assert(funnel.nonEmpty && funnel.forall(r =>
+      r.getLong(0) >= 1 && r.getLong(0) <= 3 && r.getLong(1) > 0))
+    // every cohort's offset-0 retention is exactly 1.0
+    assert(spark.sql(
+      """SELECT count(*) FROM retention_triangle
+        |WHERE week_offset = 0 AND retention_rate <> 1.0""".stripMargin)
+      .head().getLong(0) == 0)
+    // the gap-filled series and the anomaly frame agree on the day
+    // grid per type (a pure-SQL cross-view join)
+    assert(spark.sql(
+      """SELECT count(*) FROM daily_series s
+        |FULL OUTER JOIN daily_anomalies a
+        |  ON s.event_type = a.event_type AND s.day = a.day
+        |WHERE s.n_events > 0 AND a.day IS NULL""".stripMargin)
+      .head().getLong(0) == 0,
+      "every active day in the series must appear in the anomaly frame")
+    // motif space is bounded by |event types|^3
+    val nTypes = spark.sql("SELECT count(DISTINCT event_type) FROM events")
+      .head().getLong(0)
+    assert(spark.sql("SELECT count(*) FROM behavior_motifs").head().getLong(0)
+      <= nTypes * nTypes * nTypes)
+  }
 }
