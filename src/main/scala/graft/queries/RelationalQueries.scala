@@ -499,6 +499,82 @@ object RelationalQueries extends QueryModule {
     // see QuantileStore + StreamingQuantileSpec). Bound-checked
     // against the exact sort-based percentile; no SQL oracle — sketch
     // internals are engine-specific, like the HLL and GK rows.
+    // The sketch-quantile idea under the FULL hash gate (the
+    // token_freq_cms recipe applied to quantiles): values quantize to
+    // integer cents, map through the exact bin()-based linear-log2
+    // surrogate, and land in OCTAVE SUB-BUCKETS (fp >> 14 ⇒ 64
+    // buckets per power of two ⇒ ~1.6% relative width). The histogram
+    // is a plain (status, bucket) count — mergeable, partition-order-
+    // free, engine-portable — and the quantile estimate is the first
+    // bucket whose cumulative count reaches ceil(q·N), decoded back
+    // through the exact integer inverse of the log surrogate. Every
+    // step is BIGINT arithmetic ⇒ DuckDB rebuilds histogram AND
+    // estimates bit-for-bit (unlike percentiles_qsketch, whose
+    // engine-specific sketch bytes are bound-checked only).
+    // QuantileSketchSpec's octave case asserts the estimates stay
+    // within 2% of the exact interpolated percentiles. The cumulative
+    // window runs over the ≤ #octaves×64-row histogram — never data.
+    Q("percentiles_octave_fp",
+      (s, dir) => {
+        import graft.functions.FixedPointOps._
+        val cents = expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+        val hist = Tables.orders(s, dir)
+          .select(col("o_orderstatus"), cents.as("cents"))
+          .select(col("o_orderstatus"),
+            call_function("shiftright", log2LinFp(col("cents")), lit(14))
+              .as("b"))
+          .groupBy(col("o_orderstatus"), col("b"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cum", sum(col("n")).over(w))
+          .withColumn("total",
+            sum(col("n")).over(Window.partitionBy(col("o_orderstatus"))))
+        def pick(targetSql: String, name: String) =
+          cum.filter(col("cum") >= expr(targetSql))
+            .groupBy(col("o_orderstatus"))
+            .agg(min(col("b")).as(name))
+        // exact integer inverse of log2LinFp at the bucket's lower
+        // edge: v = b<<14; x = ((2^20 + v mod 2^20) << (v div 2^20)) >> 20
+        def decode(b: String): Column = expr(
+          s"shiftright(shiftleft($FpScale + (shiftleft($b, 14) % $FpScale)," +
+            s" CAST(shiftleft($b, 14) div $FpScale AS INT)), 20)")
+        pick("(total + 1) div 2", "b50")
+          .join(pick("(total * 19 + 19) div 20", "b95"), Seq("o_orderstatus"))
+          .join(cum.groupBy(col("o_orderstatus"))
+            .agg(max(col("total")).as("n")), Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("n"),
+            decode("b50").as("p50_est_cents"),
+            decode("b95").as("p95_est_cents"))
+      },
+      Some {
+        import graft.functions.FixedPointOps.log2LinFpSql
+        s"""WITH c AS (SELECT o_orderstatus,
+           |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           |           FROM orders),
+           |f AS (SELECT o_orderstatus, ${log2LinFpSql("cents")} >> 14 AS b FROM c),
+           |h AS (SELECT o_orderstatus, b, CAST(count(*) AS BIGINT) AS n
+           |      FROM f GROUP BY 1, 2),
+           |cum AS (SELECT o_orderstatus, b, n,
+           |               CAST(sum(n) OVER (PARTITION BY o_orderstatus ORDER BY b
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           |               CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS total
+           |        FROM h),
+           |p50 AS (SELECT o_orderstatus, min(b) AS b50 FROM cum
+           |        WHERE cum >= (total + 1) // 2 GROUP BY 1),
+           |p95 AS (SELECT o_orderstatus, min(b) AS b95 FROM cum
+           |        WHERE cum >= (total * 19 + 19) // 20 GROUP BY 1),
+           |t AS (SELECT o_orderstatus, max(total) AS n FROM cum GROUP BY 1)
+           |SELECT t.o_orderstatus, t.n,
+           |       (1048576 + ((p50.b50 << 14) % 1048576))
+           |         << ((p50.b50 << 14) // 1048576) >> 20 AS p50_est_cents,
+           |       (1048576 + ((p95.b95 << 14) % 1048576))
+           |         << ((p95.b95 << 14) // 1048576) >> 20 AS p95_est_cents
+           |FROM t JOIN p50 ON t.o_orderstatus = p50.o_orderstatus
+           |       JOIN p95 ON t.o_orderstatus = p95.o_orderstatus""".stripMargin
+      }),
+
     Q("percentiles_qsketch",
       (s, dir) => Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))

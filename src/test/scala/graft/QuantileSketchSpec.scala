@@ -182,4 +182,27 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("different alpha"))
   }
+
+  test("octave-histogram quantiles stay within 2% of the exact percentiles") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val est = SparkEntry.queries("percentiles_octave_fp")(spark, sf)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val exact = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5) * 100").as("p50"),
+        expr("percentile(o_totalprice, 0.95) * 100").as("p95"))
+      .collect().map(r =>
+        r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (st, (e50, e95)) =>
+      val (x50, x95) = exact(st)
+      assert(math.abs(e50 - x50) <= 0.02 * x50,
+        s"$st p50 est $e50 vs exact $x50")
+      assert(math.abs(e95 - x95) <= 0.02 * x95,
+        s"$st p95 est $e95 vs exact $x95")
+    }
+  }
 }
