@@ -109,4 +109,61 @@ object LogisticRegression {
     val s = sigmoid(dot(col("features"), w))
     data.withColumn("score", s).withColumn("predicted", s >= 0.5)
   }
+
+  /** Fixed-point scale shared by the *_fp trainer (2^20, the repo
+    * convention). */
+  val FpS: Long = 1L << 20
+
+  /** INTEGER fixed-point training — the float trainer's determinism
+    * gap closed: features and labels arrive pre-scaled to 2^20
+    * (`xfp: array<bigint>` with a leading bias of exactly S,
+    * `yfp ∈ {0, S}`), the sigmoid is the piecewise-linear hard
+    * sigmoid `clamp(S/2 + z>>2, 0, S)`, and every division is an
+    * ARITHMETIC SHIFT (Spark's shiftright and DuckDB's `>>` both
+    * floor on negatives — unlike `div` vs `//`, which disagree there).
+    * The per-step weight update is `w_j -= grad_j >> (18 + ⌈log2 n⌉)`
+    * — an effective rate of 4·n/2^⌈log2 n⌉ ∈ (2,4] — so the whole
+    * trajectory is exact BIGINT arithmetic: bit-identical under any
+    * partitioning AND replayable by a SQL engine, which is what lets
+    * quality_classifier_fp sit under the exact hash gate while the
+    * float twin stays rows-checked. Same driver-state contract as
+    * [[train]]: dim longs, one distributed pass per step; same
+    * 100 TB contract: train on a deterministic hash sample (n must
+    * also keep Σ err·x inside int64 — n < 2^22 at full 2^20-scaled
+    * features; samples are far smaller). */
+  def trainFp(data: DataFrame, dim: Int, iters: Int): Array[Long] = {
+    require(dim >= 1 && iters >= 1, s"bad args: dim=$dim iters=$iters")
+    val f = data.select(col("xfp"), col("yfp")).localCheckpoint(true)
+    val n = f.count()
+    require(n > 0, "empty training frame")
+    require(n < (1L << 22), s"trainFp overflow bound: n=$n >= 2^22 — train on a hash sample")
+    val shift = 18 + (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    val w = Array.fill(dim)(0L)
+    for (_ <- 1 to iters) {
+      val rows = predictedFp(f, w)
+        .withColumn("err", col("p") - col("yfp"))
+        .select(posexplode(col("xfp")).as(Seq("j", "x")), col("err"))
+        .groupBy(col("j")).agg(sum(col("x") * col("err")).as("g"))
+        .collect()
+      rows.foreach(r => w(r.getInt(0)) -= r.getLong(1) >> shift)
+    }
+    w
+  }
+
+  /** `p = hardSigmoid((Σ w·x) >> 20)` as a codegen'd column. */
+  private def predictedFp(data: DataFrame, w: Array[Long]): DataFrame = {
+    val wLit = array(w.map(lit(_)): _*)
+    val zRaw = aggregate(zip_with(col("xfp"), wLit, (x, wj) => x * wj),
+      lit(0L), (acc, v) => acc + v)
+    val z = shiftright(zRaw, 20)
+    data.withColumn("p",
+      greatest(lit(0L), least(lit(FpS), lit(FpS / 2) + shiftright(z, 2))))
+  }
+
+  /** Score with fp weights: appends `score_fp` and `predicted`
+    * (p ≥ S/2 ⇔ z ≥ 0). Pure projection. */
+  def scoresFp(data: DataFrame, w: Array[Long]): DataFrame =
+    predictedFp(data, w)
+      .withColumnRenamed("p", "score_fp")
+      .withColumn("predicted", col("score_fp") >= lit(FpS / 2))
 }

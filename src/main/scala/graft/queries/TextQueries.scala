@@ -1786,6 +1786,84 @@ object TextQueries extends QueryModule {
       },
       None),
 
+    // The classifier's determinism gap CLOSED: the same
+    // rule-bootstrapped quality model trained in exact integer fixed
+    // point (LogisticRegression.trainFp — hard-sigmoid PWL activation,
+    // arithmetic-shift divisions, shift-based learning rate), so the
+    // training TRAJECTORY is bit-identical under any partitioning and
+    // the DuckDB oracle replays all 5 gradient steps as unrolled CTE
+    // layers (the bpe_merges treatment applied to gradient descent).
+    // Features are integer ratios at 2^20 (TTR, stopword rate, capped
+    // length); the float twin above stays as the production-rate
+    // contrast. 5 steps of lr≈4 reach the same agreement regime the
+    // float model reaches (spec-asserted ≥ 80% on the fixtures).
+    Q("quality_classifier_fp",
+      (s, dir) => {
+        val S = graft.operators.LogisticRegression.FpS
+        val t = tokens(col("text"))
+        val feats = docs(s, dir)
+          .select(col("doc_id"), size(t).cast("long").as("n"),
+            size(array_distinct(t)).cast("long").as("d"),
+            markerHits(t, LangMarkers.head._2).cast("long").as("st"))
+          .filter(col("n") >= 1)
+          .select(col("doc_id"),
+            array(lit(S), expr(s"d * $S div n"), expr(s"st * $S div n"),
+              expr(s"least(n, 100) * $S div 100")).as("xfp"),
+            when(col("d") * 2 > col("n") && col("n") >= 10
+              && col("st") * 10 < col("n") * 3, lit(S)).otherwise(lit(0L))
+              .as("yfp"))
+        val w = graft.operators.LogisticRegression.trainFp(feats, 4, 5)
+        graft.operators.LogisticRegression.scoresFp(feats, w)
+          .select(col("doc_id"), (col("yfp") === S).as("rule_quality"),
+            col("predicted"),
+            (col("predicted") === (col("yfp") === S)).as("agrees"))
+      },
+      Some {
+        val S = 1048576L
+        def step(k: Int): String =
+          s"""z$k AS (SELECT f.doc_id, f.x, f.y,
+             |             CAST(sum(f.x[w.j] * w.w) AS BIGINT) >> 20 AS z
+             |       FROM fx f CROSS JOIN w${k - 1} w GROUP BY 1, 2, 3),
+             |e$k AS (SELECT doc_id, x,
+             |             greatest(0, least($S, ${S / 2} + (z >> 2))) - y AS err
+             |       FROM z$k),
+             |g$k AS (SELECT t.j, CAST(sum(e.x[t.j] * e.err) AS BIGINT) AS g
+             |       FROM e$k e CROSS JOIN range(1, 5) t(j) GROUP BY t.j),
+             |w$k AS (SELECT w.j, w.w - (g.g >> nn.sh) AS w
+             |       FROM w${k - 1} w JOIN g$k g ON w.j = g.j CROSS JOIN nn)""".stripMargin
+        s"""WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |ft AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+           |              CAST(len(list_distinct(t)) AS BIGINT) AS d,
+           |              CAST(len(list_filter(t,
+           |                x -> list_contains(['the','a','and','of'], x))) AS BIGINT) AS st
+           |       FROM tok WHERE len(t) >= 1),
+           |fx AS (SELECT doc_id,
+           |              [CAST($S AS BIGINT), (d * $S) // n, (st * $S) // n,
+           |               (least(n, 100) * $S) // 100] AS x,
+           |              CAST(CASE WHEN 2 * d > n AND n >= 10 AND 10 * st < 3 * n
+           |                   THEN $S ELSE 0 END AS BIGINT) AS y
+           |       FROM ft),
+           |nn AS (SELECT CASE WHEN count(*) = 1 THEN 18
+           |                   ELSE 18 + length(bin(count(*) - 1)) END AS sh
+           |       FROM fx),
+           |w0 AS (SELECT unnest(range(1, 5)) AS j, CAST(0 AS BIGINT) AS w),
+           |${step(1)},
+           |${step(2)},
+           |${step(3)},
+           |${step(4)},
+           |${step(5)},
+           |zf AS (SELECT f.doc_id, f.y,
+           |              CAST(sum(f.x[w.j] * w.w) AS BIGINT) >> 20 AS z
+           |       FROM fx f CROSS JOIN w5 w GROUP BY 1, 2),
+           |pf AS (SELECT doc_id, y,
+           |              greatest(0, least($S, ${S / 2} + (z >> 2))) AS p
+           |       FROM zf)
+           |SELECT doc_id, y = $S AS rule_quality,
+           |       p >= ${S / 2} AS predicted,
+           |       (p >= ${S / 2}) = (y = $S) AS agrees
+           |FROM pf""".stripMargin
+      }),
+
     // DSIR-shaped data selection (Xie et al., NeurIPS '23): score each
     // document by how target-like its hashed-token distribution is —
     // here target = the English slice, raw = the whole corpus. Tokens

@@ -154,4 +154,48 @@ class LogisticRegressionSpec extends AnyFunSuite {
       LogisticRegression.train(synth, 3, 1, -1.0)
     }
   }
+
+  /** Integer-fp fixture: the synth hyperplane quantized to 2^20. */
+  private lazy val synthFp = {
+    val S = LogisticRegression.FpS
+    synth.select(col("id"),
+      expr(s"transform(features, x -> CAST(floor(x * $S) AS BIGINT))").as("xfp"),
+      (col("label") * S).cast("long").as("yfp"))
+  }
+
+  test("fp trainer: weights are bit-identical under any partitioning") {
+    val w1 = LogisticRegression.trainFp(synthFp, 3, 5)
+    val w3 = LogisticRegression.trainFp(synthFp.repartition(7), 3, 5)
+    val w5 = LogisticRegression.trainFp(synthFp.repartition(3), 3, 5)
+    assert(w1.sameElements(w3) && w1.sameElements(w5),
+      s"fp training must be partition-order-free: ${w1.toSeq} vs ${w3.toSeq}")
+    // and it actually learns: hard-sigmoid predictions track the labels
+    val scored = LogisticRegression.scoresFp(synthFp, w1)
+    val agree = scored.filter(
+      col("predicted") === (col("yfp") === LogisticRegression.FpS)).count()
+    assert(agree >= (0.85 * 2000).toLong,
+      s"fp model must separate the planted hyperplane, agree=$agree")
+  }
+
+  test("fp trainer: argument validation") {
+    intercept[IllegalArgumentException] {
+      LogisticRegression.trainFp(synthFp.limit(0), 3, 1) // empty frame
+    }
+    intercept[IllegalArgumentException] {
+      LogisticRegression.trainFp(synthFp, 0, 1)
+    }
+  }
+
+  test("fp classifier query largely agrees with the rule gate (hash-gated twin)") {
+    val out = SparkEntry.queries("quality_classifier_fp")(
+      spark, "/root/testdata/sf0.01").cache()
+    val n = out.count()
+    val agrees = out.filter(col("agrees")).count()
+    assert(n == 500)
+    assert(agrees >= (0.8 * n).toLong, s"agreement $agrees/$n below 80%")
+    // both classes appear on both sides — a constant predictor would
+    // score ~42% here, not pass this
+    assert(out.filter(col("predicted")).count() > 0)
+    assert(out.filter(!col("predicted")).count() > 0)
+  }
 }
