@@ -36,6 +36,34 @@ object AnalyticsQueries extends QueryModule {
   /** Funnel step-conversion window: 24 h in µs (see funnel_conversion). */
   private val StepWindowUs = 86400000000L
 
+  /** Per-(type, day) event counts and exact DECIMAL revenue — the
+    * additive daily frame behind revenue_anomaly_mad AND the
+    * streaming AnomalyMonitorStream store (counts and decimal sums
+    * are associative over disjoint event sets, so incremental merges
+    * equal the one-shot aggregation exactly). */
+  private[graft] def dailyRevenue(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+      expr(s"unix_micros(ts) div $DayUs").as("day"))
+      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("rev"))
+
+  /** Median/MAD anomaly flags over a `(event_type, day, rev)` daily
+    * frame — revenue_anomaly_mad's scoring stage, shared verbatim by
+    * the streaming monitor so the two can never diverge. */
+  private[graft] def madFlags(daily: DataFrame): DataFrame = {
+    val d = daily.select(col("event_type"), col("day"),
+      dbl4(col("rev")).as("revenue"))
+    val med = d.groupBy(col("event_type"))
+      .agg(round(expr("percentile(revenue, 0.5)"), 4).as("med"))
+    val dev = d.join(med, Seq("event_type"))
+      .withColumn("dev", abs(col("revenue") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("revenue"),
+        col("med"), col("mad"),
+        (col("dev") > col("mad") * 2.5).as("anomaly"))
+  }
+
   override def all: Seq[Q] = Seq(
 
     // Ordered conversion funnel signup → click → purchase: a user is at
@@ -201,22 +229,7 @@ object AnalyticsQueries extends QueryModule {
     // (≤ #types rows) joined back to the ≤ #types × #days day frame —
     // the raw event scan is touched once.
     Q("revenue_anomaly_mad",
-      (s, dir) => {
-        val d = Tables.events(s, dir)
-          .groupBy(col("event_type"),
-            expr(s"unix_micros(ts) div $DayUs").as("day"))
-          .agg(dbl4(sum(dec(col("value")))).as("revenue"))
-        val med = d.groupBy(col("event_type"))
-          .agg(round(expr("percentile(revenue, 0.5)"), 4).as("med"))
-        val dev = d.join(med, Seq("event_type"))
-          .withColumn("dev", abs(col("revenue") - col("med")))
-        val mad = dev.groupBy(col("event_type"))
-          .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
-        dev.join(mad, Seq("event_type"))
-          .select(col("event_type"), col("day"), col("revenue"),
-            col("med"), col("mad"),
-            (col("dev") > col("mad") * 2.5).as("anomaly"))
-      },
+      (s, dir) => madFlags(dailyRevenue(Tables.events(s, dir))),
       Some(s"""WITH d AS (
               |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
               |         CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)
