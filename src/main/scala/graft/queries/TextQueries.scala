@@ -43,6 +43,25 @@ object TextQueries extends QueryModule {
       |                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
       |       FROM tok WHERE len(t) >= 3)""".stripMargin
 
+  /** The exact df-capped Jaccard join oracle. dedup_ngram_jaccard
+    * uses it verbatim (t = 0.2); dedup_jaccard_prefix swaps the final
+    * threshold to its t = 0.8 regime — everything upstream of the
+    * filter is one shared definition. */
+  private lazy val ngramJaccardOracle: String =
+    s"""WITH $shingleCte,
+       |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+       |ab AS (SELECT doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s),
+       |n AS (SELECT doc_id, count(*) AS n FROM ab GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+       |          FROM ab a JOIN ab b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |j AS (SELECT d1, d2, shared / (1.0 * (n1.n + n2.n - shared)) AS jaccard
+       |      FROM pairs
+       |      JOIN n n1 ON d1 = n1.doc_id
+       |      JOIN n n2 ON d2 = n2.doc_id)
+       |SELECT d1, d2, round(jaccard, 6) AS jaccard
+       |FROM j WHERE jaccard >= 0.2""".stripMargin
+
   /** Shared-shingle counts per (d1 < d2) pair via the inverted-index
     * self-join — equi-join on the shingle, never doc×doc. Optionally
     * semi-joined down to `cands` first (the LSH path). */
@@ -735,19 +754,56 @@ object TextQueries extends QueryModule {
           .filter(col("jaccard") >= 0.2)
           .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
       },
-      Some(s"""WITH $shingleCte,
-              |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
-              |ab AS (SELECT doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s),
-              |n AS (SELECT doc_id, count(*) AS n FROM ab GROUP BY doc_id),
-              |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-              |          FROM ab a JOIN ab b ON a.s = b.s AND a.doc_id < b.doc_id
-              |          GROUP BY 1, 2),
-              |j AS (SELECT d1, d2, shared / (1.0 * (n1.n + n2.n - shared)) AS jaccard
-              |      FROM pairs
-              |      JOIN n n1 ON d1 = n1.doc_id
-              |      JOIN n n2 ON d2 = n2.doc_id)
-              |SELECT d1, d2, round(jaccard, 6) AS jaccard
-              |FROM j WHERE jaccard >= 0.2""".stripMargin)),
+      Some(ngramJaccardOracle)),
+
+    // Exact STRONG-duplicate join through the PPJoin-style PREFIX
+    // FILTER plan (Chaudhuri/Ganti/Kaushik ICDE '06, Xiao et al.
+    // WWW '08) at t = 0.8 — the regime where the prefix filter is the
+    // right plan: each doc's shingles sort under one global (df, s)
+    // order and only the first n − ⌈0.8n⌉ + 1 ≈ 0.2n of them can
+    // generate candidates (lossless for J ≥ t by the prefix lemma:
+    // J ≥ t ⇒ |A∩B| ≥ t·|A|, and an intersection that large must
+    // touch the (n−⌈t·n⌉+1)-prefix). Candidate generation therefore
+    // explodes only each doc's rare-end 20% — quadratically ~25×
+    // fewer collisions than the full inverted-index join, which
+    // explodes EVERY shared shingle regardless of threshold — and the
+    // full-set verification join (sharedCounts' candidate path) runs
+    // only over survivors. Honest measurement note (BENCHNOTES): on
+    // the driver fixture the shingle df distribution is thin (max df
+    // 25 at sf0.1 — no boilerplate), the inverted-index explode is
+    // only ~1.4M pair rows, and the simpler plan wins ~2.3 s vs
+    // 3.1 s; at t = 0.2 the prefix keeps ~(1−t) of each set and loses
+    // 5×. The prefix plan is the scale insurance for the corpus this
+    // fixture is NOT: boilerplate-heavy crawls where per-shingle
+    // explode is quadratic in df and a df cap would silently change
+    // the answer — threshold choice and df shape ARE the plan choice,
+    // which is why the engine ships inverted-index, LSH and prefix
+    // forms of the same join.
+    Q("dedup_jaccard_prefix",
+      (s, dir) => {
+        val sh = shingleRowsCached(s, dir)
+        val maxDf = 50
+        val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+        val ab = sh.join(dfs, Seq("s"))
+          .select(col("doc_id"), col("s"), col("df"))
+        val n = ab.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val prefix = ab.join(n, Seq("doc_id"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+          .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+          .select(col("doc_id"), col("s"))
+        val cand = prefix.select(col("doc_id").as("d1"), col("s"))
+          .join(prefix.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2")).distinct()
+        val abPlain = ab.select(col("doc_id"), col("s"))
+        jaccardOf(sharedCounts(abPlain, Some(cand)), abPlain)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some(ngramJaccardOracle.replace("WHERE jaccard >= 0.2",
+        "WHERE jaccard >= 0.8"))),
 
     // MinHash + LSH near-dup: 16 minhashes from the portable shingle
     // hash, banded 4×4; only band-collision candidates get exact
