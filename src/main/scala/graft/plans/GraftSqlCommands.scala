@@ -188,6 +188,32 @@ case class GraftBuildLmCommand(prefix: String, table: String, buckets: Int)
   }
 }
 
+/** See [[GraftBuildLmCommand]] — the telemetry twin:
+  *
+  *   GRAFT BUILD DAILY <table> FROM <events_table> [BUCKETS n]
+  *     -- <events_table>: (ts, event_type, value, ...); (re)builds the
+  *        per-(type, day) daily revenue store
+  *        ([[graft.streaming.AnomalyMonitorStream]]) from the table's
+  *        CURRENT rows. DROP-AND-REBUILD like BUILD LM: daily merges
+  *        are additive, so re-running an accumulate would
+  *        double-count — the statement is idempotent instead.
+  */
+case class GraftBuildDailyCommand(table: String, source: String, buckets: Int)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("n_days", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val am = graft.streaming.AnomalyMonitorStream
+    am.drop(spark, table)
+    am.init(spark, table, buckets)
+    am.upsertBatch(spark, spark.table(source), table, buckets)
+    Seq(Row(table, am.daily(spark, table).count()))
+  }
+}
+
 /** Delegating parser: seven regex-matched graft statements, everything
   * else verbatim to the session's default parser (so the extension can
   * never change the semantics of real SQL). Statement shapes are
@@ -209,6 +235,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+BUILD\s+PQ\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*;?\s*""".r
   private val BuildLm =
     """(?is)\s*GRAFT\s+BUILD\s+LM\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*;?\s*""".r
+  private val BuildDaily =
+    """(?is)\s*GRAFT\s+BUILD\s+DAILY\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Snapshot(table, dir) => GraftSnapshotCommand(table, dir)
@@ -226,6 +254,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case BuildLm(prefix, table, b) => GraftBuildLmCommand(
       prefix, table, Option(b).map(_.toInt)
         .getOrElse(graft.streaming.LmCountsStream.DefaultBuckets))
+    case BuildDaily(table, source, b) => GraftBuildDailyCommand(
+      table, source, Option(b).map(_.toInt)
+        .getOrElse(graft.streaming.AnomalyMonitorStream.DefaultBuckets))
     case _ => delegate.parsePlan(sqlText)
   }
 

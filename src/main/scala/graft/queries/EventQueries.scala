@@ -501,6 +501,57 @@ object EventQueries extends QueryModule {
              |SELECT user_id, event_id, asof_click_id
              |FROM w WHERE side = 1""".stripMargin)),
 
+    // FORWARD as-of: for each click, the FIRST purchase of the same
+    // user at or after it — the LABEL-GENERATION join of a training
+    // pipeline ("did the user purchase after this interaction, and
+    // how fast"), the time-mirror of the attribution join below.
+    // Forward joins are where label leakage lives, so the direction
+    // deserves its own oracled operator: a backward join here would
+    // silently train on the future. Clicks with no future purchase
+    // keep a NULL label (left join — label-coverage stats need them).
+    // Plan: per-user equi-join bounded by per-user activity, then a
+    // (user, ts) equi-join to resolve the id with a deterministic
+    // min tie-break; at unbounded per-user history the sorted-merge
+    // AsOfNative with negated timestamps is the same operator.
+    Q("asof_next_purchase_label",
+      (s, dir) => {
+        val e = events(s, dir).select(col("user_id"), col("event_type"),
+          col("event_id"), unix_micros(col("ts")).as("us"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("us").as("c_us"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("us").as("p_us"))
+        val firstUs = c.join(p, Seq("user_id"))
+          .filter(col("p_us") >= col("c_us"))
+          .groupBy(col("user_id"), col("click_id"), col("c_us"))
+          .agg(min(col("p_us")).as("p_us"))
+        val lbl = firstUs.join(p, Seq("user_id", "p_us"))
+          .groupBy(col("click_id"), col("c_us"), col("p_us"))
+          .agg(min(col("purchase_id")).as("purchase_id"))
+        c.join(lbl.select(col("click_id"), col("purchase_id"), col("p_us")),
+          Seq("click_id"), "left_outer")
+          .select(col("click_id"), col("user_id"),
+            col("purchase_id").as("label_purchase_id"),
+            (col("p_us") - col("c_us")).as("label_lag_us"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+             |      FROM events WHERE event_type = 'purchase'),
+             |f AS (SELECT c.user_id, c.click_id, c.c_us, min(p.p_us) AS p_us
+             |      FROM c JOIN p ON c.user_id = p.user_id AND p.p_us >= c.c_us
+             |      GROUP BY 1, 2, 3),
+             |l AS (SELECT f.click_id, f.c_us, f.p_us,
+             |             min(p.purchase_id) AS purchase_id
+             |      FROM f JOIN p ON f.user_id = p.user_id AND f.p_us = p.p_us
+             |      GROUP BY 1, 2, 3)
+             |SELECT c.click_id, c.user_id,
+             |       l.purchase_id AS label_purchase_id,
+             |       l.p_us - c.c_us AS label_lag_us
+             |FROM c LEFT JOIN l ON c.click_id = l.click_id""".stripMargin)),
+
     // As-of join (extension §7.4): for each purchase event, the most
     // recent click of the same user at or before it — the
     // point-in-time attribution join, via AsOf.join (one shuffle).

@@ -143,6 +143,28 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       "b>c>a" -> ((1L, 1L))))
   }
 
+  test("forward as-of label: first future purchase, null past the last one") {
+    val base = 4000L * WeekUs
+    val dir = eventsDir(Seq(
+      // u1: click -> two future purchases (must pick the FIRST),
+      // then a click AFTER the last purchase (null label)
+      (1L, base, 1L, "click", 0.0),
+      (2L, base + HourUs, 1L, "purchase", 1.0),
+      (3L, base + 2 * HourUs, 1L, "purchase", 1.0),
+      (4L, base + 3 * HourUs, 1L, "click", 0.0),
+      // u2: purchase at the SAME µs as the click counts (at-or-after)
+      (5L, base, 2L, "click", 0.0),
+      (6L, base, 2L, "purchase", 1.0)))
+    val got = SparkEntry.queries("asof_next_purchase_label")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+      .toMap
+    assert(got == Map(
+      1L -> Some((2L, HourUs)), // first purchase, 1h lag
+      4L -> None,               // no future purchase
+      5L -> Some((6L, 0L))))    // same-instant purchase qualifies
+  }
+
   test("driver corpus: all three stages populated and retention triangle closed") {
     val sf = "/root/testdata/sf0.01"
     val funnel = SparkEntry.queries("funnel_conversion")(spark, sf)

@@ -297,6 +297,30 @@ class GraftViewsSpec extends AnyFunSuite {
     } finally LmCountsStream.drop(spark, lfx)
   }
 
+  test("GRAFT BUILD DAILY stands up the anomaly store from pure SQL") {
+    GraftViews.register(spark, dir)
+    val table = "daily_sql_t"
+    graft.streaming.AnomalyMonitorStream.drop(spark, table)
+    try {
+      val r = spark.sql(s"GRAFT BUILD DAILY $table FROM events BUCKETS 4")
+        .collect()
+      assert(r.head.getString(0) == table && r.head.getLong(1) > 0)
+      val fromStore = graft.streaming.AnomalyMonitorStream
+        .anomalies(spark, table).collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getBoolean(5)))
+        .toSet
+      val batch = SparkEntry.queries("revenue_anomaly_mad")(spark, dir)
+        .collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getBoolean(5)))
+        .toSet
+      assert(fromStore == batch, "SQL-built store must serve the gated flags")
+      // drop-and-rebuild: a second run must not double-count
+      val r2 = spark.sql(s"GRAFT BUILD DAILY $table FROM events BUCKETS 4")
+        .collect()
+      assert(r2.head.getLong(1) == r.head.getLong(1))
+    } finally graft.streaming.AnomalyMonitorStream.drop(spark, table)
+  }
+
   test("telemetry-analytics views: funnel/retention/series/motifs in pure SQL") {
     GraftViews.register(spark, dir)
     // funnel stages are 1..3 with positive user counts
