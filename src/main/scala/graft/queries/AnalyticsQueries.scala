@@ -280,6 +280,57 @@ object AnalyticsQueries extends QueryModule {
              |       count(*) AS n,
              |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // Point-in-time-correct feature assembly — the feature store's
+    // namesake operation: for every click (the training example), the
+    // user's aggregate features AS OF strictly before that click
+    // (running counts/sums over the preceding events only — the
+    // current event and everything after are invisible, which is the
+    // leakage guarantee; pairs with asof_next_purchase_label's
+    // forward label to form a complete leak-free training set).
+    // Implementation is a per-user event-time window with an
+    // EXCLUSIVE upper bound (rows unbounded-preceding .. 1-preceding)
+    // — one shuffle on user_id, per-partition sort bounded by
+    // per-user activity, DECIMAL running sums for exact parity.
+    Q("pit_features",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // empty exclusive frame (a user's first event): sum is NULL in
+        // both engines — coalesce to 0 on both sides
+        def nOf(t: String) = coalesce(
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w), lit(0L))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("n_events_before", count(lit(1)).over(w))
+          .withColumn("n_purchases_before", nOf("purchase"))
+          .withColumn("n_errors_before", nOf("error"))
+          .withColumn("spend_before",
+            dbl4(coalesce(sum(when(col("event_type") === "purchase",
+              dec(col("value")))).over(w), dec(lit(0)))))
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("n_events_before"), col("n_purchases_before"),
+            col("n_errors_before"), col("spend_before"))
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             |    count(*) OVER w2 AS n_events_before,
+             |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      OVER w2, 0) AS BIGINT) AS n_purchases_before,
+             |    CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      OVER w2, 0) AS BIGINT) AS n_errors_before,
+             |    CAST(round(coalesce(sum(CASE WHEN event_type = 'purchase'
+             |        THEN CAST(value AS DECIMAL(28,6)) END) OVER w2, 0), 4)
+             |      AS DOUBLE) AS spend_before
+             |  FROM events
+             |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT event_id AS click_id, user_id, n_events_before,
+             |       n_purchases_before, n_errors_before, spend_before
+             |FROM f WHERE event_type = 'click'""".stripMargin))
   )
 }

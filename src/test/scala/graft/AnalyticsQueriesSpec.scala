@@ -165,6 +165,27 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       5L -> Some((6L, 0L))))    // same-instant purchase qualifies
   }
 
+  test("point-in-time features: strictly-before window, no leakage") {
+    val base = 5000L * WeekUs
+    val dir = eventsDir(Seq(
+      (1L, base, 1L, "purchase", 10.0),
+      (2L, base + HourUs, 1L, "click", 0.0),   // sees 1 purchase, 10.0
+      (3L, base + 2 * HourUs, 1L, "error", 1.0),
+      (4L, base + 3 * HourUs, 1L, "click", 0.0), // sees p+e+click = 3 events
+      // u2's FIRST event is a click: every feature must be 0, not null
+      (5L, base, 2L, "click", 0.0),
+      // same-instant purchase (later event_id) must NOT leak into
+      // the click's features
+      (6L, base, 2L, "purchase", 99.0)))
+    val got = SparkEntry.queries("pit_features")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got == Map(
+      2L -> ((1L, 1L, 0L, 10.0)),
+      4L -> ((3L, 1L, 1L, 10.0)),
+      5L -> ((0L, 0L, 0L, 0.0))))
+  }
+
   test("driver corpus: all three stages populated and retention triangle closed") {
     val sf = "/root/testdata/sf0.01"
     val funnel = SparkEntry.queries("funnel_conversion")(spark, sf)
