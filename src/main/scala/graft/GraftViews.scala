@@ -133,7 +133,9 @@ object GraftViews {
       "cohort_retention" -> "retention_triangle",
       "timeseries_gapfill" -> "daily_series",
       "revenue_anomaly_mad" -> "daily_anomalies",
-      "event_motifs" -> "behavior_motifs").foreach { case (q, view) =>
+      "event_motifs" -> "behavior_motifs",
+      // the leak-free supervised export: PIT features + forward label
+      "training_set" -> "training_examples").foreach { case (q, view) =>
       SparkEntry.queries(q)(spark, dir).createOrReplaceTempView(view)
     }
   }

@@ -55,7 +55,8 @@ object PlanAudit {
     "collocations_pmi_fp", "embed_knn_label_fp", "revenue_anomaly_mad",
     "ppr_suppliers", "embed_mmr_topk_fp", "token_entropy_fp",
     "event_motifs", "percentiles_octave_fp", "quality_classifier_fp",
-    "dedup_jaccard_prefix", "asof_next_purchase_label", "pit_features")
+    "dedup_jaccard_prefix", "asof_next_purchase_label", "pit_features",
+    "training_set")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

@@ -331,6 +331,56 @@ object AnalyticsQueries extends QueryModule {
              |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
              |SELECT event_id AS click_id, user_id, n_events_before,
              |       n_purchases_before, n_errors_before, spend_before
-             |FROM f WHERE event_type = 'click'""".stripMargin))
+             |FROM f WHERE event_type = 'click'""".stripMargin)),
+
+    // The complete leak-free training set in ONE call: point-in-time
+    // features (strictly before each click) joined to the forward
+    // label (first purchase at or after it), with the supervised
+    // target will_purchase_24h. Composes the two oracled halves by
+    // click_id — features can never see the future, the label can
+    // never see the past, and the join key is the example identity.
+    // This is the end-to-end deliverable a feature-store user exports
+    // to a trainer.
+    Q("training_set",
+      (s, dir) => {
+        val feats = graft.SparkEntry.queries("pit_features")(s, dir)
+        val labels = graft.SparkEntry.queries("asof_next_purchase_label")(s, dir)
+          .select(col("click_id"), col("label_purchase_id"),
+            col("label_lag_us"))
+        feats.join(labels, Seq("click_id"))
+          .select(col("click_id"), col("user_id"),
+            col("n_events_before"), col("n_purchases_before"),
+            col("n_errors_before"), col("spend_before"),
+            coalesce(col("label_lag_us") < StepWindowUs, lit(false))
+              .as("will_purchase_24h"),
+            col("label_lag_us"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+              |    count(*) OVER w2 AS n_events_before,
+              |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              |      OVER w2, 0) AS BIGINT) AS n_purchases_before,
+              |    CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              |      OVER w2, 0) AS BIGINT) AS n_errors_before,
+              |    CAST(round(coalesce(sum(CASE WHEN event_type = 'purchase'
+              |        THEN CAST(value AS DECIMAL(28,6)) END) OVER w2, 0), 4)
+              |      AS DOUBLE) AS spend_before
+              |  FROM events
+              |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+              |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              |c AS (SELECT user_id, event_id AS click_id, us, n_events_before,
+              |             n_purchases_before, n_errors_before, spend_before
+              |      FROM f WHERE event_type = 'click'),
+              |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+              |      FROM events WHERE event_type = 'purchase'),
+              |fp AS (SELECT c.click_id, min(p.p_us) AS p_us
+              |       FROM c JOIN p ON c.user_id = p.user_id AND p.p_us >= c.us
+              |       GROUP BY 1)
+              |SELECT c.click_id, c.user_id, c.n_events_before,
+              |       c.n_purchases_before, c.n_errors_before, c.spend_before,
+              |       coalesce(fp.p_us - c.us < $StepWindowUs, FALSE)
+              |         AS will_purchase_24h,
+              |       fp.p_us - c.us AS label_lag_us
+              |FROM c LEFT JOIN fp ON c.click_id = fp.click_id""".stripMargin))
   )
 }

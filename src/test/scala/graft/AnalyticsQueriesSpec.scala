@@ -186,6 +186,21 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       5L -> ((0L, 0L, 0L, 0.0))))
   }
 
+  test("training set: one row per click, label consistent with lag, both classes") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("training_set")(spark, sf).collect()
+    val clicks = SparkEntry.queries("pit_features")(spark, sf).count()
+    assert(rows.length == clicks, "every example keeps its row")
+    rows.foreach { r =>
+      val will = r.getBoolean(6)
+      val lag = if (r.isNullAt(7)) None else Some(r.getLong(7))
+      assert(will == lag.exists(_ < 86400000000L),
+        s"label must equal lag<24h: will=$will lag=$lag")
+    }
+    val pos = rows.count(_.getBoolean(6))
+    assert(pos > 0 && pos < rows.length, "both classes must appear")
+  }
+
   test("driver corpus: all three stages populated and retention triangle closed") {
     val sf = "/root/testdata/sf0.01"
     val funnel = SparkEntry.queries("funnel_conversion")(spark, sf)
