@@ -187,6 +187,54 @@ object EventQueries extends QueryModule {
             <= greatest(lit(3.0), col("exact_keys") * 0.1)).as("within_bound")),
       None),
 
+    // A2 through the EXACT-GATE sketch: per-user distinct click keys
+    // via the md5-40 KMV sketch (the source_overlap_kmv_md5 family
+    // applied to the reference's DISTINCT_COUNT aggregate). Per-user
+    // key cardinalities sit far below the k=256 capacity, where a KMV
+    // sketch is EXACT by construction (it holds every distinct hash)
+    // — so unlike the HLL/approx rows this sketch path hash-matches a
+    // DuckDB replay (distinct md5-40 per user + count), and the
+    // exact_below_capacity column proves estimate ≡ exact inside the
+    // gate itself. The sketch's value at 100 TB: fixed-size mergeable
+    // state per group (the countDistinct expands per-key rows; the
+    // sketch caps at k hashes) — this query documents when that trade
+    // is also lossless.
+    Q("a2_distinct_kmv_md5",
+      (s, dir) => eventsJson(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").as("ks"))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("ks")).as("exact_keys"),
+          graft.functions.expressions.KmvEstimateFp(
+            graft.functions.expressions.KmvSketchBuildMd5(col("ks"), 256))
+            .as("kmv_keys"))
+        .select(col("user_id"), col("exact_keys"), col("kmv_keys"),
+          (col("exact_keys") === col("kmv_keys")).as("exact_below_capacity")),
+      Some("""WITH c AS (SELECT user_id, props::JSON->>'k' AS ks
+             |           FROM events
+             |           WHERE event_type = 'click'
+             |             AND (props::JSON->>'k') IS NOT NULL),
+             |h AS (SELECT DISTINCT user_id,
+             |             ('0x' || substr(md5(ks), 1, 10))::BIGINT AS h
+             |      FROM c),
+             |r AS (SELECT user_id, h,
+             |             row_number() OVER (PARTITION BY user_id ORDER BY h) AS rn
+             |      FROM h),
+             |sk AS (SELECT user_id, h FROM r WHERE rn <= 256),
+             |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |              CASE WHEN count(*) >= 256 THEN max(h)
+             |                   ELSE 1099511627776 END AS th
+             |       FROM sk GROUP BY user_id),
+             |ex AS (SELECT user_id, CAST(count(DISTINCT ks) AS BIGINT) AS exact_keys
+             |       FROM c GROUP BY user_id)
+             |SELECT ex.user_id, ex.exact_keys,
+             |       CASE WHEN st.n < 256 THEN st.n
+             |            ELSE (255 * 1099511627776) // st.th END AS kmv_keys,
+             |       ex.exact_keys = (CASE WHEN st.n < 256 THEN st.n
+             |            ELSE (255 * 1099511627776) // st.th END) AS exact_below_capacity
+             |FROM ex JOIN st ON ex.user_id = st.user_id""".stripMargin)),
+
     // A3: SUM(field) dedup-by-uuid (reference aggregate.py:55-58)
     Q("a3_sum_dedup",
       (s, dir) => perUserCached(s, dir)

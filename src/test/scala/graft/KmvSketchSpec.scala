@@ -178,4 +178,14 @@ class KmvSketchSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("kmv_sketch"))
   }
+
+  test("a2_distinct_kmv_md5: below-capacity sketch counts are exact, and the flag says so") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("a2_distinct_kmv_md5")(
+      spark, "/root/testdata/sf0.01").cache()
+    assert(out.count() == 150)
+    assert(out.filter(!col("exact_below_capacity")).count() == 0,
+      "per-user cardinalities sit below k=256 — the sketch must be exact")
+    assert(out.filter(col("exact_keys") =!= col("kmv_keys")).count() == 0)
+  }
 }
