@@ -282,6 +282,40 @@ object AnalyticsQueries extends QueryModule {
              |FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
              |GROUP BY 1""".stripMargin)),
 
+    // Trailing 7-day rolling spend per user — the LTV/velocity feature
+    // window, and the registry's RANGE-frame coverage (every other
+    // window here uses ROWS): the frame is value-based over the
+    // integer day index, so gap days genuinely age spend out of the
+    // window — a ROWS frame over the sparse per-(user, day) frame
+    // would silently include arbitrarily old activity. DECIMAL sums;
+    // the window runs over the per-user ACTIVE-day frame (bounded by
+    // activity, not the calendar).
+    Q("rolling_spend_7d",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"),
+            expr(s"unix_micros(ts) div $DayUs").as("day"))
+          .agg(sum(dec(col("value"))).as("rev"), count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rangeBetween(-6, Window.currentRow)
+        daily.select(col("user_id"), col("day"),
+          dbl4(sum(col("rev")).over(w)).as("spend_7d"),
+          sum(col("n")).over(w).as("purchases_7d"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+              |         sum(CAST(value AS DECIMAL(28,6))) AS rev,
+              |         count(*) AS n
+              |  FROM events WHERE event_type = 'purchase'
+              |  GROUP BY 1, 2)
+              |SELECT user_id, day,
+              |       CAST(round(sum(rev) OVER w, 4) AS DOUBLE) AS spend_7d,
+              |       CAST(sum(n) OVER w AS BIGINT) AS purchases_7d
+              |FROM d
+              |WINDOW w AS (PARTITION BY user_id ORDER BY day
+              |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // Point-in-time-correct feature assembly — the feature store's
     // namesake operation: for every click (the training example), the
     // user's aggregate features AS OF strictly before that click

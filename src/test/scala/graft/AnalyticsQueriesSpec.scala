@@ -201,6 +201,20 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(pos > 0 && pos < rows.length, "both classes must appear")
   }
 
+  test("rolling 7d spend: RANGE frame ages gap-day spend out of the window") {
+    val d0 = 300L * DayUs
+    val dir = eventsDir(Seq(
+      (1L, d0, 1L, "purchase", 10.0),                 // day 300
+      (2L, d0 + 3 * DayUs, 1L, "purchase", 5.0),      // day 303: 15 in window
+      (3L, d0 + 8 * DayUs, 1L, "purchase", 2.0)))     // day 308: day 300 aged out, 303 in (308-303=5<=6)
+    val got = SparkEntry.queries("rolling_spend_7d")(spark, dir)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got == Map(
+      300L -> ((10.0, 1L)),
+      303L -> ((15.0, 2L)),
+      308L -> ((7.0, 2L))))
+  }
+
   test("driver corpus: all three stages populated and retention triangle closed") {
     val sf = "/root/testdata/sf0.01"
     val funnel = SparkEntry.queries("funnel_conversion")(spark, sf)
