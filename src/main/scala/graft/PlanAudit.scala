@@ -56,7 +56,8 @@ object PlanAudit {
     "ppr_suppliers", "embed_mmr_topk_fp", "token_entropy_fp",
     "event_motifs", "percentiles_octave_fp", "quality_classifier_fp",
     "dedup_jaccard_prefix", "asof_next_purchase_label", "pit_features",
-    "training_set", "a2_distinct_kmv_md5", "rolling_spend_7d")
+    "training_set", "a2_distinct_kmv_md5", "rolling_spend_7d",
+    "corpus_sample_es")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

@@ -970,6 +970,52 @@ object TextQueries extends QueryModule {
              |         AS tokens_sampled
              |FROM w GROUP BY lang, tier""".stripMargin)),
 
+    // EXACT-k weighted sampling without replacement (Efraimidis &
+    // Spirtes, IPL '06) under the exact hash gate — the companion the
+    // rate-based carve above can't be: rates hit a target in
+    // EXPECTATION, while training-budget contracts often need exactly
+    // k documents drawn with probability ∝ weight. A-ES keeps the k
+    // largest u_i^(1/w_i) for uniform u_i; taking logs and negating,
+    // that's the k SMALLEST (−log2 u_i)/w_i — and with u_i =
+    // md5-40(doc_id)/2^40, cost_fp = 40·2^20 − log2LinFp(h) is exact
+    // nonneg integer arithmetic, so the ranking key
+    // (cost_fp · 2^20) div w is engine-portable (nonneg div:
+    // truncation ≡ floor — the negative-div trap never opens).
+    // Weight = token count: long docs are proportionally likelier,
+    // the usual token-budget-aware draw. Plan: one scan, per-row
+    // arithmetic, TakeOrderedAndProject top-k — no shuffle beyond the
+    // k-row merge, holds at any corpus size.
+    Q("corpus_sample_es",
+      (s, dir) => {
+        val k = 100
+        val nTok = size(tokens(col("text"))).cast("long")
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
+          .cast("long")
+        docs(s, dir)
+          .select(col("doc_id"), nTok.as("n_tokens"), h.as("h"))
+          .filter(col("n_tokens") >= 1 && col("h") >= 1)
+          .withColumn("cost_sc",
+            (lit(40L * (1L << 20)) -
+              graft.functions.FixedPointOps.log2LinFp(col("h"))) * lit(1L << 20))
+          .withColumn("key_fp", expr("cost_sc div n_tokens"))
+          .orderBy(col("key_fp"), col("doc_id")).limit(k)
+          .select(col("doc_id"), col("n_tokens"), col("key_fp"))
+      },
+      Some {
+        import graft.functions.FixedPointOps.log2LinFpSql
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT AS h
+           |  FROM documents),
+           |kk AS (SELECT doc_id, n_tokens,
+           |              ((${40L * (1L << 20)} - ${log2LinFpSql("h")}) * 1048576)
+           |                // n_tokens AS key_fp
+           |       FROM t WHERE n_tokens >= 1 AND h >= 1)
+           |SELECT doc_id, n_tokens, key_fp FROM kk
+           |ORDER BY key_fp, doc_id LIMIT 100""".stripMargin
+      }),
+
     // BM25 lexical retrieval for a fixed query-term set — the lexical
     // half of a retrieval stack next to the ANN family. Determinism
     // discipline for the exact gate: the per-(doc, term) contribution
