@@ -1,9 +1,10 @@
 package graft.streaming
 
+import graft.sources.BucketedUpsert
 import graft.streaming.EventPipeline.EventRow
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming funnel-stage tracker: the real-time twin of the batch
   * `funnel_conversion` query (queries/AnalyticsQueries.scala) —
@@ -13,13 +14,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State design for scale: per user exactly three optional epoch-µs
   * longs (the first qualifying timestamp of each stage) — O(1),
-  * unlike a collect-the-events approach; and a COMPLETED funnel
-  * (stage 3) removes its state entirely, so long-running streams hold
-  * state only for in-flight funnels. Events are folded in event-time
-  * order within each batch (the grantChanges discipline); cross-batch
-  * late data follows the streaming contract everywhere else in this
-  * engine — in-order delivery per user up to the micro-batch
-  * boundary, convergence-to-batch asserted by StreamingFunnelSpec.
+  * unlike a collect-the-events approach. A COMPLETED funnel keeps its
+  * pUs marker as a terminal state so later events can NEVER re-enter
+  * the funnel — that is what keeps the stream convergent with the
+  * batch twin's single-journey min-chaining (removing the state
+  * instead would let a post-completion signup restart stage 1, a
+  * divergence the hourly-rate parity spec catches). Reclaiming the
+  * 3-longs-per-user state is the standard timeout's job
+  * (GroupStateTimeout/TTL), not a correctness lever. Events are
+  * folded in event-time order within each batch (the grantChanges
+  * discipline); cross-batch late data follows the streaming contract
+  * everywhere else in this engine — in-order delivery per user up to
+  * the micro-batch boundary, convergence-to-batch asserted by
+  * StreamingFunnelSpec.
   *
   * The batch twin [[batchStages]] is THE parity target: identical
   * min-chaining join logic to the oracled query, exposed per-user so
@@ -58,8 +65,7 @@ object FunnelStream {
         case _ => ()
       }
     }
-    if (st.pUs != 0L) state.remove() // completed funnel frees its state
-    else state.update(st)
+    state.update(st)
     out.iterator
   }
 
@@ -69,6 +75,69 @@ object FunnelStream {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
+
+  // ---- hourly stage-reach rates (the funnel dashboard series) ------
+  //
+  // Spark refuses a second stateful operator (windowed aggregation)
+  // downstream of flatMapGroupsWithState in one query, so the rate
+  // series is maintained the engine's standard way instead: the
+  // transition stream folds additively into an (stage, hour) count
+  // store per micro-batch (the AnomalyMonitorStream shape, replay-
+  // guarded). Counts of disjoint transition sets are associative, so
+  // the store equals the batch aggregation of batchStages' reach
+  // timestamps after any chunking — StreamingFunnelSpec asserts it.
+
+  val RatesTable = "graft_funnel_rates"
+  private val HourUs = 3600000000L
+
+  /** Create an empty (stage, hour) count store (idempotent). */
+  def initRates(spark: SparkSession, table: String = RatesTable,
+                buckets: Int = 8): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      import spark.implicits._
+      BucketedUpsert.materialize(
+        Seq.empty[(Int, Long, Long)].toDF("stage", "hour", "n"),
+        table, "hour", buckets)
+    }
+
+  def dropRates(spark: SparkSession, table: String = RatesTable): Unit =
+    BucketedUpsert.drop(spark, table)
+
+  /** Merge one micro-batch of transitions into the rate store. */
+  def upsertRates(spark: SparkSession, batch: DataFrame,
+                  table: String = RatesTable, buckets: Int = 8,
+                  batchId: Option[Long] = None): Unit =
+    BucketedUpsert.upsert(spark, table,
+      batch.groupBy(col("stage"),
+        expr(s"at_us div $HourUs").as("hour"))
+        .agg(count(lit(1)).as("n")),
+      Seq("stage", "hour"), "hour", buckets,
+      merge = (_, ex, dl) => coalesce(ex, lit(0L)) + coalesce(dl, lit(0L)),
+      batchId = batchId)
+
+  /** Streaming sink: transitions → incremental hourly reach counts. */
+  def ratesWriter(transitions: Dataset[FunnelTransition],
+                  table: String = RatesTable,
+                  buckets: Int = 8): DataStreamWriter[Row] =
+    transitions.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        upsertRates(batch.sparkSession, batch, table, buckets, Some(id))
+      }
+
+  /** The accumulated hourly series `(stage, hour, n)`. */
+  def rates(spark: SparkSession, table: String = RatesTable): DataFrame =
+    BucketedUpsert.read(spark, table)
+
+  /** Batch twin of [[rates]]: hourly stage-reach counts read off
+    * batchStages' per-stage first-qualifying timestamps. */
+  def batchRates(events: DataFrame): DataFrame = {
+    val st = batchStages(events)
+    Seq(("s_us", 1), ("c_us", 2), ("p_us", 3)).map { case (c, k) =>
+      st.filter(col(c).isNotNull)
+        .select(lit(k).as("stage"), expr(s"$c div $HourUs").as("hour"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("stage"), col("hour")).agg(count(lit(1)).as("n"))
   }
 
   /** Batch twin: per-user `(user_id, stage, s_us, c_us, p_us)` via the

@@ -82,7 +82,33 @@ class StreamingFunnelSpec extends AnyFunSuite {
     assert(q == fromStream.map { case (k, v) => k.toLong -> v })
   }
 
-  test("completed funnels free their state; in-flight funnels keep it") {
+  test("hourly reach rates: chunked transition feed equals the batch series") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val table = "funnel_rates_t"
+    FunnelStream.dropRates(spark, table)
+    FunnelStream.initRates(spark, table, buckets = 4)
+    try {
+      val rows = Tables.events(spark, sf).as[EventRow]
+        .collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+      val ms = MemoryStream[EventRow](spark)
+      val q = FunnelStream.ratesWriter(
+        FunnelStream.transitions(spark, ms.toDS()), table, buckets = 4)
+        .queryName("funnel_rates_q").start()
+      try rows.grouped(rows.size / 3 + 1).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = FunnelStream.rates(spark, table).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = FunnelStream.batchRates(Tables.events(spark, sf))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"rate store must equal the batch series: ${streamed -- batch} / ${batch -- streamed}")
+      assert(batch.nonEmpty)
+    } finally FunnelStream.dropRates(spark, table)
+  }
+
+  test("completed funnels are terminal: no re-entry, O(users) state") {
     import spark.implicits._
     val ms = MemoryStream[EventRow](spark)
     val q = FunnelStream.transitions(spark, ms.toDS())
@@ -92,17 +118,17 @@ class StreamingFunnelSpec extends AnyFunSuite {
       ms.addData(fixture)
       q.processAllAvailable()
       val rows = q.lastProgress.stateOperators(0).numRowsTotal
-      // u1 completed (state removed); u2 and u3 in flight; u4 never
-      // entered the funnel but was seen (signup-less fold keeps the
-      // empty state row)
-      assert(rows <= 3, s"state rows $rows: completed funnel must drop")
-      // a fresh purchase from u1 after completion must NOT re-emit
-      // (stage already reached; state re-created empty, purchase
-      // without signup ignores)
-      ms.addData(Seq(ev(11, 1, "purchase", 12)))
+      // exactly one 3-longs state row per user seen — never per event
+      assert(rows <= 4, s"state rows $rows must be O(users)")
+      // post-completion events from u1 must NOT re-emit — not a
+      // purchase (stage already terminal) and not even a fresh signup
+      // (the terminal marker blocks re-entry, keeping the stream
+      // convergent with the batch twin's single-journey semantics)
+      ms.addData(Seq(ev(11, 1, "purchase", 12), ev(12, 1, "signup", 13)))
       q.processAllAvailable()
     } finally q.stop()
     val emitted = spark.table("funnel_state").as[FunnelTransition].collect()
-    assert(emitted.count(t => t.user_id == 1L) == 3)
+    assert(emitted.count(t => t.user_id == 1L) == 3,
+      "exactly stages 1..3, nothing after completion")
   }
 }
