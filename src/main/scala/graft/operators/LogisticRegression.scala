@@ -137,7 +137,10 @@ object LogisticRegression {
     val n = f.count()
     require(n > 0, "empty training frame")
     require(n < (1L << 22), s"trainFp overflow bound: n=$n >= 2^22 — train on a hash sample")
-    val shift = 18 + (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    // ⌈log2 n⌉ = 64 - nlz(n-1) for n ≥ 2, and 0 for n = 1 (the nlz
+    // form would give 1 there, diverging from the oracle's CASE n=1)
+    val shift =
+      if (n == 1) 18 else 18 + (64 - java.lang.Long.numberOfLeadingZeros(n - 1))
     val w = Array.fill(dim)(0L)
     for (_ <- 1 to iters) {
       val rows = predictedFp(f, w)

@@ -214,7 +214,7 @@ case class GraftBuildDailyCommand(table: String, source: String, buckets: Int)
   }
 }
 
-/** Delegating parser: seven regex-matched graft statements, everything
+/** Delegating parser: regex-matched graft statements, everything
   * else verbatim to the session's default parser (so the extension can
   * never change the semantics of real SQL). Statement shapes are
   * deliberately rigid — identifiers and a quoted local path — and a

@@ -33,8 +33,11 @@ object AnalyticsQueries extends QueryModule {
   private val WeekUs = 604800000000L // 7 * 86400 * 1e6
   private val DayUs = 86400000000L
 
-  /** Funnel step-conversion window: 24 h in µs (see funnel_conversion). */
-  private val StepWindowUs = 86400000000L
+  /** Funnel step-conversion window: 24 h in µs (see funnel_conversion).
+    * Package-visible: FunnelStream's per-event state transitions apply
+    * the SAME window, and referencing one constant is what makes the
+    * stream/batch funnel parity structural rather than a comment. */
+  private[graft] val StepWindowUs = 86400000000L
 
   /** Per-(type, day) event counts and exact DECIMAL revenue — the
     * additive daily frame behind revenue_anomaly_mad AND the

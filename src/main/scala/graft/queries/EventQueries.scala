@@ -204,6 +204,10 @@ object EventQueries extends QueryModule {
         .filter(col("event_type") === "click")
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").as("ks"))
+        // the oracle's CTE filters null keys; without this a user whose
+        // clicks ALL lack props.k would exist only on the Spark side
+        // (exact_keys=0) — align on degenerate users explicitly
+        .filter(col("ks").isNotNull)
         .groupBy(col("user_id"))
         .agg(countDistinct(col("ks")).as("exact_keys"),
           graft.functions.expressions.KmvEstimateFp(

@@ -38,7 +38,11 @@ object AnomalyMonitorStream {
     StructField("event_type", StringType),
     StructField("day", LongType),
     StructField("n_events", LongType),
-    StructField("rev", DecimalType(28, 6))))
+    // sum-widened DECIMAL: dailyRevenue's sum(dec(value)) carries
+    // (38,6), and the additive merge keeps (38,6) (precision already
+    // capped) — declaring anything narrower would violate upsert's
+    // "delta schema equals the table's" contract on the first merge
+    StructField("rev", DecimalType(38, 6))))
 
   /** Create an empty daily store (idempotent). */
   def init(spark: SparkSession, table: String = DefaultTable,

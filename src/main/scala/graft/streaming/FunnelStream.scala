@@ -34,8 +34,9 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   */
 object FunnelStream {
 
-  /** 24 h in µs — MUST match AnalyticsQueries' StepWindowUs. */
-  val StepWindowUs: Long = 86400000000L
+  /** 24 h in µs — the batch funnel's step window, referenced (not
+    * redeclared) so stream/batch parity cannot drift silently. */
+  val StepWindowUs: Long = graft.queries.AnalyticsQueries.StepWindowUs
 
   /** Per-user funnel state: first qualifying ts (µs) per stage;
     * 0 = unset (event-time µs of the fixtures are all > 0). */
