@@ -39,39 +39,63 @@ object EmbeddingQueries extends QueryModule {
         .cache())
 
   /** Session-scoped memo of the PERSISTED IVF index (IvfIndexStore):
-    * built once per (session, source) — drop/init/full ingest — then
     * probed read-only by every embed_ann_indexed run, the
     * build-once/probe-many contract the per-query ivfTopKWith lacks.
-    * The value is the store's table prefix. */
+    * Build-once now spans PROCESSES: a completed same-corpus build
+    * left on disk (StoreSentinel + adopt, see TextQueries'
+    * postingsPrefix) is re-registered in O(1) catalog ops instead of
+    * re-assigned from the corpus. The value is the store's prefix. */
   private val ivfIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   private[queries] def ivfIndexPrefix(s: SparkSession, dir: String): String =
     ivfIndexCache.getOrElseUpdate((s, dir), {
       // hex of hashCode: unsigned, catalog-identifier-safe
       val p = "ivfq_" + java.lang.Integer.toHexString(dir.hashCode)
-      graft.sources.IvfIndexStore.drop(s, p)
-      graft.sources.IvfIndexStore.init(s,
-        vecs(s, dir).filter(col("vec_id") < 16)
-          .select(col("vec_id").as("pid"), col("emb").as("pemb")), p)
-      graft.sources.IvfIndexStore.upsertBatch(s, vecs(s, dir), p)
+      val sig = graft.sources.StoreSentinel.corpusSignature(dir, "embeddings.parquet")
+      val adopted = graft.sources.StoreSentinel.matches(s, p, sig) &&
+        graft.sources.IvfIndexStore.adopt(s, p)
+      if (!adopted) {
+        graft.sources.StoreSentinel.drop(s, p)
+        graft.sources.IvfIndexStore.drop(s, p)
+        graft.sources.IvfIndexStore.init(s,
+          vecs(s, dir).filter(col("vec_id") < 16)
+            .select(col("vec_id").as("pid"), col("emb").as("pemb")), p)
+        graft.sources.IvfIndexStore.upsertBatch(s, vecs(s, dir), p)
+        graft.sources.StoreSentinel.write(s, p, sig)
+      }
       p
     })
 
   /** Session-scoped memo of the PERSISTED PQ index (IvfIndexStore
     * codebooks + codes): train-once codebooks over the corpus, full
     * encode at build, then probed read-only by every
-    * embed_ann_pq_indexed run — the FAISS train/encode/serve split.
-    * The value is the store's table prefix. */
+    * embed_ann_pq_indexed run — the FAISS train/encode/serve split,
+    * warm-restartable like [[ivfIndexPrefix]]. */
   private val pqIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   private def pqIndexPrefix(s: SparkSession, dir: String): String =
     pqIndexCache.getOrElseUpdate((s, dir), {
       val p = "pqix_" + java.lang.Integer.toHexString(dir.hashCode)
-      graft.sources.IvfIndexStore.drop(s, p)
-      graft.sources.IvfIndexStore.initPq(s, vecs(s, dir), p)
-      graft.sources.IvfIndexStore.upsertPqBatch(s, vecs(s, dir), p)
+      val sig = graft.sources.StoreSentinel.corpusSignature(dir, "embeddings.parquet")
+      val adopted = graft.sources.StoreSentinel.matches(s, p, sig) &&
+        graft.sources.IvfIndexStore.adoptPq(s, p)
+      if (!adopted) {
+        graft.sources.StoreSentinel.drop(s, p)
+        graft.sources.IvfIndexStore.drop(s, p)
+        graft.sources.IvfIndexStore.initPq(s, vecs(s, dir), p)
+        graft.sources.IvfIndexStore.upsertPqBatch(s, vecs(s, dir), p)
+        graft.sources.StoreSentinel.write(s, p, sig)
+      }
       p
     })
+
+  /** Test hook simulating a process restart: forget the in-memory
+    * memos WITHOUT dropping the persisted stores (clearCaches is the
+    * invalidation API; this is the amnesia one). */
+  private[graft] def forgetSessionMemos(): Unit = {
+    ivfIndexCache.clear()
+    pqIndexCache.clear()
+  }
 
   /** Drop this module's session memos (see [[graft.Caches]]). */
   private[graft] def clearCaches(): Unit = {
@@ -79,6 +103,7 @@ object EmbeddingQueries extends QueryModule {
     vecCache.clear()
     Seq(ivfIndexCache, pqIndexCache).foreach { c =>
       c.foreach { case ((s, _), p) =>
+        graft.sources.StoreSentinel.drop(s, p)
         graft.sources.IvfIndexStore.drop(s, p) }
       c.clear()
     }

@@ -299,6 +299,7 @@ object TextQueries extends QueryModule {
     }
     bpeCache.clear()
     postingsCache.foreach { case ((s, _), p) =>
+      graft.sources.StoreSentinel.drop(s, p)
       graft.sources.PostingsStore.drop(s, p) }
     postingsCache.clear()
     var df = auxCached.poll()
@@ -424,20 +425,40 @@ object TextQueries extends QueryModule {
   }
 
   /** Session-scoped memo of the PERSISTED postings index
-    * (PostingsStore): built once per (session, source) — drop/init/
-    * full ingest — then probed read-only by every bm25_indexed run.
-    * The lexical twin of EmbeddingQueries' ivfIndexPrefix memo. */
+    * (PostingsStore), the lexical twin of EmbeddingQueries'
+    * ivfIndexPrefix memo. Build-once/probe-many now spans PROCESSES:
+    * a completed build of the same corpus left on disk by an earlier
+    * session (StoreSentinel matches + all three tables adopt) is
+    * re-registered in O(1) catalog ops and probed directly — the
+    * warm-restart contract; only a missing, partial, or
+    * different-corpus store pays the full tokenize/ingest. The
+    * reference analogue is the grants view surviving across requests
+    * (`/root/reference/services/user_feature.py:22`), lifted to
+    * surviving across process restarts. */
   private val postingsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
-  private def postingsPrefix(s: SparkSession, dir: String): String =
+  private[graft] def postingsPrefix(s: SparkSession, dir: String): String =
     postingsCache.getOrElseUpdate((s, dir), {
       val p = "bm25ix_" + java.lang.Integer.toHexString(dir.hashCode)
-      graft.sources.PostingsStore.drop(s, p)
-      graft.sources.PostingsStore.init(s, p)
-      graft.sources.PostingsStore.upsertBatch(s,
-        docs(s, dir).select(col("doc_id"), col("text")), p)
+      val sig = graft.sources.StoreSentinel.corpusSignature(dir, "documents.parquet")
+      val adopted = graft.sources.StoreSentinel.matches(s, p, sig) &&
+        graft.sources.PostingsStore.adopt(s, p)
+      if (!adopted) {
+        graft.sources.StoreSentinel.drop(s, p)
+        graft.sources.PostingsStore.drop(s, p)
+        graft.sources.PostingsStore.init(s, p)
+        graft.sources.PostingsStore.upsertBatch(s,
+          docs(s, dir).select(col("doc_id"), col("text")), p)
+        // sentinel LAST: its presence certifies a completed build
+        graft.sources.StoreSentinel.write(s, p, sig)
+      }
       p
     })
+
+  /** Test hook simulating a process restart: forget the in-memory
+    * memo WITHOUT dropping the persisted stores (clearCaches drops
+    * them — it is the invalidation API; this is the amnesia one). */
+  private[graft] def forgetSessionMemos(): Unit = postingsCache.clear()
 
   /** The SAME BM25 top-20 against the persisted index: tf/dl come from
     * the query terms' postings buckets, df is the per-term row count of

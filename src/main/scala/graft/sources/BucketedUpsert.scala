@@ -35,8 +35,127 @@ object BucketedUpsert extends org.apache.spark.internal.Logging {
     }
   }
 
-  private[graft] def publish(spark: SparkSession, table: String, gen: String): Unit =
+  private[graft] def publish(spark: SparkSession, table: String, gen: String): Unit = {
     spark.sql(s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM `$gen`")
+    writeMarker(spark, table, gen)
+  }
+
+  /** Durable publish marker `<warehouse>/<table>.graft_store`: which
+    * generation is served, plus everything a FRESH catalog needs to
+    * re-register the generations over their existing bytes (schema,
+    * bucket spec, replay-guard properties). The catalog is
+    * per-process; the warehouse directory is not — without this
+    * marker a restarted serving process cannot tell `t__a` from
+    * `t__b` and must rebuild from the corpus ([[adopt]] is the read
+    * side). Written on EVERY publish (tiny, atomic), so the marker
+    * always describes the last served state; a crash between
+    * CREATE VIEW and the marker move leaves the previous marker,
+    * i.e. adoption resurrects the pre-merge publish — exactly the
+    * at-least-once replay the (queryId, batchId) guard absorbs. */
+  private[graft] def markerPath(spark: SparkSession, table: String): java.nio.file.Path = {
+    val tp = java.nio.file.Paths.get(spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    tp.resolveSibling(tp.getFileName.toString + ".graft_store")
+  }
+
+  private def writeMarker(spark: SparkSession, table: String, active: String): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("version", "1")
+    p.setProperty("active", active)
+    val (a, b) = generations(table)
+    val present = Seq(a, b).filter(spark.catalog.tableExists)
+    p.setProperty("gens", present.mkString(","))
+    present.foreach { g =>
+      val m = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(g))
+      m.bucketSpec.foreach { bs =>
+        p.setProperty(s"$g.buckets", bs.numBuckets.toString)
+        p.setProperty(s"$g.key", bs.bucketColumnNames.head)
+      }
+      p.setProperty(s"$g.schema", m.schema.json)
+      m.properties.get("graft.batchId").foreach(p.setProperty(s"$g.batchId", _))
+      m.properties.get("graft.queryId").foreach(p.setProperty(s"$g.queryId", _))
+    }
+    val mp = markerPath(spark, table)
+    java.nio.file.Files.createDirectories(mp.getParent)
+    // all-or-nothing publish of the marker itself (the RunManifest
+    // contract): a truncated in-place write could parse as a valid
+    // marker for the WRONG generation
+    val tmp = java.nio.file.Files.createTempFile(
+      mp.getParent, "." + mp.getFileName.toString, ".tmp")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try p.store(out, null) finally out.close()
+    java.nio.file.Files.move(tmp, mp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Re-register an existing on-disk store into THIS session's catalog
+    * — the warm-restart half of build-once/probe-many. A restarted
+    * process has an empty catalog but a populated warehouse: re-create
+    * the generation tables over their existing bytes (schema + bucket
+    * spec + replay-guard properties from the publish marker, location
+    * validation skipped — the bytes being there is the point) and
+    * republish the recorded active generation. Zero data IO: O(1)
+    * catalog ops, after which probes bucket-prune exactly as before
+    * the restart. Returns false — adopt nothing, caller rebuilds —
+    * when the table is unknown (no marker) or the marker/bytes
+    * disagree (missing active dir, unparseable schema): a partial
+    * adoption would serve a store the merge contract no longer
+    * guarantees. Already-registered tables return true immediately,
+    * so callers can gate `init` on `!adopt(...)`. */
+  def adopt(spark: SparkSession, table: String): Boolean = {
+    if (spark.catalog.tableExists(table)) return true
+    val mp = markerPath(spark, table)
+    if (!java.nio.file.Files.isRegularFile(mp)) return false
+    try {
+      val p = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(mp)
+      try p.load(in) finally in.close()
+      if (p.getProperty("version") != "1") return false
+      val active = p.getProperty("active")
+      val gens = Option(p.getProperty("gens"))
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+      if (active == null || !gens.contains(active)) return false
+      val registered = gens.filter { g =>
+        val dir = java.nio.file.Paths.get(spark.sessionState.catalog
+          .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(g)))
+        val meta = (Option(p.getProperty(s"$g.schema")),
+          Option(p.getProperty(s"$g.key")), Option(p.getProperty(s"$g.buckets")))
+        meta match {
+          case (Some(schemaJson), Some(key), Some(buckets))
+              if java.nio.file.Files.isDirectory(dir) =>
+            if (!spark.catalog.tableExists(g)) {
+              val schema = org.apache.spark.sql.types.DataType
+                .fromJson(schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+              val props = Seq("batchId", "queryId")
+                .flatMap(k => Option(p.getProperty(s"$g.$k")).map(s"graft.$k" -> _))
+                .toMap
+              spark.sessionState.catalog.createTable(
+                org.apache.spark.sql.catalyst.catalog.CatalogTable(
+                  identifier = org.apache.spark.sql.catalyst.TableIdentifier(g),
+                  tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED,
+                  storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty,
+                  schema = schema,
+                  provider = Some("parquet"),
+                  bucketSpec = Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+                    buckets.toInt, Seq(key), Seq(key))),
+                  properties = props),
+                ignoreIfExists = false, validateLocation = false)
+            }
+            true
+          case _ => false
+        }
+      }
+      if (!registered.contains(active)) return false
+      publish(spark, table, active)
+      true
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"adopt: marker for '$table' unreadable — rebuilding (${e.getMessage})")
+        false
+    }
+  }
 
   /** Drop the view and both generations (test/cleanup utility). Also
     * removes ORPHANED generation directories: the catalog is
@@ -47,6 +166,9 @@ object BucketedUpsert extends org.apache.spark.internal.Logging {
   def drop(spark: SparkSession, table: String): Unit = {
     val (a, b) = generations(table)
     spark.sql(s"DROP VIEW IF EXISTS `$table`")
+    // the durable publish marker must go with the bytes, or a later
+    // same-named store could adopt a stale publish record
+    java.nio.file.Files.deleteIfExists(markerPath(spark, table))
     Seq(a, b).foreach { g =>
       spark.sql(s"DROP TABLE IF EXISTS `$g`")
       // Hadoop fs recursive delete, not java.nio: works for any

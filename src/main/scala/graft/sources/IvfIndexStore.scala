@@ -61,6 +61,20 @@ object IvfIndexStore {
       codebooksTable(prefix), codesTable(prefix))
       .foreach(BucketedUpsert.drop(spark, _))
 
+  /** Warm-restart adoption of an existing on-disk IVF index (pivots +
+    * cells, all-or-nothing — a cell store is only meaningful under
+    * the pivot set it was assigned against). See
+    * [[BucketedUpsert.adopt]]; false means drop + rebuild. */
+  def adopt(spark: SparkSession, prefix: String): Boolean =
+    Seq(pivotsTable(prefix), cellsTable(prefix))
+      .forall(BucketedUpsert.adopt(spark, _))
+
+  /** [[adopt]] for the PQ half (codebooks + codes): codes are only
+    * decodable against the codebooks they were encoded with. */
+  def adoptPq(spark: SparkSession, prefix: String): Boolean =
+    Seq(codebooksTable(prefix), codesTable(prefix))
+      .forall(BucketedUpsert.adopt(spark, _))
+
   /** Nearest-pivot cell assignment of a vector frame `(vec_id, emb)` —
     * the SAME ranking (cosine desc, pid tiebreak) as ivfTopKWith's
     * inline assignment, against the frozen pivot table. Bounded

@@ -75,6 +75,15 @@ object PostingsStore {
     Seq(postingsTable(prefix), docsTable(prefix), statsTable(prefix))
       .foreach(BucketedUpsert.drop(spark, _))
 
+  /** Warm-restart adoption of an existing on-disk index: re-register
+    * ALL THREE tables from their publish markers
+    * ([[BucketedUpsert.adopt]]) — all-or-nothing, because the tables
+    * are only mutually consistent as a set (postings → stats → docs
+    * write order). False means the caller owns drop + rebuild. */
+  def adopt(spark: SparkSession, prefix: String): Boolean =
+    Seq(postingsTable(prefix), docsTable(prefix), statsTable(prefix))
+      .forall(BucketedUpsert.adopt(spark, _))
+
   /** Ingest one batch of `(doc_id, text)` documents: tokenize once,
     * merge O(batch-terms) postings rows, bump the corpus stats. */
   def upsertBatch(spark: SparkSession, batch0: DataFrame, prefix: String,

@@ -40,7 +40,7 @@ object QuantileStore {
   def init(spark: SparkSession, like: DataFrame, keyCol: String,
            valueCol: String, table: String = DefaultTable,
            buckets: Int = DefaultBuckets): Unit =
-    if (!spark.catalog.tableExists(table))
+    if (!BucketedUpsert.adopt(spark, table))
       BucketedUpsert.materialize(snapshot(like.limit(0), keyCol, valueCol),
         table, keyCol, buckets)
 

@@ -44,10 +44,15 @@ object AnomalyMonitorStream {
     // "delta schema equals the table's" contract on the first merge
     StructField("rev", DecimalType(38, 6))))
 
-  /** Create an empty daily store (idempotent). */
+  /** Create an empty daily store (idempotent). A store left on disk by an
+    * earlier process is ADOPTED (catalog re-registration from its
+    * publish marker, [[BucketedUpsert.adopt]]) instead of shadowed —
+    * a restarted stream resumes its accumulated state, and the
+    * restored replay-guard properties keep redelivered batches
+    * no-ops across the restart. */
   def init(spark: SparkSession, table: String = DefaultTable,
            buckets: Int = DefaultBuckets): Unit =
-    if (!spark.catalog.tableExists(table)) {
+    if (!BucketedUpsert.adopt(spark, table)) {
       BucketedUpsert.materialize(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
         table, "day", buckets)

@@ -35,7 +35,7 @@ object CmsMonitorStream {
 
   /** Create an empty store (idempotent). */
   def init(spark: SparkSession, table: String = DefaultTable): Unit =
-    if (!spark.catalog.tableExists(table)) {
+    if (!BucketedUpsert.adopt(spark, table)) {
       import spark.implicits._
       BucketedUpsert.materialize(
         Seq.empty[(String, Array[Byte])].toDF("slot", "sketch"),

@@ -50,10 +50,15 @@ object DocDedupStream {
     batch.select(fingerprint.as("fp"), col("doc_id"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
 
-  /** Create an empty store (idempotent — no-op if it exists). */
+  /** Create an empty store (idempotent — no-op if it exists). A store left on disk by an
+    * earlier process is ADOPTED (catalog re-registration from its
+    * publish marker, [[BucketedUpsert.adopt]]) instead of shadowed —
+    * a restarted stream resumes its accumulated state, and the
+    * restored replay-guard properties keep redelivered batches
+    * no-ops across the restart. */
   def init(spark: SparkSession, table: String = DefaultTable,
            buckets: Int = DefaultBuckets): Unit =
-    if (!spark.catalog.tableExists(table)) {
+    if (!BucketedUpsert.adopt(spark, table)) {
       import spark.implicits._
       BucketedUpsert.materialize(
         Seq.empty[(String, Long)].toDF("fp", "canonical_id"),

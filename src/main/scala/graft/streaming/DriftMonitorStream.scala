@@ -32,10 +32,15 @@ object DriftMonitorStream {
   val DefaultTable = "graft_drift_counts"
   val DefaultBuckets = 32
 
-  /** Create an empty counts store (idempotent). */
+  /** Create an empty counts store (idempotent). A store left on disk by an
+    * earlier process is ADOPTED (catalog re-registration from its
+    * publish marker, [[BucketedUpsert.adopt]]) instead of shadowed —
+    * a restarted stream resumes its accumulated state, and the
+    * restored replay-guard properties keep redelivered batches
+    * no-ops across the restart. */
   def init(spark: SparkSession, table: String = DefaultTable,
            buckets: Int = DefaultBuckets): Unit =
-    if (!spark.catalog.tableExists(table)) {
+    if (!BucketedUpsert.adopt(spark, table)) {
       import spark.implicits._
       BucketedUpsert.materialize(
         Seq.empty[(String, Long, Long)].toDF("token", "c_train", "c_eval"),

@@ -39,12 +39,17 @@ object LmCountsStream {
   private def additive: (String, Column, Column) => Column =
     (_, ex, dl) => coalesce(ex, lit(0L)) + coalesce(dl, lit(0L))
 
-  /** Create the four empty stores (idempotent). */
+  /** Create the four empty stores (idempotent). A store left on disk by an
+    * earlier process is ADOPTED (catalog re-registration from its
+    * publish marker, [[BucketedUpsert.adopt]]) instead of shadowed —
+    * a restarted stream resumes its accumulated state, and the
+    * restored replay-guard properties keep redelivered batches
+    * no-ops across the restart. */
   def init(spark: SparkSession, prefix: String = "",
            buckets: Int = DefaultBuckets): Unit = {
     import spark.implicits._
     def mk(table: String, df: DataFrame, key: String, b: Int): Unit =
-      if (!spark.catalog.tableExists(table))
+      if (!BucketedUpsert.adopt(spark, table))
         BucketedUpsert.materialize(df, table, key, b)
     mk(prefix + BigramTable,
       Seq.empty[(String, String, Long)].toDF("w1", "w2", "c12"), "w1", buckets)

@@ -92,11 +92,11 @@ object MinHashDedupStream {
   def init(spark: SparkSession, prefix: String = DefaultPrefix,
            buckets: Int = DefaultBuckets): Unit = {
     import spark.implicits._
-    if (!spark.catalog.tableExists(bandsTable(prefix)))
+    if (!BucketedUpsert.adopt(spark, bandsTable(prefix)))
       BucketedUpsert.materialize(
         Seq.empty[(String, Long)].toDF("bsig", "owner_id"),
         bandsTable(prefix), "bsig", buckets)
-    if (!spark.catalog.tableExists(shinglesTable(prefix)))
+    if (!BucketedUpsert.adopt(spark, shinglesTable(prefix)))
       BucketedUpsert.materialize(
         Seq.empty[(Long, Seq[Long], Long)].toDF("doc_id", "hs", "n"),
         shinglesTable(prefix), "doc_id", buckets)

@@ -34,10 +34,15 @@ object OverlapMonitorStream {
   val DefaultBuckets = 8
   val DefaultK = 256
 
-  /** Create an empty sketch store (idempotent). */
+  /** Create an empty sketch store (idempotent). A store left on disk by an
+    * earlier process is ADOPTED (catalog re-registration from its
+    * publish marker, [[BucketedUpsert.adopt]]) instead of shadowed —
+    * a restarted stream resumes its accumulated state, and the
+    * restored replay-guard properties keep redelivered batches
+    * no-ops across the restart. */
   def init(spark: SparkSession, table: String = DefaultTable,
            buckets: Int = DefaultBuckets): Unit =
-    if (!spark.catalog.tableExists(table)) {
+    if (!BucketedUpsert.adopt(spark, table)) {
       import spark.implicits._
       BucketedUpsert.materialize(
         Seq.empty[(String, Array[Byte])].toDF("source", "sk"),

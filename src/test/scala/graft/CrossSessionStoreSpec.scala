@@ -1,0 +1,193 @@
+package graft
+
+import graft.sources.{BucketedUpsert, PostingsStore, StoreSentinel, Tables}
+import graft.streaming.AnomalyMonitorStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-session reuse of the persisted serving stores: a restarted
+  * process has an EMPTY catalog and a POPULATED warehouse, and must
+  * probe an existing consistent store without paying the corpus
+  * re-ingest (`BucketedUpsert.adopt` + the StoreSentinel completed-
+  * build/corpus-signature gate).
+  *
+  * The restart is simulated faithfully inside one JVM: the in-memory
+  * session memos are forgotten (the amnesia hook) and the catalog
+  * entries are dropped while the generation bytes and publish markers
+  * are preserved — exactly the state a new process wakes up to. The
+  * "zero rebuild" claim is asserted on BYTES: the store's file listing
+  * (names + sizes) must be identical before and after the adopted
+  * probe, which no upsert/materialize path can satisfy (both write
+  * fresh UUID-named bucket files).
+  */
+class CrossSessionStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Drop a store's catalog entries while keeping its warehouse bytes
+    * and publish marker — what remains of it after a process exit. */
+  private def deregisterPreservingBytes(table: String): Unit = {
+    val (a, b) = BucketedUpsert.generations(table)
+    val moved = Seq(a, b).flatMap { g =>
+      if (!spark.catalog.tableExists(g)) None
+      else {
+        val dir = BucketedUpsert.tableDir(spark, g)
+        val tmp = dir.resolveSibling(dir.getFileName.toString + ".keep")
+        java.nio.file.Files.move(dir, tmp)
+        Some(dir -> tmp)
+      }
+    }
+    spark.sql(s"DROP VIEW IF EXISTS `$table`")
+    Seq(a, b).foreach(g => spark.sql(s"DROP TABLE IF EXISTS `$g`"))
+    moved.foreach { case (dir, tmp) => java.nio.file.Files.move(tmp, dir) }
+  }
+
+  /** (relative path, size) of every file under warehouse dirs whose
+    * name starts with `prefix` — the store's on-disk identity. */
+  private def storeFiles(prefix: String): Set[(String, Long)] = {
+    val wh = BucketedUpsert.markerPath(spark, "probe").getParent
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(wh)
+    val roots = try listing.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(prefix)).toSeq
+    finally listing.close()
+    roots.flatMap { r =>
+      if (java.nio.file.Files.isRegularFile(r))
+        Seq(r.getFileName.toString -> java.nio.file.Files.size(r))
+      else {
+        val walk = java.nio.file.Files.walk(r)
+        try walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => s"${r.getFileName}/${r.relativize(f)}" -> java.nio.file.Files.size(f))
+          .toSeq
+        finally walk.close()
+      }
+    }.toSet
+  }
+
+  test("adopt re-registers bytes, bucket spec, and the replay guard") {
+    import spark.implicits._
+    val t = "xsess_adopt"
+    BucketedUpsert.drop(spark, t)
+    BucketedUpsert.materialize(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, "k", 4)
+    BucketedUpsert.upsert(spark, t,
+      Seq((2L, "b2"), (3L, "c")).toDF("k", "v"),
+      Seq("k"), "k", 4, batchId = Some(7L))
+    val before = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(before == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+
+    deregisterPreservingBytes(t)
+    assert(!spark.catalog.tableExists(t), "deregistration must empty the catalog")
+    assert(BucketedUpsert.adopt(spark, t), "adopt must succeed from marker + bytes")
+    val after = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(after == before, "adopted store must serve the pre-restart rows")
+
+    // catalog bucket spec restored → bucket-pruned probes still legal
+    val probed = BucketedUpsert.readKeys(spark, t, Seq(3L).toDF("k"), "k", 4)
+      .filter(col("k") === 3L).collect()
+    assert(probed.map(_.getString(1)).toSeq == Seq("c"))
+
+    // replay guard survived the restart: the recorded (queryId=batch,
+    // batchId=7) skips a redelivered batch 7
+    val active = BucketedUpsert.activeGen(spark, t).get
+    assert(BucketedUpsert.appliedBatch(spark, active)
+      .contains((BucketedUpsert.BatchCaller, 7L)))
+    BucketedUpsert.upsert(spark, t,
+      Seq((3L, "MUST_NOT_APPLY")).toDF("k", "v"),
+      Seq("k"), "k", 4, batchId = Some(7L))
+    assert(spark.table(t).filter(col("k") === 3L).head().getString(1) == "c",
+      "redelivered batch must stay a no-op across the restart")
+    BucketedUpsert.drop(spark, t)
+  }
+
+  test("bm25_indexed probes an adopted postings store with zero store writes") {
+    val q = SparkEntry.queries("bm25_indexed")
+    val expected = q(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(expected.nonEmpty)
+    val p = "bm25ix_" + java.lang.Integer.toHexString(sf.hashCode)
+
+    // process restart: memo amnesia + empty catalog, bytes preserved
+    queries.TextQueries.forgetSessionMemos()
+    Seq("_postings", "_docs", "_stats")
+      .foreach(sfx => deregisterPreservingBytes(p + sfx))
+    val bytesBefore = storeFiles(p)
+    assert(bytesBefore.nonEmpty, "store bytes must survive the 'restart'")
+
+    val got = q(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(got == expected, "adopted probe must reproduce the built store's scores")
+    assert(storeFiles(p) == bytesBefore,
+      "adoption must not write a single store file — no init, no ingest, no merge")
+  }
+
+  test("embed_ann_indexed probes an adopted IVF index with zero store writes") {
+    val q = SparkEntry.queries("embed_ann_indexed")
+    val expected = q(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(expected.nonEmpty)
+    val p = "ivfq_" + java.lang.Integer.toHexString(sf.hashCode)
+
+    queries.EmbeddingQueries.forgetSessionMemos()
+    Seq("_pivots", "_cells")
+      .foreach(sfx => deregisterPreservingBytes(p + sfx))
+    val bytesBefore = storeFiles(p)
+    assert(bytesBefore.nonEmpty)
+
+    val got = q(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == expected)
+    assert(storeFiles(p) == bytesBefore,
+      "adoption must not write a single store file")
+  }
+
+  test("a corpus regenerated in place fails the sentinel and rebuilds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xsess_corpus")
+    dir.toFile.deleteOnExit()
+    def writeCorpus(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, "join scan filter join"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("documents.parquet").toString)
+
+    writeCorpus(3)
+    val p = queries.TextQueries.postingsPrefix(spark, dir.toString)
+    assert(PostingsStore.stats(spark, p).head().getLong(0) == 3L)
+
+    // same path, different bytes — the trap adoption must NOT fall into
+    writeCorpus(5)
+    queries.TextQueries.forgetSessionMemos()
+    val p2 = queries.TextQueries.postingsPrefix(spark, dir.toString)
+    assert(p2 == p, "prefix is path-derived, so only the sentinel can tell")
+    assert(PostingsStore.stats(spark, p2).head().getLong(0) == 5L,
+      "a regenerated corpus must force a rebuild, not serve stale rows")
+    StoreSentinel.drop(spark, p)
+    PostingsStore.drop(spark, p)
+    queries.TextQueries.forgetSessionMemos()
+  }
+
+  test("a restarted daily-revenue stream store resumes accumulated state") {
+    val t = "xsess_daily"
+    AnomalyMonitorStream.drop(spark, t)
+    AnomalyMonitorStream.init(spark, t, buckets = 4)
+    val events = Tables.events(spark, sf).limit(200)
+    AnomalyMonitorStream.upsertBatch(spark, events, t, buckets = 4, batchId = Some(0L))
+    def daily = AnomalyMonitorStream.daily(spark, t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val before = daily
+    assert(before.nonEmpty)
+
+    deregisterPreservingBytes(t)
+    // a restarted stream calls init() before starting — it must ADOPT
+    AnomalyMonitorStream.init(spark, t, buckets = 4)
+    assert(daily == before, "init after restart must adopt, not shadow with empty")
+    // the redelivered first micro-batch must remain a no-op
+    AnomalyMonitorStream.upsertBatch(spark, events, t, buckets = 4, batchId = Some(0L))
+    assert(daily == before, "replay guard must hold across the restart")
+    AnomalyMonitorStream.drop(spark, t)
+  }
+}
