@@ -19,9 +19,17 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   * the funnel — that is what keeps the stream convergent with the
   * batch twin's single-journey min-chaining (removing the state
   * instead would let a post-completion signup restart stage 1, a
-  * divergence the hourly-rate parity spec catches). Reclaiming the
-  * 3-longs-per-user state is the standard timeout's job
-  * (GroupStateTimeout/TTL), not a correctness lever. Events are
+  * divergence the hourly-rate parity spec catches). The budget is a
+  * MEASURED number, not a comment: StreamingFunnelSpec asserts
+  * `stateOperators.numRowsTotal` equals distinct-users and stays flat
+  * across batches and replays. Each row is one UnsafeRow key (8-byte
+  * user_id) plus a 3-long value ≈ 80 bytes in the store — 1e9
+  * lifetime users ≈ 80 GB spread over the cluster's state stores,
+  * which is why NoTimeout (lifetime funnels, matching the reference's
+  * lifetime aggregates) is affordable; a deployment that wants
+  * eviction instead sets the standard GroupStateTimeout/TTL — a
+  * capacity dial, not a correctness lever, because the terminal
+  * marker already blocks re-entry. Events are
   * folded in event-time order within each batch (the grantChanges
   * discipline); cross-batch late data follows the streaming contract
   * everywhere else in this engine — in-order delivery per user up to

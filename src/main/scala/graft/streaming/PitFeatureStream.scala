@@ -14,7 +14,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State per user: four numbers (event/purchase/error counts + spend
   * in integer micros — additive, exact, no float drift across
-  * batches). Events fold in event-time order within each batch (the
+  * batches) — one UnsafeRow key + 4-long value ≈ 88 bytes per user,
+  * a MEASURED bound (StreamingPitSpec asserts numRowsTotal equals
+  * distinct-users, flat across batches and replays): 1e9 users ≈
+  * 88 GB across the cluster's state stores under NoTimeout
+  * (lifetime features); GroupStateTimeout/TTL is the capacity dial
+  * for deployments that age users out. Events fold in event-time
+  * order within each batch (the
   * FunnelStream discipline); StreamingPitSpec pins convergence to the
   * oracled batch query on an in-order feed of the driver corpus.
   *

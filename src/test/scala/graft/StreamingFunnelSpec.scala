@@ -131,4 +131,31 @@ class StreamingFunnelSpec extends AnyFunSuite {
     assert(emitted.count(t => t.user_id == 1L) == 3,
       "exactly stages 1..3, nothing after completion")
   }
+
+  test("state bound MEASURED on the driver corpus: one row per distinct user, flat across batches") {
+    import spark.implicits._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .as[EventRow].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val chunks = events.grouped(events.length / 3 + 1).toSeq
+    val ms = MemoryStream[EventRow](spark)
+    val q = FunnelStream.transitions(spark, ms.toDS())
+      .writeStream.format("memory").queryName("funnel_state_bound")
+      .outputMode("append").start()
+    try {
+      var seen = Set.empty[Long]
+      chunks.foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+        seen ++= c.map(_.user_id)
+        val rows = q.lastProgress.stateOperators(0).numRowsTotal
+        assert(rows == seen.size,
+          s"state rows $rows must equal distinct users ${seen.size} — " +
+            "the documented O(users) bound, not O(events)")
+      }
+      // replaying users already tracked mutates their rows in place;
+      // the row COUNT — the 100 TB state budget — must stay flat
+      ms.addData(chunks.head); q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == seen.size,
+        "re-fed users must not grow the state store")
+    } finally q.stop()
+  }
 }

@@ -65,4 +65,29 @@ class StreamingPitSpec extends AnyFunSuite {
     assert(byId(4L).n_purchases_before == 2 && byId(4L).spend_before == 12.0)
     assert(byId(2L).n_events_before == 1 && byId(4L).n_events_before == 3)
   }
+
+  test("state bound MEASURED: one row per distinct user, flat across batches and replays") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf).as[EventRow].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val chunks = events.grouped(events.length / 3 + 1).toSeq
+    val ms = MemoryStream[EventRow](spark)
+    val q = PitFeatureStream.examples(spark, ms.toDS())
+      .writeStream.format("memory").queryName("pit_state_bound")
+      .outputMode("append").start()
+    try {
+      var seen = Set.empty[Long]
+      chunks.foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+        seen ++= c.map(_.user_id)
+        val rows = q.lastProgress.stateOperators(0).numRowsTotal
+        assert(rows == seen.size,
+          s"state rows $rows must equal distinct users ${seen.size} — " +
+            "the documented O(users) bound, not O(events)")
+      }
+      ms.addData(chunks.head); q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == seen.size,
+        "re-fed users must not grow the state store")
+    } finally q.stop()
+  }
 }
