@@ -79,6 +79,66 @@ object TextQueries extends QueryModule {
     pairs.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
   }
 
+  /** Plan pick for the strong-duplicate Jaccard join, from ONE
+    * aggregate over the (already-needed) shingle-df frame: the
+    * inverted-index self-join emits Σ df·(df−1)/2 candidate rows, so
+    * `pairs / rows` is its explode amplification — how many pair rows
+    * each posting fans into. Thin-df corpora (driver fixture: ~2.8×)
+    * explode nearly linearly and the simple plan wins (measured 2.3 s
+    * vs 3.1 s at sf0.1, BENCHNOTES); boilerplate-heavy corpora
+    * explode quadratically in df and the PPJoin prefix filter — one
+    * extra per-doc window sort, candidates only from each doc's
+    * ~(1−t) rarest shingles — is the plan that survives. The
+    * crossover constant is a measured-on-this-VM dial; the SHAPE of
+    * the rule (explode amplification vs a per-row budget) is the
+    * portable part. Only meaningful for high thresholds (t ≥ ~0.5):
+    * below that the prefix keeps most of every doc and never wins. */
+  private[graft] def jaccardRegime(dfs: DataFrame): String = {
+    val r = dfs.agg(
+      coalesce(sum(col("df")), lit(0L)).as("rows"),
+      coalesce(sum(col("df") * (col("df") - lit(1)) / lit(2)), lit(0.0)).as("pairs"))
+      .head()
+    if (r.getDouble(1) / math.max(1L, r.getLong(0)) > 8.0) "prefix" else "inverted"
+  }
+
+  /** Strong-duplicate pairs (J ≥ 0.8) over the df-capped shingle
+    * frame, by `plan`: "prefix" (PPJoin prefix-filter candidates,
+    * Chaudhuri/Ganti/Kaushik ICDE '06, Xiao et al. WWW '08),
+    * "inverted" (full inverted-index explode), or — default — the
+    * [[jaccardRegime]] profile pick. Both plans return IDENTICAL rows
+    * (the prefix lemma is lossless for J ≥ t: J ≥ t ⇒ |A∩B| ≥ t·|A|,
+    * and an intersection that large must touch the (n−⌈t·n⌉+1)-prefix
+    * under the global (df, s) order), so the choice is pure cost —
+    * asserted plan-vs-plan in JaccardPrefixSpec. */
+  private[graft] def jaccardStrongPairs(s: SparkSession, dir: String,
+                                        plan: Option[String] = None): DataFrame = {
+    val sh = shingleRowsCached(s, dir)
+    val maxDf = 50
+    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val ab = sh.join(dfs, Seq("s"))
+      .select(col("doc_id"), col("s"), col("df"))
+    val abPlain = ab.select(col("doc_id"), col("s"))
+    val shared = plan.getOrElse(jaccardRegime(dfs)) match {
+      case "prefix" =>
+        val n = ab.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val prefix = ab.join(n, Seq("doc_id"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+          .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+          .select(col("doc_id"), col("s"))
+        val cand = prefix.select(col("doc_id").as("d1"), col("s"))
+          .join(prefix.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2")).distinct()
+        sharedCounts(abPlain, Some(cand))
+      case _ => sharedCounts(abPlain, None)
+    }
+    jaccardOf(shared, abPlain)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** DISTINCT `(doc_id, s, h)` shingle rows — base of the minhash +
     * Jaccard pipelines. Built with a PER-DOC `array_distinct` before
     * the explode, not a global dropDuplicates over the gram memo: a
@@ -802,30 +862,14 @@ object TextQueries extends QueryModule {
     // explode is quadratic in df and a df cap would silently change
     // the answer — threshold choice and df shape ARE the plan choice,
     // which is why the engine ships inverted-index, LSH and prefix
-    // forms of the same join.
+    // forms of the same join — and, since the two strong-dup plans
+    // return identical rows, PICKS between them per corpus from the
+    // df profile (jaccardRegime: explode amplification vs a per-row
+    // budget). On this fixture that pick is the inverted-index plan;
+    // the prefix plan engages exactly on the boilerplate-heavy shape
+    // it was built for (both picks asserted in JaccardPrefixSpec).
     Q("dedup_jaccard_prefix",
-      (s, dir) => {
-        val sh = shingleRowsCached(s, dir)
-        val maxDf = 50
-        val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
-        val ab = sh.join(dfs, Seq("s"))
-          .select(col("doc_id"), col("s"), col("df"))
-        val n = ab.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val prefix = ab.join(n, Seq("doc_id"))
-          .withColumn("r", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-          .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-          .select(col("doc_id"), col("s"))
-        val cand = prefix.select(col("doc_id").as("d1"), col("s"))
-          .join(prefix.select(col("doc_id").as("d2"), col("s")), Seq("s"))
-          .filter(col("d1") < col("d2"))
-          .select(col("d1"), col("d2")).distinct()
-        val abPlain = ab.select(col("doc_id"), col("s"))
-        jaccardOf(sharedCounts(abPlain, Some(cand)), abPlain)
-          .filter(col("jaccard") >= 0.8)
-          .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
-      },
+      (s, dir) => jaccardStrongPairs(s, dir),
       Some(ngramJaccardOracle.replace("WHERE jaccard >= 0.2",
         "WHERE jaccard >= 0.8"))),
 

@@ -40,10 +40,62 @@ class JaccardPrefixSpec extends AnyFunSuite {
     dir.toFile.deleteOnExit()
     fixture.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
       .parquet(dir.resolve("documents.parquet").toString)
-    val got = SparkEntry.queries("dedup_jaccard_prefix")(spark, dir.toString)
+    // force the PREFIX plan: the adaptive pick would choose the
+    // inverted-index plan on this thin fixture, and this case exists
+    // to pin the prefix lemma's boundary behavior
+    val got = queries.TextQueries
+      .jaccardStrongPairs(spark, dir.toString, plan = Some("prefix"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((1L, 2L, 0.8)),
       s"threshold-exact pair must survive the prefix filter: ${got.toSeq}")
+    graft.Caches.clearAll()
+  }
+
+  test("adaptive regime pick: thin-df corpus → inverted-index, boilerplate-heavy → prefix") {
+    import spark.implicits._
+    import queries.TextQueries
+    // thin shape: every doc its own vocabulary — df ≈ 1 everywhere,
+    // explode amplification ≈ 0 → the simple plan
+    val thin = (0 until 40).map(d =>
+      (d.toLong, (0 until 12).map(i => s"t${d}_$i").mkString(" ")))
+    // boilerplate shape: 40 docs sharing one 12-token template — every
+    // shingle has df = 40 (> the 8×-per-row budget under the df-50
+    // cap) → quadratic explode → the prefix plan
+    val boiler = (0 until 40).map(d =>
+      (d.toLong, (0 until 12).map(i => s"tpl_$i").mkString(" ")))
+    def regimeOf(rows: Seq[(Long, String)]): String = {
+      val sh = rows.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          explode(graft.functions.TextOps.shingles(
+            graft.functions.TextOps.tokens(col("text")))).as("s"))
+      TextQueries.jaccardRegime(
+        sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50))
+    }
+    assert(regimeOf(thin) == "inverted",
+      "a thin df profile must pick the inverted-index plan")
+    assert(regimeOf(boiler) == "prefix",
+      "a boilerplate-heavy df profile must pick the prefix-filter plan")
+  }
+
+  test("both plans return identical rows on a mixed corpus") {
+    import spark.implicits._
+    // near-dup pairs + template docs: exercises candidate generation
+    // under both plans on the same data
+    val rows =
+      (0 until 20).map(d => (d.toLong, (0 until 12).map(i => s"tpl_$i").mkString(" "))) ++
+      Seq((100L, (1 to 11).map(i => s"w$i").mkString(" ")),
+        (101L, ((1 to 10).map(i => s"w$i") :+ "zz").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("ppj_mixed")
+    dir.toFile.deleteOnExit()
+    rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    def run(plan: String): Set[(Long, Long, Double)] = queries.TextQueries
+      .jaccardStrongPairs(spark, dir.toString, plan = Some(plan))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p = run("prefix"); val i = run("inverted")
+    assert(p == i, s"plans must agree: only-prefix=${p -- i}, only-inverted=${i -- p}")
+    assert(p.nonEmpty, "mixed fixture must contain strong duplicates")
     graft.Caches.clearAll()
   }
 }
