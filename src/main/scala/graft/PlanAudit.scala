@@ -57,7 +57,11 @@ object PlanAudit {
     "event_motifs", "percentiles_octave_fp", "quality_classifier_fp",
     "dedup_jaccard_prefix", "asof_next_purchase_label", "pit_features",
     "training_set", "a2_distinct_kmv_md5", "rolling_spend_7d",
-    "corpus_sample_es")
+    "corpus_sample_es",
+    // round-11 additions: the linkage family (multi-pass blocked
+    // edit distance, containment join, LPA rounds, hashing trick)
+    "dedup_title_edit", "dedup_containment", "community_lpa",
+    "feature_hashing")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

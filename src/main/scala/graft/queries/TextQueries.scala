@@ -35,7 +35,7 @@ object TextQueries extends QueryModule {
   }
 
   /** Oracle CTE mirroring shingleRows: `sh(doc_id, s)`. */
-  private val shingleCte =
+  private[queries] val shingleCte =
     """tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
       |sh AS (SELECT doc_id,
       |              unnest(list_distinct(list_transform(
@@ -65,7 +65,7 @@ object TextQueries extends QueryModule {
   /** Shared-shingle counts per (d1 < d2) pair via the inverted-index
     * self-join — equi-join on the shingle, never doc×doc. Optionally
     * semi-joined down to `cands` first (the LSH path). */
-  private def sharedCounts(sh: DataFrame, cands: Option[DataFrame]): DataFrame = {
+  private[queries] def sharedCounts(sh: DataFrame, cands: Option[DataFrame]): DataFrame = {
     val sh1 = sh.select(col("doc_id").as("d1"), col("s"))
     val sh2 = sh.select(col("doc_id").as("d2"), col("s"))
     val pairs = cands match {
