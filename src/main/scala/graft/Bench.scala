@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // cap the no-stats runtime-bloom fallback (see GraftSession):
+      // an unestimated creation side otherwise ships a 1 MiB bloom in
+      // every dependent stage's task binary
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

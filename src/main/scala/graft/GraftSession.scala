@@ -22,6 +22,19 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Runtime bloom-filter join pruning stays ON, but its no-stats
+      // fallback is capped: when the creation side is a LogicalRDD
+      // (post-checkpoint frames — the PQ codebook/LUT pipelines),
+      // Spark can't estimate rows and sizes the bloom from the
+      // 1M-item default → an 8M-bit (1 MiB) filter serialized into
+      // EVERY dependent stage's task binary (the "broadcasting large
+      // task binary" warnings; diagnosed by object-graph histogram of
+      // the fat stage — the payload was bloom_filter_agg(..., 1000000,
+      // 8388608)). 512 KiB bounds the per-join runtime-filter budget:
+      // ~400k items at the default fpp, graceful fpp degradation
+      // beyond, and a stats-blind mis-estimate can no longer ship a
+      // megabyte to every task.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "4194304")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 
   /** Local development/test shape. */

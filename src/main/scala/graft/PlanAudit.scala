@@ -61,7 +61,7 @@ object PlanAudit {
     // round-11 additions: the linkage family (multi-pass blocked
     // edit distance, containment join, LPA rounds, hashing trick)
     "dedup_title_edit", "dedup_containment", "community_lpa",
-    "feature_hashing")
+    "feature_hashing", "copurchase_cosine", "basket_rules")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -134,7 +134,10 @@ object PlanAudit {
     // broadcast query vector (the embed_cosine_topk shape) and then
     // ≤12-row shortlist frames against the ≤5-row selected set
     "collocations_pmi_fp", "embed_knn_label_fp", "ppr_suppliers",
-    "embed_mmr_topk_fp")
+    "embed_mmr_topk_fp",
+    // basket_rules rides the ONE-ROW broadcast basket-count frame
+    // (the tfidf scalar shape)
+    "basket_rules")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,
@@ -160,6 +163,9 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // match the bench/GraftSession runtime-bloom cap so audited
+      // plans are the shipped plans
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -311,6 +311,7 @@ object EmbeddingQueries extends QueryModule {
     val subArr = array((0 until m).map(i =>
       expr(s"slice(emb, ${i * subLen + 1}, $subLen)")): _*)
     val subs = data.select(col("vec_id"), posexplode(subArr).as(Seq("sub", "semb")))
+      .localCheckpoint(true)
     // codebook: id-seeded, refined by `iters` Lloyd rounds per subspace
     var cb = subs.filter(col("vec_id") < kCode)
       .select(col("sub"), col("vec_id").as("cid"), col("semb").as("cemb"))
@@ -342,15 +343,25 @@ object EmbeddingQueries extends QueryModule {
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("sub"), col("cid"),
         col("cnorm2"))
+      // m ints per vector. Cutting lineage here (and at the LUT) is
+      // what keeps the ADC stage's serialized task plan small: without
+      // it every downstream stage re-embeds the scan→posexplode→
+      // window encode subtree (×2: codes and LUT share `subs`), and
+      // the bench logged "broadcasting large task binary 2.1 MiB" per
+      // ADC stage — pure scheduler overhead shipped to every executor.
+      .localCheckpoint(true)
     // query LUT: exact subvector · every codeword, plus exact |q|
     val qnorm = data.filter(queryPred)
       .select(col("vec_id").as("query_id"),
         sqrt(dot(col("emb"), col("emb"))).as("qn"))
+      .localCheckpoint(true)
     val lut = subs.join(data.filter(queryPred).select(col("vec_id")), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("sub"), col("semb"))
       .join(broadcast(cbn.select(col("sub"), col("cid"), col("cemb"))), Seq("sub"))
       .withColumn("pdot", dot(col("semb"), col("cemb")))
       .select(col("query_id"), col("sub"), col("cid"), col("pdot"))
+      // queries×m×kCode rows — LUT-sized by definition
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
