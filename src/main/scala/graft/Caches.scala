@@ -21,6 +21,7 @@ object Caches {
     queries.EmbeddingQueries.clearCaches()
     queries.LmQueries.clearCaches()
     queries.RelationalQueries.clearCaches()
+    queries.AnalyticsQueries.clearCaches()
     operators.AccessService.clearCaches()
   }
 }

@@ -67,6 +67,50 @@ object AnalyticsQueries extends QueryModule {
         (col("dev") > col("mad") * 2.5).as("anomaly"))
   }
 
+  /** Session-scoped memo of the co-purchase pair-count frame — the
+    * (i1 < i2, c) support counts over distinct (order, part) basket
+    * items, min-support 2 — shared by copurchase_cosine AND
+    * basket_rules (one basket self-join per (session, dir), the way a
+    * production market-basket stage materializes its pair counts
+    * once). The self-join is keyed on the order and fans each basket
+    * into |basket|²/2 pair rows, so the cost is Σ per-basket
+    * quadratic, NOT corpus-quadratic — baskets are small by nature
+    * (TPC-H ≤ 7 lines; a real cart is tens), and a pathological
+    * mega-basket would be capped upstream the way the shingle joins
+    * cap df. Min-support ≥ 2 drops the singleton-pair noise floor
+    * before anything downstream touches the frame. */
+  private val basketPairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def basketPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    basketPairCache.getOrElseUpdate((s, dir), {
+      val bi = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+        .distinct().cache()
+      val pairs = bi.select(col("o"), col("i").as("i1"))
+        .join(bi.select(col("o"), col("i").as("i2")), Seq("o"))
+        .filter(col("i1") < col("i2"))
+        .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .cache()
+      (bi, pairs)
+    })
+
+  private[graft] def clearCaches(): Unit = {
+    basketPairCache.values.foreach { case (a, b) =>
+      a.unpersist(); b.unpersist()
+    }
+    basketPairCache.clear()
+  }
+
+  /** Shared oracle CTEs: distinct basket items, per-item counts, and
+    * the min-support-2 pair counts. */
+  private val basketCte =
+    """bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+      |n AS (SELECT i, count(*) AS n FROM bi GROUP BY i),
+      |c AS (SELECT a.i AS i1, b.i AS i2, count(*) AS c
+      |      FROM bi a JOIN bi b ON a.o = b.o AND a.i < b.i
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   override def all: Seq[Q] = Seq(
 
     // Ordered conversion funnel signup → click → purchase: a user is at
@@ -418,6 +462,61 @@ object AnalyticsQueries extends QueryModule {
               |       coalesce(fp.p_us - c.us < $StepWindowUs, FALSE)
               |         AS will_purchase_24h,
               |       fp.p_us - c.us AS label_lag_us
-              |FROM c LEFT JOIN fp ON c.click_id = fp.click_id""".stripMargin))
+              |FROM c LEFT JOIN fp ON c.click_id = fp.click_id""".stripMargin)),
+
+    // Item-item co-purchase similarity (the classic recsys
+    // "customers who bought X also bought Y" frame): cosine over
+    // binary basket-membership vectors, c / √(n_i·n_j) — computable
+    // entirely from the shared pair-count memo plus per-item counts,
+    // no vector materialization. Both engines evaluate the identical
+    // IEEE expression (int counts → one sqrt, one divide, both
+    // correctly-rounded ops) so the float lands under the hash gate.
+    Q("copurchase_cosine",
+      (s, dir) => {
+        val (bi, pairs) = basketPairs(s, dir)
+        val n = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
+        pairs
+          .join(n.select(col("i").as("i1"), col("n").as("n1")), Seq("i1"))
+          .join(n.select(col("i").as("i2"), col("n").as("n2")), Seq("i2"))
+          .select(col("i1"), col("i2"), col("c").as("support_cnt"),
+            round(col("c") / sqrt(col("n1") * col("n2")), 6).as("cosine"))
+      },
+      Some(s"""WITH $basketCte
+              |SELECT i1, i2, c AS support_cnt,
+              |       round(c / sqrt(n1.n * n2.n), 6) AS cosine
+              |FROM c JOIN n n1 ON i1 = n1.i JOIN n n2 ON i2 = n2.i""".stripMargin)),
+
+    // Association rules over the same pair counts: for each direction
+    // i→j, confidence = c/n_i and lift = c·N / (n_i·n_j) (Agrawal &
+    // Srikant, VLDB '94 — support/confidence mining; lift normalizes
+    // by the consequent's base rate so a rule into a bestseller
+    // doesn't score). N rides the ONE-ROW broadcast basket-count
+    // frame (the tfidf scalar shape — lazy alternative to an eager
+    // count()). Integer numerators and denominators, one double
+    // division each — exact-gate safe.
+    Q("basket_rules",
+      (s, dir) => {
+        val (bi, pairs) = basketPairs(s, dir)
+        val n = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
+        val nOrders = bi.agg(countDistinct(col("o")).as("nord"))
+        pairs.select(col("i1").as("antecedent"), col("i2").as("consequent"), col("c"))
+          .union(pairs.select(col("i2"), col("i1"), col("c")))
+          .join(n.select(col("i").as("antecedent"), col("n").as("na")), Seq("antecedent"))
+          .join(n.select(col("i").as("consequent"), col("n").as("nc")), Seq("consequent"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("antecedent"), col("consequent"),
+            col("c").as("support_cnt"),
+            round(col("c") / col("na"), 6).as("confidence"),
+            round((col("c") * col("nord")) / (col("na") * col("nc")), 6).as("lift"))
+      },
+      Some(s"""WITH $basketCte,
+              |nord AS (SELECT count(DISTINCT o) AS nord FROM bi),
+              |r AS (SELECT i1 AS antecedent, i2 AS consequent, c FROM c
+              |      UNION ALL SELECT i2, i1, c FROM c)
+              |SELECT antecedent, consequent, c AS support_cnt,
+              |       round(c / na.n, 6) AS confidence,
+              |       round((c * nord.nord) / (na.n * nc.n), 6) AS lift
+              |FROM r JOIN n na ON antecedent = na.i
+              |JOIN n nc ON consequent = nc.i, nord""".stripMargin))
   )
 }
