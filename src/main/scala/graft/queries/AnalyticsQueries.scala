@@ -102,6 +102,31 @@ object AnalyticsQueries extends QueryModule {
     basketPairCache.clear()
   }
 
+  /** Cosine scoring over a `(i1, i2, c)` pair frame + `(i, n)` item
+    * counts — shared verbatim by the streaming
+    * [[graft.streaming.BasketStream]] serve path so batch and
+    * incremental market-basket scoring can never diverge. */
+  private[graft] def basketCosine(pairs: DataFrame, items: DataFrame): DataFrame =
+    pairs
+      .join(items.select(col("i").as("i1"), col("n").as("n1")), Seq("i1"))
+      .join(items.select(col("i").as("i2"), col("n").as("n2")), Seq("i2"))
+      .select(col("i1"), col("i2"), col("c").as("support_cnt"),
+        round(col("c") / sqrt(col("n1") * col("n2")), 6).as("cosine"))
+
+  /** Association-rule scoring (both directions) over the same frames
+    * plus the ONE-ROW `(nord)` basket-count frame. */
+  private[graft] def basketRules(pairs: DataFrame, items: DataFrame,
+                                 nOrders: DataFrame): DataFrame =
+    pairs.select(col("i1").as("antecedent"), col("i2").as("consequent"), col("c"))
+      .union(pairs.select(col("i2"), col("i1"), col("c")))
+      .join(items.select(col("i").as("antecedent"), col("n").as("na")), Seq("antecedent"))
+      .join(items.select(col("i").as("consequent"), col("n").as("nc")), Seq("consequent"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"),
+        col("c").as("support_cnt"),
+        round(col("c") / col("na"), 6).as("confidence"),
+        round((col("c") * col("nord")) / (col("na") * col("nc")), 6).as("lift"))
+
   /** Shared oracle CTEs: distinct basket items, per-item counts, and
     * the min-support-2 pair counts. */
   private val basketCte =
@@ -474,12 +499,7 @@ object AnalyticsQueries extends QueryModule {
     Q("copurchase_cosine",
       (s, dir) => {
         val (bi, pairs) = basketPairs(s, dir)
-        val n = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
-        pairs
-          .join(n.select(col("i").as("i1"), col("n").as("n1")), Seq("i1"))
-          .join(n.select(col("i").as("i2"), col("n").as("n2")), Seq("i2"))
-          .select(col("i1"), col("i2"), col("c").as("support_cnt"),
-            round(col("c") / sqrt(col("n1") * col("n2")), 6).as("cosine"))
+        basketCosine(pairs, bi.groupBy(col("i")).agg(count(lit(1)).as("n")))
       },
       Some(s"""WITH $basketCte
               |SELECT i1, i2, c AS support_cnt,
@@ -497,17 +517,9 @@ object AnalyticsQueries extends QueryModule {
     Q("basket_rules",
       (s, dir) => {
         val (bi, pairs) = basketPairs(s, dir)
-        val n = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
-        val nOrders = bi.agg(countDistinct(col("o")).as("nord"))
-        pairs.select(col("i1").as("antecedent"), col("i2").as("consequent"), col("c"))
-          .union(pairs.select(col("i2"), col("i1"), col("c")))
-          .join(n.select(col("i").as("antecedent"), col("n").as("na")), Seq("antecedent"))
-          .join(n.select(col("i").as("consequent"), col("n").as("nc")), Seq("consequent"))
-          .crossJoin(broadcast(nOrders))
-          .select(col("antecedent"), col("consequent"),
-            col("c").as("support_cnt"),
-            round(col("c") / col("na"), 6).as("confidence"),
-            round((col("c") * col("nord")) / (col("na") * col("nc")), 6).as("lift"))
+        basketRules(pairs,
+          bi.groupBy(col("i")).agg(count(lit(1)).as("n")),
+          bi.agg(countDistinct(col("o")).as("nord")))
       },
       Some(s"""WITH $basketCte,
               |nord AS (SELECT count(DISTINCT o) AS nord FROM bi),

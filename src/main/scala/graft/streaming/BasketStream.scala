@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.queries.AnalyticsQueries
+import graft.sources.BucketedUpsert
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Incremental maintenance of the market-basket stores — the ingest
+  * path of `copurchase_cosine` / `basket_rules`. The batch queries
+  * self-join the whole basket table; at 100 TB the viable shape is
+  * this one: each arriving micro-batch of COMPLETED baskets
+  * aggregates its own pair counts, item counts, and basket count
+  * (O(batch·basket²)) and merges them additively into three
+  * [[BucketedUpsert]] stores — only touched buckets rewrite.
+  *
+  * Caller contract: a basket (order) arrives WHOLE inside one
+  * micro-batch — the completed-orders CDC feed, not the raw line
+  * stream. Pair counts are linear in baskets but quadratic within
+  * one, so a basket split across batches would under-count its
+  * cross-batch pairs; with whole baskets the accumulated counts are
+  * EXACTLY the one-shot aggregation of the union (asserted against
+  * the batch queries in StreamingBasketSpec).
+  *
+  * Deletes (order returns / retention) are the negated-counts merge —
+  * the LmCountsStream recipe — and serve-side filters (`c` ≥
+  * min-support, `n` > 0) make zeroed rows behave as never-ingested.
+  * Replay safety: additive merges record the foreachBatch batchId per
+  * store; a redelivered batch is a no-op.
+  *
+  * Serving reuses [[AnalyticsQueries.basketCosine]] /
+  * [[AnalyticsQueries.basketRules]] verbatim — the scoring math
+  * exists once, so streaming state and the batch oracles cannot
+  * drift.
+  */
+object BasketStream {
+
+  val PairsTable = "mb_pairs"   // (i1, i2, c), bucketed by i1
+  val ItemsTable = "mb_items"   // (i, n), bucketed by i
+  val TotalsTable = "mb_totals" // (k, n_orders), one row, k = 0
+  val DefaultBuckets = 32
+
+  /** Serve-side min-support (matches the batch queries' memo cut). */
+  val MinSupport = 2
+
+  private def additive: (String, Column, Column) => Column =
+    (_, ex, dl) => coalesce(ex, lit(0L)) + coalesce(dl, lit(0L))
+
+  /** Create the three empty stores (idempotent; adopts a same-name
+    * store left on disk by an earlier process). */
+  def init(spark: SparkSession, prefix: String = "",
+           buckets: Int = DefaultBuckets): Unit = {
+    import spark.implicits._
+    def mk(table: String, df: DataFrame, key: String, b: Int): Unit =
+      if (!BucketedUpsert.adopt(spark, table))
+        BucketedUpsert.materialize(df, table, key, b)
+    mk(prefix + PairsTable,
+      Seq.empty[(Long, Long, Long)].toDF("i1", "i2", "c"), "i1", buckets)
+    mk(prefix + ItemsTable,
+      Seq.empty[(Long, Long)].toDF("i", "n"), "i", buckets)
+    mk(prefix + TotalsTable,
+      Seq.empty[(Long, Long)].toDF("k", "n_orders"), "k", 1)
+  }
+
+  def drop(spark: SparkSession, prefix: String = ""): Unit =
+    Seq(PairsTable, ItemsTable, TotalsTable)
+      .foreach(t => BucketedUpsert.drop(spark, prefix + t))
+
+  /** The batch's own (pairs, items, totals) delta frames from a
+    * `[o, i]` line frame — one distinct + the basket-keyed self-join,
+    * map-side combined. `sign` −1 builds the delete deltas. */
+  private def deltas(batch: DataFrame, sign: Int):
+      (DataFrame, DataFrame, DataFrame) = {
+    val bi = batch.select(col("o"), col("i")).distinct()
+    val pairs = bi.select(col("o"), col("i").as("i1"))
+      .join(bi.select(col("o"), col("i").as("i2")), Seq("o"))
+      .filter(col("i1") < col("i2"))
+      .groupBy(col("i1"), col("i2"))
+      .agg((count(lit(1)) * sign).as("c"))
+    val items = bi.groupBy(col("i")).agg((count(lit(1)) * sign).as("n"))
+    val totals = bi.agg((countDistinct(col("o")) * sign).as("n_orders"))
+      .select(lit(0L).as("k"), col("n_orders"))
+    (pairs, items, totals)
+  }
+
+  private def merge(spark: SparkSession, d: (DataFrame, DataFrame, DataFrame),
+                    prefix: String, buckets: Int,
+                    batchId: Option[Long]): Unit = {
+    BucketedUpsert.upsert(spark, prefix + PairsTable, d._1,
+      Seq("i1", "i2"), "i1", buckets, merge = additive, batchId = batchId)
+    BucketedUpsert.upsert(spark, prefix + ItemsTable, d._2,
+      Seq("i"), "i", buckets, merge = additive, batchId = batchId)
+    BucketedUpsert.upsert(spark, prefix + TotalsTable, d._3,
+      Seq("k"), "k", 1, merge = additive, batchId = batchId)
+  }
+
+  /** Merge one micro-batch of complete `[o, i]` basket lines. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame,
+                  prefix: String = "", buckets: Int = DefaultBuckets,
+                  batchId: Option[Long] = None): Unit =
+    merge(spark, deltas(batch, 1), prefix, buckets, batchId)
+
+  /** Remove complete baskets' contributions (returns/retention).
+    * Caller contract: delete only baskets that were ingested, whole. */
+  def deleteBatch(spark: SparkSession, batch: DataFrame,
+                  prefix: String = "", buckets: Int = DefaultBuckets,
+                  batchId: Option[Long] = None): Unit =
+    merge(spark, deltas(batch, -1), prefix, buckets, batchId)
+
+  /** Streaming sink: `lines.writeStream` → incremental basket merges.
+    * Run with a checkpointLocation so batch ids are monotone across
+    * restarts. */
+  def writer(lines: DataFrame, prefix: String = "",
+             buckets: Int = DefaultBuckets): DataStreamWriter[org.apache.spark.sql.Row] =
+    lines.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        upsertBatch(batch.sparkSession, batch, prefix, buckets, Some(id))
+      }
+
+  private def served(spark: SparkSession, prefix: String):
+      (DataFrame, DataFrame, DataFrame) = (
+    BucketedUpsert.read(spark, prefix + PairsTable)
+      .filter(col("c") >= MinSupport),
+    BucketedUpsert.read(spark, prefix + ItemsTable).filter(col("n") > 0),
+    BucketedUpsert.read(spark, prefix + TotalsTable)
+      .select(col("n_orders").as("nord")))
+
+  /** Item-item cosine from the accumulated stores — must equal the
+    * batch `copurchase_cosine` over the union of ingested baskets. */
+  def cosine(spark: SparkSession, prefix: String = ""): DataFrame = {
+    val (pairs, items, _) = served(spark, prefix)
+    AnalyticsQueries.basketCosine(pairs, items)
+  }
+
+  /** Association rules from the accumulated stores — must equal the
+    * batch `basket_rules` over the union of ingested baskets. */
+  def rules(spark: SparkSession, prefix: String = ""): DataFrame = {
+    val (pairs, items, totals) = served(spark, prefix)
+    AnalyticsQueries.basketRules(pairs, items, totals)
+  }
+}

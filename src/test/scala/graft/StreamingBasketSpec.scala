@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.BasketStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming market-basket maintenance
+  * ([[graft.streaming.BasketStream]]): whole-basket micro-batches must
+  * accumulate to EXACTLY the batch queries' outputs, deletes must
+  * equal never-having-ingested, and a redelivered batch must be a
+  * no-op.
+  */
+object StreamingBasketSpec {
+  case class Line(o: Long, i: Long)
+}
+
+class StreamingBasketSpec extends AnyFunSuite {
+  import StreamingBasketSpec.Line
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val prefix = "basketspec_"
+
+  private def lines: DataFrame =
+    graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("chunked basket stream == batch copurchase_cosine / basket_rules; replay no-op; delete == re-aggregate") {
+    import spark.implicits._
+    BasketStream.drop(spark, prefix)
+    BasketStream.init(spark, prefix, buckets = 4)
+    try {
+      // whole baskets per chunk: orders hash to 3 disjoint batches
+      val all = lines.as[Line].collect().toSeq
+      val batches = all.groupBy(_.o % 3).toSeq.sortBy(_._1).map(_._2)
+      val ms = MemoryStream[Line](spark)
+      val q = BasketStream.writer(ms.toDF(), prefix, buckets = 4)
+        .queryName("basket_counts_q").start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+
+      assert(rowsOf(BasketStream.cosine(spark, prefix)) ==
+        rowsOf(SparkEntry.queries("copurchase_cosine")(spark, sf)))
+      assert(rowsOf(BasketStream.rules(spark, prefix)) ==
+        rowsOf(SparkEntry.queries("basket_rules")(spark, sf)))
+      assert(BasketStream.cosine(spark, prefix).count() > 0)
+
+      // redelivered batch id is a no-op on every store
+      val extra = Seq(Line(999001L, 1L), Line(999001L, 2L)).toDF("o", "i")
+      BasketStream.upsertBatch(spark, extra, prefix, 4, Some(77L))
+      val after1 = rowsOf(BasketStream.cosine(spark, prefix))
+      BasketStream.upsertBatch(spark, extra, prefix, 4, Some(77L))
+      assert(rowsOf(BasketStream.cosine(spark, prefix)) == after1)
+
+      // delete the synthetic basket: serving must return to the
+      // pre-ingest state (zeroed rows behave as never-ingested)
+      BasketStream.deleteBatch(spark, extra, prefix, 4, Some(78L))
+      assert(rowsOf(BasketStream.cosine(spark, prefix)) ==
+        rowsOf(SparkEntry.queries("copurchase_cosine")(spark, sf)))
+      assert(rowsOf(BasketStream.rules(spark, prefix)) ==
+        rowsOf(SparkEntry.queries("basket_rules")(spark, sf)))
+    } finally {
+      BasketStream.drop(spark, prefix)
+      graft.Caches.clearAll()
+    }
+  }
+}
