@@ -61,7 +61,8 @@ object PlanAudit {
     // round-11 additions: the linkage family (multi-pass blocked
     // edit distance, containment join, LPA rounds, hashing trick)
     "dedup_title_edit", "dedup_containment", "community_lpa",
-    "feature_hashing", "copurchase_cosine", "basket_rules")
+    "feature_hashing", "copurchase_cosine", "basket_rules",
+    "attribution_multitouch")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

@@ -489,6 +489,60 @@ object AnalyticsQueries extends QueryModule {
               |       fp.p_us - c.us AS label_lag_us
               |FROM c LEFT JOIN fp ON c.click_id = fp.click_id""".stripMargin)),
 
+    // Multi-touch attribution: every purchase distributes its value
+    // across the user's clicks in the preceding 7 days, under two
+    // standard models at once — linear (equal credit, value/n) and
+    // time-decay (half-life 1 day). The decay weights are EXACT
+    // binary fractions: integer day-age a ∈ [0, 6] ⇒ w = 2⁻ᵃ, so the
+    // per-purchase Σw is exact in double under ANY accumulation
+    // order — what makes a float share safe under the hash gate
+    // (complements asof_click_attribution's last-touch model the way
+    // production attribution ships several models side by side).
+    // Plan: one user-keyed equi-join with a time-range predicate,
+    // then a per-purchase window bounded by clicks-per-purchase
+    // (≤ 13 at sf0.1), never data-sized.
+    Q("attribution_multitouch",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_id"),
+          col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("pus"), col("value"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("us").as("cus"))
+        val wp = Window.partitionBy(col("purchase_id"))
+        p.join(c, Seq("user_id"))
+          .filter(col("cus") <= col("pus") &&
+            col("pus") - col("cus") < lit(7 * DayUs))
+          .withColumn("w", expr(
+            s"1.0d / shiftleft(1L, cast((pus - cus) div $DayUs as int))"))
+          .withColumn("n", count(lit(1)).over(wp))
+          .withColumn("sw", sum(col("w")).over(wp))
+          .select(col("purchase_id"), col("click_id"),
+            round(col("value") / col("n"), 6).as("credit_linear"),
+            round(col("value") * col("w") / col("sw"), 6).as("credit_decay"))
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type,
+              |                  epoch_us(ts) AS us, value FROM events),
+              |p AS (SELECT event_id AS purchase_id, user_id, us AS pus, value
+              |      FROM e WHERE event_type = 'purchase'),
+              |c AS (SELECT event_id AS click_id, user_id, us AS cus
+              |      FROM e WHERE event_type = 'click'),
+              |j AS (SELECT purchase_id, click_id, value,
+              |             1.0 / (1::BIGINT << CAST((pus - cus) // $DayUs AS INT)) AS w
+              |      FROM p JOIN c USING (user_id)
+              |      WHERE cus <= pus AND pus - cus < 7 * $DayUs),
+              |a AS (SELECT purchase_id, click_id, value, w,
+              |             count(*) OVER (PARTITION BY purchase_id) AS n,
+              |             sum(w) OVER (PARTITION BY purchase_id) AS sw
+              |      FROM j)
+              |SELECT purchase_id, click_id,
+              |       round(value / n, 6) AS credit_linear,
+              |       round(value * w / sw, 6) AS credit_decay
+              |FROM a""".stripMargin)),
+
     // Item-item co-purchase similarity (the classic recsys
     // "customers who bought X also bought Y" frame): cosine over
     // binary basket-membership vectors, c / √(n_i·n_j) — computable

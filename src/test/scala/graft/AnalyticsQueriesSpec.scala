@@ -229,4 +229,30 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     // rates never exceed 1 (an offset can't retain more than the cohort)
     assert(tri.forall(_.getDouble(3) <= 1.0))
   }
+
+  test("multi-touch attribution: per-purchase credits conserve the purchase value") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val sf = "/root/testdata/sf0.01"
+    val att = SparkEntry.queries("attribution_multitouch")(spark, sf)
+    val perPurchase = att.groupBy("purchase_id")
+      .agg(sum(col("credit_linear")).as("lin"),
+        sum(col("credit_decay")).as("dec"), count(lit(1)).as("n"))
+      .collect()
+    assert(perPurchase.nonEmpty)
+    val values = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    perPurchase.foreach { r =>
+      val v = values(r.getLong(0))
+      // credits are rounded to 6 dp per row; conservation holds to
+      // n·5e-7 for both models
+      val tol = 5e-7 * r.getLong(3) + 1e-9
+      assert(math.abs(r.getDouble(1) - v) <= tol,
+        s"linear credits must sum to value: ${r.getDouble(1)} vs $v")
+      assert(math.abs(r.getDouble(2) - v) <= tol,
+        s"decay credits must sum to value: ${r.getDouble(2)} vs $v")
+    }
+  }
 }
