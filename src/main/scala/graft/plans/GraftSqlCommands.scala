@@ -214,6 +214,37 @@ case class GraftBuildDailyCommand(table: String, source: String, buckets: Int)
   }
 }
 
+/** See [[GraftBuildLmCommand]] — the market-basket twin:
+  *
+  *   GRAFT BUILD BASKET <prefix> FROM <table> [BUCKETS n]
+  *     -- <table>: (o, i) basket lines; (re)builds the co-purchase
+  *        pair/item/total count stores
+  *        ([[graft.streaming.BasketStream]]) from the table's CURRENT
+  *        rows. DROP-AND-REBUILD like BUILD LM: basket merges are
+  *        additive, so re-running an accumulate would double-count —
+  *        the statement is idempotent; incremental accumulation is
+  *        the streaming writer's job.
+  */
+case class GraftBuildBasketCommand(prefix: String, table: String, buckets: Int)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("prefix", StringType, nullable = false)(),
+    AttributeReference("pairs_table", StringType, nullable = false)(),
+    AttributeReference("n_orders", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val bs = graft.streaming.BasketStream
+    bs.drop(spark, prefix)
+    bs.init(spark, prefix, buckets)
+    bs.upsertBatch(spark, spark.table(table), prefix, buckets)
+    val n = graft.sources.BucketedUpsert
+      .read(spark, prefix + graft.streaming.BasketStream.TotalsTable)
+      .collect().headOption.map(_.getLong(1)).getOrElse(0L)
+    Seq(Row(prefix, prefix + graft.streaming.BasketStream.PairsTable, n))
+  }
+}
+
 /** Delegating parser: regex-matched graft statements, everything
   * else verbatim to the session's default parser (so the extension can
   * never change the semantics of real SQL). Statement shapes are
@@ -237,6 +268,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+BUILD\s+LM\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*;?\s*""".r
   private val BuildDaily =
     """(?is)\s*GRAFT\s+BUILD\s+DAILY\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*;?\s*""".r
+  private val BuildBasket =
+    """(?is)\s*GRAFT\s+BUILD\s+BASKET\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Snapshot(table, dir) => GraftSnapshotCommand(table, dir)
@@ -257,6 +290,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case BuildDaily(table, source, b) => GraftBuildDailyCommand(
       table, source, Option(b).map(_.toInt)
         .getOrElse(graft.streaming.AnomalyMonitorStream.DefaultBuckets))
+    case BuildBasket(prefix, table, b) => GraftBuildBasketCommand(
+      prefix, table, Option(b).map(_.toInt)
+        .getOrElse(graft.streaming.BasketStream.DefaultBuckets))
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -321,6 +321,33 @@ class GraftViewsSpec extends AnyFunSuite {
     } finally graft.streaming.AnomalyMonitorStream.drop(spark, table)
   }
 
+  test("GRAFT BUILD BASKET stands up the co-purchase stores from pure SQL") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.BasketStream
+    val bfx = "views_sql_basket_"
+    BasketStream.drop(spark, bfx)
+    try {
+      graft.sources.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+        .createOrReplaceTempView("views_sql_basket_lines")
+      val r = spark.sql(
+        s"GRAFT BUILD BASKET $bfx FROM views_sql_basket_lines BUCKETS 4")
+        .collect()
+      assert(r.head.getString(0) == bfx && r.head.getLong(2) > 0)
+      // the SQL-built store serves the gated batch outputs
+      val fromStore = BasketStream.cosine(spark, bfx).collect()
+        .map(_.mkString("|")).sorted.toSeq
+      val batch = SparkEntry.queries("copurchase_cosine")(spark, dir)
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(fromStore == batch, "SQL-built store must serve the gated cosine")
+      // drop-and-rebuild: a second run must not double-count
+      val r2 = spark.sql(
+        s"GRAFT BUILD BASKET $bfx FROM views_sql_basket_lines BUCKETS 4")
+        .collect()
+      assert(r2.head.getLong(2) == r.head.getLong(2))
+    } finally BasketStream.drop(spark, bfx)
+  }
+
   test("telemetry-analytics views: funnel/retention/series/motifs in pure SQL") {
     GraftViews.register(spark, dir)
     // funnel stages are 1..3 with positive user counts
