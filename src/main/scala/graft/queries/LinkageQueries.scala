@@ -133,12 +133,9 @@ object LinkageQueries extends QueryModule {
     // new shuffle shape.
     Q("dedup_containment",
       (s, dir) => {
-        val sh = TextQueries.shingleRowsCached(s, dir)
-        val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 50)
-        val ab = sh.join(keep, Seq("s")).select(col("doc_id"), col("s"))
+        val (ab, shared) = TextQueries.ngramShared(s, dir)
         val n = ab.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val c = TextQueries.sharedCounts(ab, None)
+        val c = shared
           .join(n.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
           .join(n.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
         c.select(col("d1").as("contained"), col("d2").as("container"),

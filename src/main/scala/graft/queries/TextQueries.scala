@@ -344,6 +344,27 @@ object TextQueries extends QueryModule {
          |FROM documents d LEFT JOIN enc USING (doc_id)""".stripMargin
   }
 
+  /** Session-scoped memo of the df-capped shingle rows `ab(doc_id, s)`
+    * (df ≤ 50) and their inverted-index shared-counts frame
+    * `(d1, d2, shared)` — ONE self-join per (session, dir), shared by
+    * dedup_ngram_jaccard AND dedup_containment (the two exact-pair
+    * metrics over the same candidate space; before this memo each paid
+    * the full explode independently — ~2 s apiece at sf0.1). */
+  private val ngramSharedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private[queries] def ngramShared(s: SparkSession, dir: String):
+      (DataFrame, DataFrame) =
+    ngramSharedCache.getOrElseUpdate((s, dir), {
+      val sh = shingleRowsCached(s, dir)
+      val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50)
+      val ab = sh.join(keep, Seq("s")).select(col("doc_id"), col("s")).cache()
+      val shared = sharedCounts(ab, None).cache()
+      auxCached.add(ab)
+      auxCached.add(shared)
+      (ab, shared)
+    })
+
   /** Cached frames built INSIDE memoized pipelines (the minhash
     * signature frame) — not keyed by (session, dir), but still pinned
     * until released; clearCaches() must cover them or every
@@ -357,6 +378,7 @@ object TextQueries extends QueryModule {
       c.values.foreach(_.unpersist(false))
       c.clear()
     }
+    ngramSharedCache.clear() // frames themselves drain via auxCached
     bpeCache.clear()
     postingsCache.foreach { case ((s, _), p) =>
       graft.sources.StoreSentinel.drop(s, p)
@@ -829,12 +851,8 @@ object TextQueries extends QueryModule {
     // the exchange of `ab` by s is reused across both join sides).
     Q("dedup_ngram_jaccard",
       (s, dir) => {
-        val sh = shingleRowsCached(s, dir)
-        val maxDf = 50
-        val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
-        val ab = sh.join(keep, Seq("s")).select(col("doc_id"), col("s"))
-        jaccardOf(sharedCounts(ab, None), ab)
+        val (ab, shared) = ngramShared(s, dir)
+        jaccardOf(shared, ab)
           .filter(col("jaccard") >= 0.2)
           .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
       },
