@@ -62,7 +62,7 @@ object PlanAudit {
     // edit distance, containment join, LPA rounds, hashing trick)
     "dedup_title_edit", "dedup_containment", "community_lpa",
     "feature_hashing", "copurchase_cosine", "basket_rules",
-    "attribution_multitouch")
+    "attribution_multitouch", "basket_rec_recall")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -137,8 +137,9 @@ object PlanAudit {
     "collocations_pmi_fp", "embed_knn_label_fp", "ppr_suppliers",
     "embed_mmr_topk_fp",
     // basket_rules rides the ONE-ROW broadcast basket-count frame
-    // (the tfidf scalar shape)
-    "basket_rules")
+    // (the tfidf scalar shape); basket_rec_recall's final summary
+    // crosses two ONE-ROW count frames
+    "basket_rules", "basket_rec_recall")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

@@ -489,6 +489,80 @@ object AnalyticsQueries extends QueryModule {
               |       fp.p_us - c.us AS label_lag_us
               |FROM c LEFT JOIN fp ON c.click_id = fp.click_id""".stripMargin)),
 
+    // In-engine recommender evaluation (the embed_ann_recall
+    // precedent, applied to the basket model): leave-one-out
+    // hit-rate@5. Every basket of >= 2 items holds out one item
+    // (deterministically: the max part key), the remaining context
+    // items vote for candidates through the co-purchase similarity
+    // frame, candidates already in the context are anti-joined away,
+    // and the basket scores a hit when the held-out item ranks in the
+    // top 5. Scores are FIXED-POINT: s = floor(c·2²⁰ / √(n_i·n_j)) —
+    // per-edge doubles are deterministic, but a SUM of doubles is
+    // accumulation-order-dependent, so the sum happens over BIGINTs
+    // (order-free), which is what puts a ranked float-derived metric
+    // under the hash gate. Output is the one-row eval summary —
+    // ~9% at sf0.01 vs a ~0.25% random baseline. Plan: equi-joins on
+    // basket/item keys; the per-basket ranking window is bounded by
+    // the candidate fan-out, never data-sized; the final summary
+    // rides a ONE-ROW broadcast.
+    Q("basket_rec_recall",
+      (s, dir) => {
+        val (bi, pairs) = basketPairs(s, dir)
+        val n = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
+        val half = pairs
+          .join(n.select(col("i").as("i1"), col("n").as("n1")), Seq("i1"))
+          .join(n.select(col("i").as("i2"), col("n").as("n2")), Seq("i2"))
+          .withColumn("s", floor(col("c") * lit(1048576L) /
+            sqrt(col("n1") * col("n2"))).cast("long"))
+        val sim = half.select(col("i1").as("a"), col("i2").as("b"), col("s"))
+          .union(half.select(col("i2"), col("i1"), col("s")))
+        val ord = bi.groupBy(col("o"))
+          .agg(max(col("i")).as("held"), count(lit(1)).as("sz"))
+          .filter(col("sz") >= 2)
+        val ctx = bi.join(ord, Seq("o")).filter(col("i") =!= col("held"))
+          .select(col("o"), col("i"))
+        val cand = ctx.join(sim, ctx("i") === sim("a"))
+          .groupBy(col("o"), col("b").as("cand"))
+          .agg(sum(col("s")).as("score"))
+        val k = cand.join(ctx.select(col("o"), col("i").as("cand")),
+          Seq("o", "cand"), "left_anti")
+        val rk = k.withColumn("rnk", row_number().over(
+            Window.partitionBy(col("o"))
+              .orderBy(col("score").desc, col("cand"))))
+          .filter(col("rnk") <= 5)
+        val hits = rk.join(ord.select(col("o"), col("held").as("cand")),
+            Seq("o", "cand"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        ord.agg(count(lit(1)).as("n_eval"))
+          .crossJoin(broadcast(hits))
+          .select(col("n_eval"), col("hits"),
+            round(col("hits") / col("n_eval"), 6).as("hitrate_at5"))
+      },
+      Some(s"""WITH $basketCte,
+              |sh AS (SELECT i1, i2,
+              |              CAST(floor((c * 1048576) / sqrt(n1.n * n2.n)) AS BIGINT) AS s
+              |       FROM c JOIN n n1 ON i1 = n1.i JOIN n n2 ON i2 = n2.i),
+              |sim AS (SELECT i1 AS a, i2 AS b, s FROM sh
+              |        UNION ALL SELECT i2, i1, s FROM sh),
+              |ord AS (SELECT o, max(i) AS held FROM bi
+              |        GROUP BY o HAVING count(*) >= 2),
+              |ctx AS (SELECT bi.o, bi.i FROM bi
+              |        JOIN ord ON bi.o = ord.o WHERE bi.i <> ord.held),
+              |cand AS (SELECT ctx.o, sim.b AS cand,
+              |                CAST(sum(sim.s) AS BIGINT) AS score
+              |         FROM ctx JOIN sim ON ctx.i = sim.a GROUP BY 1, 2),
+              |k AS (SELECT cand.o, cand.cand, cand.score FROM cand
+              |      ANTI JOIN ctx ON cand.o = ctx.o AND cand.cand = ctx.i),
+              |rk AS (SELECT o, cand, row_number() OVER (
+              |         PARTITION BY o ORDER BY score DESC, cand) AS rnk FROM k),
+              |h AS (SELECT count(DISTINCT rk.o) AS hits FROM rk
+              |      JOIN ord ON rk.o = ord.o AND rk.cand = ord.held
+              |      WHERE rk.rnk <= 5),
+              |ne AS (SELECT count(*) AS n_eval FROM ord)
+              |SELECT ne.n_eval, h.hits,
+              |       round(h.hits / ne.n_eval, 6) AS hitrate_at5
+              |FROM ne, h""".stripMargin)),
+
     // Multi-touch attribution: every purchase distributes its value
     // across the user's clicks in the preceding 7 days, under two
     // standard models at once — linear (equal credit, value/n) and
