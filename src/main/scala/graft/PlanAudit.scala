@@ -62,7 +62,7 @@ object PlanAudit {
     // edit distance, containment join, LPA rounds, hashing trick)
     "dedup_title_edit", "dedup_containment", "community_lpa",
     "feature_hashing", "copurchase_cosine", "basket_rules",
-    "attribution_multitouch", "basket_rec_recall")
+    "attribution_multitouch", "basket_rec_recall", "bm25_prf_fp")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -139,7 +139,10 @@ object PlanAudit {
     // basket_rules rides the ONE-ROW broadcast basket-count frame
     // (the tfidf scalar shape); basket_rec_recall's final summary
     // crosses two ONE-ROW count frames
-    "basket_rules", "basket_rec_recall")
+    "basket_rules", "basket_rec_recall",
+    // bm25_prf_fp rides the same ONE-ROW broadcast corpus-stats frame
+    // as the bm25 family (per scoring pass)
+    "bm25_prf_fp")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

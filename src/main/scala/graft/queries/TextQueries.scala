@@ -1201,6 +1201,106 @@ object TextQueries extends QueryModule {
              |       row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS rnk
              |FROM p ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Pseudo-relevance feedback (RM3-style two-pass retrieval, Lavrenko
+    // & Croft SIGIR '01 lineage) — entirely in the fixed-point BM25
+    // algebra, so an ITERATIVE retrieval technique lands under the
+    // exact hash gate: pass 1 ranks with the original terms and takes
+    // the top-10 as the pseudo-relevant set; expansion terms are the 3
+    // highest Σ tf·idf_fp tokens of that set (originals excluded,
+    // term-name tie-break); pass 2 re-scores with original terms at
+    // weight 2 and expansions at weight 1 (the integer stand-in for
+    // RM3's λ-interpolation). Every score is BIGINT end to end
+    // (bm25_search_fp's idf/tf surrogates), both SELECTIONS are
+    // rounded-free integer rankings, and the expansion frame is a
+    // ≤ 6-row broadcast — per-query work after pass 1 is
+    // O(|terms₂|-pruned explode), the serve shape.
+    Q("bm25_prf_fp",
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val t = tokens(col("text"))
+        val dl = d.select(col("doc_id"), size(t).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val tfa = d.select(col("doc_id"), explode(t).as("token"))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val dfa = tfa.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val idfFp = "((2 * n_docs - 2 * df + 1) * 1048576) div (2 * df + 1)"
+        def scored(tf: DataFrame): DataFrame = tf
+          .join(broadcast(dfa), Seq("token"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("idf_fp", expr(idfFp))
+          .withColumn("tfc_fp", expr("(22 * tf * sum_dl * 1048576) div " +
+            "(10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"))
+          .withColumn("contrib", expr("(idf_fp * tfc_fp) div 1048576"))
+        val r1 = scored(tfa.filter(col("token").isin(Bm25Terms: _*)))
+          .groupBy(col("doc_id")).agg(sum(col("contrib")).as("s1"))
+          .orderBy(col("s1").desc, col("doc_id")).limit(10)
+          .select(col("doc_id"))
+        val exp3 = tfa.join(broadcast(r1), Seq("doc_id"))
+          .filter(!col("token").isin(Bm25Terms: _*))
+          .join(broadcast(dfa), Seq("token"))
+          .crossJoin(broadcast(stats))
+          .withColumn("idf_fp", expr(idfFp))
+          .groupBy(col("token")).agg(sum(col("tf") * col("idf_fp")).as("w"))
+          .orderBy(col("w").desc, col("token")).limit(3)
+          .select(col("token"))
+        val terms2 = Bm25Terms.map(q0 => (q0, 2L)).toDF("token", "wt")
+          .union(exp3.withColumn("wt", lit(1L)))
+        scored(tfa.join(broadcast(terms2), Seq("token")))
+          .withColumn("wc", col("contrib") * col("wt"))
+          .groupBy(col("doc_id")).agg(sum(col("wc")).as("score_fp"))
+          .orderBy(col("score_fp").desc, col("doc_id")).limit(20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("score_fp").desc, col("doc_id"))))
+          .select(col("doc_id"), col("score_fp"), col("rnk"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+             |           FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl
+             |       FROM documents),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+             |tfa AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             |        FROM t GROUP BY doc_id, token),
+             |dfa AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfa GROUP BY token),
+             |c1 AS (SELECT tfa.doc_id,
+             |              CAST((((2 * s.n_docs - 2 * dfa.df + 1) * 1048576) // (2 * dfa.df + 1))
+             |                   * ((22 * tfa.tf * s.sum_dl * 1048576)
+             |                      // (10 * tfa.tf * s.sum_dl + 3 * s.sum_dl + 9 * dl.dl * s.n_docs))
+             |                   // 1048576 AS BIGINT) AS contrib
+             |       FROM tfa JOIN dfa USING (token) JOIN dl ON tfa.doc_id = dl.doc_id
+             |       CROSS JOIN stats s
+             |       WHERE token IN ('join', 'scan', 'filter')),
+             |r1 AS (SELECT doc_id FROM (
+             |         SELECT doc_id, row_number() OVER (
+             |           ORDER BY CAST(sum(contrib) AS BIGINT) DESC, doc_id) AS rn
+             |         FROM c1 GROUP BY doc_id) WHERE rn <= 10),
+             |exp3 AS (SELECT token FROM (
+             |         SELECT tfa.token, row_number() OVER (ORDER BY
+             |             CAST(sum(tfa.tf * (((2 * s.n_docs - 2 * dfa.df + 1) * 1048576)
+             |                                // (2 * dfa.df + 1))) AS BIGINT) DESC,
+             |             tfa.token) AS rn
+             |         FROM tfa JOIN r1 ON tfa.doc_id = r1.doc_id
+             |         JOIN dfa USING (token) CROSS JOIN stats s
+             |         WHERE token NOT IN ('join', 'scan', 'filter')
+             |         GROUP BY tfa.token) WHERE rn <= 3),
+             |terms2 AS (SELECT token, 2 AS wt
+             |           FROM (VALUES ('join'), ('scan'), ('filter')) v(token)
+             |           UNION ALL SELECT token, 1 FROM exp3),
+             |c2 AS (SELECT tfa.doc_id,
+             |              CAST((((2 * s.n_docs - 2 * dfa.df + 1) * 1048576) // (2 * dfa.df + 1))
+             |                   * ((22 * tfa.tf * s.sum_dl * 1048576)
+             |                      // (10 * tfa.tf * s.sum_dl + 3 * s.sum_dl + 9 * dl.dl * s.n_docs))
+             |                   // 1048576 * terms2.wt AS BIGINT) AS wc
+             |       FROM tfa JOIN terms2 USING (token) JOIN dfa USING (token)
+             |       JOIN dl ON tfa.doc_id = dl.doc_id CROSS JOIN stats s),
+             |p2 AS (SELECT doc_id, CAST(sum(wc) AS BIGINT) AS score_fp
+             |       FROM c2 GROUP BY doc_id)
+             |SELECT doc_id, score_fp,
+             |       row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rnk
+             |FROM p2 ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 list and a
     // cosine ANN list for one query (terms + an embedding) — the
     // two-tower serve pattern. RRF needs only the two rank columns
