@@ -38,6 +38,13 @@ object BasketStream {
   val PairsTable = "mb_pairs"   // (i1, i2, c), bucketed by i1
   val ItemsTable = "mb_items"   // (i, n), bucketed by i
   val TotalsTable = "mb_totals" // (k, n_orders), one row, k = 0
+  /** Denormalized SERVING index: every pair twice, bucketed by the
+    * query item — the doubled-row layout is what makes an
+    * "also-bought" lookup a bucket-file probe ([[recsTopK]]) instead
+    * of a table scan, the PostingsStore term-bucket recipe applied to
+    * item-item recs. Maintained by the same additive merges/deletes
+    * as the analytic pair table. */
+  val RecsTable = "mb_recs"     // (q, r, c), bucketed by q
   val DefaultBuckets = 32
 
   /** Serve-side min-support (matches the batch queries' memo cut). */
@@ -60,10 +67,12 @@ object BasketStream {
       Seq.empty[(Long, Long)].toDF("i", "n"), "i", buckets)
     mk(prefix + TotalsTable,
       Seq.empty[(Long, Long)].toDF("k", "n_orders"), "k", 1)
+    mk(prefix + RecsTable,
+      Seq.empty[(Long, Long, Long)].toDF("q", "r", "c"), "q", buckets)
   }
 
   def drop(spark: SparkSession, prefix: String = ""): Unit =
-    Seq(PairsTable, ItemsTable, TotalsTable)
+    Seq(PairsTable, ItemsTable, TotalsTable, RecsTable)
       .foreach(t => BucketedUpsert.drop(spark, prefix + t))
 
   /** The batch's own (pairs, items, totals) delta frames from a
@@ -92,6 +101,10 @@ object BasketStream {
       Seq("i"), "i", buckets, merge = additive, batchId = batchId)
     BucketedUpsert.upsert(spark, prefix + TotalsTable, d._3,
       Seq("k"), "k", 1, merge = additive, batchId = batchId)
+    val recs = d._1.select(col("i1").as("q"), col("i2").as("r"), col("c"))
+      .union(d._1.select(col("i2"), col("i1"), col("c")))
+    BucketedUpsert.upsert(spark, prefix + RecsTable, recs,
+      Seq("q", "r"), "q", buckets, merge = additive, batchId = batchId)
   }
 
   /** Merge one micro-batch of complete `[o, i]` basket lines. */
@@ -137,5 +150,23 @@ object BasketStream {
   def rules(spark: SparkSession, prefix: String = ""): DataFrame = {
     val (pairs, items, totals) = served(spark, prefix)
     AnalyticsQueries.basketRules(pairs, items, totals)
+  }
+
+  /** "Customers who bought `item` also bought …": top-k co-purchased
+    * items by pair count. The read touches ONLY the bucket files the
+    * item hashes into (BucketedUpsert.readKeys on the doubled recs
+    * table) — O(1) bucket files per lookup at any store size, the
+    * serve-path contract (pruning asserted in StreamingBasketSpec).
+    * Count-ranked with an item-id tie-break: deterministic, and the
+    * scoring the batch pair frame implies for a single-item context. */
+  def recsTopK(spark: SparkSession, item: Long, k: Int,
+               prefix: String = "",
+               buckets: Int = DefaultBuckets): DataFrame = {
+    import spark.implicits._
+    BucketedUpsert.readKeys(spark, prefix + RecsTable,
+        Seq(item).toDF("q"), "q", buckets)
+      .filter(col("q") === item && col("c") >= MinSupport)
+      .orderBy(col("c").desc, col("r")).limit(k)
+      .select(col("r").as("item"), col("c").as("support_cnt"))
   }
 }

@@ -50,6 +50,31 @@ class StreamingBasketSpec extends AnyFunSuite {
         rowsOf(SparkEntry.queries("basket_rules")(spark, sf)))
       assert(BasketStream.cosine(spark, prefix).count() > 0)
 
+      // serving index: top-k recs for a sample item equal the batch
+      // pair frame's implied ranking, from a BUCKET-PRUNED read
+      val sample = SparkEntry.queries("copurchase_cosine")(spark, sf)
+        .orderBy(col("support_cnt").desc, col("i1")).select("i1")
+        .as[Long].head()
+      val batchRecs = {
+        val p = SparkEntry.queries("copurchase_cosine")(spark, sf)
+          .select(col("i1"), col("i2"), col("support_cnt"))
+        p.filter(col("i1") === sample)
+          .select(col("i2").as("item"), col("support_cnt"))
+          .union(p.filter(col("i2") === sample)
+            .select(col("i1"), col("support_cnt")))
+          .orderBy(col("support_cnt").desc, col("item")).limit(5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      val served = BasketStream.recsTopK(spark, sample, 5, prefix, buckets = 4)
+      assert(served.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == batchRecs, "served recs must equal the batch-implied top-k")
+      // the lookup must read ONE bucket's files, not the table
+      val bucketsTouched = served.inputFiles
+        .flatMap(f => graft.sources.BucketedUpsert
+          .bucketIdOf(f.split('/').last)).distinct
+      assert(bucketsTouched.length == 1,
+        s"rec lookup must prune to the item's bucket: $bucketsTouched")
+
       // redelivered batch id is a no-op on every store
       val extra = Seq(Line(999001L, 1L), Line(999001L, 2L)).toDF("o", "i")
       BasketStream.upsertBatch(spark, extra, prefix, 4, Some(77L))
