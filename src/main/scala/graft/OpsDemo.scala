@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   *   funnel report → retention triangle → gap-filled daily series
   *   with anomaly flags → behavioral motifs → point-in-time features
   *   ⨝ forward labels (the leak-free training_set) → streaming
-  *   anomaly store stood up via GRAFT BUILD DAILY.
+  *   anomaly store stood up via GRAFT BUILD DAILY → multi-touch
+  *   attribution → the basket recommender: GRAFT BUILD BASKET, a
+  *   bucket-pruned "also bought" lookup, and its leave-one-out
+  *   hit-rate eval.
   *
   * Usage: runMain graft.OpsDemo [sfDir]
   */
@@ -59,6 +62,27 @@ object OpsDemo {
       .anomalies(spark, "ops_demo_daily")
     println(s"store-served anomaly days: ${flags.filter(col("anomaly")).count()}")
     graft.streaming.AnomalyMonitorStream.drop(spark, "ops_demo_daily")
+
+    println("== 7. multi-touch attribution (linear + time-decay) ==")
+    SparkEntry.queries("attribution_multitouch")(spark, sfDir)
+      .orderBy(col("purchase_id"), col("click_id")).show(5, false)
+
+    println("== 8. the basket recommender: build, probe, evaluate ==")
+    spark.sql("SELECT l_orderkey AS o, l_partkey AS i FROM lineitem")
+      .createOrReplaceTempView("ops_demo_lines")
+    spark.sql(
+      "GRAFT BUILD BASKET ops_demo_mb_ FROM ops_demo_lines BUCKETS 4")
+      .show(false)
+    val top = graft.streaming.BasketStream.cosine(spark, "ops_demo_mb_")
+      .orderBy(col("support_cnt").desc, col("i1")).limit(1).collect()
+    top.headOption.foreach { r =>
+      val item = r.getLong(0)
+      println(s"customers who bought part $item also bought (bucket-pruned probe):")
+      graft.streaming.BasketStream
+        .recsTopK(spark, item, 5, "ops_demo_mb_", buckets = 4).show(false)
+    }
+    SparkEntry.queries("basket_rec_recall")(spark, sfDir).show(false)
+    graft.streaming.BasketStream.drop(spark, "ops_demo_mb_")
 
     spark.stop()
   }
