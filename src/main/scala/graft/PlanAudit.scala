@@ -62,7 +62,8 @@ object PlanAudit {
     // edit distance, containment join, LPA rounds, hashing trick)
     "dedup_title_edit", "dedup_containment", "community_lpa",
     "feature_hashing", "copurchase_cosine", "basket_rules",
-    "attribution_multitouch", "basket_rec_recall", "bm25_prf_fp")
+    "attribution_multitouch", "basket_rec_recall", "bm25_prf_fp",
+    "changepoint_cusum")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

@@ -102,6 +102,24 @@ object AnalyticsQueries extends QueryModule {
     basketPairCache.clear()
   }
 
+  /** Two-sided integer CUSUM over a `(event_type, day, rev)` daily
+    * frame — changepoint_cusum's scoring stage, factored over the
+    * input frame so the spec can plant a level-shifted series and
+    * assert detection through the exact production code. */
+  private[graft] def cusumFlags(daily: DataFrame): DataFrame = {
+    val m = daily.groupBy(col("event_type"))
+      .agg(expr("sum(rev) div count(*)").as("mu"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.join(m, Seq("event_type"))
+      .withColumn("pf", sum(col("rev") - col("mu")).over(w))
+      .withColumn("cusum_up", col("pf") - min(col("pf")).over(w))
+      .withColumn("cusum_dn", max(col("pf")).over(w) - col("pf"))
+      .select(col("event_type"), col("day"), col("rev"),
+        col("cusum_up"), col("cusum_dn"),
+        (col("cusum_up") > col("mu") || col("cusum_dn") > col("mu"))
+          .as("shift_flag"))
+  }
+
   /** Cosine scoring over a `(i1, i2, c)` pair frame + `(i, n)` item
     * counts — shared verbatim by the streaming
     * [[graft.streaming.BasketStream]] serve path so batch and
@@ -488,6 +506,44 @@ object AnalyticsQueries extends QueryModule {
               |         AS will_purchase_24h,
               |       fp.p_us - c.us AS label_lag_us
               |FROM c LEFT JOIN fp ON c.click_id = fp.click_id""".stripMargin)),
+
+    // Sequential changepoint detection (Page's CUSUM, Biometrika '54)
+    // on the per-type daily revenue — the SUSTAINED-shift complement
+    // to revenue_anomaly_mad's single-day spikes. The sequential
+    // recurrence S_t = max(0, S_{t-1} + x_t − μ) is not a built-in
+    // window function, but it equals P_t − min_{j≤t} P_j over the
+    // prefix sums P of (x − μ) — so both one-sided CUSUM statistics
+    // become ONE running sum + a running min/max, all BIGINT micros
+    // (exact under any partitioning; the flag threshold μ is the
+    // integer per-type daily mean). Windows partition by event_type
+    // over ≤ #days rows — schedule-bounded like the gap-fill family.
+    // The driver corpus is stationary at sf0.1 (zero flags — the
+    // VALUES carry the gate); the spec plants a level shift and
+    // asserts detection.
+    Q("changepoint_cusum",
+      (s, dir) => cusumFlags(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr(s"unix_micros(ts) div $DayUs").as("day"))
+          // floor, not cast: Spark's double→long CAST truncates while
+          // DuckDB's rounds — floor() agrees on both engines
+          .agg(sum(floor(col("value") * 1000000)).as("rev"))),
+      Some(s"""WITH d AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+              |                  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS rev
+              |           FROM events GROUP BY 1, 2),
+              |m AS (SELECT event_type, CAST(sum(rev) // count(*) AS BIGINT) AS mu
+              |      FROM d GROUP BY 1),
+              |p AS (SELECT d.event_type, d.day, d.rev, m.mu,
+              |             CAST(sum(d.rev - m.mu) OVER (
+              |               PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS pf
+              |      FROM d JOIN m USING (event_type))
+              |SELECT event_type, day, rev,
+              |       pf - min(pf) OVER (PARTITION BY event_type ORDER BY day) AS cusum_up,
+              |       max(pf) OVER (PARTITION BY event_type ORDER BY day) - pf AS cusum_dn,
+              |       (pf - min(pf) OVER (PARTITION BY event_type ORDER BY day) > mu
+              |        OR max(pf) OVER (PARTITION BY event_type ORDER BY day) - pf > mu)
+              |         AS shift_flag
+              |FROM p""".stripMargin)),
 
     // In-engine recommender evaluation (the embed_ann_recall
     // precedent, applied to the basket model): leave-one-out

@@ -230,6 +230,30 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(tri.forall(_.getDouble(3) <= 1.0))
   }
 
+  test("CUSUM: a planted level shift is flagged; a stationary series is not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "p": 30 days at 100 then 10 at 200 — a sustained mean shift.
+    // "f": 40 flat days. Global-mean CUSUM: pre-shift days sit BELOW
+    // the series mean, so the down-statistic legitimately grows there;
+    // the UP statistic is exactly 0 until the shift (the prefix sum is
+    // its own running min while decreasing), which pins the detection
+    // direction.
+    val daily = ((0 until 30).map(d => ("p", d.toLong, 100L)) ++
+      (30 until 40).map(d => ("p", d.toLong, 200L)) ++
+      (0 until 40).map(d => ("f", d.toLong, 100L)))
+      .toDF("event_type", "day", "rev")
+    val got = graft.queries.AnalyticsQueries.cusumFlags(daily).cache()
+    assert(got.filter(col("event_type") === "f" &&
+      col("shift_flag")).count() == 0, "flat series must not flag")
+    assert(got.filter(col("event_type") === "p" &&
+      col("shift_flag")).count() > 0, "the level shift must flag")
+    assert(got.filter(col("event_type") === "p" && col("day") < 30 &&
+      col("cusum_up") =!= 0L).count() == 0,
+      "the up statistic must be zero before the shift")
+    got.unpersist()
+  }
+
   test("multi-touch attribution: per-purchase credits conserve the purchase value") {
     import org.apache.spark.sql.functions._
     import graft.sources.Tables
