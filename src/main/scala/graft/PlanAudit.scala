@@ -63,7 +63,7 @@ object PlanAudit {
     "dedup_title_edit", "dedup_containment", "community_lpa",
     "feature_hashing", "copurchase_cosine", "basket_rules",
     "attribution_multitouch", "basket_rec_recall", "bm25_prf_fp",
-    "changepoint_cusum")
+    "changepoint_cusum", "bm25_known_item_fp")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -141,9 +141,10 @@ object PlanAudit {
     // (the tfidf scalar shape); basket_rec_recall's final summary
     // crosses two ONE-ROW count frames
     "basket_rules", "basket_rec_recall",
-    // bm25_prf_fp rides the same ONE-ROW broadcast corpus-stats frame
-    // as the bm25 family (per scoring pass)
-    "bm25_prf_fp")
+    // bm25_prf_fp and bm25_known_item_fp ride the same ONE-ROW
+    // broadcast corpus-stats frame as the bm25 family (per scoring
+    // pass)
+    "bm25_prf_fp", "bm25_known_item_fp")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

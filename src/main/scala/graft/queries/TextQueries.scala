@@ -462,6 +462,39 @@ object TextQueries extends QueryModule {
     * hybrid_rrf); mid-df corpus terms so idf is non-trivial. */
   private val Bm25Terms = Seq("join", "scan", "filter")
 
+  /** The fixed-point idf surrogate (see bm25_search_fp's scaladoc). */
+  private val Bm25IdfFp =
+    "((2 * n_docs - 2 * df + 1) * 1048576) div (2 * df + 1)"
+
+  /** The fp-BM25 base frames — per-doc lengths, one-row corpus stats,
+    * per-(doc, token) tf, per-token df — shared by bm25_prf_fp and
+    * bm25_known_item_fp (one tokenize pass per consumer; the frames
+    * are cheap enough that a memo would buy little). */
+  private def bm25FpFrames(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val d = docs(s, dir)
+    val t = tokens(col("text"))
+    val dl = d.select(col("doc_id"), size(t).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tfa = d.select(col("doc_id"), explode(t).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfa = tfa.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    (dl, stats, tfa, dfa)
+  }
+
+  /** Per-(doc, token) fp-BM25 contribution (bm25_search_fp's integer
+    * algebra) over an already-pruned tf frame; extra columns (query
+    * ids, weights) ride through untouched. */
+  private def bm25FpContrib(tf: DataFrame, dfa: DataFrame, dl: DataFrame,
+                            stats: DataFrame): DataFrame = tf
+    .join(broadcast(dfa), Seq("token"))
+    .join(dl, Seq("doc_id"))
+    .crossJoin(broadcast(stats))
+    .withColumn("idf_fp", expr(Bm25IdfFp))
+    .withColumn("tfc_fp", expr("(22 * tf * sum_dl * 1048576) div " +
+      "(10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"))
+    .withColumn("contrib", expr("(idf_fp * tfc_fp) div 1048576"))
+
   /** BM25 score assembly (k1=1.2, b=0.75) shared by the per-query
     * corpus scan ([[bm25Top]]) and the persisted-index probe
     * ([[bm25IndexedTop]]): given per-(doc, token) `tf`, per-token
@@ -1201,6 +1234,66 @@ object TextQueries extends QueryModule {
              |       row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS rnk
              |FROM p ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Known-item retrieval evaluation — the IR sanity eval next to
+    // embed_ann_recall (ANN) and basket_rec_recall (recsys): each of
+    // the 20 sample docs poses its own 3-term SIGNATURE query (top tf,
+    // df-then-token tie-break — the terms a user remembering the doc
+    // would type), the corpus is ranked with the fixed-point BM25, and
+    // the row reports where the doc ranked for its own query. All
+    // BIGINT scoring + integer rankings ⇒ full hash gate; the
+    // self-rank distribution (1..14 at sf0.1) is the metric — a
+    // retrieval stack where known items sink is broken long before a
+    // relevance-judged eval exists. Per-query work: the explode is
+    // pruned to the ≤60 signature terms before any shuffle.
+    Q("bm25_known_item_fp",
+      (s, dir) => {
+        val (dl, stats, tfa, dfa) = bm25FpFrames(s, dir)
+        val qterms = tfa.filter(col("doc_id") < 20)
+          .join(broadcast(dfa), Seq("token"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("tf").desc, col("df"), col("token"))))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id").as("qid"), col("token"))
+        val rk = bm25FpContrib(
+            tfa.join(broadcast(qterms), Seq("token")), dfa, dl, stats)
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(sum(col("contrib")).as("s2"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("s2").desc, col("doc_id"))))
+        rk.filter(col("qid") === col("doc_id"))
+          .select(col("qid"), col("rnk").as("self_rnk"),
+            (col("rnk") <= 5).as("hit5"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+             |           FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl
+             |       FROM documents),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+             |tfa AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             |        FROM t GROUP BY doc_id, token),
+             |dfa AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfa GROUP BY token),
+             |q AS (SELECT doc_id AS qid, token FROM (
+             |        SELECT tfa.doc_id, tfa.token, row_number() OVER (
+             |          PARTITION BY tfa.doc_id
+             |          ORDER BY tfa.tf DESC, dfa.df, tfa.token) AS rn
+             |        FROM tfa JOIN dfa USING (token)
+             |        WHERE tfa.doc_id < 20) WHERE rn <= 3),
+             |c AS (SELECT q.qid, tfa.doc_id,
+             |             CAST((((2 * s.n_docs - 2 * dfa.df + 1) * 1048576) // (2 * dfa.df + 1))
+             |                  * ((22 * tfa.tf * s.sum_dl * 1048576)
+             |                     // (10 * tfa.tf * s.sum_dl + 3 * s.sum_dl + 9 * dl.dl * s.n_docs))
+             |                  // 1048576 AS BIGINT) AS contrib
+             |      FROM q JOIN tfa USING (token) JOIN dfa USING (token)
+             |      JOIN dl ON tfa.doc_id = dl.doc_id CROSS JOIN stats s),
+             |rk AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+             |         ORDER BY CAST(sum(contrib) AS BIGINT) DESC, doc_id) AS rnk
+             |       FROM c GROUP BY qid, doc_id)
+             |SELECT qid, rnk AS self_rnk, rnk <= 5 AS hit5
+             |FROM rk WHERE qid = doc_id""".stripMargin)),
+
     // Pseudo-relevance feedback (RM3-style two-pass retrieval, Lavrenko
     // & Croft SIGIR '01 lineage) — entirely in the fixed-point BM25
     // algebra, so an ITERATIVE retrieval technique lands under the
@@ -1217,22 +1310,9 @@ object TextQueries extends QueryModule {
     Q("bm25_prf_fp",
       (s, dir) => {
         import s.implicits._
-        val d = docs(s, dir)
-        val t = tokens(col("text"))
-        val dl = d.select(col("doc_id"), size(t).cast("long").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        val tfa = d.select(col("doc_id"), explode(t).as("token"))
-          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        val dfa = tfa.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        val idfFp = "((2 * n_docs - 2 * df + 1) * 1048576) div (2 * df + 1)"
-        def scored(tf: DataFrame): DataFrame = tf
-          .join(broadcast(dfa), Seq("token"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .withColumn("idf_fp", expr(idfFp))
-          .withColumn("tfc_fp", expr("(22 * tf * sum_dl * 1048576) div " +
-            "(10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"))
-          .withColumn("contrib", expr("(idf_fp * tfc_fp) div 1048576"))
+        val (dl, stats, tfa, dfa) = bm25FpFrames(s, dir)
+        def scored(tf: DataFrame): DataFrame =
+          bm25FpContrib(tf, dfa, dl, stats)
         val r1 = scored(tfa.filter(col("token").isin(Bm25Terms: _*)))
           .groupBy(col("doc_id")).agg(sum(col("contrib")).as("s1"))
           .orderBy(col("s1").desc, col("doc_id")).limit(10)
@@ -1241,7 +1321,7 @@ object TextQueries extends QueryModule {
           .filter(!col("token").isin(Bm25Terms: _*))
           .join(broadcast(dfa), Seq("token"))
           .crossJoin(broadcast(stats))
-          .withColumn("idf_fp", expr(idfFp))
+          .withColumn("idf_fp", expr(Bm25IdfFp))
           .groupBy(col("token")).agg(sum(col("tf") * col("idf_fp")).as("w"))
           .orderBy(col("w").desc, col("token")).limit(3)
           .select(col("token"))
