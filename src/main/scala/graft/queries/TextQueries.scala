@@ -993,6 +993,39 @@ object TextQueries extends QueryModule {
               |SELECT doc_id, canonical_id, round(ttr, 6) AS ttr, rn = 1 AS kept
               |FROM r""".stripMargin)),
 
+    // Curation dashboard metric: per-source duplication rate — the
+    // fraction of each source's docs involved in a verified near-dup
+    // pair (J ≥ 0.5). The number a crawl operator watches per feed:
+    // a source whose rate jumps is re-serving templated content.
+    // Rides the memoized verified-pair frame (third consumer of the
+    // minhash family's one candidate pass); everything after is two
+    // source-keyed aggregates and a ≤#sources-row join.
+    Q("dedup_rate_by_source",
+      (s, dir) => {
+        val pairs = minhashPairsCached(s, dir).filter(col("jaccard") >= 0.5)
+        val dup = pairs.select(col("d1").as("doc_id"))
+          .union(pairs.select(col("d2"))).distinct()
+        val d = docs(s, dir).select(col("doc_id"), col("source"))
+        val n = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val nd = d.join(dup, Seq("doc_id"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+        n.join(nd, Seq("source"), "left_outer")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            round(coalesce(col("n_dup"), lit(0L)) / col("n_docs"), 6)
+              .as("dup_rate"))
+      },
+      Some(s"""WITH $minhashPairsCte,
+              |dup AS (SELECT d1 AS doc_id FROM mh_pairs WHERE jaccard >= 0.5
+              |        UNION SELECT d2 FROM mh_pairs WHERE jaccard >= 0.5),
+              |srcn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+              |srcd AS (SELECT d.source, count(*) AS n_dup
+              |         FROM documents d JOIN dup USING (doc_id) GROUP BY d.source)
+              |SELECT srcn.source, srcn.n_docs,
+              |       coalesce(srcd.n_dup, 0) AS n_dup,
+              |       round(coalesce(srcd.n_dup, 0) / srcn.n_docs, 6) AS dup_rate
+              |FROM srcn LEFT JOIN srcd ON srcn.source = srcd.source""".stripMargin)),
+
     // INCREMENTAL dedup: verdicts for the newest 20% of the corpus
     // (the delta batch) against everything before it plus itself —
     // the shape every growing corpus actually runs: the base was
