@@ -102,6 +102,16 @@ object AnalyticsQueries extends QueryModule {
     basketPairCache.clear()
   }
 
+  /** Exact integer micros from a decimal daily-revenue frame: the
+    * DECIMAL(·,6) sum is order-free-exact, so ×10⁶ is an integral
+    * value and the cast is lossless — the conversion that lets the
+    * batch changepoint query and the store-served
+    * [[graft.streaming.AnomalyMonitorStream.shifts]] read the SAME
+    * number under any ingest chunking. */
+  private[graft] def revMicros(daily: DataFrame): DataFrame =
+    daily.select(col("event_type"), col("day"),
+      (col("rev") * 1000000).cast("long").as("rev"))
+
   /** Two-sided integer CUSUM over a `(event_type, day, rev)` daily
     * frame — changepoint_cusum's scoring stage, factored over the
     * input frame so the spec can plant a level-shifted series and
@@ -521,15 +531,11 @@ object AnalyticsQueries extends QueryModule {
     // VALUES carry the gate); the spec plants a level shift and
     // asserts detection.
     Q("changepoint_cusum",
-      (s, dir) => cusumFlags(
-        Tables.events(s, dir)
-          .groupBy(col("event_type"),
-            expr(s"unix_micros(ts) div $DayUs").as("day"))
-          // floor, not cast: Spark's double→long CAST truncates while
-          // DuckDB's rounds — floor() agrees on both engines
-          .agg(sum(floor(col("value") * 1000000)).as("rev"))),
+      (s, dir) => cusumFlags(revMicros(
+        dailyRevenue(Tables.events(s, dir))
+          .select(col("event_type"), col("day"), col("rev")))),
       Some(s"""WITH d AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
-              |                  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS rev
+              |                  CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS rev
               |           FROM events GROUP BY 1, 2),
               |m AS (SELECT event_type, CAST(sum(rev) // count(*) AS BIGINT) AS mu
               |      FROM d GROUP BY 1),

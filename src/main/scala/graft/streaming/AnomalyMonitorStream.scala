@@ -90,4 +90,13 @@ object AnomalyMonitorStream {
     * live store, same scoring code path. */
   def anomalies(spark: SparkSession, table: String = DefaultTable): DataFrame =
     AnalyticsQueries.madFlags(daily(spark, table))
+
+  /** Current CUSUM shift flags — changepoint_cusum's output over the
+    * live store, same scoring code path (madFlags' sustained-shift
+    * twin): the store's DECIMAL revenue converts losslessly to the
+    * batch query's integer micros, so the served statistics are
+    * bit-equal to the one-shot query under any ingest chunking. */
+  def shifts(spark: SparkSession, table: String = DefaultTable): DataFrame =
+    AnalyticsQueries.cusumFlags(AnalyticsQueries.revMicros(
+      daily(spark, table)))
 }

@@ -44,6 +44,15 @@ class StreamingAnomalySpec extends AnyFunSuite {
       assert(flags(table) == batch,
         "monitor flags must equal the oracle-gated batch query exactly")
       assert(batch.exists(_._4), "fixture must contain at least one anomaly")
+
+      // the CUSUM twin serves from the SAME store: bit-equal to the
+      // oracled changepoint query over everything ingested
+      val servedShifts = AnomalyMonitorStream.shifts(spark, table)
+        .collect().map(_.mkString("|")).sorted.toSeq
+      val batchShifts = SparkEntry.queries("changepoint_cusum")(spark, sf)
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(servedShifts == batchShifts,
+        "store-served CUSUM must equal the oracle-gated batch query")
     } finally AnomalyMonitorStream.drop(spark, table)
   }
 
