@@ -63,7 +63,8 @@ object PlanAudit {
     "dedup_title_edit", "dedup_containment", "community_lpa",
     "feature_hashing", "copurchase_cosine", "basket_rules",
     "attribution_multitouch", "basket_rec_recall", "bm25_prf_fp",
-    "changepoint_cusum", "bm25_known_item_fp", "dedup_rate_by_source")
+    "changepoint_cusum", "bm25_known_item_fp", "dedup_rate_by_source",
+    "dedup_threshold_sweep")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

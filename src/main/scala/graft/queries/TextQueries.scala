@@ -993,6 +993,36 @@ object TextQueries extends QueryModule {
               |SELECT doc_id, canonical_id, round(ttr, 6) AS ttr, rn = 1 AS kept
               |FROM r""".stripMargin)),
 
+    // Threshold-tuning histogram: EVERY co-shingling pair (the
+    // df-capped inverted-index join, no threshold) binned by Jaccard
+    // decile — THE artifact an operator reads before choosing a dedup
+    // cut: the noise floor lives in deciles 0-2, the near-dup mass in
+    // 5+, and the empty middle says where the threshold is safe.
+    // Third consumer of the shared ngram pair memo; the decile is
+    // floor(j·10), a single correctly-rounded multiply on an
+    // identical double, so bin edges agree between engines.
+    Q("dedup_threshold_sweep",
+      (s, dir) => {
+        val (ab, shared) = ngramShared(s, dir)
+        jaccardOf(shared, ab)
+          .select(floor(col("jaccard") * 10).cast("long").as("decile"))
+          .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH $shingleCte,
+              |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+              |ab AS (SELECT doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s),
+              |n AS (SELECT doc_id, count(*) AS n FROM ab GROUP BY doc_id),
+              |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+              |          FROM ab a JOIN ab b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |j AS (SELECT shared / (1.0 * (n1.n + n2.n - shared)) AS jaccard
+              |      FROM pairs
+              |      JOIN n n1 ON d1 = n1.doc_id
+              |      JOIN n n2 ON d2 = n2.doc_id)
+              |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS decile,
+              |       count(*) AS n_pairs
+              |FROM j GROUP BY 1""".stripMargin)),
+
     // Curation dashboard metric: per-source duplication rate — the
     // fraction of each source's docs involved in a verified near-dup
     // pair (J ≥ 0.5). The number a crawl operator watches per feed:
