@@ -64,7 +64,7 @@ object PlanAudit {
     "feature_hashing", "copurchase_cosine", "basket_rules",
     "attribution_multitouch", "basket_rec_recall", "bm25_prf_fp",
     "changepoint_cusum", "bm25_known_item_fp", "dedup_rate_by_source",
-    "dedup_threshold_sweep")
+    "dedup_threshold_sweep", "passage_search_fp")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -145,7 +145,10 @@ object PlanAudit {
     // bm25_prf_fp and bm25_known_item_fp ride the same ONE-ROW
     // broadcast corpus-stats frame as the bm25 family (per scoring
     // pass)
-    "bm25_prf_fp", "bm25_known_item_fp")
+    "bm25_prf_fp", "bm25_known_item_fp",
+    // passage_search_fp: the same ONE-ROW broadcast stats frame, at
+    // chunk granularity
+    "passage_search_fp")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

@@ -111,8 +111,27 @@ object PackingQueries extends QueryModule {
   }
 
   /** Window / stride (in tokens) for `doc_chunks` — 16-token overlap. */
-  private val ChunkW = 64
-  private val ChunkS = 48
+  private[queries] val ChunkW = 64
+  private[queries] val ChunkS = 48
+
+  /** The doc_chunks frame `(doc_id, chunk_idx, chunk_start, chunk_len,
+    * chunk_text)` — factored so passage-level retrieval
+    * (TextQueries.passage_search_fp) scores EXACTLY the chunking the
+    * oracled doc_chunks query defines. */
+  private[queries] def chunkRows(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0L, CASE WHEN n_tok > $ChunkW " +
+          s"THEN (n_tok - $ChunkW + ${ChunkS - 1}) div $ChunkS ELSE 0L END)")))
+      .withColumn("chunk_start", col("chunk_idx") * ChunkS)
+      .withColumn("chunk_len",
+        least(lit(ChunkW.toLong), col("n_tok") - col("chunk_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"), col("chunk_len"),
+        array_join(slice(col("toks"),
+          (col("chunk_start") + 1).cast("int"), col("chunk_len").cast("int")), " ")
+          .as("chunk_text"))
 
   /** Epochs / output shards for `corpus_shard`. */
   private val Epochs = 2
@@ -228,22 +247,7 @@ object PackingQueries extends QueryModule {
     // chunk TEXT is re-materialized from the token slice so downstream
     // embedding/indexing reads real strings, not offsets.
     Q("doc_chunks",
-      (s, dir) => {
-        val base = docs(s, dir)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .withColumn("n_tok", size(col("toks")).cast("long"))
-        base
-          .withColumn("chunk_idx", explode(expr(
-            s"sequence(0L, CASE WHEN n_tok > $ChunkW " +
-              s"THEN (n_tok - $ChunkW + ${ChunkS - 1}) div $ChunkS ELSE 0L END)")))
-          .withColumn("chunk_start", col("chunk_idx") * ChunkS)
-          .withColumn("chunk_len",
-            least(lit(ChunkW.toLong), col("n_tok") - col("chunk_start")))
-          .select(col("doc_id"), col("chunk_idx"), col("chunk_start"), col("chunk_len"),
-            array_join(slice(col("toks"),
-              (col("chunk_start") + 1).cast("int"), col("chunk_len").cast("int")), " ")
-              .as("chunk_text"))
-      },
+      (s, dir) => chunkRows(s, dir),
       Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks,
               |                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
               |           FROM documents),

@@ -1297,6 +1297,74 @@ object TextQueries extends QueryModule {
              |       row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS rnk
              |FROM p ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Passage-level retrieval — the RAG serving granularity: the SAME
+    // fixed query scored against doc_chunks' sliding windows
+    // (PackingQueries.chunkRows — one chunking definition for the
+    // index and the oracle) with the fp BM25 algebra, dl = the chunk
+    // length and the corpus stats = chunk stats. A long document
+    // surfaces its BEST-matching window instead of averaging the
+    // query terms over its full length — which is why RAG stacks
+    // index chunks, not docs. Integer end to end (chunk_len rides the
+    // chunk frame — no per-doc join needed), top-20 (doc, chunk).
+    Q("passage_search_fp",
+      (s, dir) => {
+        val ch = PackingQueries.chunkRows(s, dir)
+          .select(col("doc_id"), col("chunk_idx"),
+            col("chunk_len").as("dl"), col("chunk_text"))
+        val stats = ch.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val tf = ch.select(col("doc_id"), col("chunk_idx"), col("dl"),
+            explode(tokens(col("chunk_text"))).as("token"))
+          .filter(col("token").isin(Bm25Terms: _*))
+          .groupBy(col("doc_id"), col("chunk_idx"), col("dl"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), Seq("token"))
+          .crossJoin(broadcast(stats))
+          .withColumn("idf_fp", expr(Bm25IdfFp))
+          .withColumn("tfc_fp", expr("(22 * tf * sum_dl * 1048576) div " +
+            "(10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"))
+          .withColumn("contrib", expr("(idf_fp * tfc_fp) div 1048576"))
+          .groupBy(col("doc_id"), col("chunk_idx"))
+          .agg(sum(col("contrib")).as("score_fp"))
+          .orderBy(col("score_fp").desc, col("doc_id"), col("chunk_idx"))
+          .limit(20)
+          .withColumn("rnk", row_number().over(Window.orderBy(
+            col("score_fp").desc, col("doc_id"), col("chunk_idx"))))
+          .select(col("doc_id"), col("chunk_idx"), col("score_fp"), col("rnk"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks,
+              |                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+              |           FROM documents),
+              |ch0 AS (SELECT doc_id, toks, n_tok,
+              |               unnest(range(0, CASE WHEN n_tok > ${PackingQueries.ChunkW}
+              |                    THEN (n_tok - ${PackingQueries.ChunkW} + ${PackingQueries.ChunkS - 1}) // ${PackingQueries.ChunkS}
+              |                    ELSE 0 END + 1)) AS chunk_idx
+              |        FROM t),
+              |ch AS (SELECT doc_id, chunk_idx,
+              |              least(${PackingQueries.ChunkW}, n_tok - chunk_idx * ${PackingQueries.ChunkS}) AS dl,
+              |              list_slice(toks, chunk_idx * ${PackingQueries.ChunkS} + 1,
+              |                chunk_idx * ${PackingQueries.ChunkS} +
+              |                least(${PackingQueries.ChunkW}, n_tok - chunk_idx * ${PackingQueries.ChunkS})) AS ctoks
+              |       FROM ch0),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM ch),
+              |tf AS (SELECT doc_id, chunk_idx, dl, token, CAST(count(*) AS BIGINT) AS tf
+              |       FROM (SELECT doc_id, chunk_idx, dl, unnest(ctoks) AS token FROM ch)
+              |       WHERE token IN ('join', 'scan', 'filter')
+              |       GROUP BY doc_id, chunk_idx, dl, token),
+              |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+              |c AS (SELECT tf.doc_id, tf.chunk_idx,
+              |             CAST((((2 * s.n_docs - 2 * df.df + 1) * 1048576) // (2 * df.df + 1))
+              |                  * ((22 * tf.tf * s.sum_dl * 1048576)
+              |                     // (10 * tf.tf * s.sum_dl + 3 * s.sum_dl + 9 * tf.dl * s.n_docs))
+              |                  // 1048576 AS BIGINT) AS contrib
+              |      FROM tf JOIN df USING (token) CROSS JOIN stats s),
+              |p AS (SELECT doc_id, chunk_idx, CAST(sum(contrib) AS BIGINT) AS score_fp
+              |      FROM c GROUP BY doc_id, chunk_idx)
+              |SELECT doc_id, chunk_idx, score_fp,
+              |       row_number() OVER (ORDER BY score_fp DESC, doc_id, chunk_idx) AS rnk
+              |FROM p ORDER BY score_fp DESC, doc_id, chunk_idx LIMIT 20""".stripMargin)),
+
     // Known-item retrieval evaluation — the IR sanity eval next to
     // embed_ann_recall (ANN) and basket_rec_recall (recsys): each of
     // the 20 sample docs poses its own 3-term SIGNATURE query (top tf,
