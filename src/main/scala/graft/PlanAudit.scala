@@ -64,7 +64,7 @@ object PlanAudit {
     "feature_hashing", "copurchase_cosine", "basket_rules",
     "attribution_multitouch", "basket_rec_recall", "bm25_prf_fp",
     "changepoint_cusum", "bm25_known_item_fp", "dedup_rate_by_source",
-    "dedup_threshold_sweep", "passage_search_fp")
+    "dedup_threshold_sweep", "passage_search_fp", "rfm_segments")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -147,8 +147,9 @@ object PlanAudit {
     // pass)
     "bm25_prf_fp", "bm25_known_item_fp",
     // passage_search_fp: the same ONE-ROW broadcast stats frame, at
-    // chunk granularity
-    "passage_search_fp")
+    // chunk granularity; rfm_segments rides the ONE-ROW broadcast
+    // corpus-horizon frame (max purchase day)
+    "passage_search_fp", "rfm_segments")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

@@ -517,6 +517,65 @@ object AnalyticsQueries extends QueryModule {
               |       fp.p_us - c.us AS label_lag_us
               |FROM c LEFT JOIN fp ON c.click_id = fp.click_id""".stripMargin)),
 
+    // RFM customer segmentation (Hughes '94 — the classic lifecycle
+    // grid): per purchasing user, Recency = days since last purchase
+    // (vs the corpus horizon), Frequency = purchase count, Monetary =
+    // exact DECIMAL spend; each dimension quintiled (score 1 = best:
+    // most recent / most frequent / highest spend) and composed into
+    // the 3-digit segment code marketers act on (111 = champions,
+    // 555 = lost). ntile needs a TOTAL order — user_id tie-breaks make
+    // the quintile assignment engine-identical. Scale note: the
+    // quintile windows are global single-partition sorts over the
+    // PER-USER frame (#purchasing-users rows, orders of magnitude
+    // below the event log); at extreme user counts the same scores
+    // come from pre-computed quantile cut-points instead of ntile.
+    Q("rfm_segments",
+      (s, dir) => {
+        val p = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr(s"unix_micros(ts) div $DayUs").as("day"),
+            dec(col("value")).as("v"))
+        val mx = p.agg(max(col("day")).as("maxd"))
+        val rfm = p.crossJoin(broadcast(mx))
+          .groupBy(col("user_id"), col("maxd"))
+          .agg(max(col("day")).as("lastd"),
+            count(lit(1)).as("frequency"), sum(col("v")).as("mon"))
+          .select(col("user_id"),
+            (col("maxd") - col("lastd")).as("recency_days"),
+            col("frequency"), col("mon"))
+        rfm
+          .withColumn("r_score", ntile(5).over(
+            Window.orderBy(col("recency_days"), col("user_id"))))
+          .withColumn("f_score", ntile(5).over(
+            Window.orderBy(col("frequency").desc, col("user_id"))))
+          .withColumn("m_score", ntile(5).over(
+            Window.orderBy(col("mon").desc, col("user_id"))))
+          .select(col("user_id"), col("recency_days"), col("frequency"),
+            dbl4(col("mon")).as("monetary"),
+            col("r_score"), col("f_score"), col("m_score"),
+            (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+              .as("segment"))
+      },
+      Some(s"""WITH p AS (SELECT user_id, epoch_us(ts) // $DayUs AS day,
+              |                  CAST(value AS DECIMAL(28,6)) AS v
+              |           FROM events WHERE event_type = 'purchase'),
+              |mx AS (SELECT max(day) AS maxd FROM p),
+              |rfm AS (SELECT user_id,
+              |               mx.maxd - max(day) AS recency_days,
+              |               count(*) AS frequency,
+              |               sum(v) AS mon
+              |        FROM p, mx GROUP BY user_id, mx.maxd)
+              |SELECT user_id, recency_days, frequency,
+              |       CAST(round(mon, 4) AS DOUBLE) AS monetary,
+              |       ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+              |       ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+              |       ntile(5) OVER (ORDER BY mon DESC, user_id) AS m_score,
+              |       ntile(5) OVER (ORDER BY recency_days, user_id) * 100
+              |         + ntile(5) OVER (ORDER BY frequency DESC, user_id) * 10
+              |         + ntile(5) OVER (ORDER BY mon DESC, user_id) AS segment
+              |FROM rfm""".stripMargin)),
+
     // Sequential changepoint detection (Page's CUSUM, Biometrika '54)
     // on the per-type daily revenue — the SUSTAINED-shift complement
     // to revenue_anomaly_mad's single-day spikes. The sequential
