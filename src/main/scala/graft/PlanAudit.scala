@@ -64,7 +64,8 @@ object PlanAudit {
     "feature_hashing", "copurchase_cosine", "basket_rules",
     "attribution_multitouch", "basket_rec_recall", "bm25_prf_fp",
     "changepoint_cusum", "bm25_known_item_fp", "dedup_rate_by_source",
-    "dedup_threshold_sweep", "passage_search_fp", "rfm_segments")
+    "dedup_threshold_sweep", "passage_search_fp", "rfm_segments",
+    "cohort_ltv")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

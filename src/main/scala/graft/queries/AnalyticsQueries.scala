@@ -517,6 +517,66 @@ object AnalyticsQueries extends QueryModule {
               |       fp.p_us - c.us AS label_lag_us
               |FROM c LEFT JOIN fp ON c.click_id = fp.click_id""".stripMargin)),
 
+    // Cohort lifetime value — the retention triangle's revenue twin:
+    // per (signup-cohort week, week offset), that week's purchase
+    // spend and the running cumulative LTV per cohort member. The
+    // offset grid comes from the ACTIVITY triangle (a purchase-free
+    // week still appears, spend 0), the running sum is DECIMAL-exact
+    // (order-free), and the per-user division happens once, on the
+    // 4-dp-rounded double — one engine-identical float op, the dbl4
+    // recipe. Same shuffle shape as cohort_retention: everything
+    // after the cohort join aggregates the #cohorts × #offsets grid.
+    Q("cohort_ltv",
+      (s, dir) => {
+        val ew = Tables.events(s, dir).select(col("user_id"),
+          expr(s"unix_micros(ts) div $WeekUs").as("w"),
+          col("event_type"), dec(col("value")).as("v"))
+        val coh = ew.groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+        val csize = coh.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
+        val grid = ew.join(coh, Seq("user_id"))
+          .select(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+          .distinct()
+        val sp = ew.filter(col("event_type") === "purchase")
+          .join(coh, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (col("w") - col("cohort_week")).as("week_offset"))
+          .agg(sum(col("v")).as("spend"))
+        grid.join(sp, Seq("cohort_week", "week_offset"), "left_outer")
+          .withColumn("spend0",
+            coalesce(col("spend"), expr("cast(0 as decimal(38,6))")))
+          .withColumn("cum", sum(col("spend0")).over(
+            Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))))
+          .join(csize, Seq("cohort_week"))
+          .select(col("cohort_week"), col("week_offset"),
+            dbl4(col("spend0")).as("spend"),
+            dbl4(col("cum")).as("cum_spend"),
+            round(dbl4(col("cum")) / col("n_cohort"), 6).as("ltv_per_user"))
+      },
+      Some(s"""WITH ew AS (SELECT user_id, epoch_us(ts) // $WeekUs AS w, event_type,
+              |                   CAST(value AS DECIMAL(28,6)) AS v FROM events),
+              |coh AS (SELECT user_id, min(w) AS cohort_week FROM ew GROUP BY user_id),
+              |csize AS (SELECT cohort_week, count(*) AS n_cohort FROM coh GROUP BY 1),
+              |grid AS (SELECT DISTINCT c.cohort_week, e.w - c.cohort_week AS week_offset
+              |         FROM ew e JOIN coh c ON e.user_id = c.user_id),
+              |sp AS (SELECT c.cohort_week, e.w - c.cohort_week AS week_offset,
+              |              sum(e.v) AS spend
+              |       FROM ew e JOIN coh c ON e.user_id = c.user_id
+              |       WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+              |f AS (SELECT g.cohort_week, g.week_offset,
+              |             coalesce(sp.spend, CAST(0 AS DECIMAL(38,6))) AS spend0
+              |      FROM grid g LEFT JOIN sp ON g.cohort_week = sp.cohort_week
+              |                              AND g.week_offset = sp.week_offset),
+              |c AS (SELECT cohort_week, week_offset, spend0,
+              |             sum(spend0) OVER (PARTITION BY cohort_week
+              |                               ORDER BY week_offset) AS cum
+              |      FROM f)
+              |SELECT c.cohort_week, c.week_offset,
+              |       CAST(round(spend0, 4) AS DOUBLE) AS spend,
+              |       CAST(round(cum, 4) AS DOUBLE) AS cum_spend,
+              |       round(CAST(round(cum, 4) AS DOUBLE) / csize.n_cohort, 6)
+              |         AS ltv_per_user
+              |FROM c JOIN csize ON c.cohort_week = csize.cohort_week""".stripMargin)),
+
     // RFM customer segmentation (Hughes '94 — the classic lifecycle
     // grid): per purchasing user, Recency = days since last purchase
     // (vs the corpus horizon), Frequency = purchase count, Monetary =
