@@ -65,7 +65,7 @@ object PlanAudit {
     "attribution_multitouch", "basket_rec_recall", "bm25_prf_fp",
     "changepoint_cusum", "bm25_known_item_fp", "dedup_rate_by_source",
     "dedup_threshold_sweep", "passage_search_fp", "rfm_segments",
-    "cohort_ltv")
+    "cohort_ltv", "conversion_lag_hist")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment

@@ -517,6 +517,39 @@ object AnalyticsQueries extends QueryModule {
               |       fp.p_us - c.us AS label_lag_us
               |FROM c LEFT JOIN fp ON c.click_id = fp.click_id""".stripMargin)),
 
+    // Conversion-lag histogram: hour-bucketed signup→first-purchase
+    // lags inside the 24 h conversion window — the "when do users
+    // convert" distribution that justifies (or indicts) the funnel's
+    // step-window constant. Integer µs throughout (BIGINT div for the
+    // hour bucket); two per-user min-aggregations chained by one
+    // equi-join, the funnel_conversion cost shape.
+    Q("conversion_lag_hist",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val sg = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("su"))
+        val pu = e.filter(col("event_type") === "purchase")
+          .join(sg, Seq("user_id"))
+          .filter(col("us") >= col("su"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("pu"))
+        sg.join(pu, Seq("user_id"))
+          .filter(col("pu") - col("su") < lit(StepWindowUs))
+          .select(expr("(pu - su) div 3600000000L").as("hour_bucket"))
+          .groupBy(col("hour_bucket")).agg(count(lit(1)).as("n_users"))
+      },
+      Some(s"""WITH sg AS (SELECT user_id, min(epoch_us(ts)) AS su FROM events
+              |            WHERE event_type = 'signup' GROUP BY user_id),
+              |pu AS (SELECT e.user_id, min(epoch_us(e.ts)) AS pu
+              |       FROM events e JOIN sg ON e.user_id = sg.user_id
+              |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= sg.su
+              |       GROUP BY e.user_id),
+              |lg AS (SELECT pu.pu - sg.su AS l
+              |       FROM sg JOIN pu ON sg.user_id = pu.user_id
+              |       WHERE pu.pu - sg.su < $StepWindowUs)
+              |SELECT l // 3600000000 AS hour_bucket, count(*) AS n_users
+              |FROM lg GROUP BY 1""".stripMargin)),
+
     // Cohort lifetime value — the retention triangle's revenue twin:
     // per (signup-cohort week, week offset), that week's purchase
     // spend and the running cumulative LTV per cohort member. The
