@@ -65,7 +65,7 @@ object PlanAudit {
     "attribution_multitouch", "basket_rec_recall", "bm25_prf_fp",
     "changepoint_cusum", "bm25_known_item_fp", "dedup_rate_by_source",
     "dedup_threshold_sweep", "passage_search_fp", "rfm_segments",
-    "cohort_ltv", "conversion_lag_hist")
+    "cohort_ltv", "conversion_lag_hist", "revenue_pareto")
 
   // BNLJ is by design in exactly these: embed_cosine_topk's exact
   // baseline crosses against a FIXED 5-query set, the IVF assignment
@@ -150,7 +150,9 @@ object PlanAudit {
     // passage_search_fp: the same ONE-ROW broadcast stats frame, at
     // chunk granularity; rfm_segments rides the ONE-ROW broadcast
     // corpus-horizon frame (max purchase day)
-    "passage_search_fp", "rfm_segments")
+    "passage_search_fp", "rfm_segments",
+    // revenue_pareto rides the ONE-ROW broadcast total-spend frame
+    "revenue_pareto")
 
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,

@@ -610,6 +610,40 @@ object AnalyticsQueries extends QueryModule {
               |         AS ltv_per_user
               |FROM c JOIN csize ON c.cohort_week = csize.cohort_week""".stripMargin)),
 
+    // Revenue-concentration deciles (the Pareto/Lorenz report): users
+    // ranked by exact DECIMAL spend, split into ntile deciles
+    // (user_id tie-breaks — engine-identical assignment, the
+    // rfm_segments recipe), each decile reporting its spend and share
+    // of total. "The top decile drives 17% of revenue" is the number
+    // behind every whale-retention decision. Shares divide two
+    // 4-dp-rounded doubles — one engine-identical float op each.
+    Q("revenue_pareto",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(sum(dec(col("value"))).as("spend"))
+        val t = u.agg(sum(col("spend")).as("total"))
+        u.withColumn("decile", ntile(10).over(
+            Window.orderBy(col("spend").desc, col("user_id"))))
+          .groupBy(col("decile")).agg(count(lit(1)).as("n_users"),
+            sum(col("spend")).as("dspend"))
+          .crossJoin(broadcast(t))
+          .select(col("decile"), col("n_users"),
+            dbl4(col("dspend")).as("spend"),
+            round(dbl4(col("dspend")) / dbl4(col("total")), 6)
+              .as("revenue_share"))
+      },
+      Some("""WITH u AS (SELECT user_id, sum(CAST(value AS DECIMAL(28,6))) AS spend
+             |           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |t AS (SELECT sum(spend) AS total FROM u),
+             |d AS (SELECT ntile(10) OVER (ORDER BY spend DESC, user_id) AS decile,
+             |             spend FROM u)
+             |SELECT decile, count(*) AS n_users,
+             |       CAST(round(sum(spend), 4) AS DOUBLE) AS spend,
+             |       round(CAST(round(sum(spend), 4) AS DOUBLE) /
+             |             CAST(round(t.total, 4) AS DOUBLE), 6) AS revenue_share
+             |FROM d, t GROUP BY decile, t.total""".stripMargin)),
+
     // RFM customer segmentation (Hughes '94 — the classic lifecycle
     // grid): per purchasing user, Recency = days since last purchase
     // (vs the corpus horizon), Frequency = purchase count, Monetary =
