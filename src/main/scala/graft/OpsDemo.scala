@@ -78,8 +78,10 @@ object OpsDemo {
     top.headOption.foreach { r =>
       val item = r.getLong(0)
       println(s"customers who bought part $item also bought (bucket-pruned probe):")
+      // bucket count resolves from the store's catalog (built above
+      // with BUCKETS 4) — the caller doesn't track the layout
       graft.streaming.BasketStream
-        .recsTopK(spark, item, 5, "ops_demo_mb_", buckets = 4).show(false)
+        .recsTopK(spark, item, 5, "ops_demo_mb_").show(false)
     }
     SparkEntry.queries("basket_rec_recall")(spark, sfDir).show(false)
     graft.streaming.BasketStream.drop(spark, "ops_demo_mb_")

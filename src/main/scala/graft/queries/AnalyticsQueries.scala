@@ -39,6 +39,15 @@ object AnalyticsQueries extends QueryModule {
     * stream/batch funnel parity structural rather than a comment. */
   private[graft] val StepWindowUs = 86400000000L
 
+  /** Market-basket min-support floor. ONE constant feeds all three
+    * places that must agree for the streaming==batch invariant: the
+    * batch pair memo's filter ([[basketPairs]]), the oracle CTE's
+    * HAVING ([[basketCte]]), and the streaming serve path
+    * ([[graft.streaming.BasketStream.MinSupport]] aliases it) — a
+    * change anywhere propagates everywhere instead of silently
+    * breaking StreamingBasketSpec at the changed value. */
+  private[graft] val BasketMinSupport = 2
+
   /** Per-(type, day) event counts and exact DECIMAL revenue — the
     * additive daily frame behind revenue_anomaly_mad AND the
     * streaming AnomalyMonitorStream store (counts and decimal sums
@@ -90,7 +99,7 @@ object AnalyticsQueries extends QueryModule {
         .join(bi.select(col("o"), col("i").as("i2")), Seq("o"))
         .filter(col("i1") < col("i2"))
         .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
+        .filter(col("c") >= BasketMinSupport)
         .cache()
       (bi, pairs)
     })
@@ -117,8 +126,13 @@ object AnalyticsQueries extends QueryModule {
     * input frame so the spec can plant a level-shifted series and
     * assert detection through the exact production code. */
   private[graft] def cusumFlags(daily: DataFrame): DataFrame = {
+    // FLOOR division, exactly like the oracle's DuckDB `//`: Spark's
+    // `div` truncates toward zero, which differs by 1 whenever
+    // sum(rev) is negative (a refund-dominated type). Subtracting the
+    // always-non-negative pmod first makes the numerator an exact
+    // multiple, so `div` computes the floor for any sign.
     val m = daily.groupBy(col("event_type"))
-      .agg(expr("sum(rev) div count(*)").as("mu"))
+      .agg(expr("(sum(rev) - pmod(sum(rev), count(*))) div count(*)").as("mu"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     daily.join(m, Seq("event_type"))
       .withColumn("pf", sum(col("rev") - col("mu")).over(w))
@@ -158,11 +172,11 @@ object AnalyticsQueries extends QueryModule {
   /** Shared oracle CTEs: distinct basket items, per-item counts, and
     * the min-support-2 pair counts. */
   private val basketCte =
-    """bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
-      |n AS (SELECT i, count(*) AS n FROM bi GROUP BY i),
-      |c AS (SELECT a.i AS i1, b.i AS i2, count(*) AS c
-      |      FROM bi a JOIN bi b ON a.o = b.o AND a.i < b.i
-      |      GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    s"""bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+       |n AS (SELECT i, count(*) AS n FROM bi GROUP BY i),
+       |c AS (SELECT a.i AS i1, b.i AS i2, count(*) AS c
+       |      FROM bi a JOIN bi b ON a.o = b.o AND a.i < b.i
+       |      GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)""".stripMargin
 
   override def all: Seq[Q] = Seq(
 
@@ -754,44 +768,17 @@ object AnalyticsQueries extends QueryModule {
     // the candidate fan-out, never data-sized; the final summary
     // rides a ONE-ROW broadcast.
     Q("basket_rec_recall",
-      (s, dir) => {
-        val (bi, pairs) = basketPairs(s, dir)
-        val n = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
-        val half = pairs
-          .join(n.select(col("i").as("i1"), col("n").as("n1")), Seq("i1"))
-          .join(n.select(col("i").as("i2"), col("n").as("n2")), Seq("i2"))
-          .withColumn("s", floor(col("c") * lit(1048576L) /
-            sqrt(col("n1") * col("n2"))).cast("long"))
-        val sim = half.select(col("i1").as("a"), col("i2").as("b"), col("s"))
-          .union(half.select(col("i2"), col("i1"), col("s")))
-        val ord = bi.groupBy(col("o"))
-          .agg(max(col("i")).as("held"), count(lit(1)).as("sz"))
-          .filter(col("sz") >= 2)
-        val ctx = bi.join(ord, Seq("o")).filter(col("i") =!= col("held"))
-          .select(col("o"), col("i"))
-        val cand = ctx.join(sim, ctx("i") === sim("a"))
-          .groupBy(col("o"), col("b").as("cand"))
-          .agg(sum(col("s")).as("score"))
-        val k = cand.join(ctx.select(col("o"), col("i").as("cand")),
-          Seq("o", "cand"), "left_anti")
-        val rk = k.withColumn("rnk", row_number().over(
-            Window.partitionBy(col("o"))
-              .orderBy(col("score").desc, col("cand"))))
-          .filter(col("rnk") <= 5)
-        val hits = rk.join(ord.select(col("o"), col("held").as("cand")),
-            Seq("o", "cand"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        ord.agg(count(lit(1)).as("n_eval"))
-          .crossJoin(broadcast(hits))
-          .select(col("n_eval"), col("hits"),
-            round(col("hits") / col("n_eval"), 6).as("hitrate_at5"))
-      },
+      (s, dir) => basketRecRecall(s, dir, RecTopNeighbors),
       Some(s"""WITH $basketCte,
               |sh AS (SELECT i1, i2,
               |              CAST(floor((c * 1048576) / sqrt(n1.n * n2.n)) AS BIGINT) AS s
               |       FROM c JOIN n n1 ON i1 = n1.i JOIN n n2 ON i2 = n2.i),
-              |sim AS (SELECT i1 AS a, i2 AS b, s FROM sh
-              |        UNION ALL SELECT i2, i1, s FROM sh),
+              |sim0 AS (SELECT i1 AS a, i2 AS b, s FROM sh
+              |         UNION ALL SELECT i2, i1, s FROM sh),
+              |sim AS (SELECT a, b, s FROM (
+              |          SELECT a, b, s, row_number() OVER (
+              |            PARTITION BY a ORDER BY s DESC, b) AS nrk FROM sim0)
+              |        WHERE nrk <= $RecTopNeighbors),
               |ord AS (SELECT o, max(i) AS held FROM bi
               |        GROUP BY o HAVING count(*) >= 2),
               |ctx AS (SELECT bi.o, bi.i FROM bi

@@ -47,8 +47,11 @@ object BasketStream {
   val RecsTable = "mb_recs"     // (q, r, c), bucketed by q
   val DefaultBuckets = 32
 
-  /** Serve-side min-support (matches the batch queries' memo cut). */
-  val MinSupport = 2
+  /** Serve-side min-support — an ALIAS of the batch constant
+    * ([[AnalyticsQueries.BasketMinSupport]], also interpolated into
+    * the oracle CTE), so the streaming==batch cut can only move in
+    * lockstep. */
+  val MinSupport: Int = AnalyticsQueries.BasketMinSupport
 
   private def additive: (String, Column, Column) => Column =
     (_, ex, dl) => coalesce(ex, lit(0L)) + coalesce(dl, lit(0L))
@@ -158,13 +161,28 @@ object BasketStream {
     * table) — O(1) bucket files per lookup at any store size, the
     * serve-path contract (pruning asserted in StreamingBasketSpec).
     * Count-ranked with an item-id tie-break: deterministic, and the
-    * scoring the batch pair frame implies for a single-item context. */
+    * scoring the batch pair frame implies for a single-item context.
+    *
+    * `buckets` defaults to the store's CATALOG-recorded bucket count
+    * (the generation marker written at materialize time) — a lookup
+    * against a store built with a non-default count (GRAFT BUILD
+    * BASKET ... BUCKETS 4) works without the caller tracking the
+    * number. Pass Some(b) only to ASSERT an expected layout; a
+    * mismatch fails fast in readKeys rather than probing the wrong
+    * bucket files. */
   def recsTopK(spark: SparkSession, item: Long, k: Int,
                prefix: String = "",
-               buckets: Int = DefaultBuckets): DataFrame = {
+               buckets: Option[Int] = None): DataFrame = {
     import spark.implicits._
+    val resolved = BucketedUpsert.activeGen(spark, prefix + RecsTable)
+      .flatMap(g => BucketedUpsert.catalogBuckets(spark, g))
+      .orElse(buckets)
+      .getOrElse(DefaultBuckets)
+    buckets.foreach(b => require(b == resolved,
+      s"recsTopK: caller expects $b buckets but '${prefix + RecsTable}' " +
+        s"is bucketed into $resolved"))
     BucketedUpsert.readKeys(spark, prefix + RecsTable,
-        Seq(item).toDF("q"), "q", buckets)
+        Seq(item).toDF("q"), "q", resolved)
       .filter(col("q") === item && col("c") >= MinSupport)
       .orderBy(col("c").desc, col("r")).limit(k)
       .select(col("r").as("item"), col("c").as("support_cnt"))

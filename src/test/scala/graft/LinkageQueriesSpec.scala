@@ -43,11 +43,15 @@ class LinkageQueriesSpec extends AnyFunSuite {
     Seq((1L, a), (2L, b)).toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite")
       .parquet(dir.resolve("documents.parquet").toString)
-    val got = SparkEntry.queries("dedup_containment")(spark, dir.toString)
-      .as[(Long, Long, Double)].collect().toSet
-    assert(got == Set((1L, 2L, 1.0)),
-      s"containment must be directional (contained, container): $got")
-    graft.Caches.clearAll()
+    // finally: the shingle/ngram memos key on the temp dir — a failed
+    // assert must not leave their frames pinned for the rest of the
+    // suite (the StreamingBasketSpec pattern)
+    try {
+      val got = SparkEntry.queries("dedup_containment")(spark, dir.toString)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 2L, 1.0)),
+        s"containment must be directional (contained, container): $got")
+    } finally graft.Caches.clearAll()
   }
 
   test("community_lpa: two cliques joined by one bridge edge resolve to two communities") {

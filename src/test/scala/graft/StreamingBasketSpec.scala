@@ -65,7 +65,9 @@ class StreamingBasketSpec extends AnyFunSuite {
           .orderBy(col("support_cnt").desc, col("item")).limit(5)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       }
-      val served = BasketStream.recsTopK(spark, sample, 5, prefix, buckets = 4)
+      // Some(4) ASSERTS the catalog-resolved layout matches the build
+      val served = BasketStream.recsTopK(spark, sample, 5, prefix,
+        buckets = Some(4))
       assert(served.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         == batchRecs, "served recs must equal the batch-implied top-k")
       // the lookup must read ONE bucket's files, not the table
