@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the FINAL line of a ~2000-char output
+// tail as Bench's JSON metric line. Two default sbt behaviors pushed
+// it out of last place for five straight rounds: the "[success] Total
+// time: …" epilogue printed AFTER the metric line, and the default
+// LoggedOutput strategy re-logging every forked-run line with an
+// [info]/[error] prefix. Pass forked output through verbatim and skip
+// the success epilogue so the metric line is genuinely last.
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

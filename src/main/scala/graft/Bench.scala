@@ -89,15 +89,45 @@ object Bench {
       build()
       (bname, (System.nanoTime() - t0) / 1e9, adopted)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Memo warm-up phase (VERDICT r11 #3 / r13 #5): force every named
+    // session memo to its steady serving state BEFORE the timed loop,
+    // and bill the first-touch cost to an explicit memo_builds row —
+    // otherwise whichever query touches a memo first absorbs a build
+    // that every later query rides for free (basket_rules read 15 s
+    // official vs ~2 s steady in r11).
+    val memoBuilds = SparkEntry.memoWarmers.map { case (name, warm) =>
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val ok = try { warm(spark, sfDir); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] memo $name failed: ${e.getMessage}")
           false
         }
-      val sec = (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    // min-of-3 protocol (VERDICT r11 #1 / r13 #4): three full
+    // name-ordered sweeps; a query's reported time is the minimum of
+    // its successful runs — the noise floor of this VM swings 2-3× on
+    // identical code, and the min is the stable estimator of the
+    // plan's actual cost. A query must succeed in ALL sweeps to count
+    // as passing (a flaky query is a failure, not a fast success).
+    val Passes = 3
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweeps = (1 to Passes).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+    }
+    val results = names.map { case (name, _) =>
+      val runs = sweeps.map(_.find(_._1 == name).get)
+      val ok = runs.forall(_._3)
+      val sec = if (ok) runs.map(_._2).min else -1.0
       (name, sec, ok)
     }
     // A failed query must be visible in the artifact, not look like a
@@ -126,10 +156,18 @@ object Bench {
     val buildsJson = builds.map { case (k, v, adopted) =>
       s""""$k":{"sec":${"%.3f".format(v)},"adopted":$adopted}"""
     }.mkString("{", ",", "}")
+    val memoJson = memoBuilds.map { case (k, v, ok) =>
+      s""""$k":${if (ok) "%.2f".format(v) else "-1"}"""
+    }.mkString("{", ",", "}")
+    val sweepsJson = sweeps.map { sw =>
+      sw.map { case (k, v, ok) =>
+        s""""$k":${if (ok) "%.3f".format(v) else "-1"}"""
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.writeString(fullPath,
-      s"""{"bench_all":$qs,"store_builds":$buildsJson,"failed":$failed,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
+      s"""{"bench_protocol":"min-of-$Passes","bench_all":$qs,"sweeps":$sweepsJson,"memo_builds":$memoJson,"store_builds":$buildsJson,"failed":$failed,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
     val headline = results.filter { case (k, _, _) =>
       k.matches("q\\d+_.*")
     }.map { case (k, v, ok) =>
@@ -142,18 +180,28 @@ object Bench {
     val failedCompact = (if (failedNames.size > 10)
       failedNames.take(10) :+ "\"...\"" else failedNames)
       .mkString("[", ",", "]")
-    val metricLine =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_build_sec":${"%.3f".format(builds.map(_._2).sum)},"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"full":"${fullPath.toString}","sf":"$sfDir"}"""
-    println(metricLine)
+    // Streaming throughput floor (VERDICT r11 #8 / r13 #9): the
+    // write path has sustained 24-31k ev/s across rounds; below 20k
+    // is a regression, not VM noise, and must fail the run.
+    val StreamFloor = 20000.0
+    def line(memo: String): String =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","bench_protocol":"min-of-$Passes","n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_build_sec":${"%.3f".format(builds.map(_._2).sum)},"memo_builds":$memo,"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"stream_floor":${"%.0f".format(StreamFloor)},"full":"${fullPath.toString}","sf":"$sfDir"}"""
+    // The driver's capture window is ~2000 chars of tail; the parse
+    // target must be well inside it. If the named memo map ever makes
+    // the line too long, collapse it to its total (detail stays in
+    // the full-file artifact).
+    val metricLine = {
+      val l = line(memoJson)
+      if (l.length <= 1500) l
+      else line(s"""{"total_sec":${"%.2f".format(memoBuilds.map(_._2).sum)}}""")
+    }
     spark.stop()
-    // The driver parses the JSON metric line out of a ~2000-char TAIL
-    // of combined stdout+stderr. Rounds 8-10 all recorded
-    // "parsed": null because late stderr (executor/log pump lines
-    // flushed after the [info] metric line, e.g. DAGScheduler
-    // warnings) pushed the line out of the window. Re-emit it LAST on
-    // BOTH streams, after spark.stop() has quiesced every log source,
-    // so whichever stream the driver's capture drains last still ends
-    // with a complete parse target.
+    // Emit the parse target LAST on both streams, after spark.stop()
+    // has quiesced every log source (late executor/log-pump stderr
+    // pushed it out of the window in rounds 8-10; sbt's own epilogue
+    // did in r11 — suppressed via showSuccess/outputStrategy in
+    // build.sbt). Whichever stream the driver drains last still ends
+    // with a complete JSON line.
     System.out.println(metricLine)
     System.out.flush()
     System.err.println(metricLine)
@@ -162,5 +210,6 @@ object Bench {
     // exit 0 — the driver records rc, and rc=0 buried the round-8
     // regression (4 queries failing while the artifact looked green).
     if (results.exists(!_._3) || streamEps < 0) sys.exit(3)
+    if (streamEps < StreamFloor) sys.exit(4)
   }
 }

@@ -51,4 +51,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Named memo builders across all modules (bench warm-up phase). */
+  def memoWarmers: Seq[(String, (SparkSession, String) => Unit)] =
+    modules.flatMap(_.memoWarmers)
 }

@@ -48,6 +48,16 @@ object AnalyticsQueries extends QueryModule {
     * breaking StreamingBasketSpec at the changed value. */
   private[graft] val BasketMinSupport = 2
 
+  /** Per-item neighbor cap for the recommender's similarity frame:
+    * basket_rec_recall keeps only the top-M neighbors of each item
+    * (by fixed-point score, item-id tie-break) before the context
+    * join. This bounds the ctx × sim fan-out per context item to a
+    * CONSTANT instead of the item's full co-purchase degree — the
+    * same role the df ≤ 50 cap plays for the shingle joins — and is
+    * interpolated verbatim into the oracle SQL so Spark and DuckDB
+    * prune identically. */
+  private[graft] val RecTopNeighbors = 50
+
   /** Per-(type, day) event counts and exact DECIMAL revenue — the
     * additive daily frame behind revenue_anomaly_mad AND the
     * streaming AnomalyMonitorStream store (counts and decimal sums
@@ -111,6 +121,12 @@ object AnalyticsQueries extends QueryModule {
     basketPairCache.clear()
   }
 
+  override def memoWarmers: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq(("basket_pairs", (s: SparkSession, dir: String) => {
+      val (bi, pairs) = basketPairs(s, dir)
+      bi.count(); pairs.count(); ()
+    }))
+
   /** Exact integer micros from a decimal daily-revenue frame: the
     * DECIMAL(·,6) sum is order-free-exact, so ×10⁶ is an integral
     * value and the cast is lossless — the conversion that lets the
@@ -169,8 +185,57 @@ object AnalyticsQueries extends QueryModule {
         round(col("c") / col("na"), 6).as("confidence"),
         round((col("c") * col("nord")) / (col("na") * col("nc")), 6).as("lift"))
 
+  /** Leave-one-out hit-rate@5 for the co-purchase recommender, with
+    * the similarity frame pruned to each item's top-`m` neighbors
+    * ([[RecTopNeighbors]]) before the context join. Scores are
+    * FIXED-POINT: s = floor(c·2²⁰ / √(n_i·n_j)), summed over BIGINTs
+    * so the ranked metric is accumulation-order-free and hash-gated.
+    * The pruning window partitions by the source item over at most
+    * its co-purchase degree rows — bounded by item popularity, never
+    * data-sized — and the (s DESC, b ASC) tie-break mirrors the
+    * oracle's `row_number() OVER (PARTITION BY a ORDER BY s DESC, b)`
+    * exactly, so both engines keep the same M edges. */
+  private[graft] def basketRecRecall(s: SparkSession, dir: String,
+                                     m: Int): DataFrame = {
+    val (bi, pairs) = basketPairs(s, dir)
+    val n = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val half = pairs
+      .join(n.select(col("i").as("i1"), col("n").as("n1")), Seq("i1"))
+      .join(n.select(col("i").as("i2"), col("n").as("n2")), Seq("i2"))
+      .withColumn("s", floor(col("c") * lit(1048576L) /
+        sqrt(col("n1") * col("n2"))).cast("long"))
+    val sim0 = half.select(col("i1").as("a"), col("i2").as("b"), col("s"))
+      .union(half.select(col("i2"), col("i1"), col("s")))
+    val sim = sim0.withColumn("nrk", row_number().over(
+        Window.partitionBy(col("a"))
+          .orderBy(col("s").desc, col("b"))))
+      .filter(col("nrk") <= m)
+      .select(col("a"), col("b"), col("s"))
+    val ord = bi.groupBy(col("o"))
+      .agg(max(col("i")).as("held"), count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2)
+    val ctx = bi.join(ord, Seq("o")).filter(col("i") =!= col("held"))
+      .select(col("o"), col("i"))
+    val cand = ctx.join(sim, ctx("i") === sim("a"))
+      .groupBy(col("o"), col("b").as("cand"))
+      .agg(sum(col("s")).as("score"))
+    val k = cand.join(ctx.select(col("o"), col("i").as("cand")),
+      Seq("o", "cand"), "left_anti")
+    val rk = k.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("o"))
+          .orderBy(col("score").desc, col("cand"))))
+      .filter(col("rnk") <= 5)
+    val hits = rk.join(ord.select(col("o"), col("held").as("cand")),
+        Seq("o", "cand"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    ord.agg(count(lit(1)).as("n_eval"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_eval"), col("hits"),
+        round(col("hits") / col("n_eval"), 6).as("hitrate_at5"))
+  }
+
   /** Shared oracle CTEs: distinct basket items, per-item counts, and
-    * the min-support-2 pair counts. */
+    * the pair counts at the [[BasketMinSupport]] support floor. */
   private val basketCte =
     s"""bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
        |n AS (SELECT i, count(*) AS n FROM bi GROUP BY i),

@@ -42,6 +42,11 @@ object EventQueries extends QueryModule {
     aggCache.clear()
   }
 
+  override def memoWarmers: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq(("per_user_aggs", (s: SparkSession, d: String) => {
+      perUserCached(s, d).count(); ()
+    }))
+
   /** Shared oracle CTE: the per-user aggregate frame, mirroring
     * EventAggregates.perUser. event_id is unique in the test data, so
     * the dedup is a no-op there (dedup itself is unit-tested). */

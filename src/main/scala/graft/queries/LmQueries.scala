@@ -72,6 +72,20 @@ object LmQueries extends QueryModule {
     fullLmCache.clear()
   }
 
+  override def memoWarmers: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq(
+      ("lm_trusted", (s: SparkSession, d: String) => {
+        val c = trustedLm(s, d)
+        c.bigrams.count(); c.contexts.count()
+        c.unigrams.count(); c.totals.count(); ()
+      }),
+      // fullLm leaves contexts uncached (only the PMI query reads it,
+      // once) — warm only the cached frames.
+      ("lm_full", (s: SparkSession, d: String) => {
+        val c = fullLm(s, d)
+        c.bigrams.count(); c.unigrams.count(); c.totals.count(); ()
+      }))
+
   /** Collocation keep thresholds: support ≥ 5 occurrences and PMI ≥
     * 0.125 bits (131072 at 2^20 scale). Calibrated discriminating at
     * sf0.01 (268 of 900 candidate bigrams kept) AND sf0.1 (31 of 927);

@@ -15,4 +15,13 @@ final case class Q(
 
 trait QueryModule {
   def all: Seq[Q]
+
+  /** Named session-memo builders for the bench warm-up phase. Each
+    * thunk forces one memoized frame to its steady serving state, so
+    * per-query bench times measure serving cost and the artifact
+    * bills the first-touch build to an explicit `memo_builds` row
+    * instead of whichever query happens to run first. Names are
+    * stable artifact keys; builders must be idempotent (re-invoking
+    * on a warm memo is a no-op count). */
+  def memoWarmers: Seq[(String, (SparkSession, String) => Unit)] = Nil
 }

@@ -58,6 +58,13 @@ object RelationalQueries extends QueryModule {
     * checkpointed edge RDDs are released to GC with their refs. */
   private[graft] def clearCaches(): Unit = tradeEdgeCache.clear()
 
+  override def memoWarmers: Seq[(String, (SparkSession, String) => Unit)] =
+    // localCheckpoint(true) is eager — building the memo IS the
+    // materialization; no separate count needed.
+    Seq(("trade_edges", (s: SparkSession, dir: String) => {
+      tradeEdges(s, dir); ()
+    }))
+
   /** Canonical final-output form for a decimal aggregate: round in exact
     * decimal space (both engines round half-away-from-zero; DuckDB's bare
     * decimal→decimal CAST truncates, so `round` it is), then cast to

@@ -388,6 +388,28 @@ object TextQueries extends QueryModule {
     while (df != null) { df.unpersist(false); df = auxCached.poll() }
   }
 
+  override def memoWarmers: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq(
+      ("shingle_rows", (s: SparkSession, d: String) => {
+        shingleRowsCached(s, d).count(); ()
+      }),
+      ("minhash_pairs", (s: SparkSession, d: String) => {
+        minhashPairsCached(s, d).count(); ()
+      }),
+      ("dedup_cluster_labels", (s: SparkSession, d: String) => {
+        clusterLabels(s, d).count(); ()
+      }),
+      ("ngram_shared", (s: SparkSession, d: String) => {
+        val (ab, shared) = ngramShared(s, d)
+        ab.count(); shared.count(); ()
+      }),
+      ("winnow_select", (s: SparkSession, d: String) => {
+        winnowSelectCached(s, d).count(); ()
+      }),
+      ("bpe_merges", (s: SparkSession, d: String) => {
+        bpeMergesCached(s, d); ()
+      }))
+
   /** Oracle CTE chain mirroring minhashPairs, ending in
     * `mh_pairs(d1, d2, jaccard)`. */
   private val minhashPairsCte: String = {

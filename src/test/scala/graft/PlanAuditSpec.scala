@@ -11,6 +11,24 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+  test("audited ∪ excluded covers the registry exactly, disjointly") {
+    val audited = PlanAudit.DefaultNames.toSet
+    val excluded = PlanAudit.Excluded.keySet
+    val registry = SparkEntry.queries.keySet
+    assert(audited.intersect(excluded).isEmpty,
+      "a query cannot be both audited and excluded")
+    assert(audited.union(excluded) == registry,
+      s"uncovered: ${(registry -- audited -- excluded).toSeq.sorted}; " +
+        s"stale: ${((audited ++ excluded) -- registry).toSeq.sorted}")
+    PlanAudit.Excluded.foreach { case (n, why) =>
+      assert(why.trim.length > 20, s"exclusion $n needs a real justification")
+    }
+    // ExpectedBnlj names queries whose BNLJ is by design — every one
+    // must still exist (a renamed query must not leave a stale grant)
+    assert((PlanAudit.ExpectedBnlj -- registry).isEmpty,
+      s"stale ExpectedBnlj: ${(PlanAudit.ExpectedBnlj -- registry).toSeq.sorted}")
+  }
+
   test("representative query plans are smell-free at sf0.001") {
     val bad = PlanAudit.DefaultNames.flatMap { name =>
       val (_, smells) = PlanAudit.audit(spark, "/root/testdata/sf0.001", name)
