@@ -137,6 +137,50 @@ object PackingQueries extends QueryModule {
   private val Epochs = 2
   private val NShards = 8
 
+  /** The tokenized-and-packed training stream `(seq_id, position,
+    * token_id)` — `bpe_encode`'s learned tokenizer composed with
+    * `pack_sequences`' concat-and-chunk packer, i.e. the frame a
+    * training job's data loader actually reads. Documents are BPE-
+    * segmented with the shared merge table (broadcast, vocab-sized;
+    * encoding is embarrassingly parallel), token ids come from the
+    * deterministic vocab rank (distinct encoded symbols in
+    * lexicographic order — ASCII corpus, so Spark UTF-16 and DuckDB
+    * memcmp order agree), and each token's GLOBAL stream offset is
+    * its document's two-phase prefix-sum start (the `pack_sequences`
+    * recipe — no whole-corpus single-partition window) plus its
+    * in-document position. `seq_id`/`position` are the offset's
+    * div/mod by [[Cap]]. The only partition-less windows ride the
+    * #partitions-row totals frame and the vocab-sized rank frame.
+    * Shared by the `pack_sequences_bpe` gate query and the
+    * CorpusWriter shard-export spec. */
+  private[graft] def bpePackedTokens(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextQueries.bpeMergesCached(s, dir)
+    val nParts = math.max(1, s.sparkContext.defaultParallelism / 4)
+    val base = graft.operators.Bpe.segment(s, docs(s, dir), merges)
+      .select(col("doc_id"), col("bpe_tokens"),
+        size(col("bpe_tokens")).cast("long").as("n_sym"))
+    val parted = base.repartitionByRange(nParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("cum_end",
+      sum(col("n_sym")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
+    val prefix = parted.groupBy(col("pid")).agg(sum(col("n_sym")).as("ptot"))
+      .withColumn("before", coalesce(
+        sum(col("ptot")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("before"))
+    val stream = local.join(broadcast(prefix), Seq("pid"))
+      .withColumn("start", col("cum_end") + col("before") - col("n_sym"))
+      .select(col("doc_id"), col("start"),
+        posexplode(col("bpe_tokens")).as(Seq("off", "sym")))
+      .withColumn("gpos", col("start") + col("off"))
+    val vocab = stream.select(col("sym")).distinct()
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("sym"))) - 1).cast("long"))
+    stream.join(broadcast(vocab), Seq("sym"))
+      .select(expr(s"gpos div $Cap").as("seq_id"),
+        (col("gpos") % Cap).as("position"), col("token_id"))
+  }
+
   /** PII patterns, shared by the `pii_redaction` gate query, the
     * `documents_redacted` view (GraftViews), and both specs — one
     * definition so the served view can never silently diverge from the
@@ -239,6 +283,60 @@ object PackingQueries extends QueryModule {
               |       CAST(sum(least(fin, (chunk_id + 1) * $Cap) -
               |                greatest(strt, chunk_id * $Cap)) AS BIGINT) AS n_tokens_filled
               |FROM e GROUP BY chunk_id""".stripMargin)),
+
+    // The packed TRAINING stream itself: bpe_encode's learned merge
+    // table composed with pack_sequences' global packer — every
+    // document BPE-segmented, the symbol stream concatenated in
+    // doc_id order and cut every Cap tokens, each token carrying its
+    // (seq_id, position) slot and deterministic vocab id. Gated as
+    // the per-sequence occupancy + position-weighted checksum frame
+    // (exact BIGINTs: token_id < |vocab|, position < Cap, so the
+    // weighted sum stays far under 2^63), which pins every token's
+    // id AND slot without shipping the corpus-sized token frame
+    // through the oracle compare. The oracle re-trains the tokenizer
+    // via the unrolled MATERIALIZED CTEs (the bpe_merges recipe),
+    // re-encodes by joining words against the final round's word
+    // frame, and replays the same pack — engine-identical by
+    // integer construction. The full (seq_id, position, token_id)
+    // frame is exported to CorpusWriter shards in CorpusWriterSpec.
+    Q("pack_sequences_bpe",
+      (s, dir) => bpePackedTokens(s, dir)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("token_id")).as("n_distinct"),
+          sum(col("token_id") * (col("position") + lit(1L))).as("checksum"),
+          max(col("token_id")).as("max_id")),
+      Some {
+        val R = TextQueries.BpeRounds
+        TextQueries.bpeOracleCtes(R) +
+          s""",
+             |dwp AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wi, ws
+             |        FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws
+             |              FROM documents)),
+             |wp AS (SELECT doc_id, wi, ws[wi] AS w FROM dwp WHERE len(ws[wi]) > 0),
+             |wsy AS (SELECT wp.doc_id, wp.wi,
+             |               list_filter(string_split(wc$R.rep, chr(31)),
+             |                           x -> x <> '') AS syms
+             |        FROM wp JOIN wc$R ON wp.w = wc$R.word),
+             |sep AS (SELECT doc_id, wi, unnest(range(1, len(syms) + 1)) AS si, syms
+             |        FROM wsy),
+             |st AS (SELECT doc_id, wi, si, syms[si] AS sym FROM sep),
+             |g AS (SELECT sym,
+             |             CAST(row_number() OVER (ORDER BY doc_id, wi, si) - 1
+             |                  AS BIGINT) AS gpos
+             |      FROM st),
+             |vid AS (SELECT sym,
+             |               CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
+             |                 AS token_id
+             |        FROM (SELECT DISTINCT sym FROM g)),
+             |tk AS (SELECT gpos // $Cap AS seq_id, gpos % $Cap AS position, token_id
+             |       FROM g JOIN vid USING (sym))
+             |SELECT seq_id, count(*) AS n_tokens,
+             |       CAST(count(DISTINCT token_id) AS BIGINT) AS n_distinct,
+             |       CAST(sum(token_id * (position + 1)) AS BIGINT) AS checksum,
+             |       max(token_id) AS max_id
+             |FROM tk GROUP BY seq_id""".stripMargin
+      }),
 
     // Sliding-window chunking: each document independently cut into
     // ChunkW-token windows advancing by ChunkS (HuggingFace

@@ -270,13 +270,13 @@ object TextQueries extends QueryModule {
     * fixture dir retrains. */
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[graft.operators.Bpe.Merge]]
-  private def bpeMergesCached(s: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
+  private[queries] def bpeMergesCached(s: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
     bpeCache.getOrElseUpdate((s, dir),
       graft.operators.Bpe.train(docs(s, dir), numMerges = BpeRounds))
 
   /** Merge count shared by the trainer call and the unrolled oracle —
     * the two MUST agree or the oracle replays a different tokenizer. */
-  private val BpeRounds = 20
+  private[queries] val BpeRounds = 20
 
   /** Unrolled-CTE DuckDB replay of the BPE trainer — the same recipe
     * that oracles PageRank: the operator is bit-deterministic by
@@ -294,7 +294,7 @@ object TextQueries extends QueryModule {
     * each round references its predecessor twice (merge + early-stop
     * fallback) and DuckDB's default inlining would go exponential.
     */
-  private def bpeOracleCtes(rounds: Int): String = {
+  private[queries] def bpeOracleCtes(rounds: Int): String = {
     val S = "chr(31)"
     val sb = new StringBuilder
     sb.append(

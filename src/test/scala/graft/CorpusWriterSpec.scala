@@ -125,6 +125,28 @@ class CorpusWriterSpec extends AnyFunSuite {
     assert(rows(Some("123")) == ((2L, 27L, 1L)))
   }
 
+  test("bpe packed-token shards publish through the sink and round-trip exactly") {
+    val path = tmp()
+    // the pack_sequences_bpe frame, dealt into 8 training shards — the
+    // (seq_id, position, token_id) files a data loader reads
+    val in = graft.queries.PackingQueries.bpePackedTokens(spark, dir)
+      .withColumn("shard", expr("seq_id % 8"))
+    CorpusWriter.write(in, path, Seq("shard"), "seq_id",
+      rowsPerFile = 100000L)
+    val back = CorpusWriter.read(spark, path)
+      .select("seq_id", "position", "token_id", "shard")
+    val inSel = in.select("seq_id", "position", "token_id", "shard")
+    assert(back.exceptAll(inSel).isEmpty && inSel.exceptAll(back).isEmpty,
+      "published token shards must round-trip row-for-row")
+    // manifest pin: one row per non-empty shard, row totals = the
+    // corpus's full packed token count
+    val m = CorpusWriter.manifest(spark, path)
+    val nShards = m.count()
+    assert(nShards >= 1 && nShards <= 8, s"$nShards shard rows")
+    assert(m.agg(sum("n_rows")).collect()(0).getLong(0) == inSel.count(),
+      "manifest row totals must equal the packed token count")
+  }
+
   test("end to end: corpus_assemble -> CorpusWriter -> read matches the selection") {
     val path = tmp()
     val selected = SparkEntry.queries("corpus_assemble")(spark, dir)
