@@ -88,7 +88,7 @@ object AnalyticsQueries extends QueryModule {
 
   /** Session-scoped memo of the co-purchase pair-count frame — the
     * (i1 < i2, c) support counts over distinct (order, part) basket
-    * items, min-support 2 — shared by copurchase_cosine AND
+    * items, min-support [[BasketMinSupport]] — shared by copurchase_cosine AND
     * basket_rules (one basket self-join per (session, dir), the way a
     * production market-basket stage materializes its pair counts
     * once). The self-join is keyed on the order and fans each basket
@@ -96,8 +96,8 @@ object AnalyticsQueries extends QueryModule {
     * quadratic, NOT corpus-quadratic — baskets are small by nature
     * (TPC-H ≤ 7 lines; a real cart is tens), and a pathological
     * mega-basket would be capped upstream the way the shingle joins
-    * cap df. Min-support ≥ 2 drops the singleton-pair noise floor
-    * before anything downstream touches the frame. */
+    * cap df. The [[BasketMinSupport]] floor drops the singleton-pair
+    * noise floor before anything downstream touches the frame. */
   private val basketPairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
   private def basketPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) =
