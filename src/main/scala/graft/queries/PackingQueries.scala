@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.TextOps._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -88,14 +88,34 @@ object PackingQueries extends QueryModule {
       .withColumn("rk", col("rk").cast("long"))
   }
 
+  /** Range-partition `df` by `orderCols` into disjoint ordered key
+    * ranges, stamp `pid`, and FREEZE the result (`localCheckpoint`).
+    * Every two-phase prefix sum branches this frame twice — a
+    * partition-local window stage and a per-partition totals stage —
+    * and without the freeze each branch re-executes the range
+    * exchange independently, so `spark_partition_id()` need not mean
+    * the same partitioning in both (AQE can coalesce the two
+    * executions differently; boundary sampling is re-run). The
+    * mismatch silently corrupts every downstream offset while
+    * preserving row counts — caught at the 10× sweep, where
+    * `pack_sequences_bpe` packed 27,590 sequences of the correct
+    * 28,061. The checkpoint materializes the exchange ONCE so both
+    * branches read the same partitions. Callers must pass the NARROW
+    * per-item frame (keys + weight), never an array-carrying one —
+    * the checkpoint stores it. */
+  private def rangeParted(df: DataFrame, orderCols: Column*): DataFrame = {
+    val nParts = math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism / 4)
+    df.repartitionByRange(nParts, orderCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+  }
+
   /** Two-phase greedy token-budget prefix on a scored frame (see
     * `token_budget_select`). Input needs (doc_id, score, n_tok); keeps
     * input columns + inclusive `cum_tokens`, filtered to the budget. */
   private def budgetSelect(scored: DataFrame): DataFrame = {
-    val nParts = math.max(1, scored.sparkSession.sparkContext.defaultParallelism / 4)
-    val parted = scored
-      .repartitionByRange(nParts, col("score").desc, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    val parted = rangeParted(scored, col("score").desc, col("doc_id"))
     val local = parted.withColumn("cum_local",
       sum(col("n_tok")).over(Window.partitionBy(col("pid"))
         .orderBy(col("score").desc, col("doc_id"))))
@@ -155,12 +175,14 @@ object PackingQueries extends QueryModule {
     * CorpusWriter shard-export spec. */
   private[graft] def bpePackedTokens(s: SparkSession, dir: String): DataFrame = {
     val merges = TextQueries.bpeMergesCached(s, dir)
-    val nParts = math.max(1, s.sparkContext.defaultParallelism / 4)
-    val base = graft.operators.Bpe.segment(s, docs(s, dir), merges)
-      .select(col("doc_id"), col("bpe_tokens"),
-        size(col("bpe_tokens")).cast("long").as("n_sym"))
-    val parted = base.repartitionByRange(nParts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    val seg = graft.operators.Bpe.segment(s, docs(s, dir), merges)
+      .select(col("doc_id"), col("bpe_tokens"))
+    // prefix-sum over the NARROW (doc_id, n_sym) frame only; the fat
+    // token arrays join back on doc_id afterwards (they must not ride
+    // through the checkpointed exchange or the window sort)
+    val narrow = seg.select(col("doc_id"),
+      size(col("bpe_tokens")).cast("long").as("n_sym"))
+    val parted = rangeParted(narrow, col("doc_id"))
     val local = parted.withColumn("cum_end",
       sum(col("n_sym")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
     val prefix = parted.groupBy(col("pid")).agg(sum(col("n_sym")).as("ptot"))
@@ -168,8 +190,10 @@ object PackingQueries extends QueryModule {
         sum(col("ptot")).over(Window.orderBy(col("pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("before"))
-    val stream = local.join(broadcast(prefix), Seq("pid"))
-      .withColumn("start", col("cum_end") + col("before") - col("n_sym"))
+    val starts = local.join(broadcast(prefix), Seq("pid"))
+      .select(col("doc_id"),
+        (col("cum_end") + col("before") - col("n_sym")).as("start"))
+    val stream = seg.join(starts, Seq("doc_id"))
       .select(col("doc_id"), col("start"),
         posexplode(col("bpe_tokens")).as(Seq("off", "sym")))
       .withColumn("gpos", col("start") + col("off"))
@@ -235,12 +259,11 @@ object PackingQueries extends QueryModule {
     // Cap by construction — asserted by the oracle hash).
     Q("pack_sequences",
       (s, dir) => {
-        val nParts = math.max(1, s.sparkContext.defaultParallelism / 4)
         val base = docs(s, dir)
           .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-        // two-phase distributed prefix sum (see scaladoc above)
-        val parted = base.repartitionByRange(nParts, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
+        // two-phase distributed prefix sum (see scaladoc above),
+        // branch-consistent via the frozen exchange (rangeParted)
+        val parted = rangeParted(base, col("doc_id"))
         val local = parted.withColumn("cum_end",
           sum(col("n_tok")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
         // totals come straight off `parted` (map-side partial sum), not
@@ -583,15 +606,12 @@ object PackingQueries extends QueryModule {
     // frame.
     Q("corpus_shard",
       (s, dir) => {
-        val nParts = math.max(1, s.sparkContext.defaultParallelism / 4)
         val keyed = docs(s, dir).select(col("doc_id"))
           .withColumn("epoch",
             explode(sequence(lit(0L), lit(Epochs - 1L))))
           .withColumn("k", md5(concat(col("epoch").cast("string"), lit(":"),
             col("doc_id").cast("string"))))
-        val parted = keyed
-          .repartitionByRange(nParts, col("epoch"), col("k"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
+        val parted = rangeParted(keyed, col("epoch"), col("k"), col("doc_id"))
         val local = parted.withColumn("rn",
           row_number().over(Window.partitionBy(col("pid"), col("epoch"))
             .orderBy(col("k"), col("doc_id"))).cast("long"))
