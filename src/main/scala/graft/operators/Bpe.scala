@@ -185,4 +185,28 @@ object Bpe {
     })
     docs.withColumn("bpe_tokens", seg(col("text")))
   }
+
+  /** Encode each DISTINCT word of `docs` with the merge table:
+    * `(w, syms)`, vocabulary-sized (Zipf). Corpus-scale encodes
+    * should JOIN against this frame instead of calling [[segment]] —
+    * the sequential per-word merge loop then runs once per
+    * vocabulary ENTRY, not once per corpus occurrence (the same
+    * distinct-word collapse the trainer rides), and the corpus-sized
+    * work left over is one explode + one token-keyed hash join, all
+    * codegen. Same result as [[segment]] by construction: both
+    * apply [[mergeWord]] in rank order to the same initial symbols. */
+  def wordSegments(spark: SparkSession, docs: DataFrame,
+                   merges: Seq[Merge]): DataFrame = {
+    val bc = spark.sparkContext.broadcast(
+      merges.sortBy(_.rank).map(m => (m.left, m.right)))
+    val enc = udf((w: String) => {
+      var syms: Seq[String] = (w.split("").toSeq :+ Eow)
+      bc.value.foreach { case (a, b) => syms = mergeWord(syms, a, b) }
+      syms
+    })
+    docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .withColumn("syms", enc(col("w")))
+  }
 }

@@ -175,13 +175,22 @@ object PackingQueries extends QueryModule {
     * CorpusWriter shard-export spec. */
   private[graft] def bpePackedTokens(s: SparkSession, dir: String): DataFrame = {
     val merges = TextQueries.bpeMergesCached(s, dir)
-    val seg = graft.operators.Bpe.segment(s, docs(s, dir), merges)
-      .select(col("doc_id"), col("bpe_tokens"))
-    // prefix-sum over the NARROW (doc_id, n_sym) frame only; the fat
-    // token arrays join back on doc_id afterwards (they must not ride
-    // through the checkpointed exchange or the window sort)
-    val narrow = seg.select(col("doc_id"),
-      size(col("bpe_tokens")).cast("long").as("n_sym"))
+    // encode the VOCABULARY, not the corpus: the sequential merge
+    // loop runs once per distinct word; everything corpus-sized below
+    // is explode + hash join + windows (all codegen)
+    val wordSyms = graft.operators.Bpe.wordSegments(s, docs(s, dir), merges)
+      .withColumn("nw", size(col("syms")).cast("long"))
+    val wordRows = docs(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("wi", "w")))
+      .filter(length(col("w")) > 0)
+    // broadcast the VOCAB side explicitly: post-explode row counts are
+    // invisible to the size estimator, which otherwise picks the
+    // corpus-sized exploded side as the build (measured: 900 s of CPU
+    // building a 14M-entry broadcast map at the 10× sweep)
+    val wj = wordRows.join(broadcast(wordSyms), Seq("w"))
+    // doc start offsets: two-phase prefix sum over the NARROW
+    // per-doc symbol totals (branch-consistent via rangeParted)
+    val narrow = wj.groupBy(col("doc_id")).agg(sum(col("nw")).as("n_sym"))
     val parted = rangeParted(narrow, col("doc_id"))
     val local = parted.withColumn("cum_end",
       sum(col("n_sym")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
@@ -193,11 +202,16 @@ object PackingQueries extends QueryModule {
     val starts = local.join(broadcast(prefix), Seq("pid"))
       .select(col("doc_id"),
         (col("cum_end") + col("before") - col("n_sym")).as("start"))
-    val stream = seg.join(starts, Seq("doc_id"))
-      .select(col("doc_id"), col("start"),
-        posexplode(col("bpe_tokens")).as(Seq("off", "sym")))
-      .withColumn("gpos", col("start") + col("off"))
-    val vocab = stream.select(col("sym")).distinct()
+    // within-doc word offsets: per-doc window, bounded by doc length
+    val stream = wj
+      .withColumn("word_off", coalesce(
+        sum(col("nw")).over(Window.partitionBy(col("doc_id")).orderBy(col("wi"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(starts, Seq("doc_id"))
+      .select(col("doc_id"), (col("start") + col("word_off")).as("woff"),
+        posexplode(col("syms")).as(Seq("si", "sym")))
+      .withColumn("gpos", col("woff") + col("si"))
+    val vocab = wordSyms.select(explode(col("syms")).as("sym")).distinct()
       .withColumn("token_id",
         (row_number().over(Window.orderBy(col("sym"))) - 1).cast("long"))
     stream.join(broadcast(vocab), Seq("sym"))

@@ -724,13 +724,28 @@ object TextQueries extends QueryModule {
     Q("bpe_encode",
       (s, dir) => {
         val merges = bpeMergesCached(s, dir)
-        graft.operators.Bpe.segment(s, docs(s, dir), merges)
-          .select(col("doc_id"),
-            size(tokens(col("text"))).as("n_ws_tokens"),
-            size(col("bpe_tokens")).as("n_symbols"),
-            size(expr(
-              "filter(bpe_tokens, t -> length(replace(t, '</w>', '')) > 1)"))
-              .as("n_merged_symbols"))
+        // vocabulary-sized encode (Bpe.wordSegments) + token-keyed
+        // join: the per-word merge loop runs once per DISTINCT word,
+        // the corpus pays one explode + one hash join + one groupBy
+        val ws = graft.operators.Bpe.wordSegments(s, docs(s, dir), merges)
+          .select(col("w"), size(col("syms")).cast("long").as("nw"),
+            size(expr("filter(syms, t -> length(replace(t, '</w>', '')) > 1)"))
+              .cast("long").as("nm"))
+        val agg = docs(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          // broadcast the vocab side explicitly — the size estimator
+          // cannot see post-explode row counts and may build on the
+          // corpus-sized side (see bpePackedTokens)
+          .join(broadcast(ws), Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("nw")).as("ns"), sum(col("nm")).as("nms"))
+        docs(s, dir)
+          .select(col("doc_id"), size(tokens(col("text"))).as("n_ws_tokens"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_ws_tokens"),
+            coalesce(col("ns"), lit(0L)).as("n_symbols"),
+            coalesce(col("nms"), lit(0L)).as("n_merged_symbols"))
       },
       Some(bpeEncodeOracle)),
 

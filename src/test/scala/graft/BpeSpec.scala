@@ -95,6 +95,24 @@ class BpeSpec extends AnyFunSuite {
     assert(anyMerged > 0, "no merge ever applied at segmentation")
   }
 
+  test("wordSegments agrees with segment on every distinct word") {
+    import spark.implicits._
+    val docs = Seq("the lowest west nest", "lower and lower",
+      "newest nest  spaced", " padded ").toDF("text")
+    val merges = Bpe.train(docs, numMerges = 8)
+    // per-word truth from the document-level encoder
+    val viaSegment = Bpe.segment(spark, docs.select(
+        explode(split(trim(col("text")), " ")).as("text"))
+        .filter(length(col("text")) > 0).distinct(), merges)
+      .select(col("text").as("w"), concat_ws("|", col("bpe_tokens")).as("s"))
+      .as[(String, String)].collect().toMap
+    val viaWords = Bpe.wordSegments(spark, docs, merges)
+      .select(col("w"), concat_ws("|", col("syms")).as("s"))
+      .as[(String, String)].collect().toMap
+    assert(viaWords == viaSegment,
+      "vocabulary-level encode must equal the document-level encode")
+  }
+
   test("stops early when no pair repeats") {
     import spark.implicits._
     val docs = Seq("ab cd ef").toDF("text") // every pair count = 1
