@@ -170,14 +170,22 @@ object Bpe {
     * initial symbols → merges applied in rank order (the standard
     * encode; a production encoder uses rank-priority queues — same
     * result, this keeps the reference semantics obvious). The merge
-    * table broadcasts; segmentation is embarrassingly parallel. */
+    * table broadcasts; segmentation is embarrassingly parallel.
+    *
+    * Tokenization is space-split WITHOUT a leading Java `String.trim`
+    * — `trim` strips every char <= U+0020 (tabs, newlines) where
+    * [[TextOps.tokens]]' Spark `trim` strips spaces only, so a text
+    * with leading/trailing tabs would segment differently here than
+    * in [[wordCounts]]/[[wordSegments]]. Splitting on ' ' and
+    * dropping empty fragments is exactly the `tokens` word list for
+    * every input (BpeSpec pins the \t/\n case). */
   def segment(spark: SparkSession, docs: DataFrame,
               merges: Seq[Merge]): DataFrame = {
     val bc = spark.sparkContext.broadcast(
       merges.sortBy(_.rank).map(m => (m.left, m.right)))
     val seg = udf((text: String) => {
       if (text == null) null
-      else text.trim.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+      else text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
         var syms: Seq[String] = (w.split("").toSeq :+ Eow)
         bc.value.foreach { case (a, b) => syms = mergeWord(syms, a, b) }
         syms
@@ -209,4 +217,41 @@ object Bpe {
       .distinct()
       .withColumn("syms", enc(col("w")))
   }
+
+  /** Broadcast ceiling (rows) for the distinct-word frame in
+    * [[vocabJoin]]. ~4M entries × (word + ~10 short symbols) is a few
+    * hundred MB — comfortably inside Spark's 8 GiB broadcast hard
+    * limit and a sane driver-memory budget. The FIXTURE vocabularies
+    * are Zipf-small and always broadcast; the gate exists because a
+    * raw web corpus has an UNBOUNDED "vocabulary" (typos, URLs, hex
+    * blobs — 10^8-10^9 distinct tokens at 100 TB), where a forced
+    * broadcast fails the job outright. */
+  val VocabBroadcastMaxRows: Long = 4000000L
+
+  /** Freeze a [[wordSegments]]-shaped frame and measure it: the
+    * localCheckpoint materializes the per-word encode UDF ONCE, so
+    * the row count (the [[vocabJoin]] strategy input) and every
+    * downstream branch (corpus join, symbol-vocab rank) read the same
+    * cheap LogicalRDD instead of re-running the encode per branch.
+    * Executor-local checkpoint storage trades fault-tolerance for
+    * lineage cuts (see PackingQueries.rangeParted). */
+  def freezeVocab(wordSyms: DataFrame): (DataFrame, Long) = {
+    val ws = wordSyms.localCheckpoint()
+    (ws, ws.count())
+  }
+
+  /** Join a corpus-sized word frame against the frozen distinct-word
+    * encode frame on `w`, picking the strategy from the MEASURED
+    * vocab size: broadcast below [[VocabBroadcastMaxRows]] (the size
+    * estimator cannot see post-explode row counts and would otherwise
+    * build on the corpus-sized side — measured 900 s of CPU building
+    * a 14M-entry broadcast map at the 10× sweep), shuffle hash join
+    * building on the vocab side above it (never a forced broadcast
+    * that dies at web scale; AQE's skew-join split handles stopword
+    * skew on the corpus side of the shuffle). */
+  def vocabJoin(wordRows: DataFrame, ws: DataFrame, nVocab: Long,
+                maxBroadcast: Long = VocabBroadcastMaxRows): DataFrame =
+    if (nVocab <= maxBroadcast)
+      wordRows.join(org.apache.spark.sql.functions.broadcast(ws), Seq("w"))
+    else wordRows.join(ws.hint("shuffle_hash"), Seq("w"))
 }

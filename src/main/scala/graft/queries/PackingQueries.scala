@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *    classic two-phase distributed prefix sum instead: range-partition
   *    by doc_id (disjoint ordered key ranges), partition-local cumsum
   *    via a window keyed on the partition id, then add the total of all
-  *    earlier partitions from a #partitions-row broadcast frame. Every
-  *    stage is O(corpus/partitions) except the prefix-of-totals window,
-  *    which is O(#partitions) rows on one executor.
+  *    earlier partitions from a #partitions-row broadcast frame whose
+  *    running sum is computed on the DRIVER (`prefixFrame`). Every
+  *    distributed stage is O(corpus/partitions); nothing — not even
+  *    the totals frame — passes through a partition-less window.
   *  - `doc_chunks` is a pure projection + bounded explode (≤ n/stride
   *    chunks per doc) — embarrassingly parallel.
   *  - `pii_redaction` is a per-row regex projection (codegen'd
@@ -102,13 +103,42 @@ object PackingQueries extends QueryModule {
     * 28,061. The checkpoint materializes the exchange ONCE so both
     * branches read the same partitions. Callers must pass the NARROW
     * per-item frame (keys + weight), never an array-carrying one —
-    * the checkpoint stores it. */
+    * the checkpoint stores it.
+    *
+    * Fault-tolerance trade (ADVICE r13): localCheckpoint blocks live
+    * in EXECUTOR-LOCAL storage — losing an executor after the
+    * checkpoint fails the query (no lineage to recompute) rather than
+    * recovering. Four production queries ride this (pack_sequences,
+    * pack_sequences_bpe, corpus_shard, token_budget_select); on a
+    * long-lived cluster run prefer reliable `checkpoint()` to an HDFS
+    * dir, or persist+count with deterministic partition ids — the
+    * recipe is unchanged, only the freeze primitive swaps. */
   private def rangeParted(df: DataFrame, orderCols: Column*): DataFrame = {
     val nParts = math.max(1,
       df.sparkSession.sparkContext.defaultParallelism / 4)
     df.repartitionByRange(nParts, orderCols: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
+  }
+
+  /** The `(pid, before)` offset frame of a two-phase prefix sum: per-
+    * partition totals of `weight` over the FROZEN range-parted frame,
+    * prefix-summed on the DRIVER. The totals are #partitions rows (32
+    * locally, ~10^5 at 100 TB / 1 GB partitions) — the same driver-
+    * side boundary exchange Spark's own RangePartitioner performs at
+    * every range shuffle, so collecting them is the canonical shape,
+    * not a scale hazard; it also retires the last partition-less
+    * WindowExec these pipelines had (the totals-frame running sum),
+    * which r13 flagged via its `No Partition Defined` warnings.
+    * Callers broadcast-join the result back on `pid`. */
+  private def prefixFrame(parted: DataFrame, weight: Column): DataFrame = {
+    val s = parted.sparkSession
+    import s.implicits._
+    val totals = parted.groupBy(col("pid")).agg(weight.cast("long").as("ptot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    totals.map(_._1)
+      .zip(totals.scanLeft(0L)(_ + _._2).init)
+      .toSeq.toDF("pid", "before")
   }
 
   /** Two-phase greedy token-budget prefix on a scored frame (see
@@ -119,12 +149,7 @@ object PackingQueries extends QueryModule {
     val local = parted.withColumn("cum_local",
       sum(col("n_tok")).over(Window.partitionBy(col("pid"))
         .orderBy(col("score").desc, col("doc_id"))))
-    val prefix = parted.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptot"))
-      .withColumn("before", coalesce(
-        sum(col("ptot")).over(Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("before"))
-    local.join(broadcast(prefix), Seq("pid"))
+    local.join(broadcast(prefixFrame(parted, sum(col("n_tok")))), Seq("pid"))
       .withColumn("cum_tokens", col("cum_local") + col("before"))
       .filter(col("cum_tokens") <= Budget)
       .drop("pid", "cum_local")
@@ -169,37 +194,41 @@ object PackingQueries extends QueryModule {
     * its document's two-phase prefix-sum start (the `pack_sequences`
     * recipe — no whole-corpus single-partition window) plus its
     * in-document position. `seq_id`/`position` are the offset's
-    * div/mod by [[Cap]]. The only partition-less windows ride the
-    * #partitions-row totals frame and the vocab-sized rank frame.
-    * Shared by the `pack_sequences_bpe` gate query and the
-    * CorpusWriter shard-export spec. */
+    * div/mod by [[Cap]]. Both the distinct-word join and the vocab
+    * rank are built for an UNBOUNDED web-corpus vocabulary (size-
+    * gated broadcast via Bpe.vocabJoin; two-phase symbol rank), and
+    * no partition-less window exists anywhere in the plan — the
+    * prefix offsets are driver-side (`prefixFrame`), asserted by
+    * PackingQueriesSpec on the executed plan. Shared by the
+    * `pack_sequences_bpe` gate query and the CorpusWriter
+    * shard-export spec. */
   private[graft] def bpePackedTokens(s: SparkSession, dir: String): DataFrame = {
     val merges = TextQueries.bpeMergesCached(s, dir)
     // encode the VOCABULARY, not the corpus: the sequential merge
     // loop runs once per distinct word; everything corpus-sized below
-    // is explode + hash join + windows (all codegen)
-    val wordSyms = graft.operators.Bpe.wordSegments(s, docs(s, dir), merges)
-      .withColumn("nw", size(col("syms")).cast("long"))
+    // is explode + hash join + windows (all codegen). The frame is
+    // frozen + counted ONCE (freezeVocab) so the corpus join and the
+    // symbol-vocab rank read the same materialization.
+    val (ws, nVocab) = graft.operators.Bpe.freezeVocab(
+      graft.operators.Bpe.wordSegments(s, docs(s, dir), merges)
+        .withColumn("nw", size(col("syms")).cast("long")))
     val wordRows = docs(s, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("wi", "w")))
       .filter(length(col("w")) > 0)
-    // broadcast the VOCAB side explicitly: post-explode row counts are
-    // invisible to the size estimator, which otherwise picks the
-    // corpus-sized exploded side as the build (measured: 900 s of CPU
-    // building a 14M-entry broadcast map at the 10× sweep)
-    val wj = wordRows.join(broadcast(wordSyms), Seq("w"))
+    // vocab-side build, gated by MEASURED size: broadcast while the
+    // distinct-word frame is broadcast-sized, shuffle hash join above
+    // the ceiling (a raw web corpus has an unbounded word vocabulary
+    // — see Bpe.vocabJoin for both the estimator and the scale story)
+    val wj = graft.operators.Bpe.vocabJoin(wordRows, ws, nVocab)
     // doc start offsets: two-phase prefix sum over the NARROW
-    // per-doc symbol totals (branch-consistent via rangeParted)
+    // per-doc symbol totals (branch-consistent via rangeParted;
+    // offsets prefix-summed driver-side — prefixFrame)
     val narrow = wj.groupBy(col("doc_id")).agg(sum(col("nw")).as("n_sym"))
     val parted = rangeParted(narrow, col("doc_id"))
     val local = parted.withColumn("cum_end",
       sum(col("n_sym")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
-    val prefix = parted.groupBy(col("pid")).agg(sum(col("n_sym")).as("ptot"))
-      .withColumn("before", coalesce(
-        sum(col("ptot")).over(Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("before"))
-    val starts = local.join(broadcast(prefix), Seq("pid"))
+    val starts = local
+      .join(broadcast(prefixFrame(parted, sum(col("n_sym")))), Seq("pid"))
       .select(col("doc_id"),
         (col("cum_end") + col("before") - col("n_sym")).as("start"))
     // within-doc word offsets: per-doc window, bounded by doc length
@@ -211,9 +240,21 @@ object PackingQueries extends QueryModule {
       .select(col("doc_id"), (col("start") + col("word_off")).as("woff"),
         posexplode(col("syms")).as(Seq("si", "sym")))
       .withColumn("gpos", col("woff") + col("si"))
-    val vocab = wordSyms.select(explode(col("syms")).as("sym")).distinct()
-      .withColumn("token_id",
-        (row_number().over(Window.orderBy(col("sym"))) - 1).cast("long"))
+    // deterministic vocab ids = lexicographic rank of the distinct
+    // SYMBOLS — ranked with the same two-phase recipe (range-part by
+    // sym, partition-local row_number, driver-side prefix counts), so
+    // no partition-less rank sort exists even though the symbol set
+    // is provably small: every merge round mints at most ONE new
+    // symbol, so |syms| <= |charset| + |merge table| (~150k unicode +
+    // R) — which is also why the final stream join can always
+    // broadcast the rank frame.
+    val vparted = rangeParted(
+      ws.select(explode(col("syms")).as("sym")).distinct(), col("sym"))
+    val vocab = vparted
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("sym"))).cast("long"))
+      .join(broadcast(prefixFrame(vparted, count(lit(1)))), Seq("pid"))
+      .select(col("sym"), (col("rn") + col("before") - 1).as("token_id"))
     stream.join(broadcast(vocab), Seq("sym"))
       .select(expr(s"gpos div $Cap").as("seq_id"),
         (col("gpos") % Cap).as("position"), col("token_id"))
@@ -283,12 +324,7 @@ object PackingQueries extends QueryModule {
         // totals come straight off `parted` (map-side partial sum), not
         // max(cum_end): the latter would evaluate the partition-local
         // sort+window a second time in the totals branch
-        val prefix = parted.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptot"))
-          .withColumn("before", coalesce(
-            sum(col("ptot")).over(Window.orderBy(col("pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("pid"), col("before"))
-        local.join(broadcast(prefix), Seq("pid"))
+        local.join(broadcast(prefixFrame(parted, sum(col("n_tok")))), Seq("pid"))
           .withColumn("fin", col("cum_end") + col("before"))
           .withColumn("start", col("fin") - col("n_tok"))
           // integer div keeps the chunk math exact at any corpus size
@@ -491,8 +527,8 @@ object PackingQueries extends QueryModule {
     // the same two-phase treatment — range-partition by (score desc,
     // doc_id) so partitions tile the global order, partition-local
     // cumsum, then add the broadcast prefix of earlier partitions'
-    // totals. No whole-corpus single-partition window; the only
-    // partition-less window rides the #partitions-row totals frame.
+    // totals (driver-side prefix, prefixFrame). No whole-corpus
+    // single-partition window; no partition-less window at all.
     Q("token_budget_select",
       (s, dir) => budgetSelect(withScore(docs(s, dir)))
         .select(col("doc_id"), col("score"), col("n_tok"), col("cum_tokens")),

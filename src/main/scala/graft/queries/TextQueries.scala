@@ -726,18 +726,20 @@ object TextQueries extends QueryModule {
         val merges = bpeMergesCached(s, dir)
         // vocabulary-sized encode (Bpe.wordSegments) + token-keyed
         // join: the per-word merge loop runs once per DISTINCT word,
-        // the corpus pays one explode + one hash join + one groupBy
-        val ws = graft.operators.Bpe.wordSegments(s, docs(s, dir), merges)
-          .select(col("w"), size(col("syms")).cast("long").as("nw"),
-            size(expr("filter(syms, t -> length(replace(t, '</w>', '')) > 1)"))
-              .cast("long").as("nm"))
-        val agg = docs(s, dir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-          .filter(length(col("w")) > 0)
-          // broadcast the vocab side explicitly — the size estimator
-          // cannot see post-explode row counts and may build on the
-          // corpus-sized side (see bpePackedTokens)
-          .join(broadcast(ws), Seq("w"))
+        // the corpus pays one explode + one hash join + one groupBy.
+        // The join side is size-gated (Bpe.vocabJoin): broadcast while
+        // the distinct-word frame is broadcast-sized, shuffle hash
+        // join on an unbounded web-corpus vocabulary.
+        val (ws, nVocab) = graft.operators.Bpe.freezeVocab(
+          graft.operators.Bpe.wordSegments(s, docs(s, dir), merges)
+            .select(col("w"), size(col("syms")).cast("long").as("nw"),
+              size(expr("filter(syms, t -> length(replace(t, '</w>', '')) > 1)"))
+                .cast("long").as("nm")))
+        val agg = graft.operators.Bpe.vocabJoin(
+          docs(s, dir)
+            .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+            .filter(length(col("w")) > 0),
+          ws, nVocab)
           .groupBy(col("doc_id"))
           .agg(sum(col("nw")).as("ns"), sum(col("nm")).as("nms"))
         docs(s, dir)

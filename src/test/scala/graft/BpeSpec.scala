@@ -97,8 +97,13 @@ class BpeSpec extends AnyFunSuite {
 
   test("wordSegments agrees with segment on every distinct word") {
     import spark.implicits._
+    // includes tab/newline padding ON PURPOSE (ADVICE r13): segment
+    // once used Java String.trim (strips all chars <= U+0020) while
+    // wordSegments rides TextOps.tokens (Spark trim — spaces only);
+    // the \t/\n rows pin the space-only convention on both paths
     val docs = Seq("the lowest west nest", "lower and lower",
-      "newest nest  spaced", " padded ").toDF("text")
+      "newest nest  spaced", " padded ",
+      "\ttab lowered\n", "mid\tword and\ntrailing newest\t").toDF("text")
     val merges = Bpe.train(docs, numMerges = 8)
     // per-word truth from the document-level encoder
     val viaSegment = Bpe.segment(spark, docs.select(
