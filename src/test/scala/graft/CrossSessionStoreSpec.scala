@@ -144,6 +144,49 @@ class CrossSessionStoreSpec extends AnyFunSuite {
       "adoption must not write a single store file")
   }
 
+  test("sentinel signature: mtime-blind, content-sensitive") {
+    // r13 regression: the driver regenerates the fixture corpus every
+    // round with byte-identical parquet but fresh mtimes, and the old
+    // (name, size, mtime) signature rebuilt every persisted store each
+    // session (BENCH_r13 store_builds all `adopted: false`). The
+    // signature is now content-derived: size + head/tail 4 KiB samples
+    // (the parquet footer = schema + column stats lives in the tail).
+    val dir = java.nio.file.Files.createTempDirectory("sig")
+    dir.toFile.deleteOnExit()
+    val f = dir.resolve("documents.parquet")
+    val bytes = Array.tabulate[Byte](64 * 1024)(i => (i % 251).toByte)
+    java.nio.file.Files.write(f, bytes)
+    val s1 = StoreSentinel.corpusSignature(dir.toString, "documents.parquet")
+
+    // a regenerated-in-place file with identical bytes (fresh mtime)
+    // must keep its signature — this is the cross-round adoption case
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(f).toMillis + 123456L))
+    assert(StoreSentinel.corpusSignature(dir.toString, "documents.parquet") == s1,
+      "an mtime-only touch must not invalidate the store")
+
+    // same size, different tail (where parquet keeps footer + stats)
+    val tailChanged = bytes.clone(); tailChanged(bytes.length - 10) = 99
+    java.nio.file.Files.write(f, tailChanged)
+    val s2 = StoreSentinel.corpusSignature(dir.toString, "documents.parquet")
+    assert(s2 != s1, "a tail (footer/stats) change must re-sign")
+
+    // same size, different head (magic + first row group)
+    val headChanged = bytes.clone(); headChanged(10) = 99
+    java.nio.file.Files.write(f, headChanged)
+    assert(StoreSentinel.corpusSignature(dir.toString, "documents.parquet") != s1,
+      "a head change must re-sign")
+
+    // different size always re-signs
+    java.nio.file.Files.write(f, bytes ++ Array[Byte](1, 2, 3))
+    assert(StoreSentinel.corpusSignature(dir.toString, "documents.parquet") != s1)
+
+    // a short file (< sample window) signs without error
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+    assert(StoreSentinel.corpusSignature(dir.toString, "documents.parquet").nonEmpty)
+  }
+
   test("a corpus regenerated in place fails the sentinel and rebuilds") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("xsess_corpus")
