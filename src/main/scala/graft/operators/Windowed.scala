@@ -70,8 +70,10 @@ object Windowed {
     * `len(denied_users) / len(total_users)` (user_feature.py:116-120) —
     * sets of users, not event counts — so one hot user retrying cannot
     * open the breaker alone. */
-  def circuit(events: DataFrame, threshold: Double = 0.05): DataFrame =
-    slidingStats(events)
+  def circuit(events: DataFrame, threshold: Double = 0.05,
+              size: String = "10 minutes",
+              slide: String = "5 minutes"): DataFrame =
+    slidingStats(events, size, slide)
       .withColumn("denial_rate", safeRate)
       .withColumn("circuit_open", col("denial_rate") > lit(threshold))
       .select(col("win_start"), col("n_users"), col("n_denied_users"),
@@ -157,10 +159,12 @@ object Windowed {
     * against one feature finalizes `circuit_open = true` for that
     * feature's windows only. */
   def featureCircuitStream(attempts: DataFrame, threshold: Double = 0.05,
-                           watermark: String = "15 minutes"): DataFrame =
+                           watermark: String = "15 minutes",
+                           size: String = "10 minutes",
+                           slide: String = "5 minutes"): DataFrame =
     attempts
       .withWatermark("ts", watermark)
-      .groupBy(col("feature"), window(col("ts"), "10 minutes", "5 minutes"))
+      .groupBy(col("feature"), window(col("ts"), size, slide))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users"),
         approx_count_distinct(when(!col("success"), col("user_id")), 0.01)
           .as("n_denied_users"))

@@ -379,6 +379,33 @@ object EventQueries extends QueryModule {
              |       n_denied_users / (1.0 * n_users) > 0.05 AS circuit_open
              |FROM c""".stripMargin)),
 
+    // A6 at the REFERENCE cadence (user_feature.py:98-104): the
+    // breaker loop re-evaluates a 10-minute lookback every 15
+    // SECONDS. The batch queries default to a 5-minute slide (each
+    // attempt in 2 windows, not 40 — a documented divergence); this
+    // gate makes the reference cadence SELECTABLE, wired through
+    // CircuitStore.cadence(referenceCadence = true), and pins its
+    // batch semantics: same distinct-user rate, 40 window starts per
+    // event in the oracle's unnest.
+    Q("a6_circuit_breaker_ref",
+      (s, dir) => {
+        val c = graft.sources.CircuitStore.cadence(referenceCadence = true)
+        Windowed.circuit(events(s, dir), size = c.size, slide = c.slide)
+      },
+      Some("""WITH w AS (
+             |  SELECT make_timestamp((epoch_us(ts) // 15000000) * 15000000
+             |                        - r.k * 15000000) AS win_start,
+             |         user_id, event_type
+             |  FROM events CROSS JOIN range(0, 40) AS r(k)),
+             |c AS (SELECT win_start,
+             |             count(DISTINCT user_id) AS n_users,
+             |             count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS n_denied_users
+             |      FROM w GROUP BY win_start)
+             |SELECT win_start, n_users, n_denied_users,
+             |       round(n_denied_users / (1.0 * n_users), 6) AS denial_rate,
+             |       n_denied_users / (1.0 * n_users) > 0.05 AS circuit_open
+             |FROM c""".stripMargin)),
+
     // S4 read-path side effect: every API touch logs an access attempt
     // per registered feature with the user's REAL grant as `success`
     // (reference user_feature.py:52-55) — the stream the breaker feeds on

@@ -20,6 +20,28 @@ object CircuitStore {
 
   val DefaultTable = "graft_circuits"
 
+  /** Breaker evaluation cadence `(window size, slide)`. */
+  final case class Cadence(size: String, slide: String)
+
+  /** Batch/efficiency default: 10-minute lookback re-evaluated every
+    * 5 minutes — each attempt lands in 2 windows. */
+  val DefaultCadence: Cadence = Cadence("10 minutes", "5 minutes")
+
+  /** The reference's cadence (user_feature.py:98-104): the breaker
+    * loop re-evaluates the 10-minute lookback every 15 seconds —
+    * each attempt lands in 40 windows, a 20× state/shuffle
+    * multiplier over the default. Selectable, not just documented:
+    * `cadence(referenceCadence = true)` wires it through the breaker
+    * builders, and the `a6_circuit_breaker_ref` gate query pins the
+    * batch semantics at exactly this cadence. */
+  val ReferenceCadence: Cadence = Cadence(
+    graft.operators.Windowed.ReferenceWindowSize,
+    graft.operators.Windowed.ReferenceSlide)
+
+  /** The config flag: pick the breaker cadence. */
+  def cadence(referenceCadence: Boolean): Cadence =
+    if (referenceCadence) ReferenceCadence else DefaultCadence
+
   private def generations(table: String): (String, String) =
     (table + "__a", table + "__b")
 
@@ -76,4 +98,17 @@ object CircuitStore {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsert(batch.sparkSession, batch, table)
       }
+
+  /** The whole breaker leg from an access-attempt stream to this
+    * store, with the cadence selected by the config flag: the default
+    * 5-minute slide, or the reference's 15-second re-evaluation loop
+    * (`referenceCadence = true`). */
+  def breakerWriter(attempts: DataFrame, threshold: Double = 0.05,
+                    referenceCadence: Boolean = false,
+                    watermark: String = "15 minutes",
+                    table: String = DefaultTable): DataStreamWriter[Row] = {
+    val c = cadence(referenceCadence)
+    writer(graft.operators.Windowed.featureCircuitStream(
+      attempts, threshold, watermark, c.size, c.slide), table)
+  }
 }
