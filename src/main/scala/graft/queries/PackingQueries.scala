@@ -202,23 +202,32 @@ object PackingQueries extends QueryModule {
     * PackingQueriesSpec on the executed plan. Shared by the
     * `pack_sequences_bpe` gate query and the CorpusWriter
     * shard-export spec. */
-  private[graft] def bpePackedTokens(s: SparkSession, dir: String): DataFrame = {
-    val merges = TextQueries.bpeMergesCached(s, dir)
-    // encode the VOCABULARY, not the corpus: the sequential merge
-    // loop runs once per distinct word; everything corpus-sized below
-    // is explode + hash join + windows (all codegen). The frame is
-    // frozen + counted ONCE (freezeVocab) so the corpus join and the
-    // symbol-vocab rank read the same materialization.
-    val (ws, nVocab) = graft.operators.Bpe.freezeVocab(
-      graft.operators.Bpe.wordSegments(s, docs(s, dir), merges)
+  /** Encode a document frame's DISTINCT words with a merge table and
+    * freeze + measure the result (the vocabulary-granularity recipe:
+    * the sequential merge loop runs once per distinct word; see
+    * Bpe.freezeVocab). Shared by the batch packer and the streaming
+    * twin's per-micro-batch encode. */
+  private[graft] def encodeWords(s: SparkSession, d: DataFrame,
+      merges: Seq[graft.operators.Bpe.Merge]): (DataFrame, Long) =
+    graft.operators.Bpe.freezeVocab(
+      graft.operators.Bpe.wordSegments(s, d, merges)
         .withColumn("nw", size(col("syms")).cast("long")))
-    val wordRows = docs(s, dir)
+
+  /** The doc_id-ordered SYMBOL stream of a document frame: one row
+    * per encoded symbol as `(doc_id, off, sym)`, where `off` is the
+    * symbol's 0-based offset in the frame-wide concatenation of all
+    * documents in doc_id order. Everything corpus-sized is explode +
+    * hash join + partitioned windows (all codegen); the join side is
+    * gated by MEASURED vocab size (Bpe.vocabJoin — a raw web corpus
+    * has an unbounded word vocabulary), and the global offsets are
+    * the two-phase prefix sum (rangeParted + driver-side
+    * prefixFrame). The streaming twin (PackingStream) calls this per
+    * micro-batch and shifts `off` by the persisted tail. */
+  private[graft] def symbolStream(d: DataFrame, ws: DataFrame,
+                                  nVocab: Long): DataFrame = {
+    val wordRows = d
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("wi", "w")))
       .filter(length(col("w")) > 0)
-    // vocab-side build, gated by MEASURED size: broadcast while the
-    // distinct-word frame is broadcast-sized, shuffle hash join above
-    // the ceiling (a raw web corpus has an unbounded word vocabulary
-    // — see Bpe.vocabJoin for both the estimator and the scale story)
     val wj = graft.operators.Bpe.vocabJoin(wordRows, ws, nVocab)
     // doc start offsets: two-phase prefix sum over the NARROW
     // per-doc symbol totals (branch-consistent via rangeParted;
@@ -232,32 +241,56 @@ object PackingQueries extends QueryModule {
       .select(col("doc_id"),
         (col("cum_end") + col("before") - col("n_sym")).as("start"))
     // within-doc word offsets: per-doc window, bounded by doc length
-    val stream = wj
-      .withColumn("word_off", coalesce(
+    wj.withColumn("word_off", coalesce(
         sum(col("nw")).over(Window.partitionBy(col("doc_id")).orderBy(col("wi"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .join(starts, Seq("doc_id"))
       .select(col("doc_id"), (col("start") + col("word_off")).as("woff"),
         posexplode(col("syms")).as(Seq("si", "sym")))
-      .withColumn("gpos", col("woff") + col("si"))
-    // deterministic vocab ids = lexicographic rank of the distinct
-    // SYMBOLS — ranked with the same two-phase recipe (range-part by
-    // sym, partition-local row_number, driver-side prefix counts), so
-    // no partition-less rank sort exists even though the symbol set
-    // is provably small: every merge round mints at most ONE new
-    // symbol, so |syms| <= |charset| + |merge table| (~150k unicode +
-    // R) — which is also why the final stream join can always
-    // broadcast the rank frame.
+      .select(col("doc_id"), (col("woff") + col("si")).as("off"), col("sym"))
+  }
+
+  /** Deterministic vocab ids `(sym, token_id)` = lexicographic rank
+    * of the distinct SYMBOLS of an encoded word frame — ranked with
+    * the same two-phase recipe (range-part by sym, partition-local
+    * row_number, driver-side prefix counts), so no partition-less
+    * rank sort exists even though the symbol set is provably small:
+    * every merge round mints at most ONE new symbol, so |syms| <=
+    * |charset| + |merge table| (~150k unicode + R) — which is also
+    * why consumers can always broadcast this frame. */
+  private[graft] def symbolVocab(ws: DataFrame): DataFrame = {
     val vparted = rangeParted(
       ws.select(explode(col("syms")).as("sym")).distinct(), col("sym"))
-    val vocab = vparted
+    vparted
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("pid")).orderBy(col("sym"))).cast("long"))
       .join(broadcast(prefixFrame(vparted, count(lit(1)))), Seq("pid"))
       .select(col("sym"), (col("rn") + col("before") - 1).as("token_id"))
-    stream.join(broadcast(vocab), Seq("sym"))
-      .select(expr(s"gpos div $Cap").as("seq_id"),
-        (col("gpos") % Cap).as("position"), col("token_id"))
+  }
+
+  /** The shipped tokenizer artifact pair: the memoized merge table +
+    * the corpus-wide symbol vocab `(sym, token_id)`. The streaming
+    * packer (PackingStream) treats both as FROZEN — new documents
+    * encode against them, exactly like a production tokenizer. */
+  private[graft] def bpeTokenizer(s: SparkSession,
+      dir: String): (Seq[graft.operators.Bpe.Merge], DataFrame) = {
+    val merges = TextQueries.bpeMergesCached(s, dir)
+    val (ws, _) = encodeWords(s, docs(s, dir), merges)
+    (merges, symbolVocab(ws))
+  }
+
+  /** Sequence capacity, shared with the streaming packer. */
+  private[graft] val SeqCap: Long = Cap.toLong
+
+  private[graft] def bpePackedTokens(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextQueries.bpeMergesCached(s, dir)
+    // the frame is frozen + counted ONCE (freezeVocab) so the corpus
+    // join and the symbol-vocab rank read the same materialization
+    val (ws, nVocab) = encodeWords(s, docs(s, dir), merges)
+    symbolStream(docs(s, dir), ws, nVocab)
+      .join(broadcast(symbolVocab(ws)), Seq("sym"))
+      .select(expr(s"off div $Cap").as("seq_id"),
+        (col("off") % Cap).as("position"), col("token_id"))
   }
 
   /** PII patterns, shared by the `pii_redaction` gate query, the
