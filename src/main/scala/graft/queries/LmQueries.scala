@@ -97,6 +97,20 @@ object LmQueries extends QueryModule {
   private val MinPairCount = 5L
   private val PmiKeepFp = 131072L
 
+  /** Sweep-only threshold shift for the PMI cut, read from
+    * `GRAFT_PMI_OFFSET_FP` (fp-2^20 units; default 0 = production
+    * behavior). The 10× key-shifted sweep fixture lifts every PMI by
+    * ~log2(10) (see above), so the unshifted cut stops discriminating
+    * there — setting the offset to round(log2(10)·2^20) = 3483294
+    * restores the calibrated selectivity and lets the full DuckDB
+    * hash gate run at target/sf1_scaled instead of skipping the
+    * query. Applied identically to the Spark filter AND the oracle
+    * SQL (both read the same process env), so the compare stays
+    * engine-exact at any offset. */
+  private val PmiOffsetFp: Long =
+    sys.env.get("GRAFT_PMI_OFFSET_FP").map(_.toLong).getOrElse(0L)
+  private def pmiCutFp: Long = PmiKeepFp + PmiOffsetFp
+
   /** DuckDB replay of trustedLm + scoring of the docs selected by
     * `evalFilter` (a SQL predicate over the bigram rows' `e.doc_id`):
     * CTE chain ending in `p(doc_id, n_bigrams, bits_fp)`. Single
@@ -220,7 +234,7 @@ object LmQueries extends QueryModule {
           .select(col("w1"), col("w2"), col("c12"),
             (log2LinFp(col("c12")) + log2LinFp(col("n_tok"))
               - log2LinFp(col("u1")) - log2LinFp(col("u2"))).as("pmi_fp"))
-          .filter(col("pmi_fp") >= PmiKeepFp)
+          .filter(col("pmi_fp") >= pmiCutFp)
       },
       Some {
         def lg(x: String) = log2LinFpSql(x)
@@ -245,7 +259,7 @@ object LmQueries extends QueryModule {
            |      CROSS JOIN tot t
            |      WHERE c12.c12 >= $MinPairCount)
            |SELECT w1, w2, c12, pmi_fp FROM p
-           |WHERE pmi_fp >= $PmiKeepFp""".stripMargin
+           |WHERE pmi_fp >= $pmiCutFp""".stripMargin
       })
   )
 }

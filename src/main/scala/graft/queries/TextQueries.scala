@@ -35,6 +35,17 @@ object TextQueries extends QueryModule {
   }
 
   /** Oracle CTE mirroring shingleRows: `sh(doc_id, s)`. */
+  /** Sweep-only document sampling for `similarity_triangles`, read
+    * from `GRAFT_TRI_SAMPLE_MOD` (keep docs whose portable doc_id
+    * hash ≡ 0 mod K; unset/≤1 = full graph — the production and
+    * driver-gate behavior). Exists because the deliberately-naive
+    * DuckDB ORACLE (all-pairs shared-shingle join) outgrows memory on
+    * the 10× fixture while the engine's wedge plan does not; the
+    * induced-subgraph gate keeps the census hash-verified at
+    * sf1_scaled instead of skipped (BENCHNOTES). */
+  private val TriSampleMod: Option[Long] =
+    sys.env.get("GRAFT_TRI_SAMPLE_MOD").map(_.toLong).filter(_ > 1)
+
   private[queries] val shingleCte =
     """tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
       |sh AS (SELECT doc_id,
@@ -2468,7 +2479,18 @@ object TextQueries extends QueryModule {
     // pins it on closed-form graphs + a brute-force sweep.
     Q("similarity_triangles",
       (s, dir) => {
-        val sh = shingleRowsCached(s, dir)
+        // sweep-only induced-subgraph sampling (GRAFT_TRI_SAMPLE_MOD):
+        // the ENGINE's wedge plan handles the 10× fixture in seconds,
+        // but the deliberately-naive DuckDB oracle's all-pairs
+        // shared-shingle join outgrows memory there. Restricting BOTH
+        // sides to the hash-sampled document subset (induced subgraph
+        // — df caps and degrees recomputed on the sample) keeps the
+        // oracle feasible at sf1_scaled, so the census stays
+        // hash-gated at 10× instead of skipped. Unset (production/
+        // driver gate) = full graph, unchanged.
+        val sh0 = shingleRowsCached(s, dir)
+        val sh = TriSampleMod.fold(sh0)(k =>
+          sh0.filter(portableHash(col("doc_id").cast("string")) % k === 0))
         val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= 50)
         val ab = sh.join(keep, Seq("s")).select(col("doc_id"), col("s"))
@@ -2481,16 +2503,26 @@ object TextQueries extends QueryModule {
         graft.operators.Triangles.census(e)
           .withColumnRenamed("v", "doc_id")
       },
-      Some(s"""WITH $shingleCte,
-              |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
-              |ab AS (SELECT doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s),
-              |n AS (SELECT doc_id, count(*) AS n FROM ab GROUP BY doc_id),
-              |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-              |          FROM ab a JOIN ab b ON a.s = b.s AND a.doc_id < b.doc_id
-              |          GROUP BY 1, 2),
-              |e AS (SELECT d1, d2 FROM pairs
-              |      JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-              |      WHERE shared * 5 >= n1.n + n2.n - shared),
+      Some {
+        // mirror the engine's sweep-only sampling in the oracle: both
+        // sides read the same env, so the compare is exact either way
+        val (shSrc, sampleCte) = TriSampleMod.fold(("sh", "")) { k =>
+          ("shs",
+            s""",
+               |shs AS (SELECT * FROM sh
+               |        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               |              % $k = 0)""".stripMargin)
+        }
+        s"""WITH $shingleCte$sampleCte,
+           |keep AS (SELECT s FROM $shSrc GROUP BY s HAVING count(*) <= 50),
+           |ab AS (SELECT doc_id, $shSrc.s FROM $shSrc JOIN keep ON $shSrc.s = keep.s),
+           |n AS (SELECT doc_id, count(*) AS n FROM ab GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+           |          FROM ab a JOIN ab b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2),
+           |e AS (SELECT d1, d2 FROM pairs
+           |      JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+           |      WHERE shared * 5 >= n1.n + n2.n - shared),
               |dg AS (SELECT v, count(*) AS deg
               |       FROM (SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e)
               |       GROUP BY v),
@@ -2515,7 +2547,8 @@ object TextQueries extends QueryModule {
               |            THEN CAST(2 * coalesce(tc.tri, 0) AS DOUBLE) /
               |                 CAST(dg.deg * (dg.deg - 1) AS DOUBLE)
               |            ELSE 0.0 END AS lcc
-              |FROM dg LEFT JOIN tc ON dg.v = tc.v""".stripMargin)),
+              |FROM dg LEFT JOIN tc ON dg.v = tc.v""".stripMargin
+      }),
 
     // Exact substring-span dedup: maximal >= 8-token spans repeated
     // anywhere in the corpus, via gram-hash bucketing + a per-doc
