@@ -119,6 +119,41 @@ object PlanAudit {
     // revenue_pareto rides the ONE-ROW broadcast total-spend frame
     "revenue_pareto")
 
+  /** Queries whose partition-less Window is over a PROVABLY bounded
+    * frame for a reason the plan itself cannot show (no LIMIT below
+    * it), each with the bound that protects it. Everything else in
+    * the registry must either have no bare window at all or stamp
+    * ranks below a LIMIT (the top-k shape — TakeOrdered feeds a ≤k-row
+    * window). Kept tiny on purpose: an unbounded bare window is the
+    * single-partition-sort scale cliff r13 flagged on
+    * pack_sequences_bpe, and rfm_segments / revenue_pareto now ride
+    * TwoPhase.withNtile instead of one. */
+  val BoundedBareWindow: Map[String, String] = Map(
+    "monthly_revenue" -> ("cumulative revenue over the month-granularity " +
+      "aggregate — the window input is #months rows, bounded by the " +
+      "calendar horizon, not the data volume"),
+    "corpus_mix" -> ("the feasible-total/quota windows ride the per-" +
+      "language count frame (#langs rows — the mixture spec's own " +
+      "cardinality, 5 here); the per-doc stratum rank is the two-phase " +
+      "64-cell recipe, never a bare window over documents"),
+    "corpus_mix_temperature" -> ("the mass/largest-remainder quota " +
+      "windows ride the per-source aggregate (#sources rows — a " +
+      "catalog-bounded cardinality); the per-doc rank is the same " +
+      "two-phase 64-cell recipe as corpus_mix"))
+
+  /** Partition-less Window nodes in the optimized logical plan whose
+    * subtree has no LIMIT bounding their input — each one is a
+    * whole-frame single-partition sort at scale. */
+  def unboundedBareWindows(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case g: GlobalLimit => g }.isEmpty =>
+        w.windowExpressions.map(_.sql).mkString(",")
+    }
+  }
+
   /** Run `name` at `sfDir`, return (formatted plan, smells). */
   def audit(spark: SparkSession, sfDir: String,
             name: String): (String, Seq[String]) = {
@@ -130,7 +165,9 @@ object PlanAudit {
       "CartesianProduct" -> plan.contains("CartesianProduct"),
       "no-WholeStageCodegen" -> !plan.contains("codegen id"),
       "BroadcastNestedLoop" -> (plan.contains("BroadcastNestedLoopJoin")
-        && !ExpectedBnlj.contains(name))
+        && !ExpectedBnlj.contains(name)),
+      "unbounded-bare-window" -> (!BoundedBareWindow.contains(name)
+        && unboundedBareWindows(df).nonEmpty)
     ).collect { case (s, true) => s }
     (plan, smells)
   }

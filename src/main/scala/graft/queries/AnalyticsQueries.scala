@@ -690,9 +690,10 @@ object AnalyticsQueries extends QueryModule {
               |FROM c JOIN csize ON c.cohort_week = csize.cohort_week""".stripMargin)),
 
     // Revenue-concentration deciles (the Pareto/Lorenz report): users
-    // ranked by exact DECIMAL spend, split into ntile deciles
-    // (user_id tie-breaks — engine-identical assignment, the
-    // rfm_segments recipe), each decile reporting its spend and share
+    // ranked by exact DECIMAL spend, split into deciles via
+    // TwoPhase.withNtile (user_id tie-breaks — engine-identical
+    // assignment with no single-partition sort, the rfm_segments
+    // recipe), each decile reporting its spend and share
     // of total. "The top decile drives 17% of revenue" is the number
     // behind every whale-retention decision. Shares divide two
     // 4-dp-rounded doubles — one engine-identical float op each.
@@ -702,8 +703,8 @@ object AnalyticsQueries extends QueryModule {
           .filter(col("event_type") === "purchase")
           .groupBy(col("user_id")).agg(sum(dec(col("value"))).as("spend"))
         val t = u.agg(sum(col("spend")).as("total"))
-        u.withColumn("decile", ntile(10).over(
-            Window.orderBy(col("spend").desc, col("user_id"))))
+        graft.operators.TwoPhase.withNtile(u, "decile", 10,
+            col("spend").desc, col("user_id"))
           .groupBy(col("decile")).agg(count(lit(1)).as("n_users"),
             sum(col("spend")).as("dspend"))
           .crossJoin(broadcast(t))
@@ -730,11 +731,11 @@ object AnalyticsQueries extends QueryModule {
     // most recent / most frequent / highest spend) and composed into
     // the 3-digit segment code marketers act on (111 = champions,
     // 555 = lost). ntile needs a TOTAL order — user_id tie-breaks make
-    // the quintile assignment engine-identical. Scale note: the
-    // quintile windows are global single-partition sorts over the
-    // PER-USER frame (#purchasing-users rows, orders of magnitude
-    // below the event log); at extreme user counts the same scores
-    // come from pre-computed quantile cut-points instead of ntile.
+    // the quintile assignment engine-identical. Scale note: each
+    // quintile is TwoPhase.withNtile — the SQL-standard tile computed
+    // in closed form from a two-phase distributed rank, bit-identical
+    // to the engine's ntile with no single-partition sort, so the
+    // per-user frame can be 10^9 rows without a scale cliff.
     Q("rfm_segments",
       (s, dir) => {
         val p = Tables.events(s, dir)
@@ -750,13 +751,13 @@ object AnalyticsQueries extends QueryModule {
           .select(col("user_id"),
             (col("maxd") - col("lastd")).as("recency_days"),
             col("frequency"), col("mon"))
-        rfm
-          .withColumn("r_score", ntile(5).over(
-            Window.orderBy(col("recency_days"), col("user_id"))))
-          .withColumn("f_score", ntile(5).over(
-            Window.orderBy(col("frequency").desc, col("user_id"))))
-          .withColumn("m_score", ntile(5).over(
-            Window.orderBy(col("mon").desc, col("user_id"))))
+        val t3 = Seq[(String, Seq[Column])](
+          ("r_score", Seq(col("recency_days"), col("user_id"))),
+          ("f_score", Seq(col("frequency").desc, col("user_id"))),
+          ("m_score", Seq(col("mon").desc, col("user_id"))))
+          .foldLeft(rfm) { case (acc, (name, ord)) =>
+            graft.operators.TwoPhase.withNtile(acc, name, 5, ord: _*) }
+        t3
           .select(col("user_id"), col("recency_days"), col("frequency"),
             dbl4(col("mon")).as("monetary"),
             col("r_score"), col("f_score"), col("m_score"),

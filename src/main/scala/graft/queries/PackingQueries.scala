@@ -89,57 +89,19 @@ object PackingQueries extends QueryModule {
       .withColumn("rk", col("rk").cast("long"))
   }
 
-  /** Range-partition `df` by `orderCols` into disjoint ordered key
-    * ranges, stamp `pid`, and FREEZE the result (`localCheckpoint`).
-    * Every two-phase prefix sum branches this frame twice — a
-    * partition-local window stage and a per-partition totals stage —
-    * and without the freeze each branch re-executes the range
-    * exchange independently, so `spark_partition_id()` need not mean
-    * the same partitioning in both (AQE can coalesce the two
-    * executions differently; boundary sampling is re-run). The
-    * mismatch silently corrupts every downstream offset while
-    * preserving row counts — caught at the 10× sweep, where
-    * `pack_sequences_bpe` packed 27,590 sequences of the correct
-    * 28,061. The checkpoint materializes the exchange ONCE so both
-    * branches read the same partitions. Callers must pass the NARROW
-    * per-item frame (keys + weight), never an array-carrying one —
-    * the checkpoint stores it.
-    *
-    * Fault-tolerance trade (ADVICE r13): localCheckpoint blocks live
-    * in EXECUTOR-LOCAL storage — losing an executor after the
-    * checkpoint fails the query (no lineage to recompute) rather than
-    * recovering. Four production queries ride this (pack_sequences,
-    * pack_sequences_bpe, corpus_shard, token_budget_select); on a
-    * long-lived cluster run prefer reliable `checkpoint()` to an HDFS
-    * dir, or persist+count with deterministic partition ids — the
-    * recipe is unchanged, only the freeze primitive swaps. */
-  private def rangeParted(df: DataFrame, orderCols: Column*): DataFrame = {
-    val nParts = math.max(1,
-      df.sparkSession.sparkContext.defaultParallelism / 4)
-    df.repartitionByRange(nParts, orderCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-  }
+  /** The two-phase primitives now live in `operators.TwoPhase` (they
+    * grew more callers: the exact distributed ntile under
+    * rfm_segments / revenue_pareto rides the same recipe). Four
+    * production queries here ride the frozen exchange
+    * (pack_sequences, pack_sequences_bpe, corpus_shard,
+    * token_budget_select) — see TwoPhase.rangeParted's scaladoc for
+    * the AQE branch-consistency bug it fixes and the localCheckpoint
+    * fault-tolerance trade. */
+  private def rangeParted(df: DataFrame, orderCols: Column*): DataFrame =
+    graft.operators.TwoPhase.rangeParted(df, orderCols: _*)
 
-  /** The `(pid, before)` offset frame of a two-phase prefix sum: per-
-    * partition totals of `weight` over the FROZEN range-parted frame,
-    * prefix-summed on the DRIVER. The totals are #partitions rows (32
-    * locally, ~10^5 at 100 TB / 1 GB partitions) — the same driver-
-    * side boundary exchange Spark's own RangePartitioner performs at
-    * every range shuffle, so collecting them is the canonical shape,
-    * not a scale hazard; it also retires the last partition-less
-    * WindowExec these pipelines had (the totals-frame running sum),
-    * which r13 flagged via its `No Partition Defined` warnings.
-    * Callers broadcast-join the result back on `pid`. */
-  private def prefixFrame(parted: DataFrame, weight: Column): DataFrame = {
-    val s = parted.sparkSession
-    import s.implicits._
-    val totals = parted.groupBy(col("pid")).agg(weight.cast("long").as("ptot"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    totals.map(_._1)
-      .zip(totals.scanLeft(0L)(_ + _._2).init)
-      .toSeq.toDF("pid", "before")
-  }
+  private def prefixFrame(parted: DataFrame, weight: Column): DataFrame =
+    graft.operators.TwoPhase.prefixFrame(parted, weight)
 
   /** Two-phase greedy token-budget prefix on a scored frame (see
     * `token_budget_select`). Input needs (doc_id, score, n_tok); keeps

@@ -27,6 +27,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // must still exist (a renamed query must not leave a stale grant)
     assert((PlanAudit.ExpectedBnlj -- registry).isEmpty,
       s"stale ExpectedBnlj: ${(PlanAudit.ExpectedBnlj -- registry).toSeq.sorted}")
+    PlanAudit.BoundedBareWindow.foreach { case (n, why) =>
+      assert(registry.contains(n), s"stale BoundedBareWindow grant: $n")
+      assert(why.trim.length > 20, s"grant $n needs a real bound statement")
+    }
+  }
+
+  test("bounded-bare-window grants are live (the window still exists)") {
+    // a grant for a query that no longer plans a bare window is stale
+    // noise — the smell check would silently cover a future regression
+    PlanAudit.BoundedBareWindow.keys.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      assert(PlanAudit.unboundedBareWindows(df).nonEmpty,
+        s"$name no longer plans a partition-less window — drop its grant")
+    }
   }
 
   test("representative query plans are smell-free at sf0.001") {
