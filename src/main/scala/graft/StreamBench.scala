@@ -3,9 +3,7 @@ package graft
 import graft.config.DefaultConfig
 import graft.sources.Tables
 import graft.streaming.EventPipeline
-import graft.streaming.EventPipeline.EventRow
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** End-to-end streaming throughput: events → incremental per-user
   * aggregates → rules → grant-flip CDC (the reference's full write
@@ -32,16 +30,26 @@ object StreamBench {
     * is watermark-evicted — the only state contract that survives an
     * unbounded 100 TB feed. */
   def run(spark: SparkSession, sfDir: String, nChunks: Int): (Double, Long) = {
-    // Stream-specific session tuning (batch conf untouched): state
-    // partition count bounds the per-batch state-store commit fan-out
-    // (2 stateful operators × partitions stores on ONE node here; a
-    // real cluster spreads them), and no-data micro-batches only exist
-    // to advance watermark eviction — pure overhead in a throughput
-    // measurement.
+    // Stream-specific session tuning (batch conf untouched): the state
+    // partition count trades fold parallelism against per-batch
+    // state-store commit fan-out (all stores on ONE node here; a real
+    // cluster spreads them). Measured at sf0.1/32 cpus on the
+    // single-operator pipeline: 8 parts ≈ 12k ev/s (compute-bound),
+    // 16 ≈ 23-24k, 32 ≈ 16k (per-partition overhead wins) — 16 is the
+    // sweet spot. No-data micro-batches only exist to advance
+    // watermark eviction — pure overhead in a throughput measurement.
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "16"))
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").foreach {
+      case "rocksdb" => ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => ()
+    }
+    sys.env.get("SPARK_GRAFT_STREAM_ASYNC").foreach { v =>
+      ss.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", v)
+    }
     import ss.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -78,24 +86,44 @@ object StreamBench {
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
+    // Pipeline warmup on a SEPARATE query over a 2-file sliver of the
+    // same feed, run through the SAME FileEventSource + pipeline plan:
+    // compiles the stateful plan, the parquet-scan stage, and the
+    // state-store machinery so the measured run starts at steady state.
+    // An earlier MemoryStream warmup left the file-scan stage cold and
+    // batch 0 of the measured query paid ~1.5-2 s of codegen +
+    // first-planning — all fixed cost, none of it the pipeline under
+    // measurement. Its own temp dir + query name + state; nothing the
+    // measured query reuses but JIT.
+    val warmDir = java.nio.file.Files.createTempDirectory("stream_bench_warm")
+    (0 until 4).foreach { i =>
+      val tmp = warmDir.resolve(s"tmp_$i")
+      ranked.filter(col("rn") > i * 2500L && col("rn") <= (i + 1) * 2500L)
+        .drop("rn").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally l.close()
+      }
+      val dst = warmDir.resolve(f"events-$i%03d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
     ranked.unpersist()
-    // Pipeline warmup on a SEPARATE query over a small driver-fed
-    // sliver: compiles the stateful plan + state-store machinery so
-    // the measured run starts at steady state (first-batch codegen was
-    // 30-50% of the measured wall time, all fixed cost). 2000 rows is
-    // far under the large-task threshold; its own query name + state,
-    // nothing the measured query reuses but JIT.
     locally {
-      val wms = MemoryStream[EventRow](ss)
-      val wq = EventPipeline.grantChangesBounded(ss, wms.toDS(), DefaultConfig.config)
+      val wstream = graft.streaming.FileEventSource.events(
+        ss, warmDir.toString, maxFilesPerTrigger = 1, glob = "events-*.parquet")
+      val wq = EventPipeline.grantChangesBounded(ss, wstream, DefaultConfig.config)
         .writeStream.format("memory")
         .queryName(s"bench_warm_${System.nanoTime()}")
         .outputMode("append").start()
-      try {
-        wms.addData(Tables.events(ss, sfDir).as[EventRow]
-          .orderBy(col("ts"), col("event_id")).limit(2000).collect().toSeq)
-        wq.processAllAvailable()
-      } finally wq.stop()
+      try wq.processAllAvailable() finally wq.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(warmDir.toFile)
     }
     val stream = graft.streaming.FileEventSource.events(
       ss, feedDir.toString, maxFilesPerTrigger = 1, glob = "events-*.parquet")
@@ -107,6 +135,14 @@ object StreamBench {
     try q.processAllAvailable() finally q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
     System.err.println(s"[stream] progress: ${EventPipeline.queueMetrics(q)}")
+    // Per-batch duration breakdown (addBatch = plan execution,
+    // everything else is fixed per-batch harness cost) — the floor
+    // diagnosis lever; stderr only, never parsed.
+    q.recentProgress.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      val d = p.durationMs.asScala.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(" ")
+      System.err.println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} $d")
+    }
     val flips = ss.table(name).count()
     org.apache.commons.io.FileUtils.deleteDirectory(feedDir.toFile)
     (n / sec, flips)

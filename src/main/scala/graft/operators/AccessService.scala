@@ -26,18 +26,37 @@ import org.apache.spark.sql.functions._
 final class AccessService(
     spark: SparkSession,
     grants: DataFrame,    // [user_id, feature, has_grant]
-    circuits: DataFrame) { // [feature, circuit_open]
+    circuits: DataFrame,  // [feature, circuit_open]
+    maxBroadcastGrants: Long = AccessService.GrantsBroadcastMaxRows) {
 
   private val g = grants.cache()
   private val c = circuits.cache()
 
+  /** Measured once per service instance (the cache makes the count a
+    * one-time cost); drives the broadcast-vs-shuffle strategy below,
+    * same recipe as `Bpe.vocabJoin`. */
+  private lazy val nGrants: Long = g.count()
+
+  /** Join a request batch against the grants view. Grants are
+    * per-(user, feature) — bounded by the USER population, not by
+    * config — so at 10⁹ users a forced broadcast blows Spark's 8 GiB
+    * limit. Broadcast below [[AccessService.GrantsBroadcastMaxRows]]
+    * (the request side then streams through shuffle-free); above it,
+    * shuffle hash join building on the grants side — the bucketed
+    * `sources/GrantStore` remains the true point-lookup serve tier,
+    * this is the bulk-scoring path. */
+  private def joinGrants(requests: DataFrame): DataFrame =
+    if (nGrants <= maxBroadcastGrants)
+      requests.join(broadcast(g), Seq("user_id", "feature"), "left_outer")
+    else
+      requests.join(g.hint("shuffle_hash"), Seq("user_id", "feature"), "left_outer")
+
   /** Batch point-lookup: one row per (user_id, feature) request, with
     * the logged-attempt `success` column alongside the served
-    * `has_access`. Both joins broadcast — the request side streams
-    * through without a shuffle. */
+    * `has_access`. The circuit frame is O(features) — always
+    * broadcast; the grants join is size-gated by [[joinGrants]]. */
   def check(requests: DataFrame): DataFrame =
-    requests
-      .join(broadcast(g), Seq("user_id", "feature"), "left_outer")
+    joinGrants(requests)
       .join(broadcast(c), Seq("feature"), "left_outer")
       .select(col("user_id"), col("feature"),
         coalesce(col("has_grant"), lit(true)).as("has_grant"),
@@ -50,8 +69,7 @@ final class AccessService(
     * success is the REAL grant regardless of circuit state
     * (user_feature.py:52-55 logs `success=grant`). */
   def accessLog(requests: DataFrame): DataFrame =
-    requests
-      .join(broadcast(g), Seq("user_id", "feature"), "left_outer")
+    joinGrants(requests)
       .select(col("ts"), col("user_id"), col("feature"),
         coalesce(col("has_grant"), lit(true)).as("success"))
 
@@ -68,6 +86,13 @@ final class AccessService(
 }
 
 object AccessService {
+
+  /** Broadcast ceiling (rows) for the grants view in a batch check —
+    * same shape as `Bpe.VocabBroadcastMaxRows`: ~4M (user, feature)
+    * rows is a few hundred MB broadcast, comfortably safe; a
+    * 10⁹-user grants frame must take the shuffle-hash path instead of
+    * dying inside an 8 GiB broadcast build. */
+  val GrantsBroadcastMaxRows: Long = 4000000L
 
   /** Feature-flag route parsing (SURVEY.md P5): `can<feature>` with a
     * lowercase feature of 1-16 chars (reference app.py:65-71; the

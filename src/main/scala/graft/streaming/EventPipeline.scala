@@ -247,27 +247,55 @@ object EventPipeline {
         updateUser(cfg))
   }
 
-  /** Bounded-state variant: uuid dedup moves OUT of the per-user state
-    * into `dropDuplicatesWithinWatermark` (its state is evicted by the
-    * watermark), and the fold stops recording seen ids — the per-user
-    * state is then O(aggregates), not O(events seen), closing the one
-    * unbounded-state hole the default pipeline inherits from the
+  /** Bounded per-user state for [[grantChangesBounded]]: the
+    * accumulators plus a watermark-evicted `event_id → event-time ms`
+    * dedup map. */
+  final case class BoundedUserState(agg: UserAggState, seenTs: Map[Long, Long])
+
+  /** Bounded-state variant: uuid dedup keeps only ids seen WITHIN the
+    * watermark, evicted as it advances — the per-user state is then
+    * O(aggregates + in-flight window), not O(events seen), closing the
+    * one unbounded-state hole the default pipeline inherits from the
     * reference's dicts. The trade is the reference's exact forever-
     * dedup narrows to duplicates arriving within the watermark, the
-    * standard production contract. */
+    * standard production contract.
+    *
+    * The dedup lives INSIDE the per-user fold rather than as an
+    * upstream `dropDuplicatesWithinWatermark`: a duplicate event
+    * carries the same user_id as its original, so per-user scope loses
+    * nothing — and the pipeline drops from two stateful operators
+    * (dedup keyed by event_id, fold keyed by user_id: two shuffles of
+    * the full event stream + 2× state-store commit fan-out per
+    * micro-batch) to ONE. At 100 TB/day that is a full shuffle of the
+    * ingest stream saved per batch; on the bench it halves the
+    * per-batch fixed cost that dominates small-batch throughput.
+    * Late rows (event time older than the watermark) are dropped
+    * before the fold, exactly as the upstream dedup operator did. */
   def grantChangesBounded(spark: SparkSession, events: Dataset[EventRow],
                           cfg: EngineConfig,
                           watermark: String = "15 minutes"): Dataset[GrantChange] = {
     import spark.implicits._
     typed(events)
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (userId: Long, evs: Iterator[TypedEventRow], state: GroupState[UserAggState]) => {
-          val (st, changes) = foldEvents(cfg, userId,
-            state.getOption.getOrElse(emptyState), evs, trackSeen = false)
-          state.update(st)
+        (userId: Long, evs: Iterator[TypedEventRow], state: GroupState[BoundedUserState]) => {
+          val st0 = state.getOption.getOrElse(BoundedUserState(emptyState, Map.empty))
+          val wm = state.getCurrentWatermarkMs()
+          // late-data filter + prior-batch dedup (point lookups) +
+          // in-batch dedup (duplicate rows are identical — keeping any
+          // one is exact)
+          val fresh = evs
+            .filter(e => e.ts.getTime >= wm)
+            .filterNot(e => st0.seenTs.contains(e.event_id))
+            .toSeq.distinctBy(_.event_id)
+          val (st, changes) = foldEvents(cfg, userId, st0.agg,
+            fresh.iterator, trackSeen = false)
+          // watermark eviction of the dedup map, then record this
+          // batch's ids
+          val seen = st0.seenTs.filter(_._2 >= wm) ++
+            fresh.iterator.map(e => e.event_id -> e.ts.getTime)
+          state.update(BoundedUserState(st, seen))
           changes.iterator
         })
   }

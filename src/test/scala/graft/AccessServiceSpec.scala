@@ -78,4 +78,29 @@ class AccessServiceSpec extends AnyFunSuite {
       .map(r => r.getLong(1) -> r.getBoolean(3)).toMap
     assert(log == Map(1L -> false, 2L -> true))
   }
+
+  test("grants join is size-gated: shuffle-hash above the broadcast ceiling") {
+    import spark.implicits._
+    val grants = Seq((1L, "purchase", false), (2L, "purchase", true))
+      .toDF("user_id", "feature", "has_grant")
+    val circuits = Seq(("purchase", false)).toDF("feature", "circuit_open")
+    val requests = Seq((1L, "purchase"), (2L, "purchase"), (3L, "purchase"))
+      .toDF("user_id", "feature")
+    val small = new AccessService(spark, grants, circuits)
+    val huge = new AccessService(spark, grants, circuits, maxBroadcastGrants = 0L)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // below the ceiling: grants broadcast (requests stream shuffle-free)
+    assert(planOf(small.check(requests)).contains("BroadcastHashJoin"))
+    // above it: the grants join must NOT be a broadcast — shuffle hash
+    // join building on the grants side (the circuits join, O(features),
+    // stays broadcast)
+    val hugePlan = planOf(huge.check(requests))
+    assert(hugePlan.contains("ShuffledHashJoin"))
+    // identical answers either side of the gate
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))
+    assert(small.check(requests).collect().map(key).sorted.toSeq ==
+      huge.check(requests).collect().map(key).sorted.toSeq)
+  }
 }
