@@ -33,6 +33,16 @@ object Bench {
     // hash aggregation, window time-bucketing, ranking windows, md5,
     // explode, broadcast + shuffle joins) without ever executing a
     // benchmark query or materializing anything a query would reuse.
+    // The warmup doubles as a VM-HEALTH CANARY (VERDICT r14 #2): it is
+    // a pinned synthetic plan — no data, no stores, identical bytes
+    // every round — so its wall time moves ONLY with the machine.
+    // r14's artifact recorded 201 s of memo builds and 9,150 ev/s that
+    // a quiet-machine re-run could not reproduce; without a canary a
+    // degraded VM is indistinguishable in the artifact from a code
+    // regression. canary_sec is emitted in both JSON artifacts and
+    // degraded=true when it exceeds 2× its recorded quiet-machine cost
+    // (BENCHNOTES: a degraded run is re-run, not archived).
+    val canaryT0 = System.nanoTime()
     locally {
       import org.apache.spark.sql.functions._
       val w = spark.range(300000).selectExpr(
@@ -57,6 +67,14 @@ object Bench {
       j1.join(j2, Seq("a")).groupBy("c").agg(sum(col("b")))
         .write.format("noop").mode("overwrite").save()
     }
+    val canarySec = (System.nanoTime() - canaryT0) / 1e9
+    // Quiet-machine cost of the pinned warmup plan on this image
+    // (includes first-touch JVM/codegen — that fixed cost is part of
+    // the pin). Re-pin only when the warmup plan itself changes.
+    val CanaryBaselineSec = 12.0
+    val degraded = canarySec > 2 * CanaryBaselineSec
+    if (degraded) System.err.println(
+      f"[bench] WARNING degraded VM: canary $canarySec%.1f s vs baseline $CanaryBaselineSec%.1f s — re-run this bench, do not archive it")
     graft.sources.Tables.events(spark, sfDir).limit(10).collect()
     // Store warm-up phase: stand up every PERSISTED serving store
     // (postings, IVF cells, PQ codebooks+codes) BEFORE the query loop
@@ -167,7 +185,7 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.writeString(fullPath,
-      s"""{"bench_protocol":"min-of-$Passes","bench_all":$qs,"sweeps":$sweepsJson,"memo_builds":$memoJson,"store_builds":$buildsJson,"failed":$failed,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
+      s"""{"bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,"bench_all":$qs,"sweeps":$sweepsJson,"memo_builds":$memoJson,"store_builds":$buildsJson,"failed":$failed,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
     val headline = results.filter { case (k, _, _) =>
       k.matches("q\\d+_.*")
     }.map { case (k, v, ok) =>
@@ -185,7 +203,7 @@ object Bench {
     // is a regression, not VM noise, and must fail the run.
     val StreamFloor = 20000.0
     def line(memo: String): String =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","bench_protocol":"min-of-$Passes","n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_build_sec":${"%.3f".format(builds.map(_._2).sum)},"memo_builds":$memo,"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"stream_floor":${"%.0f".format(StreamFloor)},"full":"${fullPath.toString}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_build_sec":${"%.3f".format(builds.map(_._2).sum)},"memo_builds":$memo,"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"stream_floor":${"%.0f".format(StreamFloor)},"full":"${fullPath.toString}","sf":"$sfDir"}"""
     // The driver's capture window is ~2000 chars of tail; the parse
     // target must be well inside it. If the named memo map ever makes
     // the line too long, collapse it to its total (detail stays in

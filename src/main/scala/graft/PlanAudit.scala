@@ -142,14 +142,25 @@ object PlanAudit {
       "two-phase 64-cell recipe as corpus_mix"))
 
   /** Partition-less Window nodes in the optimized logical plan whose
-    * subtree has no LIMIT bounding their input — each one is a
-    * whole-frame single-partition sort at scale. */
+    * INPUT cardinality is not bounded by a LIMIT — each one is a
+    * whole-frame single-partition sort at scale. The bound must sit on
+    * the window's own input chain (through cardinality-preserving /
+    * -reducing unary nodes only): a GlobalLimit elsewhere in the
+    * subtree — e.g. on the small side of a join feeding the window —
+    * bounds nothing about the window's input and must not suppress
+    * the smell. */
   def unboundedBareWindows(
       df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @annotation.tailrec
+    def boundedInput(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit => true
+      case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
+                _: RepartitionOperation) => boundedInput(n.children.head)
+      case _ => false
+    }
     df.queryExecution.optimizedPlan.collect {
-      case w: LWindow if w.partitionSpec.isEmpty &&
-          w.child.collectFirst { case g: GlobalLimit => g }.isEmpty =>
+      case w: Window if w.partitionSpec.isEmpty && !boundedInput(w.child) =>
         w.windowExpressions.map(_.sql).mkString(",")
     }
   }

@@ -46,7 +46,21 @@ object TwoPhase {
     * `checkpoint()` to an HDFS dir, or persist+count with
     * deterministic partition ids — the recipe is unchanged, only the
     * freeze primitive swaps. */
+  /** Column names the recipe stamps on caller frames (`pid` is part
+    * of the caller contract — prefixFrame offsets join back on it;
+    * the rest are internal to one helper). A caller frame already
+    * carrying one would be silently clobbered or make the offset join
+    * ambiguous, so the helpers refuse it loudly instead. */
+  private val ReservedCols = Seq("pid", "before", "__rl", "__r")
+
+  private def requireFree(df: DataFrame, cols: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(cols.toSet)
+    require(clash.isEmpty,
+      s"TwoPhase reserves column name(s) ${clash.mkString(", ")} — rename them in the input frame")
+  }
+
   private[graft] def rangeParted(df: DataFrame, orderCols: Column*): DataFrame = {
+    requireFree(df, ReservedCols)
     val nParts = math.max(1,
       df.sparkSession.sparkContext.defaultParallelism / 4)
     df.repartitionByRange(nParts, orderCols: _*)

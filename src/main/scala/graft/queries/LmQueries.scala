@@ -107,8 +107,16 @@ object LmQueries extends QueryModule {
     * query. Applied identically to the Spark filter AND the oracle
     * SQL (both read the same process env), so the compare stays
     * engine-exact at any offset. */
-  private val PmiOffsetFp: Long =
-    sys.env.get("GRAFT_PMI_OFFSET_FP").map(_.toLong).getOrElse(0L)
+  private val PmiOffsetFp: Long = {
+    val v = sys.env.get("GRAFT_PMI_OFFSET_FP").map(_.toLong).getOrElse(0L)
+    // loud on purpose: a stray env var in a production session would
+    // otherwise silently shift the PMI cut with no gate catching it
+    // (engine and oracle both read it, so they'd still agree)
+    if (v != 0L) System.err.println(
+      s"[graft] WARNING sweep knob GRAFT_PMI_OFFSET_FP=$v active: " +
+        "collocations_pmi cut is shifted, NOT production output")
+    v
+  }
   private def pmiCutFp: Long = PmiKeepFp + PmiOffsetFp
 
   /** DuckDB replay of trustedLm + scoring of the docs selected by

@@ -244,15 +244,28 @@ object PackingQueries extends QueryModule {
   /** Sequence capacity, shared with the streaming packer. */
   private[graft] val SeqCap: Long = Cap.toLong
 
+  /** The reserved out-of-vocabulary token id, shared by the batch
+    * packer and the streaming twin. Vocab ids are the 0-based
+    * lexicographic ranks, so -1 is provably outside the id space. A
+    * frozen production tokenizer MUST ship one: a symbol first seen
+    * after the vocab froze still consumed its offset, and a training
+    * loader needs a row there, not a hole. */
+  private[graft] val UnkTokenId: Long = -1L
+
   private[graft] def bpePackedTokens(s: SparkSession, dir: String): DataFrame = {
     val merges = TextQueries.bpeMergesCached(s, dir)
     // the frame is frozen + counted ONCE (freezeVocab) so the corpus
     // join and the symbol-vocab rank read the same materialization
     val (ws, nVocab) = encodeWords(s, docs(s, dir), merges)
+    // left join + UNK coalesce: self-trained vocab covers every
+    // symbol here (identical output to an inner join), but the twin
+    // must share the streaming packer's frozen-tokenizer contract —
+    // an out-of-vocab symbol maps to UnkTokenId at its offset
     symbolStream(docs(s, dir), ws, nVocab)
-      .join(broadcast(symbolVocab(ws)), Seq("sym"))
+      .join(broadcast(symbolVocab(ws)), Seq("sym"), "left_outer")
       .select(expr(s"off div $Cap").as("seq_id"),
-        (col("off") % Cap).as("position"), col("token_id"))
+        (col("off") % Cap).as("position"),
+        coalesce(col("token_id"), lit(UnkTokenId)).as("token_id"))
   }
 
   /** PII patterns, shared by the `pii_redaction` gate query, the

@@ -16,9 +16,11 @@ import org.apache.spark.sql.SparkSession
   *     membership-written-last idea, lifted to whole-store grain).
   *  2. *Is it THIS corpus?* Store prefixes are derived from the corpus
   *     PATH; a fixture regenerated in place keeps its path. The
-  *     signature hashes the corpus files' (name, size, mtime), so a
-  *     regenerated corpus fails the match and the store rebuilds
-  *     instead of silently serving stale rows.
+  *     signature hashes each corpus file's (name, size, head sample,
+  *     parquet footer), so a corpus whose DATA changed fails the
+  *     match and the store rebuilds instead of silently serving
+  *     stale rows — while a byte-identical regeneration (fresh
+  *     mtimes) still adopts.
   *
   * On a real deployment the same record lives in the table format's
   * snapshot metadata (a Delta/Iceberg commit carrying the source
@@ -31,11 +33,29 @@ object StoreSentinel {
     BucketedUpsert.markerPath(spark, prefix)
       .resolveSibling(prefix + ".graft_corpus")
 
-  /** Bytes sampled from each end of every corpus file for the
-    * signature. 4 KiB of parquet tail covers the footer (row counts,
-    * column min/max stats, schema) — a content fingerprint, not just
-    * a listing. */
+  /** Bytes sampled from the head of every corpus file (and the tail
+    * of non-parquet files) for the signature. */
   private val SampleBytes = 4096
+
+  /** Ceiling on the parquet-footer tail sample — a footer is
+    * metadata-sized (KBs to low MBs even for very wide tables); the
+    * cap only guards against a corrupt/hostile length field. */
+  private val MaxFooterBytes = 16L * 1024 * 1024
+
+  /** Read until `buf` is full or EOF — FileChannel.read may return
+    * short (NFS/fuse/object-store mounts do this routinely), and a
+    * partial read would make the same file hash differently across
+    * sessions, forcing the spurious full re-ingest the signature
+    * exists to prevent. */
+  private def readFully(ch: java.nio.channels.FileChannel,
+                        buf: java.nio.ByteBuffer, pos0: Long): Unit = {
+    var pos = pos0
+    var n = 0
+    while (buf.hasRemaining && n >= 0) {
+      n = ch.read(buf, pos)
+      if (n > 0) pos += n
+    }
+  }
 
   /** Signature of the corpus files a store derives from: md5 over the
     * sorted (relative-name, size, head+tail sample) listing of each
@@ -46,13 +66,14 @@ object StoreSentinel {
     * byte-identical parquet but fresh mtimes, and an mtime-bearing
     * signature rebuilt every store each session (`adopted: false`
     * across BENCH_r13) — at 100 TB, "rebuild the index because a
-    * timestamp moved" is an outage. Size + the first/last 4 KiB of
-    * each file (the parquet footer carries schema + per-column
-    * min/max stats) changes whenever the data does, and survives
-    * regeneration, rsync, and object-store copies that do not
-    * preserve mtime. Cost: two bounded reads per file — ~0.8 GB of
-    * driver I/O for a 100k-file 100 TB corpus, vs the full re-ingest
-    * a false mismatch forces. */
+    * timestamp moved" is an outage. Size + the first 4 KiB + the
+    * WHOLE parquet footer of each file (schema + every row group's
+    * per-column min/max stats — a mid-file data change that preserves
+    * size still moves a row-group stat) changes whenever the data
+    * does, and survives regeneration, rsync, and object-store copies
+    * that do not preserve mtime. Cost: a few bounded reads per file —
+    * low GBs of driver I/O for a 100k-file 100 TB corpus, vs the full
+    * re-ingest a false mismatch forces. */
   def corpusSignature(dir: String, names: String*): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def sample(f: java.nio.file.Path): String = {
@@ -62,10 +83,28 @@ object StoreSentinel {
       try {
         val head = java.nio.ByteBuffer.allocate(
           math.min(SampleBytes.toLong, size).toInt)
-        ch.read(head, 0L)
-        val tail = java.nio.ByteBuffer.allocate(
-          math.min(SampleBytes.toLong, size).toInt)
-        ch.read(tail, math.max(0L, size - SampleBytes))
+        readFully(ch, head, 0L)
+        // Tail sample: for a parquet file, the WHOLE footer (its
+        // length sits in the 8 trailing bytes before the "PAR1"
+        // magic) — the footer carries schema + every row group's
+        // per-column min/max stats, so any data change moves it; a
+        // fixed 4 KiB tail can stop short of the stats on wide
+        // many-row-group files, silently adopting a changed corpus.
+        // Non-parquet (or corrupt-length) files fall back to 4 KiB.
+        val tailLen: Long = {
+          val magic = java.nio.ByteBuffer.allocate(8)
+          if (size >= 12) readFully(ch, magic, size - 8)
+          val isParquet = magic.position() == 8 &&
+            magic.get(4) == 'P' && magic.get(5) == 'A' &&
+            magic.get(6) == 'R' && magic.get(7) == '1'
+          if (isParquet) {
+            val footer = magic.order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(0).toLong
+            if (footer > 0 && footer + 8 <= math.min(size, MaxFooterBytes)) footer + 8
+            else SampleBytes.toLong
+          } else SampleBytes.toLong
+        }
+        val tail = java.nio.ByteBuffer.allocate(math.min(tailLen, size).toInt)
+        readFully(ch, tail, math.max(0L, size - tail.capacity()))
         val h = java.security.MessageDigest.getInstance("MD5")
         h.update(head.array, 0, head.position())
         h.update(tail.array, 0, tail.position())

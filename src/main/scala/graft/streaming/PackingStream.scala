@@ -29,10 +29,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * (StreamingPackingSpec asserts bit-equality + replay no-op).
   *
   * Frozen-vocab contract: a symbol outside the artifact's vocab (a
-  * character never seen at train time) is DROPPED by the inner vocab
-  * join after consuming its stream offset — the positional skeleton
-  * stays correct and a production deployment would map such symbols
-  * to an UNK id instead (one coalesce on the join).
+  * character never seen at train time) keeps its consumed stream
+  * offset and emits `PackingQueries.UnkTokenId` there — the id a
+  * production tokenizer ships for exactly this case. The positional
+  * skeleton is thus complete under any input: no holes, no shifted
+  * offsets (StreamingPackingSpec pins the unseen-character case).
   *
   * Replay safety: the tokens append and the tail bump record the
   * foreachBatch batchId, so a redelivered batch is a no-op per store.
@@ -91,13 +92,18 @@ object PackingStream {
     val sst = PackingQueries.symbolStream(batch, ws, nVocab).localCheckpoint()
     val base = tail(spark, prefix)
     val cap = PackingQueries.SeqCap
-    val toks = sst.join(broadcast(vocab), Seq("sym"))
+    // frozen-vocab miss → UNK (PackingQueries.UnkTokenId): the symbol
+    // consumed its offset, and a training loader needs a row there,
+    // not a hole — the same contract as the batch twin
+    val toks = sst.join(broadcast(vocab), Seq("sym"), "left_outer")
       .select(expr(s"(off + $base) div $cap").as("seq_id"),
-        ((col("off") + base) % cap).as("position"), col("token_id"))
+        ((col("off") + base) % cap).as("position"),
+        coalesce(col("token_id"), lit(PackingQueries.UnkTokenId)).as("token_id"))
     BucketedUpsert.upsert(spark, prefix + TokensTable, toks,
       Seq("seq_id", "position"), "seq_id", buckets, batchId = batchId)
-    // tail advances by ALL encoded symbols (including any vocab-
-    // dropped ones — they consumed offsets), not by emitted rows
+    // tail advances by ALL encoded symbols — with the UNK mapping
+    // that now equals the emitted rows, but the max-offset form stays
+    // the authoritative definition (offsets consumed, not rows kept)
     val nSyms = sst.agg(coalesce(max(col("off")), lit(-1L)))
       .head().getLong(0) + 1L
     import spark.implicits._

@@ -75,4 +75,29 @@ class StreamingPackingSpec extends AnyFunSuite {
         "redelivered batch must not re-bump the tail")
     } finally PackingStream.drop(spark, prefix)
   }
+
+  test("frozen-vocab miss maps to UNK at its consumed offset — no holes") {
+    import spark.implicits._
+    val prefix = "packunk_"
+    PackingStream.drop(spark, prefix)
+    PackingStream.init(spark, prefix, buckets = 4)
+    try {
+      val (merges, vocab) = PackingQueries.bpeTokenizer(spark, sf)
+      // a word from the corpus (in-vocab by construction) around a
+      // character the ASCII fixture corpus cannot contain
+      val known = Tables.documents(spark, sf).select("text")
+        .as[String].head().trim.split("\\s+").head
+      val doc = Seq(Doc(1L, s"$known 日 $known")).toDF("doc_id", "text")
+      PackingStream.upsertBatch(spark, doc, merges, vocab, prefix, 4, Some(0L))
+      val rows = triples(PackingStream.read(spark, prefix))
+      val n = PackingStream.tail(spark, prefix)
+      assert(rows.length.toLong == n,
+        "one row per consumed offset — the UNK mapping closes the hole")
+      assert(rows.map(_._2).toSeq == (0L until n).toSeq,
+        "positions must be contiguous")
+      assert(rows.exists(_._3 == PackingQueries.UnkTokenId),
+        "the unseen character must surface as the UNK id")
+      assert(rows.exists(_._3 >= 0L), "known symbols keep their vocab ids")
+    } finally PackingStream.drop(spark, prefix)
+  }
 }

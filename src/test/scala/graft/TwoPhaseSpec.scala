@@ -63,4 +63,12 @@ class TwoPhaseSpec extends AnyFunSuite {
     assert(PlanAudit.unboundedBareWindows(df).isEmpty,
       "TwoPhase must never plan the single-partition sort it replaces")
   }
+
+  test("reserved column names in the input are refused, not clobbered") {
+    val withPid = frame(10).withColumn("pid", lit(99))
+    val e = intercept[IllegalArgumentException] {
+      TwoPhase.withNtile(withPid, "tile", 2, col("v"), col("id"))
+    }
+    assert(e.getMessage.contains("pid"))
+  }
 }

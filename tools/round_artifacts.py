@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Produce the round artifacts the judge expects IN GIT (README
+checklist rule #3): CORRECTNESS_r{N}.json in the driver's shape from a
+completed `graft.Verify` dump, and BENCH_r{N}.json from a bench log.
+
+Usage:
+  python3 tools/round_artifacts.py correctness <N> <sfDir> <verifyOutDir>
+  python3 tools/round_artifacts.py bench <N> <benchLog> <rc> [cpus] [sf]
+
+The correctness comparison is tools/check.py's (same canonicalisation,
+same asymmetric pandas/duckdb read paths); the per-query record shape
+mirrors the driver's: {rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err} with `no_oracle` rows for queries that
+ship only a rows-only gate. Dev tool only — NOT part of the library.
+"""
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+import check as checkmod  # reuse canon/rows_key/TABLES
+
+import duckdb
+import pandas as pd
+
+
+def correctness(n, sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in checkmod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    res = {}
+    for name in names:
+        row = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        try:
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            got_df = pd.concat([pd.read_parquet(f) for f in files],
+                               ignore_index=True)
+            row["spark_rows"] = len(got_df)
+        except Exception as e:
+            row["err"] = f"spark output unreadable: {e}"
+            res[name] = row
+            continue
+        if name not in oracle:
+            row["err"] = "no_oracle"
+            res[name] = row
+            continue
+        try:
+            want_cols, want = checkmod.rows_key(con.sql(oracle[name]).df())
+        except Exception as e:
+            row["err"] = f"oracle SQL error: {e}"
+            res[name] = row
+            continue
+        got_cols, got = checkmod.rows_key(got_df)
+        row["oracle_rows"] = len(want)
+        row["rows_match"] = len(want) == len(got)
+        row["schema_match"] = want_cols == got_cols
+        row["hash_match"] = (row["rows_match"] and row["schema_match"]
+                             and want == got)
+        res[name] = row
+    path = f"CORRECTNESS_r{n}.json"
+    json.dump(res, open(path, "w"), indent=1)
+    npass = sum(1 for v in res.values() if v["hash_match"])
+    nnone = sum(1 for v in res.values() if v["err"] == "no_oracle")
+    nfail = len(res) - npass - nnone
+    print(f"{path}: {len(res)} queries, {npass} hash-pass, "
+          f"{nnone} no_oracle, {nfail} FAIL")
+    return 1 if nfail else 0
+
+
+def bench(n, log_path, rc, cpus, sf):
+    tail = open(log_path, errors="replace").read()[-2000:]
+    out = {"n": int(n), "rc": int(rc), "cpus": int(cpus),
+           "sf": float(sf), "tail": tail}
+    path = f"BENCH_r{n}.json"
+    json.dump(out, open(path, "w"), indent=1)
+    print(f"{path}: rc={rc}")
+    return 0
+
+
+def main():
+    mode = sys.argv[1]
+    if mode == "correctness":
+        sys.exit(correctness(int(sys.argv[2]), sys.argv[3], sys.argv[4]))
+    elif mode == "bench":
+        n, log, rc = sys.argv[2], sys.argv[3], sys.argv[4]
+        cpus = sys.argv[5] if len(sys.argv) > 5 else "32"
+        sf = sys.argv[6] if len(sys.argv) > 6 else "0.1"
+        sys.exit(bench(n, log, rc, cpus, sf))
+    else:
+        sys.exit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()
