@@ -187,6 +187,37 @@ class CrossSessionStoreSpec extends AnyFunSuite {
     assert(StoreSentinel.corpusSignature(dir.toString, "documents.parquet").nonEmpty)
   }
 
+  test("sentinel signature samples the whole parquet footer, not 4 KiB") {
+    // ADVICE r14: a parquet footer with many columns/row groups can
+    // exceed 4 KiB, so a fixed tail window could miss a changed
+    // row-group stat and silently adopt a changed corpus. Build a
+    // parquet-SHAPED file (trailing [footerLen][PAR1]) with an 8 KiB
+    // footer and flip a byte ~6 KiB from the end — inside the footer,
+    // outside the old 4 KiB window, size preserved.
+    val dir = java.nio.file.Files.createTempDirectory("sigfooter")
+    dir.toFile.deleteOnExit()
+    val f = dir.resolve("documents.parquet")
+    val n = 64 * 1024
+    val footerLen = 8192
+    def mk(flip: Boolean): Array[Byte] = {
+      val b = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+      // trailing 8 bytes: little-endian footer length + "PAR1"
+      b(n - 8) = (footerLen & 0xff).toByte
+      b(n - 7) = ((footerLen >> 8) & 0xff).toByte
+      b(n - 6) = ((footerLen >> 16) & 0xff).toByte
+      b(n - 5) = ((footerLen >> 24) & 0xff).toByte
+      b(n - 4) = 'P'; b(n - 3) = 'A'; b(n - 2) = 'R'; b(n - 1) = '1'
+      if (flip) b(n - 6 * 1024) = 99
+      b
+    }
+    java.nio.file.Files.write(f, mk(flip = false))
+    val s1 = StoreSentinel.corpusSignature(dir.toString, "documents.parquet")
+    java.nio.file.Files.write(f, mk(flip = true))
+    assert(StoreSentinel.corpusSignature(dir.toString, "documents.parquet") != s1,
+      "a size-preserving change inside the footer but beyond the last " +
+        "4 KiB must re-sign the store")
+  }
+
   test("a corpus regenerated in place fails the sentinel and rebuilds") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("xsess_corpus")
