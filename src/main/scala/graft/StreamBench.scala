@@ -125,6 +125,23 @@ object StreamBench {
       try wq.processAllAvailable() finally wq.stop()
       org.apache.commons.io.FileUtils.deleteDirectory(warmDir.toFile)
     }
+    // Optional stage-level diagnosis (SPARK_GRAFT_STREAM_STAGES=1):
+    // per-stage wall + summed task time to stderr — locates the
+    // per-batch fixed cost between scan, fold, and scheduling gaps.
+    if (sys.env.contains("SPARK_GRAFT_STREAM_STAGES"))
+      ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = for {
+            a <- i.completionTime; b <- i.submissionTime
+          } yield a - b
+          System.err.println(s"[stage] id=${i.stageId} tasks=${i.numTasks} " +
+            s"wall=${wall.getOrElse(-1L)}ms run=${i.taskMetrics.executorRunTime}ms " +
+            s"deser=${i.taskMetrics.executorDeserializeTime}ms " +
+            s"name=${i.name.takeWhile(_ != '\n').take(60)}")
+        }
+      })
     val stream = graft.streaming.FileEventSource.events(
       ss, feedDir.toString, maxFilesPerTrigger = 1, glob = "events-*.parquet")
     val name = s"bench_flips_${System.nanoTime()}"

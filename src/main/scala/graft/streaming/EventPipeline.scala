@@ -63,67 +63,113 @@ object EventPipeline {
   private def emptyState: UserAggState =
     UserAggState(Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)
 
-  /** Typed field lookup for the streaming path; mirrors
-    * EventAggregates.fieldCol's `props.<key>` addressing. The props
-    * map was parsed by `from_json` upstream (null when malformed —
-    * strict, unlike a substring regex). */
-  private def fieldValue(e: TypedEventRow, field: String): Option[String] =
-    if (field.startsWith("props."))
-      Option(e.props).flatMap(_.get(field.stripPrefix("props.")))
-    else if (field == "value") Some(e.value.toString)
-    else None
-
-  private def applyEvent(cfg: EngineConfig, st: UserAggState, e: TypedEventRow,
-                         trackSeen: Boolean = true): UserAggState = {
-    if (trackSeen && st.seenIds.contains(e.event_id)) st // uuid dedup (aggregate.py:54,57)
-    else {
-      var counts = st.counts
-      var sums = st.sums
-      var distincts = st.distincts
-      cfg.aggregates.filter(_.eventType == e.event_type).foreach { a =>
-        a.aggType match {
-          case AggregateType.Count =>
-            counts = counts.updated(a.name, counts.getOrElse(a.name, 0L) + 1L)
-          case AggregateType.Sum =>
-            fieldValue(e, a.field.get).foreach { v =>
-              sums = sums.updated(a.name, sums.getOrElse(a.name, 0.0) + v.toDouble)
-            }
-          case AggregateType.DistinctCount =>
-            fieldValue(e, a.field.get).foreach { v =>
-              val set = distincts.getOrElse(a.name, Map.empty)
-              distincts = distincts.updated(a.name, set.updated(v, true))
-            }
-        }
-      }
-      val seen = if (trackSeen) st.seenIds.updated(e.event_id, true) else st.seenIds
-      UserAggState(seen, counts, sums, distincts, st.grants)
-    }
-  }
-
-  private def aggValue(st: UserAggState)(name: String): Double =
-    st.counts.get(name).map(_.toDouble)
-      .orElse(st.sums.get(name))
-      .orElse(st.distincts.get(name).map(_.size.toDouble))
-      .getOrElse(0.0)
-
   /** The shared per-user fold: apply the batch's events in event-time
     * order, re-evaluate grants after each, collect flips. Both state
     * APIs (flatMapGroupsWithState and transformWithState) wrap exactly
     * this, which is what makes their parity a code invariant rather
-    * than a test hope. */
+    * than a test hope.
+    *
+    * This is the ingest tier's hot loop — it runs once per EVENT on
+    * every executor — so it works on mutable accumulators and the
+    * pre-resolved [[RuleEval.Compiled]] plan, converting to the
+    * immutable state shape once per (user, batch). The naive
+    * immutable-maps-per-event version measured ~250 µs/event of fold
+    * CPU at sf0.1 (a linear rule-name scan per rule reference, a
+    * filtered Seq and a fresh grants Map per event); semantics are
+    * bit-identical — null field ⇒ no update, divide-by-zero ⇒ abides,
+    * missing aggregate ⇒ 0, default grant TRUE (StreamingParitySpec
+    * pins batch/stream parity). */
   private def foldEvents(cfg: EngineConfig, userId: Long, st0: UserAggState,
                          events: Iterator[TypedEventRow],
                          trackSeen: Boolean = true): (UserAggState, Seq[GrantChange]) = {
-    var st = st0
-    val changes = scala.collection.mutable.ArrayBuffer[GrantChange]()
-    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      st = applyEvent(cfg, st, e, trackSeen)
-      val newGrants = RuleEval.grants(cfg, aggValue(st))
-      newGrants.foreach { case (f, g) =>
-        if (st.grants.getOrElse(f, true) != g) changes += GrantChange(userId, f, g)
-      }
-      st = st.copy(grants = newGrants)
+    import scala.collection.mutable
+    val cc = RuleEval.compiled(cfg)
+    val counts = mutable.HashMap.empty[String, Long]; counts ++= st0.counts
+    val sums = mutable.HashMap.empty[String, Double]; sums ++= st0.sums
+    val distincts = mutable.HashMap.empty[String, mutable.HashSet[String]]
+    st0.distincts.foreach { case (k, m) =>
+      val s = mutable.HashSet.empty[String]; s ++= m.keysIterator; distincts(k) = s
     }
+    val grants = mutable.HashMap.empty[String, Boolean]; grants ++= st0.grants
+    var seen = st0.seenIds
+    val changes = mutable.ArrayBuffer.empty[GrantChange]
+    def aggValue(name: String): Double = {
+      val c = counts.get(name)
+      if (c.isDefined) c.get.toDouble
+      else {
+        val s = sums.get(name)
+        if (s.isDefined) s.get
+        else distincts.get(name) match {
+          case Some(set) => set.size.toDouble
+          case None => 0.0
+        }
+      }
+    }
+    val aggFn: String => Double = aggValue
+    val arr = events.toArray
+    java.util.Arrays.sort(arr, (a: TypedEventRow, b: TypedEventRow) => {
+      val c = java.lang.Long.compare(a.ts.getTime, b.ts.getTime)
+      if (c != 0) c else java.lang.Long.compare(a.event_id, b.event_id)
+    })
+    arr.foreach { e =>
+      val dup = trackSeen && seen.contains(e.event_id) // uuid dedup (aggregate.py:54,57)
+      if (!dup) {
+        if (trackSeen) seen = seen.updated(e.event_id, true)
+        cc.aggsByType.get(e.event_type).foreach { as =>
+          var i = 0
+          while (i < as.length) {
+            val a = as(i)
+            a.aggType match {
+              case AggregateType.Count =>
+                counts.update(a.name, counts.getOrElse(a.name, 0L) + 1L)
+              case AggregateType.Sum => cc.fieldRefs(a.name) match {
+                case RuleEval.ValueField =>
+                  sums.update(a.name, sums.getOrElse(a.name, 0.0) + e.value)
+                case RuleEval.PropsField(key) =>
+                  if (e.props != null) e.props.get(key).foreach { v =>
+                    sums.update(a.name, sums.getOrElse(a.name, 0.0) + v.toDouble)
+                  }
+                case RuleEval.NoField => ()
+              }
+              case AggregateType.DistinctCount => cc.fieldRefs(a.name) match {
+                case RuleEval.ValueField =>
+                  distincts.getOrElseUpdate(a.name,
+                    scala.collection.mutable.HashSet.empty) += e.value.toString
+                case RuleEval.PropsField(key) =>
+                  if (e.props != null) e.props.get(key).foreach { v =>
+                    distincts.getOrElseUpdate(a.name,
+                      scala.collection.mutable.HashSet.empty) += v
+                  }
+                case RuleEval.NoField => ()
+              }
+            }
+            i += 1
+          }
+        }
+        // re-evaluate every feature (rules.py re-checks on each event);
+        // default grant is TRUE (rules.py:112), flips are the CDC output
+        var fi = 0
+        while (fi < cc.featureNames.length) {
+          val rules = cc.featureRules(fi)
+          var granted = true
+          var ri = 0
+          while (granted && ri < rules.length) {
+            granted = RuleEval.abides(rules(ri), aggFn)
+            ri += 1
+          }
+          val name = cc.featureNames(fi)
+          if (grants.getOrElse(name, true) != granted)
+            changes += GrantChange(userId, name, granted)
+          grants.update(name, granted)
+          fi += 1
+        }
+      }
+    }
+    val st = UserAggState(seen, counts.toMap, sums.toMap,
+      distincts.iterator.map { case (k, s) =>
+        k -> s.iterator.map(_ -> true).toMap
+      }.toMap,
+      grants.toMap)
     (st, changes.toSeq)
   }
 
