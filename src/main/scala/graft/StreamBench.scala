@@ -50,6 +50,12 @@ object StreamBench {
     sys.env.get("SPARK_GRAFT_STREAM_ASYNC").foreach { v =>
       ss.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", v)
     }
+    sys.env.get("SPARK_GRAFT_STREAM_WSCG").foreach { v =>
+      ss.conf.set("spark.sql.codegen.wholeStage", v)
+    }
+    sys.env.get("SPARK_GRAFT_STREAM_CGFACTORY").foreach { v =>
+      ss.conf.set("spark.sql.codegen.factoryMode", v)
+    }
     import ss.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -60,7 +60,7 @@ object EventPipeline {
       distincts: Map[String, Map[String, Boolean]],
       grants: Map[String, Boolean])
 
-  private def emptyState: UserAggState =
+  private[graft] def emptyState: UserAggState =
     UserAggState(Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)
 
   /** The shared per-user fold: apply the batch's events in event-time
@@ -79,7 +79,7 @@ object EventPipeline {
     * bit-identical — null field ⇒ no update, divide-by-zero ⇒ abides,
     * missing aggregate ⇒ 0, default grant TRUE (StreamingParitySpec
     * pins batch/stream parity). */
-  private def foldEvents(cfg: EngineConfig, userId: Long, st0: UserAggState,
+  private[graft] def foldEvents(cfg: EngineConfig, userId: Long, st0: UserAggState,
                          events: Iterator[TypedEventRow],
                          trackSeen: Boolean = true): (UserAggState, Seq[GrantChange]) = {
     import scala.collection.mutable
