@@ -203,7 +203,7 @@ object Bench {
     // is a regression, not VM noise, and must fail the run.
     val StreamFloor = 20000.0
     def line(memo: String): String =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_build_sec":${"%.3f".format(builds.map(_._2).sum)},"memo_builds":$memo,"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"stream_floor":${"%.0f".format(StreamFloor)},"full":"${fullPath.toString}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_builds":$buildsJson,"memo_builds":$memo,"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"stream_floor":${"%.0f".format(StreamFloor)},"full":"${fullPath.toString}","sf":"$sfDir"}"""
     // The driver's capture window is ~2000 chars of tail; the parse
     // target must be well inside it. If the named memo map ever makes
     // the line too long, collapse it to its total (detail stays in
