@@ -24,6 +24,10 @@ object Bench {
       // an unestimated creation side otherwise ships a 1 MiB bloom in
       // every dependent stage's task binary
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "4194304")
+      // Registry-sized generated-class cache (see GraftSession): the
+      // 100-entry default thrashes under a 180-query sweep, so every
+      // min-of-3 pass pays full Janino recompilation for every query.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
