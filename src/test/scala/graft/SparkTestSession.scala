@@ -14,6 +14,11 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // registry-sized generated-class cache (see GraftSession): the
+      // suite drives the full registry several times (PlanAudit,
+      // Verify-shaped specs), and the 100-entry default recompiles
+      // every repeated plan
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
