@@ -45,16 +45,24 @@ object PageRank {
     // eager: cut the caller's edge-derivation lineage once; every round
     // then rescans a materialized LogicalRDD, not the upstream joins
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // node set and out-degrees are loop constants — materialize each
+    // ONCE instead of leaving their union/distinct/groupBy subtrees to
+    // be re-planned (and re-executed unless ReusedExchange happens to
+    // fire) inside every round's plan. The degree column is folded
+    // into the edge frame, so each Jacobi round pays exactly one join
+    // against the rank frame plus the groupBy(dst) shuffle.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
+      .localCheckpoint(true)
     var rank = nodes.crossJoin(nn)
       .select(col("node"), expr(s"$Scale div n").as("r"))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = ed
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"), expr("r div d").as("c"))
       val sums = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
       rank = nodes.join(sums, Seq("node"), "left").crossJoin(nn)
@@ -80,8 +88,11 @@ object PageRank {
   def personalized(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // same loop-constant treatment as [[run]]: nodes and the
+    // degree-carrying edge frame materialize once
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val sd = nodes.join(seeds.select(col("node")), Seq("node"), "left_semi")
     val ns = broadcast(sd.agg(count(lit(1)).as("n")))
     // restart vector: Scale div |S| on seeds, 0 elsewhere — one
@@ -93,12 +104,13 @@ object PageRank {
         when(col("is_seed").isNotNull, expr(s"$Scale div n"))
           .otherwise(lit(0L)).as("b"))
       .localCheckpoint(true)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
+      .localCheckpoint(true)
     var rank = base.select(col("node"), col("b").as("r"))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = ed
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"), expr("r div d").as("c"))
       val sums = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
       rank = base.join(sums, Seq("node"), "left")
