@@ -89,9 +89,10 @@ object Bench {
     // build was satisfied by cross-session adoption of an on-disk
     // store (BucketedUpsert.adopt) rather than a corpus ingest —
     // both are legitimate serving states; only the cost differs.
-    // (The LM/DAILY persisted stores are maintained by explicit GRAFT
-    // BUILD statements and probed by no registry query; the lm
-    // family's memoized count-frame cost stays inside its queries.)
+    // The LM count sets joined this tier in round 16 (VERDICT r15 #1:
+    // the in-session retrain ran 1.5-41 s across runs; counts are
+    // corpus-derived, so per-session rebuilds were pure waste — the
+    // lm_* memo rows below now only scan + cache the stored frames).
     val builds = Seq(
       ("bm25_postings", "documents.parquet",
         queries.TextQueries.postingsPrefixName(sfDir),
@@ -102,6 +103,12 @@ object Bench {
       ("pq_codes", "embeddings.parquet",
         queries.EmbeddingQueries.pqPrefixName(sfDir),
         () => queries.EmbeddingQueries.pqIndexPrefix(spark, sfDir)),
+      ("lm_trusted_counts", "documents.parquet",
+        queries.LmQueries.lmTrustedPrefixName(sfDir),
+        () => queries.LmQueries.lmTrustedStore(spark, sfDir)),
+      ("lm_full_counts", "documents.parquet",
+        queries.LmQueries.lmFullPrefixName(sfDir),
+        () => queries.LmQueries.lmFullStore(spark, sfDir)),
     ).map { case (bname, corpusFile, prefix, build) =>
       // a matching sentinel BEFORE the call means the memo will adopt
       // the on-disk store instead of ingesting the corpus
@@ -126,6 +133,37 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    // Memo-phase degradation gate (VERDICT r15 #2): the canary runs
+    // BEFORE the memo phase, so a VM that degrades DURING it could
+    // archive a pathological memo build under degraded=false (r15's
+    // judge-time lm_trusted: 40.86 s vs 1.49 s archived, canary
+    // green). Each memo has a pinned quiet-machine cost (sf0.1, this
+    // image — re-pin when a memo's implementation changes, BENCHNOTES
+    // "memo phase gate"); the phase is degraded when its total
+    // exceeds 2× the pinned total, and every memo >2× its own pin is
+    // named on stderr for attribution. A memo-degraded run is re-run,
+    // not archived (the canary rule, one phase later).
+    val MemoBaselineSec: Map[String, Double] = Map(
+      "per_user_aggs" -> 2.3, "trade_edges" -> 2.6, "shingle_rows" -> 1.2,
+      "minhash_pairs" -> 2.8, "dedup_cluster_labels" -> 3.5,
+      "ngram_shared" -> 2.8, "winnow_select" -> 2.6, "bpe_merges" -> 4.7,
+      "embed_vecs" -> 0.4, "lm_trusted" -> 0.9, "lm_full" -> 0.9,
+      "basket_pairs" -> 3.8)
+    // an unpinned (new) memo contributes its own measured cost to the
+    // expectation — visible in the artifact, gated once pinned
+    def memoPin(name: String, sec: Double): Double =
+      MemoBaselineSec.getOrElse(name, sec)
+    val memoSec = memoBuilds.collect { case (_, v, true) => v }.sum
+    val memoExpectedSec = memoBuilds.collect { case (n, v, true) =>
+      memoPin(n, v) }.sum
+    val memoDegraded = memoSec > 2 * memoExpectedSec
+    memoBuilds.foreach { case (n, v, ok) =>
+      if (ok && v > 2 * memoPin(n, v)) System.err.println(
+        f"[bench] WARNING memo $n took $v%.2f s vs ${memoPin(n, v)}%.2f s pinned (>2x)")
+    }
+    if (memoDegraded) System.err.println(
+      f"[bench] WARNING degraded memo phase: $memoSec%.1f s vs " +
+        f"$memoExpectedSec%.1f s pinned — re-run this bench, do not archive it")
     // min-of-3 protocol (VERDICT r11 #1 / r13 #4): three full
     // name-ordered sweeps; a query's reported time is the minimum of
     // its successful runs — the noise floor of this VM swings 2-3× on
@@ -181,6 +219,19 @@ object Bench {
     val memoJson = memoBuilds.map { case (k, v, ok) =>
       s""""$k":${if (ok) "%.2f".format(v) else "-1"}"""
     }.mkString("{", ",", "}")
+    // per-memo expected-vs-actual for the full artifact (attribution
+    // record for the memo gate; the compact line carries the totals)
+    val memoDetailJson = memoBuilds.map { case (k, v, ok) =>
+      s""""$k":{"sec":${if (ok) "%.2f".format(v) else "-1"},"expected":${"%.2f".format(memoPin(k, v))}}"""
+    }.mkString("{", ",", "}")
+    val memoGateJson =
+      s""""memo_sec":${"%.2f".format(memoSec)},"memo_expected_sec":${"%.2f".format(memoExpectedSec)},"memo_degraded":$memoDegraded"""
+    // Streaming env knobs (ADVICE r15): a stray SPARK_GRAFT_STREAM_*
+    // var silently changes the measured streaming configuration —
+    // record any active ones in the artifact so a knobbed ev/s can
+    // never read as a comparable default-config number.
+    val streamKnobsJson = StreamBench.activeKnobs
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val sweepsJson = sweeps.map { sw =>
       sw.map { case (k, v, ok) =>
         s""""$k":${if (ok) "%.3f".format(v) else "-1"}"""
@@ -189,7 +240,7 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.writeString(fullPath,
-      s"""{"bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,"bench_all":$qs,"sweeps":$sweepsJson,"memo_builds":$memoJson,"store_builds":$buildsJson,"failed":$failed,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
+      s"""{"bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,$memoGateJson,"bench_all":$qs,"sweeps":$sweepsJson,"memo_builds":$memoDetailJson,"store_builds":$buildsJson,"stream_knobs":$streamKnobsJson,"failed":$failed,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
     val headline = results.filter { case (k, _, _) =>
       k.matches("q\\d+_.*")
     }.map { case (k, v, ok) =>
@@ -207,7 +258,7 @@ object Bench {
     // is a regression, not VM noise, and must fail the run.
     val StreamFloor = 20000.0
     def line(memo: String): String =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_builds":$buildsJson,"memo_builds":$memo,"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"stream_floor":${"%.0f".format(StreamFloor)},"full":"${fullPath.toString}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,$memoGateJson,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_builds":$buildsJson,"memo_builds":$memo,"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"stream_floor":${"%.0f".format(StreamFloor)}${if (StreamBench.activeKnobs.nonEmpty) s""","stream_knobs":$streamKnobsJson""" else ""},"full":"${fullPath.toString}","sf":"$sfDir"}"""
     // The driver's capture window is ~2000 chars of tail; the parse
     // target must be well inside it. If the named memo map ever makes
     // the line too long, collapse it to its total (detail stays in

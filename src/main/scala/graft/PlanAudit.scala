@@ -152,11 +152,19 @@ object PlanAudit {
   def unboundedBareWindows(
       df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // Chain cases: nodes through which a LIMIT below still bounds the
+    // window's input — cardinality-preserving unaries (Project/Filter/
+    // Sort/alias/repartition, Window itself) and bounded-in-implies-
+    // bounded-out ones (Aggregate/Distinct: |out| ≤ |in|). Anything
+    // else (a join, a generator/explode, a union) can re-inflate
+    // cardinality and stops the walk (ADVICE r15: the conservative
+    // version false-positived on stacked windows over limited inputs).
     @annotation.tailrec
     def boundedInput(p: LogicalPlan): Boolean = p match {
       case _: GlobalLimit => true
       case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
-                _: RepartitionOperation) => boundedInput(n.children.head)
+                _: RepartitionOperation | _: Window | _: Aggregate |
+                _: Distinct) => boundedInput(n.children.head)
       case _ => false
     }
     df.queryExecution.optimizedPlan.collect {

@@ -14,6 +14,17 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamBench {
 
+  /** The SPARK_GRAFT_STREAM_* env knobs that alter the measured
+    * streaming configuration (state partitions, state-store provider,
+    * async progress, codegen modes). Any active one is warned about at
+    * run start and recorded in the bench artifacts (ADVICE r15: a
+    * stray knob must never archive a non-comparable ev/s as green). */
+  def activeKnobs: Seq[(String, String)] =
+    Seq("SPARK_GRAFT_STREAM_PARTS", "SPARK_GRAFT_STREAM_PROVIDER",
+      "SPARK_GRAFT_STREAM_ASYNC", "SPARK_GRAFT_STREAM_WSCG",
+      "SPARK_GRAFT_STREAM_CGFACTORY")
+      .flatMap(k => sys.env.get(k).map(k -> _))
+
   /** Feed the sf dir's events through the streaming pipeline in
     * `nChunks` micro-batches; returns (events/sec, flips).
     *
@@ -39,6 +50,9 @@ object StreamBench {
     // sweet spot. No-data micro-batches only exist to advance
     // watermark eviction — pure overhead in a throughput measurement.
     val ss = spark.newSession()
+    activeKnobs.foreach { case (k, v) => System.err.println(
+      s"[graft] WARNING sweep knob $k=$v active: measured streaming " +
+        "configuration is NOT the shipped default") }
     ss.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "16"))
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
@@ -183,7 +197,9 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (eps, flips) = run(spark, sfDir, nChunks)
-    println(s"""{"metric":"stream_events_per_sec","value":$eps,"unit":"events/sec","micro_batches":$nChunks,"flips":$flips}""")
+    val knobs = activeKnobs.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"stream_events_per_sec","value":$eps,"unit":"events/sec","micro_batches":$nChunks,"flips":$flips,"stream_knobs":$knobs}""")
     spark.stop()
   }
 }

@@ -30,45 +30,106 @@ object LmQueries extends QueryModule {
   private val EasyBelowFp = 5110000L
   private val MidBelowFp = 5150000L
 
+  /** PERSISTED-store prefixes for the two LM count sets (path-keyed,
+    * catalog-identifier-safe — the postingsPrefixName recipe). Counts
+    * are corpus-derived, so a per-session retrain is pure waste
+    * (VERDICT r15 #1: the in-session train showed 1.5-41 s across
+    * runs); a completed build left on disk by an earlier session
+    * adopts in O(1) catalog ops instead. */
+  private[graft] def lmTrustedPrefixName(dir: String): String =
+    "lmt_" + java.lang.Integer.toHexString(dir.hashCode) + "_"
+  private[graft] def lmFullPrefixName(dir: String): String =
+    "lmf_" + java.lang.Integer.toHexString(dir.hashCode) + "_"
+
+  /** Build-or-adopt the persisted count stores for one training slice
+    * — the postingsPrefix recipe verbatim: StoreSentinel gates on the
+    * corpus signature, a matching completed build adopts, anything
+    * else (missing, partial, different corpus) pays one full train
+    * via [[graft.streaming.LmCountsStream]] and writes the sentinel
+    * LAST. Returns the prefix. */
+  private def lmStorePrefix(s: SparkSession, dir: String, prefix: String,
+                            slice: DataFrame => DataFrame): String = {
+    val lm = graft.streaming.LmCountsStream
+    val sig = graft.sources.StoreSentinel.corpusSignature(dir, "documents.parquet")
+    val adopted = graft.sources.StoreSentinel.matches(s, prefix, sig) &&
+      lm.adopt(s, prefix)
+    if (!adopted) {
+      graft.sources.StoreSentinel.drop(s, prefix)
+      lm.drop(s, prefix)
+      lm.init(s, prefix)
+      lm.upsertBatch(s, slice(Tables.documents(s, dir)), prefix)
+      // sentinel LAST: its presence certifies a completed build
+      graft.sources.StoreSentinel.write(s, prefix, sig)
+    }
+    prefix
+  }
+  private[graft] def lmTrustedStore(s: SparkSession, dir: String): String =
+    lmStorePrefix(s, dir, lmTrustedPrefixName(dir),
+      _.filter(col("doc_id") % 5 =!= 0))
+  private[graft] def lmFullStore(s: SparkSession, dir: String): String =
+    lmStorePrefix(s, dir, lmFullPrefixName(dir), identity)
+
   /** Session-scoped memo of the LM trained on the trusted
-    * doc_id % 5 != 0 slice — training runs once per (session, corpus)
-    * and both LM queries read the artifact (train-then-apply, the
-    * bpeMergesCached shape). The count frames are cached: the
-    * curriculum query reads them for the whole corpus and the filter
-    * query for the held-out slice, and uncached each would re-run
-    * both count aggregations. */
+    * doc_id % 5 != 0 slice — the count frames come from the PERSISTED
+    * store (built once per corpus, adopted across sessions) and both
+    * LM queries read them (train-then-apply, the bpeMergesCached
+    * shape). The frames are cached: the curriculum query reads them
+    * for the whole corpus and the filter query for the held-out
+    * slice, and uncached each probe would re-scan the store. */
   private val lmCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), NgramLm.Counts]
   private def trustedLm(s: SparkSession, dir: String): NgramLm.Counts =
     lmCache.getOrElseUpdate((s, dir), {
-      val c = NgramLm.train(
-        Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0))
+      val c = graft.streaming.LmCountsStream
+        .readCounts(s, lmTrustedStore(s, dir))
       NgramLm.Counts(c.bigrams.cache(), c.contexts.cache(),
         c.unigrams.cache(), c.totals.cache())
     })
 
   /** Session-scoped memo of the FULL-corpus count frames (the PMI
     * collocation query needs corpus-wide statistics, not the trusted
-    * slice). Same cache discipline as [[trustedLm]]. */
+    * slice). Same store + cache discipline as [[trustedLm]]; contexts
+    * stays uncached (only the PMI query's store build writes it, no
+    * registry query reads it twice). */
   private val fullLmCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), NgramLm.Counts]
   private def fullLm(s: SparkSession, dir: String): NgramLm.Counts =
     fullLmCache.getOrElseUpdate((s, dir), {
-      val c = NgramLm.train(Tables.documents(s, dir))
+      val c = graft.streaming.LmCountsStream
+        .readCounts(s, lmFullStore(s, dir))
       NgramLm.Counts(c.bigrams.cache(), c.contexts,
         c.unigrams.cache(), c.totals.cache())
     })
 
-  /** Drop this module's session memos (see [[graft.Caches]]). */
+  /** Drop this module's session memos AND their persisted stores (the
+    * invalidation API — the TextQueries.clearCaches contract; see
+    * [[graft.Caches]]). */
   private[graft] def clearCaches(): Unit = {
-    lmCache.values.foreach { c =>
+    lmCache.foreach { case ((s, dir), c) =>
       Seq(c.bigrams, c.contexts, c.unigrams, c.totals)
         .foreach(_.unpersist(false))
+      graft.sources.StoreSentinel.drop(s, lmTrustedPrefixName(dir))
+      graft.streaming.LmCountsStream.drop(s, lmTrustedPrefixName(dir))
     }
     lmCache.clear()
-    fullLmCache.values.foreach { c =>
+    fullLmCache.foreach { case ((s, dir), c) =>
       Seq(c.bigrams, c.unigrams, c.totals).foreach(_.unpersist(false))
+      graft.sources.StoreSentinel.drop(s, lmFullPrefixName(dir))
+      graft.streaming.LmCountsStream.drop(s, lmFullPrefixName(dir))
     }
+    fullLmCache.clear()
+  }
+
+  /** Test hook simulating a process restart: forget the in-memory
+    * memos (unpersisting their frames — a new process holds no cache)
+    * WITHOUT dropping the persisted stores (the
+    * TextQueries.forgetSessionMemos contract). */
+  private[graft] def forgetSessionMemos(): Unit = {
+    lmCache.values.foreach(c => Seq(c.bigrams, c.contexts, c.unigrams,
+      c.totals).foreach(_.unpersist(false)))
+    lmCache.clear()
+    fullLmCache.values.foreach(c => Seq(c.bigrams, c.unigrams,
+      c.totals).foreach(_.unpersist(false)))
     fullLmCache.clear()
   }
 
@@ -107,16 +168,15 @@ object LmQueries extends QueryModule {
     * query. Applied identically to the Spark filter AND the oracle
     * SQL (both read the same process env), so the compare stays
     * engine-exact at any offset. */
-  private val PmiOffsetFp: Long = {
-    val v = sys.env.get("GRAFT_PMI_OFFSET_FP").map(_.toLong).getOrElse(0L)
-    // loud on purpose: a stray env var in a production session would
-    // otherwise silently shift the PMI cut with no gate catching it
-    // (engine and oracle both read it, so they'd still agree)
-    if (v != 0L) System.err.println(
-      s"[graft] WARNING sweep knob GRAFT_PMI_OFFSET_FP=$v active: " +
-        "collocations_pmi cut is shifted, NOT production output")
-    v
-  }
+  private val PmiOffsetFp: Long =
+    // a non-default value only takes effect under GRAFT_SWEEP_MODE=1
+    // (any other session throws at first touch — SweepKnobs): engine
+    // and oracle both read it, so no hash gate could catch a stray
+    // env var silently shifting the PMI cut (VERDICT r15 #5)
+    SweepKnobs.gate("GRAFT_PMI_OFFSET_FP",
+      sys.env.get("GRAFT_PMI_OFFSET_FP").map(_.toLong).filter(_ != 0L),
+      "collocations_pmi cut is shifted, NOT production output")
+      .getOrElse(0L)
   private def pmiCutFp: Long = PmiKeepFp + PmiOffsetFp
 
   /** DuckDB replay of trustedLm + scoring of the docs selected by

@@ -43,16 +43,14 @@ object TextQueries extends QueryModule {
     * the 10× fixture while the engine's wedge plan does not; the
     * induced-subgraph gate keeps the census hash-verified at
     * sf1_scaled instead of skipped (BENCHNOTES). */
-  private val TriSampleMod: Option[Long] = {
-    val m = sys.env.get("GRAFT_TRI_SAMPLE_MOD").map(_.toLong).filter(_ > 1)
-    // loud on purpose: a stray env var in a production session would
-    // otherwise silently change query output with no gate catching it
-    // (engine and oracle both read it, so they'd still agree)
-    m.foreach(k => System.err.println(
-      s"[graft] WARNING sweep knob GRAFT_TRI_SAMPLE_MOD=$k active: " +
-        "similarity_triangles runs on an induced subgraph, NOT production output"))
-    m
-  }
+  private val TriSampleMod: Option[Long] =
+    // a non-default value only takes effect under GRAFT_SWEEP_MODE=1
+    // (any other session throws at first touch — SweepKnobs): engine
+    // and oracle both read it, so no hash gate could catch a stray
+    // env var silently sampling the graph (VERDICT r15 #5)
+    SweepKnobs.gate("GRAFT_TRI_SAMPLE_MOD",
+      sys.env.get("GRAFT_TRI_SAMPLE_MOD").map(_.toLong).filter(_ > 1),
+      "similarity_triangles runs on an induced subgraph, NOT production output")
 
   private[queries] val shingleCte =
     """tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),

@@ -131,23 +131,42 @@ object StoreSentinel {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Signature-SCHEME version, embedded in every sentinel file as a
+    * `v<N>:` prefix (ADVICE r15): changing how [[corpusSignature]]
+    * samples bytes silently mismatched every recorded signature in
+    * round 15 (4 KiB tail → whole parquet footer) and forced a
+    * one-time full rebuild of every persisted store — exactly the
+    * "rebuild because metadata moved" event the sentinel exists to
+    * prevent, and invisible in review because nothing named the
+    * scheme. Any future sampler change MUST bump this constant, making
+    * the mass re-sign an explicit, documented migration.
+    *
+    * History: (unversioned) = 4 KiB head+tail (≤ r14); whole-footer
+    * tail (r15, the silent change); v3 = same bytes as r15 but
+    * versioned (r16 — one more one-time re-sign, noted in BENCHNOTES
+    * "sentinel scheme v3"). */
+  private val SchemeVersion = "v3"
+
   /** Record a completed build of `prefix` over a corpus with `sig`. */
   def write(spark: SparkSession, prefix: String, sig: String): Unit = {
     val p = path(spark, prefix)
     java.nio.file.Files.createDirectories(p.getParent)
     val tmp = java.nio.file.Files.createTempFile(
       p.getParent, "." + p.getFileName.toString, ".tmp")
-    java.nio.file.Files.writeString(tmp, sig)
+    java.nio.file.Files.writeString(tmp, s"$SchemeVersion:$sig")
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Does a completed build for exactly this corpus signature exist? */
+  /** Does a completed build for exactly this corpus signature, under
+    * the CURRENT signature scheme, exist? A sentinel written by a
+    * different scheme never matches — the store rebuilds once and
+    * re-signs versioned. */
   def matches(spark: SparkSession, prefix: String, sig: String): Boolean = {
     val p = path(spark, prefix)
     java.nio.file.Files.isRegularFile(p) &&
-      java.nio.file.Files.readString(p) == sig
+      java.nio.file.Files.readString(p) == s"$SchemeVersion:$sig"
   }
 
   def drop(spark: SparkSession, prefix: String): Unit =

@@ -316,7 +316,25 @@ object EventPipeline {
     * ingest stream saved per batch; on the bench it halves the
     * per-batch fixed cost that dominates small-batch throughput.
     * Late rows (event time older than the watermark) are dropped
-    * before the fold, exactly as the upstream dedup operator did. */
+    * before the fold, exactly as the upstream dedup operator did.
+    *
+    * CHECKPOINT COMPATIBILITY: round 15 changed the state type from
+    * `UserAggState` to [[BoundedUserState]] (and removed the upstream
+    * dedup operator), so a checkpoint written by the pre-r15 pipeline
+    * does NOT restore into this one — a long-lived deployment
+    * upgrading across that boundary must restart from a fresh
+    * checkpoint (and re-feed or accept the watermark-bounded gap),
+    * not debug a state-deserialization failure.
+    *
+    * State-store provider: per-user state rides whatever
+    * `spark.sql.streaming.stateStore.providerClass` the session
+    * configures. The default in-memory HashMap provider holds every
+    * user's state on-heap per partition — fine at bench scale,
+    * memory-bound at 10⁹ users; set the conf to
+    * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * to move state off-heap with incremental checkpointing
+    * (StreamBench: `SPARK_GRAFT_STREAM_PROVIDER=rocksdb`; measured
+    * ev/s in BENCHNOTES "RocksDB state store"). */
   def grantChangesBounded(spark: SparkSession, events: Dataset[EventRow],
                           cfg: EngineConfig,
                           watermark: String = "15 minutes"): Dataset[GrantChange] = {

@@ -65,6 +65,15 @@ object LmCountsStream {
     Seq(BigramTable, ContextTable, UnigramTable, TotalsTable)
       .foreach(t => BucketedUpsert.drop(spark, prefix + t))
 
+  /** Warm-restart adoption of an existing on-disk count set:
+    * re-register ALL FOUR stores from their publish markers —
+    * all-or-nothing, the [[graft.sources.PostingsStore.adopt]]
+    * contract (the four tables are only mutually consistent as a
+    * set). False means the caller owns drop + rebuild. */
+  def adopt(spark: SparkSession, prefix: String = ""): Boolean =
+    Seq(BigramTable, ContextTable, UnigramTable, TotalsTable)
+      .forall(t => BucketedUpsert.adopt(spark, prefix + t))
+
   /** Merge one micro-batch of `[doc_id, text]` documents into the
     * count stores. O(batch) per store: the batch's counts aggregate
     * map-side first, and only the touched buckets rewrite. */

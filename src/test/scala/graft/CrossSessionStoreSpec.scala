@@ -144,6 +144,49 @@ class CrossSessionStoreSpec extends AnyFunSuite {
       "adoption must not write a single store file")
   }
 
+  test("lm_perplexity_fp probes adopted LM count stores with zero store writes") {
+    val q = SparkEntry.queries("lm_perplexity_fp")
+    val expected = q(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(expected.nonEmpty)
+    val p = queries.LmQueries.lmTrustedPrefixName(sf)
+
+    // process restart: memo amnesia + empty catalog, bytes preserved
+    queries.LmQueries.forgetSessionMemos()
+    Seq("lm_bigrams", "lm_contexts", "lm_unigrams", "lm_totals")
+      .foreach(t => deregisterPreservingBytes(p + t))
+    val bytesBefore = storeFiles(p)
+    assert(bytesBefore.nonEmpty, "store bytes must survive the 'restart'")
+
+    val got = q(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expected, "adopted counts must reproduce the trained scores")
+    assert(storeFiles(p) == bytesBefore,
+      "adoption must not write a single store file — no init, no ingest, no merge")
+  }
+
+  test("sentinel files are scheme-versioned: an unversioned signature never matches") {
+    // ADVICE r15: r15 changed the signature byte layout with no
+    // version marker, so every prior sentinel mismatched SILENTLY (a
+    // mass rebuild nothing documented). Sentinels now embed a scheme
+    // version; a file carrying a bare (pre-v3) signature — or a future
+    // scheme's — must read as "no completed build", forcing one
+    // explicit re-sign instead of a quiet one.
+    val p = "xsess_verstest"
+    val sig = "0123456789abcdef0123456789abcdef"
+    StoreSentinel.write(spark, p, sig)
+    assert(StoreSentinel.matches(spark, p, sig), "same-scheme roundtrip")
+    // simulate a pre-versioning sentinel: bare signature, no v-prefix
+    val f = BucketedUpsert.markerPath(spark, p)
+      .resolveSibling(p + ".graft_corpus")
+    java.nio.file.Files.writeString(f, sig)
+    assert(!StoreSentinel.matches(spark, p, sig),
+      "an unversioned sentinel must not match — one-time migration rebuild")
+    StoreSentinel.drop(spark, p)
+  }
+
   test("sentinel signature: mtime-blind, content-sensitive") {
     // r13 regression: the driver regenerates the fixture corpus every
     // round with byte-identical parquet but fresh mtimes, and the old

@@ -10,7 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * compiled-plan/mutable-accumulator [[EventPipeline.foldEvents]] must
   * be EXTENSIONALLY IDENTICAL to the naive specification below (the
   * pre-round-15 implementation: immutable maps, name lookups, a fresh
-  * grants Map per event) on every input — same final state, same flip
+  * grants Map per event — modulo one documented benign deviation on
+  * duplicate events, see naiveFold) on every input — same final state, same flip
   * sequence — across randomized configs, event streams, duplicate
   * patterns, and prior states. The hot loop gets rewritten for speed;
   * this spec is what keeps "for speed" from quietly becoming "and
@@ -65,6 +66,14 @@ class FoldParitySpec extends AnyFunSuite {
     var st = st0
     val changes = scala.collection.mutable.ArrayBuffer[GrantChange]()
     events.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      // Deliberate (benign) deviation from the literal pre-r15 code:
+      // the historical fold recomputed grants and st.copy(grants=...)
+      // for DUPLICATE events too; this spec copy skips them. The two
+      // agree whenever the prior state's grants map is consistent with
+      // its aggregates — true for every fold-produced state, which is
+      // the only kind this spec feeds (prior states are naiveFold
+      // prefixes). The guard keeps the spec honest on states where a
+      // dup must not re-derive grants from unchanged aggregates.
       val dup = trackSeen && st.seenIds.contains(e.event_id)
       st = applyEvent(cfg, st, e, trackSeen)
       if (!dup) {

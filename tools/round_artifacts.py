@@ -6,6 +6,11 @@ completed `graft.Verify` dump, and BENCH_r{N}.json from a bench log.
 Usage:
   python3 tools/round_artifacts.py correctness <N> <sfDir> <verifyOutDir>
   python3 tools/round_artifacts.py bench <N> <benchLog> <rc> [cpus] [sf]
+  python3 tools/round_artifacts.py verify <N>   # pre-commit round check
+
+Both producing modes REFUSE to run next to a LEAKCHECK.json whose
+`round` field isn't N (the r15 stale-artifact regression); `verify`
+checks the whole round-N set and is run before committing artifacts.
 
 The correctness comparison is tools/check.py's (same canonicalisation,
 same asymmetric pandas/duckdb read paths); the per-query record shape
@@ -24,8 +29,62 @@ import check as checkmod  # reuse canon/rows_key/TABLES
 import duckdb
 import pandas as pd
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def check_leakcheck_round(n):
+    """Refuse to stamp round-N artifacts next to a stale LEAKCHECK
+    (VERDICT r15 #3: HEAD committed a round-14 LEAKCHECK.json into the
+    round-15 artifact set). LEAKCHECK is driver-generated; if its
+    `round` field lags, the artifact set is inconsistent and must not
+    be committed until the driver refreshes it (or the mismatch is
+    consciously overridden with ROUND_ARTIFACTS_ALLOW_STALE=1)."""
+    path = os.path.join(REPO, "LEAKCHECK.json")
+    if not os.path.exists(path):
+        return
+    lc_round = json.load(open(path)).get("round")
+    if lc_round == int(n):
+        return
+    msg = (f"LEAKCHECK.json says round {lc_round}, but round-{n} artifacts "
+           f"are being produced — a stale LEAKCHECK must not be committed "
+           f"into this round's artifact set.")
+    if os.environ.get("ROUND_ARTIFACTS_ALLOW_STALE") == "1":
+        print(f"WARNING (overridden): {msg}", file=sys.stderr)
+        return
+    sys.exit(f"REFUSED: {msg} Set ROUND_ARTIFACTS_ALLOW_STALE=1 to override.")
+
+
+def verify(n):
+    """Pre-commit consistency check of the round-N artifact set: every
+    round-stamped artifact in the tree must carry round N."""
+    n = int(n)
+    bad = []
+    lc = os.path.join(REPO, "LEAKCHECK.json")
+    if os.path.exists(lc):
+        r = json.load(open(lc)).get("round")
+        if r != n:
+            bad.append(f"LEAKCHECK.json round={r} (want {n})")
+    bench = os.path.join(REPO, f"BENCH_r{n:02d}.json")
+    if not os.path.exists(bench):
+        bad.append(f"BENCH_r{n:02d}.json missing")
+    else:
+        r = json.load(open(bench)).get("n")
+        if r != n:
+            bad.append(f"BENCH_r{n:02d}.json n={r} (want {n})")
+    corr = os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")
+    if not os.path.exists(corr):
+        bad.append(f"CORRECTNESS_r{n:02d}.json missing")
+    if bad:
+        for b in bad:
+            print(f"MISMATCH: {b}", file=sys.stderr)
+        return 1
+    print(f"round {n} artifact set consistent "
+          f"(BENCH, CORRECTNESS, LEAKCHECK round fields)")
+    return 0
+
 
 def correctness(n, sf_dir, out_dir):
+    check_leakcheck_round(n)
     con = duckdb.connect()
     for t in checkmod.TABLES:
         con.execute(
@@ -74,6 +133,7 @@ def correctness(n, sf_dir, out_dir):
 
 
 def bench(n, log_path, rc, cpus, sf):
+    check_leakcheck_round(n)
     tail = open(log_path, errors="replace").read()[-2000:]
     out = {"n": int(n), "rc": int(rc), "cpus": int(cpus),
            "sf": float(sf), "tail": tail}
@@ -92,6 +152,8 @@ def main():
         cpus = sys.argv[5] if len(sys.argv) > 5 else "32"
         sf = sys.argv[6] if len(sys.argv) > 6 else "0.1"
         sys.exit(bench(n, log, rc, cpus, sf))
+    elif mode == "verify":
+        sys.exit(verify(sys.argv[2]))
     else:
         sys.exit(f"unknown mode {mode}")
 
