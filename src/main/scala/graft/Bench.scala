@@ -147,7 +147,7 @@ object Bench {
       "per_user_aggs" -> 2.3, "trade_edges" -> 2.6, "shingle_rows" -> 1.2,
       "minhash_pairs" -> 2.8, "dedup_cluster_labels" -> 3.5,
       "ngram_shared" -> 2.8, "winnow_select" -> 2.6, "bpe_merges" -> 4.7,
-      "embed_vecs" -> 0.4, "lm_trusted" -> 0.9, "lm_full" -> 0.9,
+      "embed_vecs" -> 0.4, "lm_trusted" -> 1.2, "lm_full" -> 1.0,
       "basket_pairs" -> 3.8)
     // an unpinned (new) memo contributes its own measured cost to the
     // expectation — visible in the artifact, gated once pinned
