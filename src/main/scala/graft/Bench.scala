@@ -109,6 +109,9 @@ object Bench {
       ("lm_full_counts", "documents.parquet",
         queries.LmQueries.lmFullPrefixName(sfDir),
         () => queries.LmQueries.lmFullStore(spark, sfDir)),
+      ("bpe_merges_table", "documents.parquet",
+        queries.TextQueries.bpePrefixName(sfDir),
+        () => queries.TextQueries.bpeStorePrefix(spark, sfDir)),
     ).map { case (bname, corpusFile, prefix, build) =>
       // a matching sentinel BEFORE the call means the memo will adopt
       // the on-disk store instead of ingesting the corpus
@@ -146,7 +149,7 @@ object Bench {
     val MemoBaselineSec: Map[String, Double] = Map(
       "per_user_aggs" -> 2.3, "trade_edges" -> 2.6, "shingle_rows" -> 1.2,
       "minhash_pairs" -> 2.8, "dedup_cluster_labels" -> 3.5,
-      "ngram_shared" -> 2.8, "winnow_select" -> 2.6, "bpe_merges" -> 4.7,
+      "ngram_shared" -> 2.8, "winnow_select" -> 2.6, "bpe_merges" -> 0.4,
       "embed_vecs" -> 0.4, "lm_trusted" -> 1.2, "lm_full" -> 1.0,
       "basket_pairs" -> 3.8)
     // an unpinned (new) memo contributes its own measured cost to the

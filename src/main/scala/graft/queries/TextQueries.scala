@@ -288,8 +288,44 @@ object TextQueries extends QueryModule {
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[graft.operators.Bpe.Merge]]
   private[queries] def bpeMergesCached(s: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
-    bpeCache.getOrElseUpdate((s, dir),
-      graft.operators.Bpe.train(docs(s, dir), numMerges = BpeRounds))
+    bpeCache.getOrElseUpdate((s, dir), bpeMergesStored(s, dir))
+
+  /** PERSISTED merge table (path-keyed prefix — the LM-counts recipe,
+    * VERDICT r15 #1 applied to the tokenizer): the 20 iterative
+    * training rounds cost ~4.7 s per session at sf0.1 and the result
+    * is a 20-row corpus-derived table, so every session after the
+    * first adopts it from the warehouse in O(1) catalog ops + one
+    * 20-row read. Sentinel-guarded like every derived store: a
+    * changed corpus fails the signature and retrains. */
+  private[graft] def bpePrefixName(dir: String): String =
+    "bpe_" + java.lang.Integer.toHexString(dir.hashCode) + "_"
+  private[graft] def bpeStorePrefix(s: SparkSession, dir: String): String = {
+    val p = bpePrefixName(dir)
+    val table = p + "merges"
+    val sig = graft.sources.StoreSentinel.corpusSignature(dir, "documents.parquet")
+    val adopted = graft.sources.StoreSentinel.matches(s, p, sig) &&
+      graft.sources.BucketedUpsert.adopt(s, table)
+    if (!adopted) {
+      graft.sources.StoreSentinel.drop(s, p)
+      graft.sources.BucketedUpsert.drop(s, table)
+      val merges = graft.operators.Bpe.train(docs(s, dir), numMerges = BpeRounds)
+      import s.implicits._
+      graft.sources.BucketedUpsert.materialize(
+        merges.toDF("rank", "left", "right"), table, "rank", 1)
+      // sentinel LAST: its presence certifies a completed train
+      graft.sources.StoreSentinel.write(s, p, sig)
+    }
+    p
+  }
+  private def bpeMergesStored(s: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] = {
+    val p = bpeStorePrefix(s, dir)
+    // 20 rows (BpeRounds) — a driver-bounded read by construction;
+    // rank order restored on read (merge application is rank-ordered)
+    graft.sources.BucketedUpsert.read(s, p + "merges")
+      .orderBy(col("rank")).collect()
+      .map(r => graft.operators.Bpe.Merge(
+        r.getInt(0), r.getString(1), r.getString(2))).toSeq
+  }
 
   /** Merge count shared by the trainer call and the unrolled oracle —
     * the two MUST agree or the oracle replays a different tokenizer. */
@@ -396,6 +432,9 @@ object TextQueries extends QueryModule {
       c.clear()
     }
     ngramSharedCache.clear() // frames themselves drain via auxCached
+    bpeCache.keys.foreach { case (s, dir) =>
+      graft.sources.StoreSentinel.drop(s, bpePrefixName(dir))
+      graft.sources.BucketedUpsert.drop(s, bpePrefixName(dir) + "merges") }
     bpeCache.clear()
     postingsCache.foreach { case ((s, _), p) =>
       graft.sources.StoreSentinel.drop(s, p)
@@ -615,7 +654,9 @@ object TextQueries extends QueryModule {
   /** Test hook simulating a process restart: forget the in-memory
     * memo WITHOUT dropping the persisted stores (clearCaches drops
     * them — it is the invalidation API; this is the amnesia one). */
-  private[graft] def forgetSessionMemos(): Unit = postingsCache.clear()
+  private[graft] def forgetSessionMemos(): Unit = {
+    postingsCache.clear(); bpeCache.clear()
+  }
 
   /** The SAME BM25 top-20 against the persisted index: tf/dl come from
     * the query terms' postings buckets, df is the per-term row count of

@@ -167,6 +167,26 @@ class CrossSessionStoreSpec extends AnyFunSuite {
       "adoption must not write a single store file — no init, no ingest, no merge")
   }
 
+  test("bpe_merges reads an adopted merge table with zero store writes") {
+    val q = SparkEntry.queries("bpe_merges")
+    val expected = q(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(expected.nonEmpty)
+    val p = queries.TextQueries.bpePrefixName(sf)
+
+    // process restart: memo amnesia + empty catalog, bytes preserved
+    queries.TextQueries.forgetSessionMemos()
+    deregisterPreservingBytes(p + "merges")
+    val bytesBefore = storeFiles(p)
+    assert(bytesBefore.nonEmpty, "merge-table bytes must survive the 'restart'")
+
+    val got = q(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == expected, "adopted merge table must reproduce the trained tokenizer")
+    assert(storeFiles(p) == bytesBefore,
+      "adoption must not write a single store file — no retrain")
+  }
+
   test("sentinel files are scheme-versioned: an unversioned signature never matches") {
     // ADVICE r15: r15 changed the signature byte layout with no
     // version marker, so every prior sentinel mismatched SILENTLY (a
