@@ -152,16 +152,16 @@ object Bench {
       "ngram_shared" -> 2.8, "winnow_select" -> 2.6, "bpe_merges" -> 0.4,
       "embed_vecs" -> 0.4, "lm_trusted" -> 1.2, "lm_full" -> 1.0,
       "basket_pairs" -> 3.8)
-    // an unpinned (new) memo contributes its own measured cost to the
-    // expectation — visible in the artifact, gated once pinned
+    // decision arithmetic lives in MemoGate (pure, spec-pinned)
     def memoPin(name: String, sec: Double): Double =
-      MemoBaselineSec.getOrElse(name, sec)
-    val memoSec = memoBuilds.collect { case (_, v, true) => v }.sum
-    val memoExpectedSec = memoBuilds.collect { case (n, v, true) =>
-      memoPin(n, v) }.sum
-    val memoDegraded = memoSec > 2 * memoExpectedSec
-    memoBuilds.foreach { case (n, v, ok) =>
-      if (ok && v > 2 * memoPin(n, v)) System.err.println(
+      MemoGate.pin(MemoBaselineSec)(name, sec)
+    val memoVerdict = MemoGate.evaluate(memoBuilds, MemoBaselineSec)
+    val memoSec = memoVerdict.actualSec
+    val memoExpectedSec = memoVerdict.expectedSec
+    val memoDegraded = memoVerdict.degraded
+    memoVerdict.overruns.foreach { n =>
+      val v = memoBuilds.find(_._1 == n).get._2
+      System.err.println(
         f"[bench] WARNING memo $n took $v%.2f s vs ${memoPin(n, v)}%.2f s pinned (>2x)")
     }
     if (memoDegraded) System.err.println(
