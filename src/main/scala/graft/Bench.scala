@@ -14,6 +14,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // a typo'd stream knob must die here, not archive a mislabeled run
+    // (ADVICE r16) — validate before any session or warmup work
+    StreamBench.validateKnobs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -146,12 +149,27 @@ object Bench {
     // exceeds 2× the pinned total, and every memo >2× its own pin is
     // named on stderr for attribution. A memo-degraded run is re-run,
     // not archived (the canary rule, one phase later).
-    val MemoBaselineSec: Map[String, Double] = Map(
+    // The pins are calibrated for sf0.1 ON THIS IMAGE; every memo
+    // scales with corpus size, so at any other sfDir the gate is
+    // NEUTRALIZED (empty pin map ⇒ expected = actual ⇒ never
+    // degraded) with a stderr note and a `memo_pins` artifact field
+    // (ADVICE r16: an sf1 run would otherwise flag a healthy machine,
+    // and a smaller sf could mask real degradation).
+    val MemoPinnedSfDir = "/root/testdata/sf0.1"
+    val memoPinsApply =
+      sfDir.replaceAll("/+$", "") == MemoPinnedSfDir
+    val MemoBaselineSec: Map[String, Double] = if (memoPinsApply) Map(
       "per_user_aggs" -> 2.3, "trade_edges" -> 2.6, "shingle_rows" -> 1.2,
       "minhash_pairs" -> 2.8, "dedup_cluster_labels" -> 3.5,
       "ngram_shared" -> 2.8, "winnow_select" -> 2.6, "bpe_merges" -> 0.4,
       "embed_vecs" -> 0.4, "lm_trusted" -> 1.2, "lm_full" -> 1.0,
       "basket_pairs" -> 3.8)
+    else {
+      System.err.println(
+        s"[bench] NOTE memo pins are calibrated for $MemoPinnedSfDir; " +
+          s"sfDir=$sfDir ⇒ memo gate neutralized (memo_pins: unpinned_sf)")
+      Map.empty
+    }
     // decision arithmetic lives in MemoGate (pure, spec-pinned)
     def memoPin(name: String, sec: Double): Double =
       MemoGate.pin(MemoBaselineSec)(name, sec)
@@ -203,9 +221,42 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     // Streaming write-path throughput (baseline parity figure: the
-    // reference publishes ~2,000 req/s, BASELINE.md).
-    val streamEps = try StreamBench.run(spark, sfDir, nChunks = 5)._1
-      catch { case _: Throwable => -1.0 }
+    // reference publishes ~2,000 req/s, BASELINE.md) — measured
+    // best-of-3 over one pre-built feed (VERDICT r16 #1: the single
+    // un-retried reading was the one phase without a noise protocol,
+    // and it alone put rc=1 into BENCH_r16 on a canary-slow VM).
+    val StreamAttempts = 3
+    val streamReadings =
+      try StreamBench.runAttempts(spark, sfDir, nChunks = 5,
+        attempts = StreamAttempts)._1
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
+        Seq.empty[Double]
+      }
+    // Stream trust gate (VERDICT r16 #1/#2, arithmetic in StreamGate,
+    // decision table spec-pinned): reported ev/s is the best of the
+    // attempts; the 20k self-floor only fails the run when the canary
+    // sat INSIDE the measured quiet band (r16's seven same-HEAD runs:
+    // canary 9.5-13.0 s ↔ 22.9-29.0k ev/s, BENCHNOTES "stream canary
+    // band") — outside it the reading is untrusted and the run is
+    // flagged stream_degraded (re-run, don't archive; the memo-gate
+    // rule one phase later). Hard exits remain for a dead stream and
+    // for the reference-baseline floor (~2,000 req/s, BASELINE.md).
+    val StreamCanaryQuietMaxSec = 13.0
+    val StreamFloor = 20000.0
+    val StreamBaselineFloor = 2000.0
+    val streamVerdict = StreamGate.evaluate(streamReadings, canarySec,
+      StreamCanaryQuietMaxSec, StreamFloor, StreamBaselineFloor)
+    val streamEps = streamVerdict.reported
+    if (streamVerdict.degraded) System.err.println(
+      f"[bench] WARNING stream_degraded: best-of-$StreamAttempts " +
+        f"$streamEps%.0f ev/s under the $StreamFloor%.0f floor on a " +
+        f"canary outside the quiet band ($canarySec%.2f s > " +
+        f"$StreamCanaryQuietMaxSec%.1f s) — re-run this bench, do not archive it")
+    val streamJson = {
+      val att = streamReadings.map(r => "%.0f".format(r)).mkString("[", ",", "]")
+      s""""stream_events_per_sec":${"%.0f".format(streamEps)},"stream_protocol":"best-of-$StreamAttempts","stream_attempts":$att,"stream_degraded":${streamVerdict.degraded},"stream_canary_quiet_max_sec":${"%.1f".format(StreamCanaryQuietMaxSec)},"stream_floor":${"%.0f".format(StreamFloor)}"""
+    }
     // The driver captures only the TAIL of stdout (observed: last 2000
     // chars) and parses the JSON "metric" line out of it; r8 AND r9
     // both recorded "parsed": null because the full-registry per-query
@@ -228,7 +279,7 @@ object Bench {
       s""""$k":{"sec":${if (ok) "%.2f".format(v) else "-1"},"expected":${"%.2f".format(memoPin(k, v))}}"""
     }.mkString("{", ",", "}")
     val memoGateJson =
-      s""""memo_sec":${"%.2f".format(memoSec)},"memo_expected_sec":${"%.2f".format(memoExpectedSec)},"memo_degraded":$memoDegraded"""
+      s""""memo_sec":${"%.2f".format(memoSec)},"memo_expected_sec":${"%.2f".format(memoExpectedSec)},"memo_degraded":$memoDegraded,"memo_pins":"${if (memoPinsApply) "sf0.1" else "unpinned_sf"}""""
     // Streaming env knobs (ADVICE r15): a stray SPARK_GRAFT_STREAM_*
     // var silently changes the measured streaming configuration —
     // record any active ones in the artifact so a knobbed ev/s can
@@ -243,7 +294,7 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.writeString(fullPath,
-      s"""{"bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,$memoGateJson,"bench_all":$qs,"sweeps":$sweepsJson,"memo_builds":$memoDetailJson,"store_builds":$buildsJson,"stream_knobs":$streamKnobsJson,"failed":$failed,"stream_events_per_sec":${"%.0f".format(streamEps)},"sf":"$sfDir"}""")
+      s"""{"bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,$memoGateJson,"bench_all":$qs,"sweeps":$sweepsJson,"memo_builds":$memoDetailJson,"store_builds":$buildsJson,"stream_knobs":$streamKnobsJson,"failed":$failed,$streamJson,"sf":"$sfDir"}""")
     val headline = results.filter { case (k, _, _) =>
       k.matches("q\\d+_.*")
     }.map { case (k, v, ok) =>
@@ -256,12 +307,8 @@ object Bench {
     val failedCompact = (if (failedNames.size > 10)
       failedNames.take(10) :+ "\"...\"" else failedNames)
       .mkString("[", ",", "]")
-    // Streaming throughput floor (VERDICT r11 #8 / r13 #9): the
-    // write path has sustained 24-31k ev/s across rounds; below 20k
-    // is a regression, not VM noise, and must fail the run.
-    val StreamFloor = 20000.0
     def line(memo: String): String =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,$memoGateJson,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_builds":$buildsJson,"memo_builds":$memo,"queries":$headline,"failed":$failedCompact,"stream_events_per_sec":${"%.0f".format(streamEps)},"stream_floor":${"%.0f".format(StreamFloor)}${if (StreamBench.activeKnobs.nonEmpty) s""","stream_knobs":$streamKnobsJson""" else ""},"full":"${fullPath.toString}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,$memoGateJson,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_builds":$buildsJson,"memo_builds":$memo,"queries":$headline,"failed":$failedCompact,$streamJson${if (StreamBench.activeKnobs.nonEmpty) s""","stream_knobs":$streamKnobsJson""" else ""},"full":"${fullPath.toString}","sf":"$sfDir"}"""
     // The driver's capture window is ~2000 chars of tail; the parse
     // target must be well inside it. If the named memo map ever makes
     // the line too long, collapse it to its total (detail stays in
@@ -282,10 +329,13 @@ object Bench {
     System.out.flush()
     System.err.println(metricLine)
     System.err.flush()
-    // A run with failing queries (or a dead streaming bench) must not
-    // exit 0 — the driver records rc, and rc=0 buried the round-8
-    // regression (4 queries failing while the artifact looked green).
-    if (results.exists(!_._3) || streamEps < 0) sys.exit(3)
-    if (streamEps < StreamFloor) sys.exit(4)
+    // A run with failing queries must not exit 0 — the driver records
+    // rc, and rc=0 buried the round-8 regression (4 queries failing
+    // while the artifact looked green). The streaming exit policy is
+    // StreamGate's (3 dead, 4 trusted floor miss, 0 otherwise —
+    // including stream_degraded, which is a re-run signal, not a
+    // regression verdict).
+    if (results.exists(!_._3)) sys.exit(3)
+    if (streamVerdict.exitCode != 0) sys.exit(streamVerdict.exitCode)
   }
 }

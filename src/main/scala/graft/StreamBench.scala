@@ -16,14 +16,28 @@ object StreamBench {
 
   /** The SPARK_GRAFT_STREAM_* env knobs that alter the measured
     * streaming configuration (state partitions, state-store provider,
-    * async progress, codegen modes). Any active one is warned about at
-    * run start and recorded in the bench artifacts (ADVICE r15: a
-    * stray knob must never archive a non-comparable ev/s as green). */
+    * async progress, codegen modes, stage instrumentation). Any active
+    * one is warned about at run start and recorded in the bench
+    * artifacts (ADVICE r15: a stray knob must never archive a
+    * non-comparable ev/s as green; ADVICE r16: the stage-metrics
+    * listener runs DURING the measured batches, so an instrumented
+    * reading is a knobbed one too). */
   def activeKnobs: Seq[(String, String)] =
     Seq("SPARK_GRAFT_STREAM_PARTS", "SPARK_GRAFT_STREAM_PROVIDER",
       "SPARK_GRAFT_STREAM_ASYNC", "SPARK_GRAFT_STREAM_WSCG",
-      "SPARK_GRAFT_STREAM_CGFACTORY")
+      "SPARK_GRAFT_STREAM_CGFACTORY", "SPARK_GRAFT_STREAM_STAGES")
       .flatMap(k => sys.env.get(k).map(k -> _))
+
+  /** Fail fast on knob values that would otherwise be silently ignored
+    * (ADVICE r16: `SPARK_GRAFT_STREAM_PROVIDER=RocksDB` fell through a
+    * `case _ => ()` and measured the default HashMap provider while
+    * stream_knobs claimed a RocksDB run). Called before any session or
+    * feed work so a typo costs seconds, not a misattributed artifact. */
+  def validateKnobs(): Unit =
+    sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").foreach { v =>
+      require(v == "rocksdb",
+        s"SPARK_GRAFT_STREAM_PROVIDER=$v not recognized (expected 'rocksdb')")
+    }
 
   /** Feed the sf dir's events through the streaming pipeline in
     * `nChunks` micro-batches; returns (events/sec, flips).
@@ -41,6 +55,22 @@ object StreamBench {
     * is watermark-evicted — the only state contract that survives an
     * unbounded 100 TB feed. */
   def run(spark: SparkSession, sfDir: String, nChunks: Int): (Double, Long) = {
+    val (attempts, flips) = runAttempts(spark, sfDir, nChunks, attempts = 1)
+    (attempts.head, flips)
+  }
+
+  /** [[run]]'s body, measured `attempts` times over ONE pre-built feed
+    * (VERDICT r16 #1: the stream phase gets the query sweep's
+    * min-of-N trust protocol — feed chunking and pipeline warmup are
+    * shared setup, each attempt is a fresh query incarnation with its
+    * own checkpoint/state/sink, so attempt k's state stores never seed
+    * attempt k+1's). Returns every attempt's ev/s (order preserved;
+    * [[StreamGate]] picks the reported one) and the flip count, which
+    * must be identical across attempts (asserted — a flip-count drift
+    * between attempts would mean the pipeline is not deterministic
+    * over a fixed feed). */
+  def runAttempts(spark: SparkSession, sfDir: String, nChunks: Int,
+                  attempts: Int): (Seq[Double], Long) = {
     // Stream-specific session tuning (batch conf untouched): the state
     // partition count trades fold parallelism against per-batch
     // state-store commit fan-out (all stores on ONE node here; a real
@@ -49,6 +79,7 @@ object StreamBench {
     // 16 ≈ 23-24k, 32 ≈ 16k (per-partition overhead wins) — 16 is the
     // sweet spot. No-data micro-batches only exist to advance
     // watermark eviction — pure overhead in a throughput measurement.
+    validateKnobs()
     val ss = spark.newSession()
     activeKnobs.foreach { case (k, v) => System.err.println(
       s"[graft] WARNING sweep knob $k=$v active: measured streaming " +
@@ -56,10 +87,10 @@ object StreamBench {
     ss.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "16"))
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").foreach {
-      case "rocksdb" => ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+    sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").foreach { _ =>
+      // validateKnobs rejected everything but "rocksdb" above
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      case _ => ()
     }
     sys.env.get("SPARK_GRAFT_STREAM_ASYNC").foreach { v =>
       ss.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", v)
@@ -162,27 +193,38 @@ object StreamBench {
             s"name=${i.name.takeWhile(_ != '\n').take(60)}")
         }
       })
-    val stream = graft.streaming.FileEventSource.events(
-      ss, feedDir.toString, maxFilesPerTrigger = 1, glob = "events-*.parquet")
-    val name = s"bench_flips_${System.nanoTime()}"
-    val t0 = System.nanoTime()
-    val q = EventPipeline.grantChangesBounded(ss, stream, DefaultConfig.config)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    val sec = (System.nanoTime() - t0) / 1e9
-    System.err.println(s"[stream] progress: ${EventPipeline.queueMetrics(q)}")
-    // Per-batch duration breakdown (addBatch = plan execution,
-    // everything else is fixed per-batch harness cost) — the floor
-    // diagnosis lever; stderr only, never parsed.
-    q.recentProgress.foreach { p =>
-      import scala.jdk.CollectionConverters._
-      val d = p.durationMs.asScala.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(" ")
-      System.err.println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} $d")
+    val readings = (1 to attempts).map { attempt =>
+      val stream = graft.streaming.FileEventSource.events(
+        ss, feedDir.toString, maxFilesPerTrigger = 1, glob = "events-*.parquet")
+      val name = s"bench_flips_${System.nanoTime()}"
+      val t0 = System.nanoTime()
+      val q = EventPipeline.grantChangesBounded(ss, stream, DefaultConfig.config)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        s"[stream] attempt $attempt/$attempts: ${"%.0f".format(n / sec)} ev/s; " +
+          s"progress: ${EventPipeline.queueMetrics(q)}")
+      // Per-batch duration breakdown (addBatch = plan execution,
+      // everything else is fixed per-batch harness cost) — the floor
+      // diagnosis lever; stderr only, never parsed.
+      q.recentProgress.foreach { p =>
+        import scala.jdk.CollectionConverters._
+        val d = p.durationMs.asScala.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(" ")
+        System.err.println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} $d")
+      }
+      val flips = ss.table(name).count()
+      // the memory sink's temp view holds every attempt's flips on the
+      // driver heap; drop it once counted
+      ss.catalog.dropTempView(name)
+      (n / sec, flips)
     }
-    val flips = ss.table(name).count()
+    val flipCounts = readings.map(_._2).distinct
+    require(flipCounts.size == 1,
+      s"flip count drifted across attempts: ${readings.map(_._2)}")
     org.apache.commons.io.FileUtils.deleteDirectory(feedDir.toFile)
-    (n / sec, flips)
+    (readings.map(_._1), flipCounts.head)
   }
 
   def main(args: Array[String]): Unit = {

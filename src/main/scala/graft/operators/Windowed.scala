@@ -36,22 +36,69 @@ object Windowed {
     when(col("n_users") === 0, lit(0.0))
       .otherwise(col("n_denied_users").cast("double") / col("n_users"))
 
+  /** Seconds in a window-duration string as `window()` accepts it
+    * ("15 seconds", "10 minutes", …) — only the units the breaker
+    * cadences use. Drives the replica-count plan choice below. */
+  private def durationSec(s: String): Long = {
+    val parts = s.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"unsupported window duration: $s")
+    val mult = parts(1).stripSuffix("s") match {
+      case "second" => 1L
+      case "minute" => 60L
+      case "hour"   => 3600L
+      case "day"    => 86400L
+      case u => throw new IllegalArgumentException(s"unsupported window unit: $u")
+    }
+    parts(0).toLong * mult
+  }
+
   /** Per (sliding window, ) distinct-user stats over the event stream,
     * treating `error` events as denials (A5). One shuffle on the window
     * key; distinct counts use Spark's Expand+partial-agg, which scales
-    * out (state is per (window,gid) — no driver-side collection). */
+    * out (state is per (window,gid) — no driver-side collection).
+    *
+    * At a high-replica cadence (size/slide ≥ 8, e.g. the reference's
+    * 10 min / 15 s = 40 windows per event) the sliding `window()`
+    * expand multiplies RAW events; since every stat here is per
+    * (window, user), the events are first collapsed to one row per
+    * (slide-aligned tumble, user) — window membership is a function of
+    * the tumble alone (every slide-aligned window either contains a
+    * whole tumble or none of it) — so the 40× expand multiplies
+    * distinct pairs, not events. Low-replica cadences (2 at the
+    * default 5-minute slide) keep the direct plan: there the extra
+    * shuffle costs more than the expand saves. */
   def slidingStats(events: DataFrame, size: String = "10 minutes",
-                   slide: String = "5 minutes"): DataFrame =
-    events
-      // two-phase distinct (see featureStats): per-(window, user)
-      // partial counts first — no Expand, and the second shuffle is
-      // one row per distinct user per window
-      .groupBy(window(col("ts"), size, slide), col("user_id"))
-      .agg(
-        max(when(col("event_type") === "error", lit(1)).otherwise(lit(0)))
-          .as("denied"),
-        count(lit(1)).as("n"),
-        count(when(col("event_type") === "error", lit(1))).as("nd"))
+                   slide: String = "5 minutes"): DataFrame = {
+    val replicas = durationSec(size) / durationSec(slide)
+    val perWindowUser =
+      if (replicas >= 8)
+        events
+          .select(window(col("ts"), slide).as("tumble"), col("user_id"),
+            col("event_type"))
+          .groupBy(col("tumble"), col("user_id"))
+          .agg(
+            max(when(col("event_type") === "error", lit(1)).otherwise(lit(0)))
+              .as("denied"),
+            count(lit(1)).as("n"),
+            count(when(col("event_type") === "error", lit(1))).as("nd"))
+          // the tumble start inherits TimestampType, so the sliding
+          // window assignment is the same expression the direct plan
+          // applies to raw event times
+          .groupBy(window(col("tumble.start"), size, slide), col("user_id"))
+          .agg(max(col("denied")).as("denied"), sum(col("n")).as("n"),
+            sum(col("nd")).as("nd"))
+      else
+        events
+          // two-phase distinct (see featureStats): per-(window, user)
+          // partial counts first — no Expand, and the second shuffle is
+          // one row per distinct user per window
+          .groupBy(window(col("ts"), size, slide), col("user_id"))
+          .agg(
+            max(when(col("event_type") === "error", lit(1)).otherwise(lit(0)))
+              .as("denied"),
+            count(lit(1)).as("n"),
+            count(when(col("event_type") === "error", lit(1))).as("nd"))
+    perWindowUser
       .groupBy(col("window"))
       // countDistinct(user_id) ignored NULLs; the per-user rewrite
       // must not count a NULL-user group as a distinct user (event
@@ -64,6 +111,7 @@ object Windowed {
       .select(
         col("window.start").as("win_start"),
         col("n_users"), col("n_denied_users"), col("n_events"), col("n_denials"))
+  }
 
   /** Circuit breaker (A6): DISTINCT-USER denial rate > threshold opens
     * the circuit (allow-all). The reference's rate is

@@ -135,4 +135,61 @@ class StreamingRecoverySpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
   }
+
+  test("incompatible checkpoint fails loudly") {
+    // Round 15 changed the pipeline's state type (UserAggState →
+    // BoundedUserState, EventPipeline.scala checkpoint-compatibility
+    // note): a checkpoint written by the pre-r15 pipeline must NOT
+    // restore into the bounded one. This pins the FAILURE MODE: the
+    // restart dies with Spark's state-schema incompatibility error —
+    // a clear, immediate signal to restart from a fresh checkpoint —
+    // rather than deserializing garbage into silently wrong state.
+    // grantChanges (the unbounded variant) still carries the pre-r15
+    // state type, so it stands in for the old pipeline here.
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = events.as[EventRow].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_mig_").toString
+    val ms = MemoryStream[EventRow](spark)
+    try {
+      // incarnation 1: the legacy state format writes the checkpoint
+      // foreachBatch sinks, not memory: the memory sink refuses ANY
+      // checkpoint recovery, which would short-circuit before the
+      // state-schema check under test
+      val q1 = EventPipeline.grantChanges(spark, ms.toDS(), cfg)
+        .writeStream.queryName("mig_legacy")
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch { (b: Dataset[GrantChange], _: Long) =>
+          // must consume every partition: Spark 4 validates that all
+          // state stores committed, and an unconsumed frame commits none
+          val _ = b.count(); ()
+        }.start()
+      try { ms.addData(first.toSeq); q1.processAllAvailable() } finally q1.stop()
+
+      // incarnation 2: the bounded pipeline restores the same
+      // checkpoint — must fail loudly, at start or on first batch
+      ms.addData(rest.toSeq)
+      val err = intercept[Throwable] {
+        val q2 = EventPipeline.grantChangesBounded(spark, ms.toDS(), cfg)
+          .writeStream.queryName("mig_bounded")
+          .option("checkpointLocation", ckpt).outputMode("append")
+          .foreachBatch { (b: Dataset[GrantChange], _: Long) =>
+          // must consume every partition: Spark 4 validates that all
+          // state stores committed, and an unconsumed frame commits none
+          val _ = b.count(); ()
+        }.start()
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      // the documented failure, not an arbitrary crash: Spark's state
+      // schema check names the mismatch (wording varies by version —
+      // accept any message chain that mentions state + schema)
+      val messages = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ").toLowerCase
+      assert(messages.contains("schema") && messages.contains("state"),
+        s"expected a state-schema incompatibility error, got: $messages")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
 }

@@ -129,6 +129,56 @@ class WindowedSpec extends AnyFunSuite {
       Seq("2024-01-01 00:00:00.0", "2024-01-01 00:05:00.0"))
   }
 
+  test("high-replica pre-dedup plan equals the direct sliding-window formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // slidingStats at the reference cadence (40 replicas) collapses to
+    // (15 s tumble, user) BEFORE the window expand; this pins its
+    // results against the direct formulation — the one the ≤8-replica
+    // path still runs — on a frame where users repeat within and
+    // across tumbles, denials and NULL users included. Seconds offsets
+    // exercise tumble boundaries (0,7,14 share a tumble; 15,30 don't).
+    def at(min: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+    val rows = Seq(
+      (1L, at(0, 0), 1L, "view"), (2L, at(0, 7), 1L, "view"),
+      (3L, at(0, 14), 1L, "error"), (4L, at(0, 15), 1L, "view"),
+      (5L, at(0, 30), 2L, "error"), (6L, at(1, 2), 2L, "error"),
+      (7L, at(1, 2), 3L, "view"), (8L, at(9, 59), 3L, "error"),
+      (9L, at(12, 40), 4L, "view"))
+    val withNull = rows.map { case (id, ts, u, t) =>
+      (id, ts, java.lang.Long.valueOf(u), t, 1.0, "{}")
+    } :+ (10L, at(0, 7), null.asInstanceOf[java.lang.Long], "error", 1.0, "{}")
+    val events = withNull
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "properties")
+    val got = Windowed.slidingStats(events,
+      Windowed.ReferenceWindowSize, Windowed.ReferenceSlide)
+    // the direct (pre-r17) formulation, inlined
+    val want = events
+      .groupBy(window(col("ts"), Windowed.ReferenceWindowSize,
+        Windowed.ReferenceSlide), col("user_id"))
+      .agg(max(when(col("event_type") === "error", lit(1)).otherwise(lit(0)))
+        .as("denied"),
+        count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", lit(1))).as("nd"))
+      .groupBy(col("window"))
+      .agg(count(col("user_id")).as("n_users"),
+        coalesce(sum(when(col("user_id").isNotNull, col("denied"))), lit(0L))
+          .as("n_denied_users"),
+        sum(col("n")).as("n_events"),
+        sum(col("nd")).as("n_denials"))
+      .select(col("window.start").as("win_start"), col("n_users"),
+        col("n_denied_users"), col("n_events"), col("n_denials"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(key(got) == key(want))
+    // and the pre-dedup path was actually taken: the plan carries the
+    // slide-sized tumble pre-aggregate under the window expand
+    assert(got.queryExecution.analyzed.toString.contains("AS tumble"))
+    assert(!want.queryExecution.analyzed.toString.contains("AS tumble"))
+  }
+
   test("grant flips are emitted only on state change") {
     import spark.implicits._
     val events = Seq(

@@ -32,6 +32,17 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def art_path(prefix, n):
+    """The one filename rule for round-stamped artifacts (ADVICE r16:
+    verify() looked for zero-padded names under REPO while the
+    producers wrote unpadded names into the CWD — a single-digit round
+    or an off-root invocation made verify miss what was just written).
+    Producers and verify both resolve through here: REPO-anchored,
+    zero-padded to 2 digits (matching every committed artifact,
+    BENCH_r01..)."""
+    return os.path.join(REPO, f"{prefix}_r{int(n):02d}.json")
+
+
 def check_leakcheck_round(n):
     """Refuse to stamp round-N artifacts next to a stale LEAKCHECK
     (VERDICT r15 #3: HEAD committed a round-14 LEAKCHECK.json into the
@@ -64,14 +75,14 @@ def verify(n):
         r = json.load(open(lc)).get("round")
         if r != n:
             bad.append(f"LEAKCHECK.json round={r} (want {n})")
-    bench = os.path.join(REPO, f"BENCH_r{n:02d}.json")
+    bench = art_path("BENCH", n)
     if not os.path.exists(bench):
         bad.append(f"BENCH_r{n:02d}.json missing")
     else:
         r = json.load(open(bench)).get("n")
         if r != n:
             bad.append(f"BENCH_r{n:02d}.json n={r} (want {n})")
-    corr = os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")
+    corr = art_path("CORRECTNESS", n)
     if not os.path.exists(corr):
         bad.append(f"CORRECTNESS_r{n:02d}.json missing")
     if bad:
@@ -122,7 +133,7 @@ def correctness(n, sf_dir, out_dir):
         row["hash_match"] = (row["rows_match"] and row["schema_match"]
                              and want == got)
         res[name] = row
-    path = f"CORRECTNESS_r{n}.json"
+    path = art_path("CORRECTNESS", n)
     json.dump(res, open(path, "w"), indent=1)
     npass = sum(1 for v in res.values() if v["hash_match"])
     nnone = sum(1 for v in res.values() if v["err"] == "no_oracle")
@@ -137,7 +148,7 @@ def bench(n, log_path, rc, cpus, sf):
     tail = open(log_path, errors="replace").read()[-2000:]
     out = {"n": int(n), "rc": int(rc), "cpus": int(cpus),
            "sf": float(sf), "tail": tail}
-    path = f"BENCH_r{n}.json"
+    path = art_path("BENCH", n)
     json.dump(out, open(path, "w"), indent=1)
     print(f"{path}: rc={rc}")
     return 0
