@@ -135,16 +135,33 @@ object Windowed {
     * distinct counts expand map-side, so the plan scales out with the
     * number of (feature, window) groups. */
   def featureStats(attempts: DataFrame, size: String = "10 minutes",
-                   slide: String = "5 minutes"): DataFrame =
-    attempts
-      // two-phase distinct instead of countDistinct's Expand (which
-      // would triple the shuffled rows): first collapse to one row per
-      // (feature, window, user) carrying "was this user denied here",
-      // then plain counts. Both phases keep map-side partials; the
-      // second shuffle is tiny (distinct users per window).
-      .groupBy(col("feature"), window(col("ts"), size, slide),
-        col("user_id"))
-      .agg(max(when(!col("success"), lit(1)).otherwise(lit(0))).as("denied"))
+                   slide: String = "5 minutes"): DataFrame = {
+    val replicas = durationSec(size) / durationSec(slide)
+    val perWindowUser =
+      if (replicas >= 8)
+        // same high-replica pre-dedup as slidingStats: collapse to one
+        // row per (feature, slide-tumble, user) BEFORE the expand, so
+        // the reference cadence's 40× multiplies distinct triples, not
+        // raw attempts (window membership is a function of the tumble)
+        attempts
+          .select(col("feature"), window(col("ts"), slide).as("tumble"),
+            col("user_id"), col("success"))
+          .groupBy(col("feature"), col("tumble"), col("user_id"))
+          .agg(max(when(!col("success"), lit(1)).otherwise(lit(0))).as("denied"))
+          .groupBy(col("feature"),
+            window(col("tumble.start"), size, slide), col("user_id"))
+          .agg(max(col("denied")).as("denied"))
+      else
+        attempts
+          // two-phase distinct instead of countDistinct's Expand (which
+          // would triple the shuffled rows): first collapse to one row per
+          // (feature, window, user) carrying "was this user denied here",
+          // then plain counts. Both phases keep map-side partials; the
+          // second shuffle is tiny (distinct users per window).
+          .groupBy(col("feature"), window(col("ts"), size, slide),
+            col("user_id"))
+          .agg(max(when(!col("success"), lit(1)).otherwise(lit(0))).as("denied"))
+    perWindowUser
       .groupBy(col("feature"), col("window"))
       // count(user_id)/NULL-guarded sum, not count(*): preserves
       // countDistinct's ignore-NULL semantics for a NULL-user attempt
@@ -153,6 +170,7 @@ object Windowed {
           .as("n_denied_users"))
       .select(col("feature"), col("window.start").as("win_start"),
         col("n_users"), col("n_denied_users"))
+  }
 
   /** Per-feature circuit breaker (user_feature.py:106-126): each
     * feature's circuit opens independently on ITS distinct-user denial

@@ -177,6 +177,32 @@ class WindowedSpec extends AnyFunSuite {
     // slide-sized tumble pre-aggregate under the window expand
     assert(got.queryExecution.analyzed.toString.contains("AS tumble"))
     assert(!want.queryExecution.analyzed.toString.contains("AS tumble"))
+
+    // featureStats takes the same pre-dedup at high replica counts —
+    // pin it against the direct formulation on a two-feature fixture
+    // derived from the same rows (denied = the error events)
+    val attempts = events.select(col("ts"), col("user_id"),
+      when(col("event_id") % 2 === 0, "purchase").otherwise("message")
+        .as("feature"),
+      (col("event_type") =!= "error").as("success"))
+    val gotF = Windowed.featureStats(attempts,
+      Windowed.ReferenceWindowSize, Windowed.ReferenceSlide)
+    val wantF = attempts
+      .groupBy(col("feature"), window(col("ts"),
+        Windowed.ReferenceWindowSize, Windowed.ReferenceSlide),
+        col("user_id"))
+      .agg(max(when(!col("success"), lit(1)).otherwise(lit(0))).as("denied"))
+      .groupBy(col("feature"), col("window"))
+      .agg(count(col("user_id")).as("n_users"),
+        coalesce(sum(when(col("user_id").isNotNull, col("denied"))), lit(0L))
+          .as("n_denied_users"))
+      .select(col("feature"), col("window.start").as("win_start"),
+        col("n_users"), col("n_denied_users"))
+    def keyF(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    assert(keyF(gotF) == keyF(wantF))
+    assert(gotF.queryExecution.analyzed.toString.contains("AS tumble"))
   }
 
   test("grant flips are emitted only on state change") {
