@@ -60,6 +60,26 @@ object PackingQueries extends QueryModule {
       size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq"))
     .withColumn("score", expr("(1000000 * n_uniq) div n_tok"))
 
+  /** One-scan curation base for the assemble queries: score AND the
+    * content hash projected map-side in a single pass over
+    * `documents`, so the exact-dedup window shuffles fixed-width rows
+    * (doc_id, source, n_tok, n_uniq, score, h) instead of raw text —
+    * at corpus scale the dedup exchange shrinks from O(corpus bytes)
+    * to O(rows × ~60 B). Scoring runs on every doc (duplicates and
+    * the eval split included) rather than on post-filter survivors;
+    * that map-side CPU on to-be-dropped rows is the price of never
+    * scanning `documents` twice nor joining two corpus-sized frames
+    * back on doc_id (the pre-r17 assemble_provenance shape). Score is
+    * a pure function of text, so WHERE it is computed cannot change
+    * any hash-gated result. */
+  private def withScoreH(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq"),
+      md5(col("text")).as("h"))
+    .withColumn("score", expr("(1000000 * n_uniq) div n_tok"))
+    .withColumn("cid", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+
   private val scoreCte =
     """s AS (SELECT doc_id, source,
       |             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
@@ -587,12 +607,9 @@ object PackingQueries extends QueryModule {
     // each O(corpus/partitions) per task at any scale.
     Q("corpus_assemble",
       (s, dir) => {
-        val wH = Window.partitionBy(col("h"))
-        val dd = docs(s, dir)
-          .select(col("doc_id"), col("source"), col("text"), md5(col("text")).as("h"))
-          .withColumn("cid", min(col("doc_id")).over(wH))
+        val dd = withScoreH(docs(s, dir))
           .filter(col("doc_id") === col("cid") && col("doc_id") % 10 =!= 0)
-          .select(col("doc_id"), col("source"), col("text"))
+          .drop("h", "cid")
         val sh = TextQueries.shingleRowsCached(s, dir).select(col("doc_id"), col("s"))
         val evalGrams = sh.filter(col("doc_id") % 10 === 0)
           .select(col("s")).distinct()
@@ -602,7 +619,7 @@ object PackingQueries extends QueryModule {
           .filter(col("shared") >= 3)
           .select(col("doc_id"))
         val clean = dd.join(contaminated, Seq("doc_id"), "left_anti")
-        val scored = withScore(clean).filter(col("score") >= QMin)
+        val scored = clean.filter(col("score") >= QMin)
         budgetSelect(capPerSource(scored).drop("rk"))
           .select(col("doc_id"), col("source"), col("score"),
             col("n_tok"), col("cum_tokens"))
@@ -707,18 +724,15 @@ object PackingQueries extends QueryModule {
     // contaminated → low_quality → source_capped → over_budget →
     // selected; each doc carries exactly one verdict.
     //
-    // Scale: the flags reuse the assemble stages verbatim (content-hash
-    // window, gram-keyed contamination join — never doc×doc, two-phase
-    // cap/budget), plus two left joins on doc_id of the KEPT-id frames,
-    // which are budget-bounded (≤ sources×cap rows). Cost ≈ one
-    // corpus_assemble plus two cheap hash joins.
+    // Scale: the flags reuse the assemble stages verbatim (one-scan
+    // score+hash base `withScoreH`, gram-keyed contamination join —
+    // never doc×doc, two-phase cap/budget), plus two left joins on
+    // doc_id of the KEPT-id frames, which are budget-bounded
+    // (≤ sources×cap rows). Cost ≈ one corpus_assemble plus two cheap
+    // hash joins; `documents` is scanned exactly once and no
+    // corpus-sized frame is ever joined to another.
     Q("assemble_provenance",
       (s, dir) => {
-        val wH = Window.partitionBy(col("h"))
-        val flagged = docs(s, dir)
-          .select(col("doc_id"), md5(col("text")).as("h"))
-          .withColumn("cid", min(col("doc_id")).over(wH))
-          .select(col("doc_id"), col("cid"))
         val sh = TextQueries.shingleRowsCached(s, dir).select(col("doc_id"), col("s"))
         val evalGrams = sh.filter(col("doc_id") % 10 === 0)
           .select(col("s")).distinct()
@@ -727,8 +741,7 @@ object PackingQueries extends QueryModule {
           .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
           .filter(col("shared") >= 3)
           .select(col("doc_id"), lit(true).as("contam"))
-        val base = flagged
-          .join(withScore(docs(s, dir)), Seq("doc_id"))
+        val base = withScoreH(docs(s, dir)).drop("h")
           .join(contaminated, Seq("doc_id"), "left")
         val survivors = base.filter(col("doc_id") === col("cid") &&
             col("doc_id") % 10 =!= 0 && col("contam").isNull &&
