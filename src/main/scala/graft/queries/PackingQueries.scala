@@ -72,7 +72,7 @@ object PackingQueries extends QueryModule {
     * back on doc_id (the pre-r17 assemble_provenance shape). Score is
     * a pure function of text, so WHERE it is computed cannot change
     * any hash-gated result. */
-  private def withScoreH(d: DataFrame): DataFrame = d
+  private[graft] def withScoreH(d: DataFrame): DataFrame = d
     .select(col("doc_id"), col("source"),
       size(tokens(col("text"))).cast("long").as("n_tok"),
       size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq"),

@@ -87,6 +87,69 @@ class PackingQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("withScoreH one-scan base equals the two-scan hash-window + score-join form") {
+    // r17 rewrote the assemble queries onto a single documents scan
+    // (score and md5 hash projected map-side, dedup-window over the
+    // fixed-width result). Pin it value-identical to the pre-r17
+    // two-scan formulation — hash-window frame joined back to a
+    // separately-scanned score frame on doc_id — on a fixture with a
+    // duplicate cluster spanning eval/non-eval ids, an empty text
+    // (n_tok must still be 1: split of a trimmed empty string is
+    // ['']), and a repeated-token doc where n_uniq < n_tok.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "a", "x y x"), (11L, "b", "x y x"), (30L, "f", "x y x"),
+      (10L, "c", "eval doc"), (20L, "d", ""), (3L, "e", "solo")
+    ).toDF("doc_id", "source", "text")
+    val one = graft.queries.PackingQueries.withScoreH(docs)
+      .select("doc_id", "source", "n_tok", "n_uniq", "score", "cid")
+    val flagged = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("cid",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .select("doc_id", "cid")
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"),
+        size(array_distinct(split(trim(col("text")), " "))).cast("long").as("n_uniq"))
+      .withColumn("score", expr("(1000000 * n_uniq) div n_tok"))
+    val two = scored.join(flagged, Seq("doc_id"))
+      .select("doc_id", "source", "n_tok", "n_uniq", "score", "cid")
+    assert(one.exceptAll(two).count() == 0 && two.exceptAll(one).count() == 0)
+    val byId = one.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("cid") == 1L
+      && byId(11L).getAs[Long]("cid") == 1L
+      && byId(30L).getAs[Long]("cid") == 1L, "dup cluster keeps min id")
+    assert(byId(20L).getAs[Long]("n_tok") == 1L, "empty text tokenizes to ['']")
+    assert(byId(1L).getAs[Long]("n_uniq") == 2L, "repeat tokens dedup in n_uniq")
+  }
+
+  test("assemble queries: raw text never reaches a window or join input") {
+    // The point of the one-scan base at corpus scale: text is consumed
+    // map-side (score/hash projection, shingle generate) and only
+    // fixed-width rows cross the plan's exchanges. Guard it in the
+    // optimized logical plan — every Window's child and every Join's
+    // two inputs must be text-free; a regression that re-threads the
+    // text column through the dedup window or a doc_id join shows up
+    // here before it shows up as shuffle bytes at scale.
+    import org.apache.spark.sql.catalyst.plans.logical
+    Seq("corpus_assemble", "assemble_provenance").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.optimizedPlan
+      val windows = plan.collect { case w: logical.Window => w }
+      assert(windows.nonEmpty, s"$name: expected dedup/rank windows")
+      windows.foreach { w =>
+        assert(!w.child.output.exists(_.name == "text"),
+          s"$name: a Window input carries raw text: ${w.child.output.map(_.name)}")
+      }
+      plan.collect { case j: logical.Join => j }.foreach { j =>
+        val carried = (j.left.output ++ j.right.output).map(_.name)
+        assert(!carried.contains("text"),
+          s"$name: a Join input carries raw text: $carried")
+      }
+    }
+  }
+
   test("bpe vocab join: shuffle fallback above the broadcast ceiling is value-identical") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val merges = Seq(graft.operators.Bpe.Merge(0, "e", "s</w>"))
