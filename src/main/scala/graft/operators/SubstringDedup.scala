@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   *
   *  1. every ordered k-token gram with its (doc, pos) site — a
   *     projection + explode, no shuffle;
-  *  2. grams at >= 2 sites corpus-wide (intra-doc repeats count, as
-  *     in the paper) — ONE groupBy(gram) with map-side partial
-  *     counts, the suffix-array replacement. Hash-partitioned on the
-  *     gram, so per-reducer state is corpus-size-free;
-  *  3. duplicated sites re-attach by gram KEY (semi-join shape) —
-  *     a gram in 10^6 docs costs 10^6 rows, never 10^12 pairs;
+  *  2.+3. sites of grams at >= 2 sites corpus-wide (intra-doc repeats
+  *     count, as in the paper) — ONE count-window partitioned on the
+  *     gram, the suffix-array replacement: a single hash shuffle of
+  *     the site frame keys every gram's sites to one task and filters
+  *     them in place, so per-task state is one gram's site list — a
+  *     gram in 10^6 docs costs 10^6 rows, never 10^12 pairs — and the
+  *     gram STRING crosses the wire once (the groupBy + join-back
+  *     formulation shipped it twice);
   *  4. overlapping-or-ADJACENT marked token ranges merge to maximal
   *     spans per doc via one gaps-and-islands window (shuffle on
   *     doc_id; each partition holds single docs' grams).
@@ -41,10 +43,16 @@ object SubstringDedup {
         posexplode(orderedShingles(t, k)).as(Seq("pos0", "g")))
       .select(col("doc_id"),
         (col("pos0") + 1).cast("long").as("pos"), col("g"))
-    val dup = g.groupBy(col("g"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-      .select(col("g"))
-    val hits = g.join(dup, Seq("g"))
+    // Corpus-wide site count as ONE window over the gram key instead
+    // of groupBy + join-back: the pre-r17 shape shuffled the full
+    // (doc_id, pos, g) frame by g twice (the partial-agg output and
+    // the join input are different exchanges, so ReuseExchange cannot
+    // merge them); the window shuffles it once. Skew is unchanged — a
+    // hyper-frequent gram's sites land in one task under the shuffled
+    // join exactly as under the window partition.
+    val hits = g
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("n") >= 2)
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + lit(k - 1)).as("e"))
     val byStart = Window.partitionBy(col("doc_id")).orderBy(col("s"))
