@@ -138,10 +138,17 @@ object TextQueries extends QueryModule {
     val abPlain = ab.select(col("doc_id"), col("s"))
     val shared = plan.getOrElse(jaccardRegime(dfs)) match {
       case "prefix" =>
-        val n = ab.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val prefix = ab.join(n, Seq("doc_id"))
-          .withColumn("r", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+        // Set size and prefix rank from ONE window partition: the
+        // per-doc count rides the same (doc_id)-keyed sort as the
+        // rank (full-partition frame), so the groupBy + join-back of
+        // the pre-r17 shape — a second full shuffle of the posting
+        // frame — collapses into the exchange the rank needs anyway.
+        val wDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("s"))
+        val prefix = ab
+          .withColumn("n", count(lit(1)).over(wDoc.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("r", row_number().over(wDoc))
           .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
           .select(col("doc_id"), col("s"))
         val cand = prefix.select(col("doc_id").as("d1"), col("s"))
