@@ -65,4 +65,52 @@ class SubstringDedupSpec extends AnyFunSuite {
       3L -> (b + " " + words(110 to 115)))
     assert(out(1L) == Seq((1L, 4L, 4L), (13L, 16L, 4L)))
   }
+
+  /** Independent driver-side reference: enumerate every k-gram site,
+    * keep sites of grams at >= 2 sites corpus-wide, merge
+    * overlapping-or-adjacent ranges per doc (running-max-end islands —
+    * the same gaps-and-islands rule the operator's window encodes). */
+  private def naiveSpans(docs: Seq[(Long, String)],
+                         k: Int): Map[Long, Seq[(Long, Long, Long)]] = {
+    val sites = for {
+      (id, text) <- docs
+      ts = text.trim.split(" ").toSeq
+      if ts.size >= k
+      i <- 0 to ts.size - k
+    } yield (id, (i + 1).toLong, ts.slice(i, i + k).mkString(" "))
+    val nSites = sites.groupBy(_._3).view.mapValues(_.size).toMap
+    sites.filter(s => nSites(s._3) >= 2)
+      .map { case (id, pos, _) => (id, pos, pos + k - 1) }
+      .groupBy(_._1)
+      .map { case (id, hs) =>
+        val merged = hs.map(h => (h._2, h._3)).sortBy(identity)
+          .foldLeft(List.empty[(Long, Long)]) {
+            case ((ps, pe) :: rest, (s, e)) if s <= pe + 1 =>
+              (ps, math.max(pe, e)) :: rest
+            case (acc, (s, e)) => (s, e) :: acc
+          }.reverse
+        id -> merged.map { case (s, e) => (s, e, e - s + 1) }
+      }
+  }
+
+  test("randomized corpora: spans match the brute-force reference") {
+    // Tiny alphabet forces dense gram repeats (intra- and cross-doc),
+    // short docs exercise the < k filter and single-gram spans, and a
+    // fixed seed keeps failures reproducible. The r17 rewrite changed
+    // the site-count plan (groupBy+join-back -> one count window);
+    // this pins the full contract against an independent formulation
+    // across shapes no handcrafted fixture enumerates.
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 25) {
+      val docs = (1L to (3 + rnd.nextInt(6))).map { id =>
+        val n = rnd.nextInt(18) // 0..17 tokens; < k docs mark nothing
+        id -> Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      val expected = naiveSpans(docs, k = 4)
+      val got = run(docs: _*)
+      assert(got == expected,
+        s"trial $trial diverged\n docs=$docs\n got=$got\n want=$expected")
+    }
+  }
 }
