@@ -98,4 +98,43 @@ class JaccardPrefixSpec extends AnyFunSuite {
     assert(p.nonEmpty, "mixed fixture must contain strong duplicates")
     graft.Caches.clearAll()
   }
+
+  test("randomized corpora: prefix and inverted plans agree on every trial") {
+    // The r17 rewrite folded the prefix's set-size count into the rank
+    // window; pin the lemma across shapes the fixed fixtures don't
+    // enumerate — random base docs with 0-2-token mutated copies (J
+    // lands on both sides of 0.8 depending on doc length), a shared
+    // template block for df pressure, and a fixed seed for
+    // reproducibility. Both plans run over the SAME written corpus, so
+    // any divergence is the candidate generation, not the data.
+    import spark.implicits._
+    val rnd = new scala.util.Random(17L)
+    for (trial <- 1 to 8) {
+      val vocab = (0 until 30).map(i => s"v$i")
+      val bases = (0 until 4).map { b =>
+        (0 until (8 + rnd.nextInt(8))).map(_ => vocab(rnd.nextInt(vocab.size)))
+      }
+      val docs = bases.zipWithIndex.flatMap { case (toks, b) =>
+        val copies = (0 until rnd.nextInt(3)).map { c =>
+          val mutated = toks.zipWithIndex.map { case (t, i) =>
+            if (rnd.nextInt(10) == 0) s"m${b}_${c}_$i" else t
+          }
+          (100L * b + c + 1, mutated.mkString(" "))
+        }
+        (100L * b, toks.mkString(" ")) +: copies
+      } ++ (0 until 10).map(d =>
+        (1000L + d, (0 until 10).map(i => s"tpl_$i").mkString(" ")))
+      val dir = java.nio.file.Files.createTempDirectory(s"ppj_rnd$trial")
+      dir.toFile.deleteOnExit()
+      docs.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("documents.parquet").toString)
+      def run(plan: String): Set[(Long, Long, Double)] = queries.TextQueries
+        .jaccardStrongPairs(spark, dir.toString, plan = Some(plan))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val p = run("prefix"); val i = run("inverted")
+      assert(p == i, s"trial $trial diverged: only-prefix=${p -- i}, " +
+        s"only-inverted=${i -- p}\n docs=$docs")
+      graft.Caches.clearAll()
+    }
+  }
 }
