@@ -205,6 +205,51 @@ class WindowedSpec extends AnyFunSuite {
     assert(gotF.queryExecution.analyzed.toString.contains("AS tumble"))
   }
 
+  test("randomized events: pre-dedup sliding stats equal the direct plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Seeded random event frames — users repeating within and across
+    // 15 s tumbles, ~1/8 NULL users, ~1/3 denials, timestamps spread
+    // over 15 min so windows straddle every tumble alignment — pin the
+    // high-replica pre-dedup against the direct formulation across
+    // shapes the handcrafted fixture doesn't enumerate.
+    val rnd = new scala.util.Random(171L)
+    for (trial <- 1 to 8) {
+      val rows = (1 to 30 + rnd.nextInt(40)).map { i =>
+        val ts = java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:${rnd.nextInt(15)}%02d:${rnd.nextInt(60)}%02d")
+        val u: java.lang.Long =
+          if (rnd.nextInt(8) == 0) null
+          else java.lang.Long.valueOf(1L + rnd.nextInt(5))
+        val t = if (rnd.nextInt(3) == 0) "error" else "view"
+        (i.toLong, ts, u, t, 1.0, "{}")
+      }
+      val events = rows
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "properties")
+      val got = Windowed.slidingStats(events,
+        Windowed.ReferenceWindowSize, Windowed.ReferenceSlide)
+      val want = events
+        .groupBy(window(col("ts"), Windowed.ReferenceWindowSize,
+          Windowed.ReferenceSlide), col("user_id"))
+        .agg(max(when(col("event_type") === "error", lit(1)).otherwise(lit(0)))
+          .as("denied"),
+          count(lit(1)).as("n"),
+          count(when(col("event_type") === "error", lit(1))).as("nd"))
+        .groupBy(col("window"))
+        .agg(count(col("user_id")).as("n_users"),
+          coalesce(sum(when(col("user_id").isNotNull, col("denied"))), lit(0L))
+            .as("n_denied_users"),
+          sum(col("n")).as("n_events"),
+          sum(col("nd")).as("n_denials"))
+        .select(col("window.start").as("win_start"), col("n_users"),
+          col("n_denied_users"), col("n_events"), col("n_denials"))
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sorted.toSeq
+      assert(key(got) == key(want), s"trial $trial diverged")
+    }
+  }
+
   test("grant flips are emitted only on state change") {
     import spark.implicits._
     val events = Seq(
