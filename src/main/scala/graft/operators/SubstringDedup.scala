@@ -44,10 +44,13 @@ object SubstringDedup {
       .select(col("doc_id"),
         (col("pos0") + 1).cast("long").as("pos"), col("g"))
     // Corpus-wide site count as ONE window over the gram key instead
-    // of groupBy + join-back: the pre-r17 shape shuffled the full
-    // (doc_id, pos, g) frame by g twice (the partial-agg output and
-    // the join input are different exchanges, so ReuseExchange cannot
-    // merge them); the window shuffles it once. Skew is unchanged — a
+    // of groupBy + join-back: the pre-r17 shape paid two g-keyed
+    // exchanges — the full (doc_id, pos, g) site frame into the join,
+    // plus the aggregate's (map-side-combined, so distinct-gram-sized)
+    // partial-count exchange — and ReuseExchange cannot merge them.
+    // The window pays exactly one full-frame exchange; the saving is
+    // the second exchange's rows plus one whole gram-string column,
+    // measured ~15-20% at sf0.1, not a halving. Skew is unchanged — a
     // hyper-frequent gram's sites land in one task under the shuffled
     // join exactly as under the window partition.
     val hits = g

@@ -54,11 +54,16 @@ object PackingQueries extends QueryModule {
     * ratio in fixed-point millionths. Integer div on BIGINTs is exact
     * and engine-portable (a double ratio would hash-diverge); n_tok >= 1
     * always (split of a trimmed empty string is ['']). */
+  private def scoreCols: Seq[Column] = Seq(
+    col("doc_id"), col("source"),
+    size(tokens(col("text"))).cast("long").as("n_tok"),
+    size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq"))
+
+  private val ScoreExpr = "(1000000 * n_uniq) div n_tok"
+
   private def withScore(d: DataFrame): DataFrame = d
-    .select(col("doc_id"), col("source"),
-      size(tokens(col("text"))).cast("long").as("n_tok"),
-      size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq"))
-    .withColumn("score", expr("(1000000 * n_uniq) div n_tok"))
+    .select(scoreCols: _*)
+    .withColumn("score", expr(ScoreExpr))
 
   /** One-scan curation base for the assemble queries: score AND the
     * content hash projected map-side in a single pass over
@@ -73,11 +78,8 @@ object PackingQueries extends QueryModule {
     * a pure function of text, so WHERE it is computed cannot change
     * any hash-gated result. */
   private[graft] def withScoreH(d: DataFrame): DataFrame = d
-    .select(col("doc_id"), col("source"),
-      size(tokens(col("text"))).cast("long").as("n_tok"),
-      size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq"),
-      md5(col("text")).as("h"))
-    .withColumn("score", expr("(1000000 * n_uniq) div n_tok"))
+    .select(scoreCols :+ md5(col("text")).as("h"): _*)
+    .withColumn("score", expr(ScoreExpr))
     .withColumn("cid", min(col("doc_id")).over(Window.partitionBy(col("h"))))
 
   private val scoreCte =
