@@ -58,6 +58,45 @@ object AnalyticsQueries extends QueryModule {
     * prune identically. */
   private[graft] val RecTopNeighbors = 50
 
+  /** Per-basket ITEM cap: every order keeps at most this many
+    * distinct items before the pair self-join, selected by a
+    * deterministic hash-rank (md5 of "o:i", item-id tie-break) so the
+    * kept subset is an unbiased sample, not the lowest part keys.
+    * This is the guard that bounds [[basketPairs]]' quadratic
+    * fan-out: a pathological 10⁵-item mega-basket costs
+    * C(64,2) = 2,016 pair rows instead of 5·10⁹ through one task —
+    * the same role the df ≤ 50 cap plays for the shingle joins.
+    * 64 is far above every fixture's max basket (11/13/17/17 distinct
+    * items at sf0.001/0.01/0.1/sf1_scaled), so fixture results are
+    * bit-identical capped or not; the value is interpolated into the
+    * oracle CTE ([[basketCte]]) and shared by the streaming serve
+    * path ([[graft.streaming.BasketStream]] routes its per-batch
+    * frames through [[capBasketItems]]) so all three engines prune
+    * the SAME items. The rank hash is a deterministic function of
+    * (o, i) alone — independent of batching — which is what keeps
+    * the streaming==batch invariant exact under the cap. */
+  private[graft] val BasketItemCap = 64
+
+  /** The shared basket-items carve: distinct (order, item) pairs,
+    * capped at [[BasketItemCap]] items per order by md5 hash-rank.
+    * The rank window partitions by the order key, so its sort frame
+    * is ≤ the basket size — bounded by cart size, never data-sized —
+    * and the partitioning feeds straight into the downstream
+    * order-keyed self-join. Used by the batch memo ([[basketPairs]])
+    * and the streaming delta builder; the oracle applies the
+    * IDENTICAL expression in SQL (DuckDB and Spark both emit
+    * lowercase-hex md5 over the same "o:i" string, so the rank order
+    * matches byte-for-byte). */
+  private[graft] def capBasketItems(lines: DataFrame): DataFrame =
+    lines.select(col("o"), col("i")).distinct()
+      .withColumn("irk", row_number().over(
+        Window.partitionBy(col("o")).orderBy(
+          md5(concat(col("o").cast("string"), lit(":"),
+            col("i").cast("string"))),
+          col("i"))))
+      .filter(col("irk") <= BasketItemCap)
+      .drop("irk")
+
   /** Per-(type, day) event counts and exact DECIMAL revenue — the
     * additive daily frame behind revenue_anomaly_mad AND the
     * streaming AnomalyMonitorStream store (counts and decimal sums
@@ -93,18 +132,20 @@ object AnalyticsQueries extends QueryModule {
     * production market-basket stage materializes its pair counts
     * once). The self-join is keyed on the order and fans each basket
     * into |basket|²/2 pair rows, so the cost is Σ per-basket
-    * quadratic, NOT corpus-quadratic — baskets are small by nature
-    * (TPC-H ≤ 7 lines; a real cart is tens), and a pathological
-    * mega-basket would be capped upstream the way the shingle joins
-    * cap df. The [[BasketMinSupport]] floor drops the singleton-pair
+    * quadratic, NOT corpus-quadratic — and the per-basket term is
+    * HARD-capped at C([[BasketItemCap]], 2) by the
+    * [[capBasketItems]] hash-rank carve applied before the join, so
+    * even a pathological mega-basket is bounded (enforced, not
+    * assumed; BasketCapSpec plants one and measures). The
+    * [[BasketMinSupport]] floor drops the singleton-pair
     * noise floor before anything downstream touches the frame. */
   private val basketPairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
   private def basketPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     basketPairCache.getOrElseUpdate((s, dir), {
-      val bi = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
-        .distinct().cache()
+      val bi = capBasketItems(Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("i")))
+        .cache()
       val pairs = bi.select(col("o"), col("i").as("i1"))
         .join(bi.select(col("o"), col("i").as("i2")), Seq("o"))
         .filter(col("i1") < col("i2"))
@@ -234,10 +275,16 @@ object AnalyticsQueries extends QueryModule {
         round(col("hits") / col("n_eval"), 6).as("hitrate_at5"))
   }
 
-  /** Shared oracle CTEs: distinct basket items, per-item counts, and
-    * the pair counts at the [[BasketMinSupport]] support floor. */
+  /** Shared oracle CTEs: distinct basket items (hash-rank capped at
+    * [[BasketItemCap]] per order, the exact [[capBasketItems]]
+    * expression re-stated in SQL), per-item counts, and the pair
+    * counts at the [[BasketMinSupport]] support floor. */
   private val basketCte =
-    s"""bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+    s"""bi AS (SELECT o, i FROM (
+       |        SELECT o, i, row_number() OVER (PARTITION BY o
+       |          ORDER BY md5(CAST(o AS VARCHAR) || ':' || CAST(i AS VARCHAR)), i) AS irk
+       |        FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem))
+       |      WHERE irk <= $BasketItemCap),
        |n AS (SELECT i, count(*) AS n FROM bi GROUP BY i),
        |c AS (SELECT a.i AS i1, b.i AS i2, count(*) AS c
        |      FROM bi a JOIN bi b ON a.o = b.o AND a.i < b.i

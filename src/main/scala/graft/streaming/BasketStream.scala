@@ -80,10 +80,16 @@ object BasketStream {
 
   /** The batch's own (pairs, items, totals) delta frames from a
     * `[o, i]` line frame — one distinct + the basket-keyed self-join,
-    * map-side combined. `sign` −1 builds the delete deltas. */
+    * map-side combined. `sign` −1 builds the delete deltas. Items
+    * route through [[AnalyticsQueries.capBasketItems]]: the hash-rank
+    * is a function of (o, i) alone, so with whole baskets per batch
+    * (the caller contract above) the stream keeps EXACTLY the items
+    * the batch memo keeps — including for delete deltas, which
+    * replay the same basket rows and therefore cancel the same
+    * capped subset. */
   private def deltas(batch: DataFrame, sign: Int):
       (DataFrame, DataFrame, DataFrame) = {
-    val bi = batch.select(col("o"), col("i")).distinct()
+    val bi = AnalyticsQueries.capBasketItems(batch)
     val pairs = bi.select(col("o"), col("i").as("i1"))
       .join(bi.select(col("o"), col("i").as("i2")), Seq("o"))
       .filter(col("i1") < col("i2"))
