@@ -117,7 +117,12 @@ object PlanAudit {
     // corpus-horizon frame (max purchase day)
     "passage_search_fp", "rfm_segments",
     // revenue_pareto rides the ONE-ROW broadcast total-spend frame
-    "revenue_pareto")
+    "revenue_pareto",
+    // round 18: embed_ann_pq's gated recall check carries the same
+    // exact ground-truth side as embed_ann_recall (20 broadcast
+    // queries × the corpus — truth for a SAMPLED query set by
+    // design; the PQ/ADC leg itself stays broadcast equi-joins)
+    "embed_ann_pq")
 
   /** Queries whose partition-less Window is over a PROVABLY bounded
     * frame for a reason the plan itself cannot show (no LIMIT below

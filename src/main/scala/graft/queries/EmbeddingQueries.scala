@@ -271,6 +271,78 @@ object EmbeddingQueries extends QueryModule {
         round(col("sim"), 5).as("sim"))
   }
 
+  /** Recall@3 floors for the float-trained ANN gates, set well below
+    * the measured band so only a real index regression (never
+    * centroid-ulp jitter, worth at most a couple of 1/60 hit flips)
+    * can trip them. Measured at this HEAD: k-means IVF
+    * 0.82/0.83/0.88/1.00 and PQ(rerank=12) 0.42/0.45/0.40/1.00 at
+    * sf0.001/0.01/0.1/sf1_scaled — the PQ band is the honest cost of
+    * a 12-deep shortlist on the real (unclustered) embeddings table;
+    * EmbeddingAnnSpec's ≥0.7 pin is on its separable synthetic
+    * fixture and still holds. */
+  private val KmeansIvfRecallFloor = 0.5
+  private val PqRecallFloor = 0.3
+
+  /** Exact brute-force top-3 cosine pairs for the `vec_id < 20` query
+    * sample — the ground-truth side of every recall gate (the
+    * embed_ann_recall exact block, factored). Deterministic: one
+    * fused left-to-right dot product per pair, (sim DESC, id)
+    * tie-break. */
+  private def exactTop3Pairs(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.crossJoin(e.select(col("vec_id").as("neighbor_id"), col("emb")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qemb"), col("emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** The gated-check wrapper for float-trained ANN variants
+    * (k-means IVF, PQ): per-query hits against [[exactTop3Pairs]]
+    * collapse to ONE row — exact-side counts DuckDB recomputes
+    * (brute-force top-3 is engine-portable, proven by
+    * embed_ann_recall's hash-green per-query twin) plus the
+    * recall-floor verdict the oracle asserts as its constant claim.
+    * Per-query hits of a float-trained index are deterministic only
+    * to centroid ulp, but one flipped hit moves aggregate recall by
+    * 1/60 — the floor sits several flips below the measured band. */
+  private def recallGate(e: DataFrame, got: DataFrame,
+                         floor: Double): DataFrame =
+    exactTop3Pairs(e)
+      .join(got.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact_pairs"),
+        count(col("hit")).as("n_hits"))
+      .select(col("n_queries"), col("n_exact_pairs"),
+        (col("n_hits") >= col("n_exact_pairs") * floor)
+          .as("meets_recall_floor"))
+
+  /** Shared oracle text for the recall gates: DuckDB rebuilds the
+    * exact brute-force top-3 (the embed_ann_recall px/exact CTEs) and
+    * asserts the floor claim. */
+  private val recallGateSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |px AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |              list_dot_product(q.emb, n.emb)
+      |                / (sqrt(list_dot_product(q.emb, q.emb))
+      |                   * sqrt(list_dot_product(n.emb, n.emb))) AS sim
+      |       FROM e q JOIN e n ON n.vec_id <> q.vec_id
+      |       WHERE q.vec_id < 20),
+      |exact AS (SELECT query_id, neighbor_id
+      |          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                             ORDER BY sim DESC, neighbor_id) AS rnk
+      |                FROM px) t WHERE rnk <= 3)
+      |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+      |       CAST(count(*) AS BIGINT) AS n_exact_pairs,
+      |       TRUE AS meets_recall_floor
+      |FROM exact""".stripMargin
+
   def ivfTopK(data: DataFrame, queryPred: Column, k: Int,
               nPivots: Int = 16, nProbe: Int = 2): DataFrame =
     ivfTopKWith(data,
@@ -927,17 +999,21 @@ object EmbeddingQueries extends QueryModule {
 
     // IVF with TRAINED centroids: sampled Lloyd's k-means (2 rounds,
     // deterministic seed) instead of id-ordered pivots — the
-    // production quantizer. No SQL oracle: floating-point mean
-    // accumulation order makes centroid LSBs run-dependent, so the
-    // driver records the rows-only check; recall quality is measured
-    // against the exact baseline in EmbeddingAnnSpec instead.
+    // production quantizer. Floating-point mean accumulation makes
+    // centroid LSBs run-dependent, so the neighbor lists never leave
+    // the query: the registered output is the gated recall CHECK
+    // ([[recallGate]]) against the exact brute-force top-3 — the
+    // FAISS-rollout metric as the artifact itself. Neighbor-list
+    // quality stays pinned in EmbeddingAnnSpec; the exact-ranked
+    // fixed-point twin (embed_ann_ivf_fp) carries the full per-pair
+    // hash gate.
     Q("embed_ann_ivf_kmeans",
       (s, dir) => {
         val v = vecs(s, dir)
-        ivfTopKWith(v, kmeansPivots(v, k = 16, iters = 2),
-          col("vec_id") < 20, k = 3, nProbe = 2)
+        recallGate(v, ivfTopKWith(v, kmeansPivots(v, k = 16, iters = 2),
+          col("vec_id") < 20, k = 3, nProbe = 2), KmeansIvfRecallFloor)
       },
-      None),
+      Some(recallGateSql)),
 
     // TRAINED-quantizer IVF under the EXACT hash gate: the k-means
     // float-LSB problem above disappears when the whole pipeline runs
@@ -1000,12 +1076,16 @@ object EmbeddingQueries extends QueryModule {
     // Product-quantization ANN: m=4 subspace codebooks, asymmetric-
     // distance shortlist via the LUT join + exact re-rank of the
     // shortlist (IVFADC+R, the production shape — see pqTopK
-    // scaladoc). Float codebooks ⇒ rows-check; recall vs the exact
-    // baseline pinned in EmbeddingAnnSpec.
+    // scaladoc). Float codebooks ⇒ the same gated recall CHECK as
+    // embed_ann_ivf_kmeans: shortlist+re-rank top-3 scored against
+    // the exact baseline, one verdict row under the hash gate.
+    // Neighbor-list quality pinned in EmbeddingAnnSpec; the
+    // fixed-point twin (embed_ann_pq_fp) carries the per-pair gate.
     Q("embed_ann_pq",
-      (s, dir) => pqTopK(vecs(s, dir), col("vec_id") < 20, k = 3,
-        rerank = 12),
-      None),
+      (s, dir) => recallGate(vecs(s, dir),
+        pqTopK(vecs(s, dir), col("vec_id") < 20, k = 3, rerank = 12),
+        PqRecallFloor),
+      Some(recallGateSql)),
 
     // PQ under the EXACT hash gate: the embed_ann_ivf_fp fixed-point
     // recipe generalized to product quantization. Subspace is a KEY

@@ -157,9 +157,16 @@ object EventQueries extends QueryModule {
 
     // A2 scale path: HLL approximate distinct count (opt-in; exact
     // count_distinct stays the correctness contract, SURVEY.md A2).
-    // No SQL oracle — DuckDB's approx sketch differs from Spark's — so
-    // the driver records a rows-only check; the rel_error bound is
-    // asserted against the exact result instead.
+    // The sketch VALUE is engine-specific (DuckDB's approx sketch
+    // differs from Spark's), so the raw estimate never leaves the
+    // query — the output is the CHECK itself: the exact per-user
+    // count (DuckDB recomputes it) plus the within_bound verdict the
+    // oracle asserts as the constant claim "every user's estimate is
+    // inside max(2, 10%) of exact". Both sides of the verdict are
+    // deterministic in Spark (HLL++ register maxes are merge-order
+    // free), so the full row set sits under the hash gate — a sketch
+    // regression past the bound now flips the gate red instead of
+    // hiding in a rows-only check.
     Q("a2_distinct_approx",
       (s, dir) => eventsJson(s, dir)
         .filter(col("event_type") === "click")
@@ -170,14 +177,20 @@ object EventQueries extends QueryModule {
           approx_count_distinct(
             get_json_object(col("props"), "$.k").cast("long"), 0.02)
             .as("approx_click_keys"))
-        .select(col("user_id"), col("distinct_click_keys"), col("approx_click_keys"),
+        .select(col("user_id"), col("distinct_click_keys"),
           (abs(col("distinct_click_keys") - col("approx_click_keys"))
             <= greatest(lit(2.0), col("distinct_click_keys") * 0.1)).as("within_bound")),
-      None),
+      Some("""SELECT user_id,
+             |       count(DISTINCT CAST(props::JSON->>'k' AS BIGINT)) AS distinct_click_keys,
+             |       TRUE AS within_bound
+             |FROM events WHERE event_type = 'click'
+             |GROUP BY user_id""".stripMargin)),
 
     // A2 scale path #2: the custom TypedImperativeAggregate HLL sketch
     // (graft.functions.expressions.HllSketchAgg) — mergeable fixed-size
-    // state; bound-checked against the exact count (rows-only gate)
+    // state; same gated-check shape as a2_distinct_approx (exact
+    // count recomputed by DuckDB, bound verdict asserted as the
+    // oracle's constant claim — the estimate itself stays internal).
     Q("a2_distinct_hll",
       (s, dir) => eventsJson(s, dir)
         .filter(col("event_type") === "click")
@@ -187,10 +200,14 @@ object EventQueries extends QueryModule {
             .as("exact_keys"),
           graft.functions.expressions.HllSketchAgg(
             get_json_object(col("props"), "$.k").cast("long")).as("hll_keys"))
-        .select(col("user_id"), col("exact_keys"), col("hll_keys"),
+        .select(col("user_id"), col("exact_keys"),
           (abs(col("exact_keys") - col("hll_keys"))
             <= greatest(lit(3.0), col("exact_keys") * 0.1)).as("within_bound")),
-      None),
+      Some("""SELECT user_id,
+             |       count(DISTINCT CAST(props::JSON->>'k' AS BIGINT)) AS exact_keys,
+             |       TRUE AS within_bound
+             |FROM events WHERE event_type = 'click'
+             |GROUP BY user_id""".stripMargin)),
 
     // A2 through the EXACT-GATE sketch: per-user distinct click keys
     // via the md5-40 KMV sketch (the source_overlap_kmv_md5 family

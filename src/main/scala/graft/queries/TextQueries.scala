@@ -543,6 +543,32 @@ object TextQueries extends QueryModule {
           .as("est_shared_vocab"))
   }
 
+  /** The float quality-distillation frame behind `quality_classifier`
+    * — per-doc (doc_id, rule_quality, predicted, agrees) from a
+    * logistic scorer trained in-engine to imitate the rule gate.
+    * Kept as a frame builder because per-doc float predictions are
+    * deterministic only to ~ulp: the registered query aggregates this
+    * to the gated check (counts + agreement verdict) while
+    * LogisticRegressionSpec keeps pinning the per-doc behavior
+    * (both classes present, agreement ≥ 85% and above majority). */
+  private[graft] def qualityClassifierFrame(s: SparkSession,
+                                            dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stop = markerHits(t, LangMarkers.head._2).cast("double") / nTok
+    val feats = docs(s, dir).select(
+      col("doc_id"),
+      array(lit(1.0), ttr, stop,
+        least(nTok, lit(100)).cast("double") / 100).as("features"),
+      (ttr > 0.5 && nTok >= 10 && stop < 0.3).cast("double").as("label"))
+    val w = graft.operators.LogisticRegression.train(feats, 4, 20, 10.0)
+    graft.operators.LogisticRegression.scores(feats, w)
+      .select(col("doc_id"), (col("label") > 0.5).as("rule_quality"),
+        col("predicted"),
+        (col("predicted") === (col("label") > 0.5)).as("agrees"))
+  }
+
   /** Fixed lexical query for the retrieval pair (bm25_search /
     * hybrid_rrf); mid-df corpus terms so idf is non-trivial. */
   private val Bm25Terms = Seq("join", "scan", "filter")
@@ -2292,13 +2318,64 @@ object TextQueries extends QueryModule {
     // do this: distinct-intersection via inclusion-exclusion inherits
     // the UNION's absolute error and collapses for small overlaps;
     // KMV estimates the overlap from the shared uniform sample
-    // directly (Beyer et al., SIGMOD'07). Deterministic (fixed-seed
-    // xxhash64) but approximate → rows-check; KmvSketchSpec pins the
-    // estimates against the exact joins and the canonical-bytes
-    // invariance under partitioning.
+    // directly (Beyer et al., SIGMOD'07). xxhash64 estimates are
+    // engine-specific, so the registered output is the gated CHECK:
+    // the exact vocab sizes and pairwise shared-vocab counts (DuckDB
+    // recomputes them from the same tokenization) plus the 4σ-bound
+    // verdict from KmvSketchSpec (stderr ≈ 1/√(k−2) ≈ 6.3% at k=256;
+    // intersection error scales with the larger set's sampling
+    // noise), asserted by the oracle as its constant claim. The exact
+    // token-level join here is the CHECK's cost, not the operator's —
+    // the sketch path stays the 100 TB serving shape, and the spec
+    // keeps pinning estimate determinism and canonical bytes.
     Q("source_overlap_kmv",
-      (s, dir) => sourceOverlap(sourceSketches(docs(s, dir))),
-      None),
+      (s, dir) => {
+        val est = sourceOverlap(sourceSketches(docs(s, dir)))
+        val v = docs(s, dir)
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+          .distinct()
+        val vocab = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val shared = v.select(col("source").as("source_a"), col("token"))
+          .join(v.select(col("source").as("source_b"), col("token")),
+            Seq("token"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("sh"))
+        est
+          .join(vocab.select(col("source").as("source_a"),
+            col("n").as("va")), Seq("source_a"))
+          .join(vocab.select(col("source").as("source_b"),
+            col("n").as("vb")), Seq("source_b"))
+          .join(shared, Seq("source_a", "source_b"), "left_outer")
+          .select(col("source_a"), col("source_b"),
+            col("va").as("exact_vocab_a"), col("vb").as("exact_vocab_b"),
+            coalesce(col("sh"), lit(0L)).as("exact_shared_vocab"),
+            (abs(col("est_vocab_a") - col("va")) <= col("va") * 0.25 &&
+             abs(col("est_vocab_b") - col("vb")) <= col("vb") * 0.25 &&
+             abs(col("est_shared_vocab") - coalesce(col("sh"), lit(0L)))
+               .cast("double") <= greatest(col("va"), col("vb")) * 0.25
+                 + coalesce(col("sh"), lit(0L)) * 0.25)
+              .as("within_bound"))
+      },
+      Some("""WITH tok AS (SELECT DISTINCT source, t FROM (
+             |          SELECT source, unnest(string_split(trim(text), ' ')) AS t
+             |          FROM documents)),
+             |v AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |      FROM tok GROUP BY source),
+             |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+             |              a.n AS exact_vocab_a, b.n AS exact_vocab_b
+             |       FROM v a JOIN v b ON a.source < b.source),
+             |sh AS (SELECT ta.source AS source_a, tb.source AS source_b,
+             |              CAST(count(*) AS BIGINT) AS sh
+             |       FROM tok ta JOIN tok tb
+             |         ON ta.t = tb.t AND ta.source < tb.source
+             |       GROUP BY 1, 2)
+             |SELECT pr.source_a, pr.source_b, pr.exact_vocab_a,
+             |       pr.exact_vocab_b,
+             |       CAST(coalesce(sh.sh, 0) AS BIGINT) AS exact_shared_vocab,
+             |       TRUE AS within_bound
+             |FROM pr LEFT JOIN sh ON pr.source_a = sh.source_a
+             |                    AND pr.source_b = sh.source_b""".stripMargin)),
 
     // The SAME overlap matrix under the EXACT hash gate — the
     // token_freq_cms recipe applied to the set-operation sketch
@@ -2362,32 +2439,41 @@ object TextQueries extends QueryModule {
     // generic features — the distillation shape GPT-3/CCNet-class
     // pipelines use (hand rules bootstrap labels, the learned linear
     // scorer generalizes and emits a graded score instead of a hard
-    // AND). Training is in-engine (operators/LogisticRegression): 40
+    // AND). Training is in-engine (operators/LogisticRegression):
     // mean-gradient steps, each ONE distributed pass over the
     // localCheckpoint'd feature frame with a ≤4-row-per-partition
     // gradient exchange. The rule is an AND of three halfspaces (not
-    // exactly linear), so the interesting output is the agreement
-    // column; float gradient order makes weights deterministic only to
-    // ~ulp → rows-check, with LogisticRegressionSpec pinning recovery
-    // and agreement bounds.
+    // exactly linear), so the interesting output is AGREEMENT — and
+    // because float gradient order leaves per-doc predictions
+    // deterministic only to ~ulp, the registered output is the gated
+    // CHECK over the per-doc frame ([[qualityClassifierFrame]]):
+    // doc count and rule-positive count (both exactly recomputed by
+    // DuckDB — the rule's three halfspaces are integer comparisons,
+    // 2d>n ∧ n≥10 ∧ 10·st<3·n, the quality_classifier_fp oracle's ft
+    // CTE), plus the ≥80% agreement verdict the oracle asserts as its
+    // constant claim (spec-measured ≥85% on the fixtures — a one-doc
+    // ulp flip moves the fraction by 1/n_docs, nowhere near the
+    // floor). LogisticRegressionSpec still pins the per-doc frame.
     Q("quality_classifier",
-      (s, dir) => {
-        val t = tokens(col("text"))
-        val nTok = size(t)
-        val ttr = size(array_distinct(t)).cast("double") / nTok
-        val stop = markerHits(t, LangMarkers.head._2).cast("double") / nTok
-        val feats = docs(s, dir).select(
-          col("doc_id"),
-          array(lit(1.0), ttr, stop,
-            least(nTok, lit(100)).cast("double") / 100).as("features"),
-          (ttr > 0.5 && nTok >= 10 && stop < 0.3).cast("double").as("label"))
-        val w = graft.operators.LogisticRegression.train(feats, 4, 20, 10.0)
-        graft.operators.LogisticRegression.scores(feats, w)
-          .select(col("doc_id"), (col("label") > 0.5).as("rule_quality"),
-            col("predicted"),
-            (col("predicted") === (col("label") > 0.5)).as("agrees"))
-      },
-      None),
+      (s, dir) => qualityClassifierFrame(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("rule_quality").cast("long")).as("n_rule_quality"),
+          sum(col("agrees").cast("long")).as("agree_cnt"))
+        .select(col("n_docs"), col("n_rule_quality"),
+          (col("agree_cnt") >= col("n_docs") * 0.8)
+            .as("meets_agreement_floor")),
+      Some("""WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+             |             FROM documents),
+             |ft AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+             |              CAST(len(list_distinct(t)) AS BIGINT) AS d,
+             |              CAST(len(list_filter(t,
+             |                x -> list_contains(['the','a','and','of'], x))) AS BIGINT) AS st
+             |       FROM tok)
+             |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(count(CASE WHEN 2 * d > n AND n >= 10 AND 10 * st < 3 * n
+             |                       THEN 1 END) AS BIGINT) AS n_rule_quality,
+             |       TRUE AS meets_agreement_floor
+             |FROM ft""".stripMargin)),
 
     // The classifier's determinism gap CLOSED: the same
     // rule-bootstrapped quality model trained in exact integer fixed

@@ -48,7 +48,11 @@ class KmvSketchSpec extends AnyFunSuite {
   }
 
   test("sampling path: estimates within a few stderr of exact (k=256)") {
-    val rows = SparkEntry.queries("source_overlap_kmv")(spark, sf).collect()
+    // the raw-estimate frame the registered query now folds into its
+    // gated check — the spec keeps the direct bound assertions
+    val rows = graft.queries.TextQueries.sourceOverlap(
+      graft.queries.TextQueries.sourceSketches(
+        graft.sources.Tables.documents(spark, sf))).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (a, b) = (r.getString(0), r.getString(1))
@@ -62,6 +66,17 @@ class KmvSketchSpec extends AnyFunSuite {
       val scale = math.max(exactVocab(a), exactVocab(b)).toDouble
       assert(err <= 0.25 * scale + 0.25 * shared,
         s"shared-vocab estimate off: $r vs exact $shared")
+    }
+  }
+
+  test("registered query: exact columns match the joins, every pair within_bound") {
+    val rows = SparkEntry.queries("source_overlap_kmv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == exactVocab(a) && r.getLong(3) == exactVocab(b))
+      assert(r.getLong(4) == exactShared(a, b))
+      assert(r.getBoolean(r.fieldIndex("within_bound")), s"bound violated: $r")
     }
   }
 

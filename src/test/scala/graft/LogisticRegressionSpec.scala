@@ -44,7 +44,7 @@ class LogisticRegressionSpec extends AnyFunSuite {
   }
 
   test("distilled quality scorer largely agrees with the rule gate on the fixture") {
-    val out = SparkEntry.queries("quality_classifier")(
+    val out = graft.queries.TextQueries.qualityClassifierFrame(
       spark, "/root/testdata/sf0.001").cache()
     val n = out.count()
     assert(n > 0)

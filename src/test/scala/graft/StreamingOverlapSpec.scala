@@ -51,9 +51,11 @@ class StreamingOverlapSpec extends AnyFunSuite {
           s"stream-accumulated sketch must be bit-identical to batch: $src")
       }
 
-      // served matrix == the registered query, row for row
+      // served matrix == the batch estimate frame, row for row (the
+      // registered query folds this frame into its gated check)
       val live = OverlapMonitorStream.overlap(spark, table)
-      val batch = SparkEntry.queries("source_overlap_kmv")(spark, sf)
+      val batch = TextQueries.sourceOverlap(
+        TextQueries.sourceSketches(Tables.documents(spark, sf)))
       assert(live.exceptAll(batch).isEmpty && batch.exceptAll(live).isEmpty)
     } finally OverlapMonitorStream.drop(spark, table)
   }
