@@ -11,6 +11,27 @@ import org.apache.spark.sql.SparkSession
   * full physical plan and discards rows.
   */
 object Bench {
+
+  /** The sf dir the memo pins were calibrated at (this image; re-pin
+    * when a memo's implementation changes — BENCHNOTES "memo phase
+    * gate"). */
+  val MemoPinnedSfDir = "/root/testdata/sf0.1"
+
+  /** Memo-phase quiet-machine pins, KEYED by sf dir: every memo cost
+    * scales with corpus size, so at any sfDir other than the
+    * calibrated one the gate is neutralized (empty map ⇒ expected =
+    * actual ⇒ never degraded) instead of false-flagging a healthy
+    * machine at sf1 or masking degradation at a smaller sf
+    * (ADVICE r16; spec-pinned in MemoGateSpec). */
+  private[graft] def memoPins(sfDir: String): Map[String, Double] =
+    if (sfDir.replaceAll("/+$", "") == MemoPinnedSfDir) Map(
+      "per_user_aggs" -> 2.3, "trade_edges" -> 2.6, "shingle_rows" -> 1.2,
+      "minhash_pairs" -> 2.8, "dedup_cluster_labels" -> 3.5,
+      "ngram_shared" -> 2.8, "winnow_select" -> 2.6, "bpe_merges" -> 0.4,
+      "embed_vecs" -> 0.4, "lm_trusted" -> 1.2, "lm_full" -> 1.0,
+      "basket_pairs" -> 3.8)
+    else Map.empty
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -155,21 +176,11 @@ object Bench {
     // degraded) with a stderr note and a `memo_pins` artifact field
     // (ADVICE r16: an sf1 run would otherwise flag a healthy machine,
     // and a smaller sf could mask real degradation).
-    val MemoPinnedSfDir = "/root/testdata/sf0.1"
-    val memoPinsApply =
-      sfDir.replaceAll("/+$", "") == MemoPinnedSfDir
-    val MemoBaselineSec: Map[String, Double] = if (memoPinsApply) Map(
-      "per_user_aggs" -> 2.3, "trade_edges" -> 2.6, "shingle_rows" -> 1.2,
-      "minhash_pairs" -> 2.8, "dedup_cluster_labels" -> 3.5,
-      "ngram_shared" -> 2.8, "winnow_select" -> 2.6, "bpe_merges" -> 0.4,
-      "embed_vecs" -> 0.4, "lm_trusted" -> 1.2, "lm_full" -> 1.0,
-      "basket_pairs" -> 3.8)
-    else {
+    val MemoBaselineSec: Map[String, Double] = memoPins(sfDir)
+    if (MemoBaselineSec.isEmpty)
       System.err.println(
         s"[bench] NOTE memo pins are calibrated for $MemoPinnedSfDir; " +
           s"sfDir=$sfDir ⇒ memo gate neutralized (memo_pins: unpinned_sf)")
-      Map.empty
-    }
     // decision arithmetic lives in MemoGate (pure, spec-pinned)
     def memoPin(name: String, sec: Double): Double =
       MemoGate.pin(MemoBaselineSec)(name, sec)
@@ -279,7 +290,7 @@ object Bench {
       s""""$k":{"sec":${if (ok) "%.2f".format(v) else "-1"},"expected":${"%.2f".format(memoPin(k, v))}}"""
     }.mkString("{", ",", "}")
     val memoGateJson =
-      s""""memo_sec":${"%.2f".format(memoSec)},"memo_expected_sec":${"%.2f".format(memoExpectedSec)},"memo_degraded":$memoDegraded,"memo_pins":"${if (memoPinsApply) "sf0.1" else "unpinned_sf"}""""
+      s""""memo_sec":${"%.2f".format(memoSec)},"memo_expected_sec":${"%.2f".format(memoExpectedSec)},"memo_degraded":$memoDegraded,"memo_pins":"${if (MemoBaselineSec.nonEmpty) "sf0.1" else "unpinned_sf"}""""
     // Streaming env knobs (ADVICE r15): a stray SPARK_GRAFT_STREAM_*
     // var silently changes the measured streaming configuration —
     // record any active ones in the artifact so a knobbed ev/s can

@@ -22,19 +22,30 @@ object StreamBench {
     * non-comparable ev/s as green; ADVICE r16: the stage-metrics
     * listener runs DURING the measured batches, so an instrumented
     * reading is a knobbed one too). */
-  def activeKnobs: Seq[(String, String)] =
+  /** The full knob-key list — one constant so [[activeKnobs]] (what
+    * the artifact records) and the spec that pins "instrumentation is
+    * a knob too" read the same source of truth. */
+  val KnobKeys: Seq[String] =
     Seq("SPARK_GRAFT_STREAM_PARTS", "SPARK_GRAFT_STREAM_PROVIDER",
       "SPARK_GRAFT_STREAM_ASYNC", "SPARK_GRAFT_STREAM_WSCG",
       "SPARK_GRAFT_STREAM_CGFACTORY", "SPARK_GRAFT_STREAM_STAGES")
-      .flatMap(k => sys.env.get(k).map(k -> _))
+
+  def activeKnobs: Seq[(String, String)] = activeKnobs(sys.env)
+
+  /** Env-injectable twin so StreamBenchKnobsSpec can pin the contract
+    * without forking a JVM. */
+  private[graft] def activeKnobs(env: Map[String, String]): Seq[(String, String)] =
+    KnobKeys.flatMap(k => env.get(k).map(k -> _))
 
   /** Fail fast on knob values that would otherwise be silently ignored
     * (ADVICE r16: `SPARK_GRAFT_STREAM_PROVIDER=RocksDB` fell through a
     * `case _ => ()` and measured the default HashMap provider while
     * stream_knobs claimed a RocksDB run). Called before any session or
     * feed work so a typo costs seconds, not a misattributed artifact. */
-  def validateKnobs(): Unit =
-    sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").foreach { v =>
+  def validateKnobs(): Unit = validateKnobs(sys.env)
+
+  private[graft] def validateKnobs(env: Map[String, String]): Unit =
+    env.get("SPARK_GRAFT_STREAM_PROVIDER").foreach { v =>
       require(v == "rocksdb",
         s"SPARK_GRAFT_STREAM_PROVIDER=$v not recognized (expected 'rocksdb')")
     }

@@ -50,9 +50,16 @@ object SubstringDedup {
     // partial-count exchange — and ReuseExchange cannot merge them.
     // The window pays exactly one full-frame exchange; the saving is
     // the second exchange's rows plus one whole gram-string column,
-    // measured ~15-20% at sf0.1, not a halving. Skew is unchanged — a
-    // hyper-frequent gram's sites land in one task under the shuffled
-    // join exactly as under the window partition.
+    // measured ~15-20% at sf0.1, not a halving. Skew is unchanged in
+    // ROW PLACEMENT — a hyper-frequent gram's sites land in one task
+    // under the shuffled join exactly as under the window partition —
+    // but the per-task MEMORY profile is not: WindowExec is
+    // sort-based and buffers (and spills) each gram's full site
+    // partition before emitting, where the old hash-join probe side
+    // streamed and the aggregate was map-side combined. An OOM/spill
+    // spike on a boilerplate-gram task at scale is this trade, not a
+    // regression — the df-style cap upstream (filter before the
+    // window) is the lever if one gram ever dominates.
     val hits = g
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("n") >= 2)

@@ -9,10 +9,35 @@ import org.scalatest.funsuite.AnyFunSuite
   * prefix plan's rows must equal the full plan's rows filtered to the
   * same threshold.
   */
-class JaccardPrefixSpec extends AnyFunSuite {
+class JaccardPrefixSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.01"
+
+  /** Temp corpora are deleted RECURSIVELY after the suite —
+    * deleteOnExit() on a non-empty directory is a no-op (it only
+    * removes empty dirs), so the parquet fixtures of the 8 randomized
+    * trials would otherwise accumulate on disk (ADVICE r17). */
+  private val tmpDirs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+
+  private def tmpDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs += d
+    d
+  }
+
+  override def afterAll(): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    tmpDirs.foreach { d =>
+      if (Files.exists(d)) {
+        val all = Files.walk(d).iterator().asScala.toSeq
+        all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    super.afterAll()
+  }
 
   test("prefix-filter plan equals the inverted-index plan at its threshold") {
     val prefix = SparkEntry.queries("dedup_jaccard_prefix")(spark, sf)
@@ -36,8 +61,7 @@ class JaccardPrefixSpec extends AnyFunSuite {
     val a = (1 to 11).map(i => s"w$i").mkString(" ")          // w1..w11
     val b = ((1 to 10).map(i => s"w$i") :+ "zz").mkString(" ") // last differs
     val fixture = Seq((1L, a), (2L, b))
-    val dir = java.nio.file.Files.createTempDirectory("ppj_fix")
-    dir.toFile.deleteOnExit()
+    val dir = tmpDir("ppj_fix")
     fixture.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
       .parquet(dir.resolve("documents.parquet").toString)
     // force the PREFIX plan: the adaptive pick would choose the
@@ -86,8 +110,7 @@ class JaccardPrefixSpec extends AnyFunSuite {
       (0 until 20).map(d => (d.toLong, (0 until 12).map(i => s"tpl_$i").mkString(" "))) ++
       Seq((100L, (1 to 11).map(i => s"w$i").mkString(" ")),
         (101L, ((1 to 10).map(i => s"w$i") :+ "zz").mkString(" ")))
-    val dir = java.nio.file.Files.createTempDirectory("ppj_mixed")
-    dir.toFile.deleteOnExit()
+    val dir = tmpDir("ppj_mixed")
     rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
       .parquet(dir.resolve("documents.parquet").toString)
     def run(plan: String): Set[(Long, Long, Double)] = queries.TextQueries
@@ -124,8 +147,7 @@ class JaccardPrefixSpec extends AnyFunSuite {
         (100L * b, toks.mkString(" ")) +: copies
       } ++ (0 until 10).map(d =>
         (1000L + d, (0 until 10).map(i => s"tpl_$i").mkString(" ")))
-      val dir = java.nio.file.Files.createTempDirectory(s"ppj_rnd$trial")
-      dir.toFile.deleteOnExit()
+      val dir = tmpDir(s"ppj_rnd$trial")
       docs.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
         .parquet(dir.resolve("documents.parquet").toString)
       def run(plan: String): Set[(Long, Long, Double)] = queries.TextQueries

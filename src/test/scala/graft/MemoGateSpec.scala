@@ -58,4 +58,15 @@ class MemoGateSpec extends AnyFunSuite {
     assert(!v.degraded)
     assert(MemoGate.evaluate(Seq(("a", 4.0001, true)), pins).degraded)
   }
+
+  test("pins are keyed by sf dir: any other scale neutralizes the gate") {
+    // the pins are quiet-machine costs AT sf0.1 — applying them at a
+    // larger sf would false-flag a healthy machine (ADVICE r16), at a
+    // smaller one mask real degradation
+    assert(Bench.memoPins(Bench.MemoPinnedSfDir).nonEmpty)
+    assert(Bench.memoPins(Bench.MemoPinnedSfDir + "///").nonEmpty,
+      "trailing slashes must not defeat the pin match")
+    assert(Bench.memoPins("target/sf1_scaled").isEmpty)
+    assert(Bench.memoPins("/root/testdata/sf0.01").isEmpty)
+  }
 }

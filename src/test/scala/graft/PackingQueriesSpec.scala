@@ -132,21 +132,71 @@ class PackingQueriesSpec extends AnyFunSuite {
     // two inputs must be text-free; a regression that re-threads the
     // text column through the dedup window or a doc_id join shows up
     // here before it shows up as shuffle bytes at scale.
+    // Anchored to the SCAN's text attribute exprId, not the column
+    // name (ADVICE r17): a revision that aliases raw text before a
+    // window/join would dodge a name check while still shipping
+    // corpus bytes. Taint starts at the leaf relations' text attrs
+    // and propagates through IDENTITY carries only (Alias of a
+    // tainted attribute, bare or cast) — computed projections
+    // (md5(text), size(...)) CONSUME text map-side and stay clean,
+    // which is exactly the design being guarded. The live-text plan
+    // to anchor on is withScoreH itself (the registered queries'
+    // leaves are post-TwoPhase fixed-width LogicalRDDs — no text
+    // anywhere, which the same walk verifies as seed = ∅ plus the
+    // name backstop).
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, ExprId}
     import org.apache.spark.sql.catalyst.plans.logical
-    Seq("corpus_assemble", "assemble_provenance").foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sf)
-      val plan = df.queryExecution.optimizedPlan
+    def checkTextFree(name: String, plan: logical.LogicalPlan,
+                      requireTextLeaf: Boolean): Unit = {
+      val seed = plan.collectLeaves()
+        .flatMap(_.output.filter(_.name == "text").map(_.exprId)).toSet
+      if (requireTextLeaf)
+        assert(seed.nonEmpty, s"$name: expected a raw-text scan to anchor on")
+      var tainted: Set[ExprId] = seed
+      plan.foreachUp {
+        case proj: logical.Project =>
+          proj.projectList.foreach {
+            case a: Alias => a.child match {
+              case ar: AttributeReference if tainted.contains(ar.exprId) =>
+                tainted += a.exprId
+              case c: Cast => c.child match {
+                case ar: AttributeReference if tainted.contains(ar.exprId) =>
+                  tainted += a.exprId
+                case _ =>
+              }
+              case _ =>
+            }
+            case _ =>
+          }
+        case _ =>
+      }
+      def carried(p: logical.LogicalPlan): Seq[String] =
+        p.output.filter(a =>
+          tainted.contains(a.exprId) || a.name == "text").map(_.name)
       val windows = plan.collect { case w: logical.Window => w }
       assert(windows.nonEmpty, s"$name: expected dedup/rank windows")
       windows.foreach { w =>
-        assert(!w.child.output.exists(_.name == "text"),
-          s"$name: a Window input carries raw text: ${w.child.output.map(_.name)}")
+        assert(carried(w.child).isEmpty,
+          s"$name: a Window input carries raw text (possibly aliased): " +
+            s"${carried(w.child)}")
       }
       plan.collect { case j: logical.Join => j }.foreach { j =>
-        val carried = (j.left.output ++ j.right.output).map(_.name)
-        assert(!carried.contains("text"),
-          s"$name: a Join input carries raw text: $carried")
+        val bad = carried(j.left) ++ carried(j.right)
+        assert(bad.isEmpty,
+          s"$name: a Join input carries raw text (possibly aliased): $bad")
       }
+    }
+    // the one-scan base where text is live: its dedup window must
+    // consume text map-side — exprId-anchored to the parquet scan
+    checkTextFree("withScoreH",
+      graft.queries.PackingQueries.withScoreH(
+        graft.sources.Tables.documents(spark, sf))
+        .queryExecution.optimizedPlan,
+      requireTextLeaf = true)
+    Seq("corpus_assemble", "assemble_provenance").foreach { name =>
+      checkTextFree(name,
+        SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan,
+        requireTextLeaf = false)
     }
   }
 
