@@ -242,4 +242,58 @@ class PackingQueriesSpec extends AnyFunSuite {
       .count()
     assert(survivors == 0, "redacted text must contain no matchable PII")
   }
+
+  test("randomized withScoreH parity: score/hash/cluster vs an independent re-derivation") {
+    // The r17 one-scan rewrite moved exact dedup into a min-over-h
+    // window computed NEXT TO the score projection; pin its semantics
+    // across shapes the fixture doesn't enumerate — random token
+    // bags with planted exact duplicates (including duplicates whose
+    // doc_ids interleave non-duplicates), single-token and
+    // repeated-token docs. The reference derivation is driver-side
+    // Scala over the same rows: md5 of the raw text, cid = min doc_id
+    // per identical text, score = 1e6·n_uniq div n_tok — any
+    // divergence is the window/projection rewrite, not the data.
+    import spark.implicits._
+    import java.security.MessageDigest
+    val rnd = new scala.util.Random(1823L)
+    for (trial <- 1 to 3) {
+      val vocab = (0 until 12).map(i => s"w$i")
+      val bases = (0 until 15).map { i =>
+        (1 + rnd.nextInt(9)) match {
+          case 1 => vocab(rnd.nextInt(vocab.size)) // single-token doc
+          case n => (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        }
+      }
+      // planted duplicates: every third base re-appears under 1-2 new
+      // interleaved ids
+      val rows = bases.zipWithIndex.flatMap { case (t, i) =>
+        val dups = if (i % 3 == 0)
+          (1 to 1 + rnd.nextInt(2)).map(c => (100L * i + c * 7, t))
+        else Seq.empty
+        (100L * i, t) +: dups
+      }.map { case (id, t) => (id, s"src${id % 4}", t) }
+      val got = graft.queries.PackingQueries.withScoreH(
+          rows.toDF("doc_id", "source", "text"))
+        .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+          col("score"), col("h"), col("cid"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+      val md = MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val cidOf = rows.groupBy(_._3).map { case (t, rs) =>
+        t -> rs.map(_._1).min
+      }
+      rows.foreach { case (id, _, t) =>
+        val toks = t.split(" ", -1).toSeq
+        val want = (toks.size.toLong, toks.distinct.size.toLong,
+          1000000L * toks.distinct.size / toks.size, md5hex(t), cidOf(t))
+        assert(got(id) == want,
+          s"trial $trial doc $id diverged: got ${got(id)}, want $want")
+      }
+      assert(rows.exists(r => cidOf(r._3) != r._1),
+        s"trial $trial fixture planted no duplicates")
+    }
+  }
 }
