@@ -14,22 +14,24 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamBench {
 
-  /** The SPARK_GRAFT_STREAM_* env knobs that alter the measured
-    * streaming configuration (state partitions, state-store provider,
-    * async progress, codegen modes, stage instrumentation). Any active
-    * one is warned about at run start and recorded in the bench
-    * artifacts (ADVICE r15: a stray knob must never archive a
-    * non-comparable ev/s as green; ADVICE r16: the stage-metrics
-    * listener runs DURING the measured batches, so an instrumented
-    * reading is a knobbed one too). */
-  /** The full knob-key list — one constant so [[activeKnobs]] (what
-    * the artifact records) and the spec that pins "instrumentation is
-    * a knob too" read the same source of truth. */
+  /** The full SPARK_GRAFT_STREAM_* knob-key list — every env knob
+    * that alters the measured streaming configuration (state
+    * partitions, state-store provider, async progress, codegen
+    * modes, stage instrumentation). One constant so [[activeKnobs]]
+    * (what the artifact records) and the spec that pins
+    * "instrumentation is a knob too" read the same source of truth
+    * (ADVICE r16: the stage-metrics listener runs DURING the
+    * measured batches, so an instrumented reading is a knobbed one
+    * too). */
   val KnobKeys: Seq[String] =
     Seq("SPARK_GRAFT_STREAM_PARTS", "SPARK_GRAFT_STREAM_PROVIDER",
       "SPARK_GRAFT_STREAM_ASYNC", "SPARK_GRAFT_STREAM_WSCG",
       "SPARK_GRAFT_STREAM_CGFACTORY", "SPARK_GRAFT_STREAM_STAGES")
 
+  /** The active subset of [[KnobKeys]] — warned about at run start
+    * and recorded verbatim in the bench artifacts (ADVICE r15: a
+    * stray knob must never archive a non-comparable ev/s as
+    * green). */
   def activeKnobs: Seq[(String, String)] = activeKnobs(sys.env)
 
   /** Env-injectable twin so StreamBenchKnobsSpec can pin the contract

@@ -272,16 +272,25 @@ object EmbeddingQueries extends QueryModule {
   }
 
   /** Recall@3 floors for the float-trained ANN gates, set well below
-    * the measured band so only a real index regression (never
-    * centroid-ulp jitter, worth at most a couple of 1/60 hit flips)
-    * can trip them. Measured at this HEAD: k-means IVF
-    * 0.82/0.83/0.88/1.00 and PQ(rerank=12) 0.42/0.45/0.40/1.00 at
+    * the measured band so only a real index regression can trip
+    * them. Measured at this HEAD: k-means IVF 0.82/0.83/0.88/1.00
+    * and PQ(rerank=12) 0.42/0.45/0.40/1.00 at
     * sf0.001/0.01/0.1/sf1_scaled — the PQ band is the honest cost of
     * a 12-deep shortlist on the real (unclustered) embeddings table;
     * EmbeddingAnnSpec's ≥0.7 pin is on its separable synthetic
-    * fixture and still holds. */
+    * fixture and still holds. Margin sizing (r18 review): k-means
+    * jitter is centroid-ulp — a couple of 1/60 hit flips — but PQ
+    * training nondeterminism is NOT ulp-bounded: a near-tie in the
+    * code-assignment rank can flip a whole codeword under a
+    * different partition-order float sum, moving several shortlist
+    * memberships at once. The PQ floor therefore sits 9 flips under
+    * the band floor (0.40 → 0.25); a genuinely broken ADC/LUT path
+    * lands at near-random recall (≈ k/corpus), far below either
+    * floor, and the fine-grained bands stay pinned in
+    * EmbeddingAnnSpec (including pqTopK's repartition-determinism
+    * case). */
   private val KmeansIvfRecallFloor = 0.5
-  private val PqRecallFloor = 0.3
+  private val PqRecallFloor = 0.25
 
   /** Exact brute-force top-3 cosine pairs for the `vec_id < 20` query
     * sample — the ground-truth side of every recall gate (the
@@ -886,18 +895,12 @@ object EmbeddingQueries extends QueryModule {
         val ivf = ivfTopK(e, col("vec_id") < 20, k = 3)
           .select(col("query_id"), col("neighbor_id"))
           .withColumn("hit", lit(1))
-        val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        val exact = q
-          .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("emb")))
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .withColumn("sim", cosine(col("qemb"), col("emb")))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select(col("query_id"), col("neighbor_id"))
-        exact.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
+        // ONE definition of the exact ground truth ([[exactTop3Pairs]],
+        // shared with the kmeans/PQ recall gates — r18 review: an
+        // inline copy here could silently drift its tie-break from
+        // the gates' truth set)
+        exactTop3Pairs(e)
+          .join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
           .groupBy(col("query_id"))
           .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hits"))
           .select(col("query_id"), col("n_hits"),

@@ -2331,9 +2331,14 @@ object TextQueries extends QueryModule {
     Q("source_overlap_kmv",
       (s, dir) => {
         val est = sourceOverlap(sourceSketches(docs(s, dir)))
+        // vocab-sized (|distinct tokens| × #sources); materialized once
+        // so the exact-check side costs ONE corpus tokenize instead of
+        // re-running scan+explode+distinct under each of its three
+        // consumers (vocab counts + both self-join legs, r18 review)
         val v = docs(s, dir)
           .select(col("source"), explode(tokens(col("text"))).as("token"))
           .distinct()
+          .localCheckpoint(true)
         val vocab = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val shared = v.select(col("source").as("source_a"), col("token"))
           .join(v.select(col("source").as("source_b"), col("token")),

@@ -32,7 +32,9 @@ class JaccardPrefixSpec extends AnyFunSuite
     import scala.jdk.CollectionConverters._
     tmpDirs.foreach { d =>
       if (Files.exists(d)) {
-        val all = Files.walk(d).iterator().asScala.toSeq
+        val walk = Files.walk(d)
+        val all =
+          try walk.iterator().asScala.toSeq finally walk.close()
         all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
       }
     }
