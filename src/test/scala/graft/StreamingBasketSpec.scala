@@ -91,6 +91,30 @@ class StreamingBasketSpec extends AnyFunSuite {
         rowsOf(SparkEntry.queries("copurchase_cosine")(spark, sf)))
       assert(rowsOf(BasketStream.rules(spark, prefix)) ==
         rowsOf(SparkEntry.queries("basket_rules")(spark, sf)))
+
+      // OVER-CAP basket through the stream (r18: capBasketItems is
+      // shared by batch and stream): ingest a basket 3x the item cap
+      // — the store must absorb only the capped C(64,2) pair rows,
+      // and the delete delta must cancel the SAME capped subset
+      // (the hash-rank is a pure function of (o, i)), restoring the
+      // exact pre-ingest state
+      val cap = graft.queries.AnalyticsQueries.BasketItemCap
+      // item ids in a range disjoint from the fixture's part keys so
+      // the pair count below isolates the mega-basket's own rows
+      val mega = (1L to 3L * cap)
+        .map(i => Line(999002L, 1000000L + i)).toDF("o", "i")
+      val before = rowsOf(BasketStream.cosine(spark, prefix))
+      BasketStream.upsertBatch(spark, mega, prefix, 4, Some(79L))
+      val megaPairs = graft.sources.BucketedUpsert
+        .read(spark, prefix + BasketStream.PairsTable)
+        .filter(col("c") > 0)
+        .join(mega.select(col("i").as("i1")), Seq("i1"), "left_semi")
+        .count()
+      assert(megaPairs <= cap.toLong * (cap - 1) / 2,
+        s"stream absorbed $megaPairs mega-basket pairs — cap not applied")
+      BasketStream.deleteBatch(spark, mega, prefix, 4, Some(80L))
+      assert(rowsOf(BasketStream.cosine(spark, prefix)) == before,
+        "delete must cancel exactly the capped subset the ingest kept")
     } finally {
       BasketStream.drop(spark, prefix)
       graft.Caches.clearAll()
