@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Binned range join: point-in-interval joins as EQUI-joins.
@@ -34,5 +34,33 @@ object RangeJoin {
     pb.join(bb, Seq(key, "bin"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("bin")
+  }
+
+  /** Epoch-micros variant with a caller-supplied exact predicate
+    * (open/closed bounds differ per use — a trailing attribution
+    * window is `(hi - span, hi]`, the interval join above is
+    * `[start, end)`). Probe rows carry a BIGINT micros column
+    * `tsUsCol`; each build row covers `[loUsCol, hiUsCol]` micros.
+    * Bins are BIGINT `div` (exact — float `floor(x/y)` can flip at
+    * exact multiples; timestamps are assumed non-negative), so both
+    * sides land in consistent bins and the exact filter only ever
+    * REMOVES candidates, never needs one the binning dropped.
+    *
+    * Scale shape: the build side explodes to its covered bins
+    * (O(span/binMicros) rows each — pick binMicros near the span so
+    * that's O(1)); the probe maps to ONE bin; the join is a plain
+    * (key, bin) equi-join, so per-build-row candidate fan-out is
+    * bounded by the probe rows in its covered bins — never the key's
+    * lifetime history. That bound is what retires the
+    * join-then-range-filter scale cliff (PlanAudit's
+    * crossSideRangeFilterJoins smell) for any history length. */
+  def binnedUs(probe: DataFrame, build: DataFrame, key: String,
+               tsUsCol: String, loUsCol: String, hiUsCol: String,
+               binMicros: Long, exact: Column): DataFrame = {
+    val pb = probe.withColumn("bin", expr(s"$tsUsCol div ${binMicros}L"))
+    val bb = build.withColumn("bin", explode(sequence(
+      expr(s"$loUsCol div ${binMicros}L"),
+      expr(s"$hiUsCol div ${binMicros}L"))))
+    pb.join(bb, Seq(key, "bin")).filter(exact).drop("bin")
   }
 }
