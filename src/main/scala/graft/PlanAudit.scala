@@ -146,6 +146,160 @@ object PlanAudit {
       "catalog-bounded cardinality); the per-doc rank is the same " +
       "two-phase 64-cell recipe as corpus_mix"))
 
+  /** Equi-joins carrying a cross-side RANGE residual whose candidate
+    * fan-out is nonetheless bounded, each with the bound that
+    * protects it. This is the r18 basket-cap / multitouch class made
+    * structural: an equi-join whose post-join (or residual) filter
+    * compares a left-side expression against a right-side one joins
+    * on a coarser key than it filters on, so per-key candidate work
+    * grows with key history unless something else bounds it. Every
+    * flagged query must either be rewritten (the RangeJoin.binnedUs
+    * recipe: fold a bin of the range column into the equi key) or
+    * carry a grant here naming the bound — PlanAuditSpec asserts
+    * grants are live and justified, and plants the naive
+    * join-then-filter shape to prove the detector fires. */
+  val BoundedRangeResidual: Map[String, String] = Map(
+    "range_join_binned" -> ("this IS the binned recipe: the equi key " +
+      "includes the day bin derived from the range columns, so the " +
+      "residual only prunes the O(1) bins-per-interval candidates " +
+      "the binning admitted"),
+    "attribution_multitouch" -> ("RangeJoin.binnedUs day-binned join " +
+      "— the equi key includes the click's day bin; candidates per " +
+      "purchase = clicks in its 8 covered days " +
+      "(AttributionBinnedSpec's planted bot user pins the bound)"),
+    // ---- canonical-pair orientation over already-bounded candidates:
+    // the residual is `idA < idB` on a self-join whose EQUI key is the
+    // thing that bounds candidates (an LSH band bucket, a capped-df
+    // gram, a Voronoi cell, a fingerprint window). The ordering
+    // predicate only halves/orients the pair set — it never admits a
+    // candidate the bucket key didn't.
+    "dedup_jaccard_prefix" -> ("d1 < d2 orients pairs from the PPJoin " +
+      "prefix-filter join (df ≤ 50 token cap bounds per-key bucket " +
+      "size; JaccardPrefixSpec pins the rewrite)"),
+    "dedup_embedding_cosine" -> ("v1 < v2 orients pairs from the " +
+      "banded-LSH candidate join — per-key candidates = band-bucket " +
+      "size, never corpus-sized"),
+    "dedup_semantic" -> ("v1 < v2 orients pairs inside one Voronoi " +
+      "cell (dominance is cell-scoped by construction — ≤16 cells, " +
+      "per-cell candidates bounded by cell membership)"),
+    "dedup_title_edit" -> ("d1 < d2 orients pairs from the multi-pass " +
+      "token-block join (block keys df-capped at 1000) before the " +
+      "thresholded edit-distance verify"),
+    "dedup_incremental" -> ("x.doc_id < y.doc_id orients delta-vs-" +
+      "index pairs — the equi key is the minhash band bucket; the " +
+      "delta side is O(batch), never the corpus"),
+    "image_dedup_ahash" -> ("x.ahash < y.ahash orients pairs from " +
+      "the banded-Hamming join AFTER the distinct-hash collapse " +
+      "(ImageDedupClusteringSpec pins the collapse ≡ doc-level " +
+      "all-pairs)"),
+    "winnow_candidates" -> ("d1 < d2 orients pairs from the " +
+      "winnowing-fingerprint bucket join — per-key candidates = docs " +
+      "sharing one selected fingerprint, df-capped like the gram " +
+      "joins"),
+    // ---- tiny-frame and order-bounded residuals
+    "source_overlap_kmv" -> ("source_a < source_b pairs the #sources-" +
+      "row sketch frame against itself — O(sources²) over a frame of " +
+      "O(sources·k) bytes, catalog-bounded (also in ExpectedBnlj)"),
+    "q4_priority_semi" -> ("l_shipdate > o_orderdate + 60d rides the " +
+      "l_orderkey equi-join — candidates per order = its lineitems " +
+      "(≤ 7 by the TPC-H order-size bound), not history-sized"),
+    "corpus_mix" -> ("rk <= quota joins the per-doc stratum rank " +
+      "against the per-language quota frame on language — the quota " +
+      "side is ONE row per language (#langs rows total, the mixture " +
+      "spec's own cardinality; built via windows, so the Aggregate-" +
+      "singleton suppression can't prove it structurally)"),
+    "corpus_mix_temperature" -> ("rk <= quota joins the per-doc rank " +
+      "against the per-source largest-remainder quota frame on " +
+      "source — ONE row per source (catalog-bounded), same shape as " +
+      "corpus_mix"))
+
+  /** Joins in the optimized logical plan that pair an equi conjunct
+    * with a cross-side range conjunct — i.e. a BinaryComparison
+    * (non-equality) whose two operand trees draw from OPPOSITE join
+    * sides. Looks through a Filter/Project directly above the join
+    * too (outer joins keep cross-side filters above the join instead
+    * of folding them into the condition). A comparison of a
+    * both-sides expression against a literal (the LSH verify shape,
+    * `sim(l, r) >= t`) is NOT this class — the coarse-key fan-out
+    * smell needs left-vs-right operands.
+    *
+    * Structurally suppressed: joins where EITHER side is a PER-KEY
+    * SINGLETON — an Aggregate (reached through cardinality-preserving
+    * unaries, equi keys translated through Project aliases) whose
+    * grouping attributes are a subset of that side's equi keys. Each
+    * probe row then matches ≤ 1 row whatever the key's history, so
+    * the range residual prunes a bounded candidate set (the
+    * funnel/min-aggregate and scalar-threshold shapes: `us >= s_us`
+    * against a per-user min frame, `qty < 0.2·avg` against a per-part
+    * avg frame, a global-aggregate frame trivially). Everything else
+    * flagged must be rewritten or carry a [[BoundedRangeResidual]]
+    * grant. */
+  def crossSideRangeResidualJoins(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def sided(j: Join, l: Expression, r: Expression): Boolean = {
+      val (lo, ro) = (j.left.outputSet, j.right.outputSet)
+      (l.references.nonEmpty && r.references.nonEmpty) &&
+        ((l.references.subsetOf(lo) && r.references.subsetOf(ro)) ||
+          (l.references.subsetOf(ro) && r.references.subsetOf(lo)))
+    }
+    def equiConjunct(j: Join)(e: Expression): Boolean = e match {
+      case EqualTo(l, r) => sided(j, l, r)
+      case EqualNullSafe(l, r) => sided(j, l, r)
+      case _ => false
+    }
+    def rangeConjunct(j: Join)(e: Expression): Boolean = e match {
+      case _: EqualTo | _: EqualNullSafe => false
+      case b: BinaryComparison => sided(j, b.left, b.right)
+      case _ => false
+    }
+    // equi-key ATTRIBUTES per side (only bare-attribute equi operands
+    // count — an expression key can't be traced into a grouping)
+    def sideKeys(j: Join, cs: Seq[Expression],
+                 side: LogicalPlan): AttributeSet = AttributeSet(
+      cs.collect {
+        case EqualTo(l: Attribute, r: Attribute) => Seq(l, r)
+        case EqualNullSafe(l: Attribute, r: Attribute) => Seq(l, r)
+      }.flatten.filter(side.outputSet.contains))
+    @annotation.tailrec
+    def singletonFor(p: LogicalPlan, keys: AttributeSet): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.forall {
+        case at: Attribute => keys.contains(at)
+        case _ => false
+      }
+      case pr: Project =>
+        val mapped = pr.projectList.collect {
+          case al @ Alias(child: Attribute, _)
+            if keys.contains(al.toAttribute) => child
+          case at: Attribute if keys.contains(at) => at
+        }
+        singletonFor(pr.child, AttributeSet(mapped))
+      case n @ (_: Filter | _: SubqueryAlias | _: RepartitionOperation |
+                _: Sort) => singletonFor(n.children.head, keys)
+      case _ => false
+    }
+    def flag(j: Join, extra: Seq[Expression]): Option[String] = {
+      val cs = j.condition.toSeq.flatMap(conjuncts) ++ extra
+      val ranges = cs.filter(rangeConjunct(j))
+      val bounded = singletonFor(j.left, sideKeys(j, cs, j.left)) ||
+        singletonFor(j.right, sideKeys(j, cs, j.right))
+      if (cs.exists(equiConjunct(j)) && ranges.nonEmpty && !bounded)
+        Some(ranges.map(_.sql).mkString(" AND "))
+      else None
+    }
+    val plan = df.queryExecution.optimizedPlan
+    plan.collect {
+      case Filter(cond, j: Join) => flag(j, conjuncts(cond)).toSeq
+      case Filter(cond, Project(_, j: Join)) => flag(j, conjuncts(cond)).toSeq
+      case j: Join => flag(j, Nil).toSeq
+    }.flatten.distinct
+  }
+
   /** Partition-less Window nodes in the optimized logical plan whose
     * INPUT cardinality is not bounded by a LIMIT — each one is a
     * whole-frame single-partition sort at scale. The bound must sit on
@@ -191,7 +345,9 @@ object PlanAudit {
       "BroadcastNestedLoop" -> (plan.contains("BroadcastNestedLoopJoin")
         && !ExpectedBnlj.contains(name)),
       "unbounded-bare-window" -> (!BoundedBareWindow.contains(name)
-        && unboundedBareWindows(df).nonEmpty)
+        && unboundedBareWindows(df).nonEmpty),
+      "cross-side-range-residual" -> (!BoundedRangeResidual.contains(name)
+        && crossSideRangeResidualJoins(df).nonEmpty)
     ).collect { case (s, true) => s }
     (plan, smells)
   }

@@ -609,33 +609,35 @@ object EventQueries extends QueryModule {
     // Forward joins are where label leakage lives, so the direction
     // deserves its own oracled operator: a backward join here would
     // silently train on the future. Clicks with no future purchase
-    // keep a NULL label (left join — label-coverage stats need them).
-    // Plan: per-user equi-join bounded by per-user activity, then a
-    // (user, ts) equi-join to resolve the id with a deterministic
-    // min tie-break; at unbounded per-user history the sorted-merge
-    // AsOfNative with negated timestamps is the same operator.
+    // keep a NULL label (left join semantics — the carried columns
+    // stay NULL; label-coverage stats need them).
+    // Plan: AsOf.join on NEGATED timestamps — "first purchase at or
+    // after the click" is "most recent purchase at or before" on the
+    // time-mirrored axis — so the cost is the backward join's: ONE
+    // user-keyed shuffle + per-user sort, where the former
+    // join-then-min shape fanned each user's clicks × purchases
+    // through a task before aggregating (the r19 PlanAudit
+    // cross-side-range-residual class; AsofLabelSpec pins parity
+    // with the naive shape and the bot-user bound). Tie-break: among
+    // purchases at the same earliest p_us, AsOf's last-in-order wins,
+    // so the negated-id tie column makes that min(purchase_id) —
+    // matching the oracle's min() exactly.
     Q("asof_next_purchase_label",
       (s, dir) => {
         val e = events(s, dir).select(col("user_id"), col("event_type"),
           col("event_id"), unix_micros(col("ts")).as("us"))
         val c = e.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"),
-            col("us").as("c_us"))
+            col("us").as("c_us"), (-col("us")).as("neg_us"))
         val p = e.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("purchase_id"),
-            col("us").as("p_us"))
-        val firstUs = c.join(p, Seq("user_id"))
-          .filter(col("p_us") >= col("c_us"))
-          .groupBy(col("user_id"), col("click_id"), col("c_us"))
-          .agg(min(col("p_us")).as("p_us"))
-        val lbl = firstUs.join(p, Seq("user_id", "p_us"))
-          .groupBy(col("click_id"), col("c_us"), col("p_us"))
-          .agg(min(col("purchase_id")).as("purchase_id"))
-        c.join(lbl.select(col("click_id"), col("purchase_id"), col("p_us")),
-          Seq("click_id"), "left_outer")
+            col("us").as("p_us"), (-col("us")).as("neg_us"),
+            (-col("event_id")).as("neg_pid"))
+        AsOf.join(c, p, "user_id", "neg_us", "neg_us",
+          "click_id", "neg_pid", Seq("purchase_id", "p_us"))
           .select(col("click_id"), col("user_id"),
-            col("purchase_id").as("label_purchase_id"),
-            (col("p_us") - col("c_us")).as("label_lag_us"))
+            col("asof_purchase_id").as("label_purchase_id"),
+            (col("asof_p_us") - col("c_us")).as("label_lag_us"))
       },
       Some("""WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
              |           FROM events WHERE event_type = 'click'),

@@ -31,6 +31,56 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(registry.contains(n), s"stale BoundedBareWindow grant: $n")
       assert(why.trim.length > 20, s"grant $n needs a real bound statement")
     }
+    PlanAudit.BoundedRangeResidual.foreach { case (n, why) =>
+      assert(registry.contains(n), s"stale BoundedRangeResidual grant: $n")
+      assert(why.trim.length > 20, s"grant $n needs a real bound statement")
+    }
+  }
+
+  test("bounded-range-residual grants are live (the residual still plans)") {
+    // a grant for a query whose join no longer carries a cross-side
+    // range residual is stale noise — drop it so the smell check
+    // covers a future reintroduction
+    PlanAudit.BoundedRangeResidual.keys.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      assert(PlanAudit.crossSideRangeResidualJoins(df).nonEmpty,
+        s"$name no longer plans a cross-side range residual — drop its grant")
+    }
+  }
+
+  test("the naive join-then-range-filter shape is flagged; bounded shapes are not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clicks = Seq((1L, 10L), (1L, 20L), (2L, 30L))
+      .toDF("user_id", "c_us")
+    val purchases = Seq((1L, 15L), (2L, 25L))
+      .toDF("user_id", "p_us")
+    // the attribution_multitouch shape before the r19 rewrite:
+    // equi-join on the user, range-filter the lifetime fan-out after
+    val naive = purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_us") <= col("p_us") &&
+        col("p_us") - col("c_us") < lit(100L))
+    assert(PlanAudit.crossSideRangeResidualJoins(naive).nonEmpty,
+      "the planted naive join-then-range-filter shape must be flagged")
+
+    // per-key singleton suppression: the same range residual against
+    // a per-user min-aggregate frame matches ≤1 row per key — bounded
+    val firstPurchase = purchases.groupBy(col("user_id"))
+      .agg(min(col("p_us")).as("p_us"))
+    val bounded = clicks.join(firstPurchase, Seq("user_id"))
+      .filter(col("c_us") <= col("p_us"))
+    assert(PlanAudit.crossSideRangeResidualJoins(bounded).isEmpty,
+      "a range residual against a per-key singleton aggregate is bounded")
+
+    // a singleton grouped FINER than the equi key is NOT suppressed:
+    // per-(user, day) rows still fan out per user
+    val perDay = Seq((1L, 1L, 15L), (1L, 2L, 16L))
+      .toDF("user_id", "day", "p_us")
+      .groupBy(col("user_id"), col("day")).agg(min(col("p_us")).as("p_us"))
+    val stillFans = clicks.join(perDay, Seq("user_id"))
+      .filter(col("c_us") <= col("p_us"))
+    assert(PlanAudit.crossSideRangeResidualJoins(stillFans).nonEmpty,
+      "grouping finer than the equi key must not suppress the smell")
   }
 
   test("bounded-bare-window grants are live (the window still exists)") {
