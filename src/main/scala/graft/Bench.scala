@@ -32,6 +32,51 @@ object Bench {
       "basket_pairs" -> 3.8)
     else Map.empty
 
+  /** Quiet-machine cost of the pinned warmup plan on this image,
+    * COLD (includes first-touch JVM/codegen — that fixed cost is
+    * part of the pin). Re-pin only when the warmup plan itself
+    * changes. */
+  val CanaryBaselineSec = 12.0
+
+  /** Quiet-machine cost of the same plan on a WARM session (codegen
+    * classes cached, executors resident) — the pin a canary RETRY is
+    * judged against. Measured 2.4-3.1 s on this image (BENCHNOTES
+    * r19 "canary retry pin"); 3.5 keeps headroom comparable to the
+    * cold pin's. */
+  val WarmCanaryBaselineSec = 3.5
+
+  /** The pinned synthetic warmup/canary plan — no data, no stores,
+    * identical bytes every round, so its wall time moves ONLY with
+    * the machine. Compiles the hot codegen paths (JSON extraction,
+    * hash aggregation, window time-bucketing, ranking windows, md5,
+    * explode, broadcast + shuffle joins) without executing any
+    * benchmark query or materializing anything a query would
+    * reuse. */
+  private[graft] def runCanaryPlan(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val w = spark.range(300000).selectExpr(
+      "id", "cast(id % 97 as string) AS k",
+      "concat('{\"k\":', id % 13, '}') AS js",
+      "cast(id as double) AS v",
+      "timestamp_micros(id * 100000000) AS ts")
+    val dim = spark.range(97).selectExpr("cast(id as string) AS k", "id AS dv")
+    w.withColumn("jk", get_json_object(col("js"), "$.k"))
+      .withColumn("h", md5(col("js")))
+      .withColumn("tok", explode(split(col("h"), "")))
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("k"))
+      .agg(sum(col("v").cast("decimal(28,6)")).as("sv"),
+        countDistinct(col("jk")).as("dk"), count(lit(1)).as("n"))
+      .join(broadcast(dim), Seq("k"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("sv").desc)))
+      .write.format("noop").mode("overwrite").save()
+    val j1 = spark.range(200000).selectExpr("id AS a", "id % 1000 AS b")
+    val j2 = spark.range(200000).selectExpr("id AS a", "id % 7 AS c")
+    j1.join(j2, Seq("a")).groupBy("c").agg(sum(col("b")))
+      .write.format("noop").mode("overwrite").save()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,39 +115,36 @@ object Bench {
     // regression. canary_sec is emitted in both JSON artifacts and
     // degraded=true when it exceeds 2× its recorded quiet-machine cost
     // (BENCHNOTES: a degraded run is re-run, not archived).
-    val canaryT0 = System.nanoTime()
-    locally {
-      import org.apache.spark.sql.functions._
-      val w = spark.range(300000).selectExpr(
-        "id", "cast(id % 97 as string) AS k",
-        "concat('{\"k\":', id % 13, '}') AS js",
-        "cast(id as double) AS v",
-        "timestamp_micros(id * 100000000) AS ts")
-      val dim = spark.range(97).selectExpr("cast(id as string) AS k", "id AS dv")
-      w.withColumn("jk", get_json_object(col("js"), "$.k"))
-        .withColumn("h", md5(col("js")))
-        .withColumn("tok", explode(split(col("h"), "")))
-        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("k"))
-        .agg(sum(col("v").cast("decimal(28,6)")).as("sv"),
-          countDistinct(col("jk")).as("dk"), count(lit(1)).as("n"))
-        .join(broadcast(dim), Seq("k"))
-        .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("k")).orderBy(col("sv").desc)))
-        .write.format("noop").mode("overwrite").save()
-      val j1 = spark.range(200000).selectExpr("id AS a", "id % 1000 AS b")
-      val j2 = spark.range(200000).selectExpr("id AS a", "id % 7 AS c")
-      j1.join(j2, Seq("a")).groupBy("c").agg(sum(col("b")))
-        .write.format("noop").mode("overwrite").save()
+    // Self-heal (VERDICT r18 #3): a degraded first canary is retried
+    // up to 2 more times before the verdict — the r18 judge-time
+    // artifact archived a 58.6 s canary window the driver could not
+    // re-run, so the binary applies the "re-run, not archive" rule
+    // itself. Attempt 1 is judged against the cold pin (first-touch
+    // JVM/codegen is part of that cost); retries run with warm
+    // codegen caches and get their own pin — without the split, any
+    // degraded cold attempt would "heal" simply by shedding the
+    // fixed warmup cost. The artifact carries every attempt
+    // (canary_attempts_sec); the LAST attempt is the operative
+    // canary — the most recent measurement of the machine the
+    // following phases actually run on.
+    val canaryOutcome = RetryGate.run(3) { _ =>
+      val t0 = System.nanoTime()
+      runCanaryPlan(spark)
+      (System.nanoTime() - t0) / 1e9
+    } { case (sec, attempt) =>
+      sec > 2 * (if (attempt == 0) CanaryBaselineSec else WarmCanaryBaselineSec)
     }
-    val canarySec = (System.nanoTime() - canaryT0) / 1e9
-    // Quiet-machine cost of the pinned warmup plan on this image
-    // (includes first-touch JVM/codegen — that fixed cost is part of
-    // the pin). Re-pin only when the warmup plan itself changes.
-    val CanaryBaselineSec = 12.0
-    val degraded = canarySec > 2 * CanaryBaselineSec
+    val canaryAttempts = canaryOutcome.attempts
+    val canarySec = canaryAttempts.last
+    val degraded = canaryOutcome.degraded
+    if (canaryOutcome.healed) System.err.println(
+      f"[bench] NOTE canary healed on attempt ${canaryAttempts.size}: " +
+        canaryAttempts.map(s => f"$s%.1f").mkString(" -> ") + " s")
     if (degraded) System.err.println(
-      f"[bench] WARNING degraded VM: canary $canarySec%.1f s vs baseline $CanaryBaselineSec%.1f s — re-run this bench, do not archive it")
+      f"[bench] WARNING degraded VM: canary $canarySec%.1f s vs baseline " +
+        f"$WarmCanaryBaselineSec%.1f s warm (${canaryAttempts.size} attempts: " +
+        canaryAttempts.map(s => f"$s%.1f").mkString(" -> ") +
+        " s) — re-run this bench, do not archive it")
     graft.sources.Tables.events(spark, sfDir).limit(10).collect()
     // Store warm-up phase: stand up every PERSISTED serving store
     // (postings, IVF cells, PQ codebooks+codes) BEFORE the query loop
@@ -151,15 +193,16 @@ object Bench {
     // otherwise whichever query touches a memo first absorbs a build
     // that every later query rides for free (basket_rules read 15 s
     // official vs ~2 s steady in r11).
-    val memoBuilds = SparkEntry.memoWarmers.map { case (name, warm) =>
-      val t0 = System.nanoTime()
-      val ok = try { warm(spark, sfDir); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] memo $name failed: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
-    }
+    def runMemoPhase(): Seq[(String, Double, Boolean)] =
+      SparkEntry.memoWarmers.map { case (name, warm) =>
+        val t0 = System.nanoTime()
+        val ok = try { warm(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] memo $name failed: ${e.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
     // Memo-phase degradation gate (VERDICT r15 #2): the canary runs
     // BEFORE the memo phase, so a VM that degrades DURING it could
     // archive a pathological memo build under degraded=false (r15's
@@ -181,10 +224,33 @@ object Bench {
       System.err.println(
         s"[bench] NOTE memo pins are calibrated for $MemoPinnedSfDir; " +
           s"sfDir=$sfDir ⇒ memo gate neutralized (memo_pins: unpinned_sf)")
-    // decision arithmetic lives in MemoGate (pure, spec-pinned)
+    // decision arithmetic lives in MemoGate (pure, spec-pinned).
+    // Self-heal (VERDICT r18 #3): a degraded memo phase is retried up
+    // to 2 more times — Caches.clearAll() first, so a retry is a real
+    // re-measurement (re-derive + re-cache every memo), not a free
+    // read of the frames the degraded attempt already cached. Pins
+    // stay the same across attempts: the stores and scans are warm by
+    // the first memo attempt already, so a retry measures the same
+    // work. Every attempt's phase total lands in the artifact
+    // (memo_attempts_sec); the LAST attempt is the operative one.
     def memoPin(name: String, sec: Double): Double =
       MemoGate.pin(MemoBaselineSec)(name, sec)
-    val memoVerdict = MemoGate.evaluate(memoBuilds, MemoBaselineSec)
+    val memoOutcome = RetryGate.run(3) { attempt =>
+      if (attempt > 0) {
+        System.err.println(
+          s"[bench] NOTE degraded memo phase: clearing memos and " +
+            s"re-measuring (attempt ${attempt + 1})")
+        Caches.clearAll()
+      }
+      val builds = runMemoPhase()
+      (builds, MemoGate.evaluate(builds, MemoBaselineSec))
+    } { case ((_, v), _) => v.degraded }
+    val (memoBuilds, memoVerdict) = memoOutcome.attempts.last
+    val memoAttemptsSec = memoOutcome.attempts.map(_._2.actualSec)
+    if (memoOutcome.healed) System.err.println(
+      f"[bench] NOTE memo phase healed on attempt " +
+        s"${memoOutcome.attempts.size}: " +
+        memoAttemptsSec.map(s => f"$s%.1f").mkString(" -> ") + " s")
     val memoSec = memoVerdict.actualSec
     val memoExpectedSec = memoVerdict.expectedSec
     val memoDegraded = memoVerdict.degraded
@@ -290,7 +356,9 @@ object Bench {
       s""""$k":{"sec":${if (ok) "%.2f".format(v) else "-1"},"expected":${"%.2f".format(memoPin(k, v))}}"""
     }.mkString("{", ",", "}")
     val memoGateJson =
-      s""""memo_sec":${"%.2f".format(memoSec)},"memo_expected_sec":${"%.2f".format(memoExpectedSec)},"memo_degraded":$memoDegraded,"memo_pins":"${if (MemoBaselineSec.nonEmpty) "sf0.1" else "unpinned_sf"}""""
+      s""""memo_sec":${"%.2f".format(memoSec)},"memo_expected_sec":${"%.2f".format(memoExpectedSec)},"memo_degraded":$memoDegraded,"memo_attempts_sec":${memoAttemptsSec.map("%.2f".format(_)).mkString("[", ",", "]")},"memo_pins":"${if (MemoBaselineSec.nonEmpty) "sf0.1" else "unpinned_sf"}""""
+    val canaryJson =
+      s""""canary_sec":${"%.2f".format(canarySec)},"canary_attempts_sec":${canaryAttempts.map("%.2f".format(_)).mkString("[", ",", "]")},"degraded":$degraded"""
     // Streaming env knobs (ADVICE r15): a stray SPARK_GRAFT_STREAM_*
     // var silently changes the measured streaming configuration —
     // record any active ones in the artifact so a knobbed ev/s can
@@ -305,7 +373,7 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.writeString(fullPath,
-      s"""{"bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,$memoGateJson,"bench_all":$qs,"sweeps":$sweepsJson,"memo_builds":$memoDetailJson,"store_builds":$buildsJson,"stream_knobs":$streamKnobsJson,"failed":$failed,$streamJson,"sf":"$sfDir"}""")
+      s"""{"bench_protocol":"min-of-$Passes",$canaryJson,$memoGateJson,"bench_all":$qs,"sweeps":$sweepsJson,"memo_builds":$memoDetailJson,"store_builds":$buildsJson,"stream_knobs":$streamKnobsJson,"failed":$failed,$streamJson,"sf":"$sfDir"}""")
     val headline = results.filter { case (k, _, _) =>
       k.matches("q\\d+_.*")
     }.map { case (k, v, ok) =>
@@ -319,7 +387,7 @@ object Bench {
       failedNames.take(10) :+ "\"...\"" else failedNames)
       .mkString("[", ",", "]")
     def line(memo: String): String =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","bench_protocol":"min-of-$Passes","canary_sec":${"%.2f".format(canarySec)},"degraded":$degraded,$memoGateJson,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_builds":$buildsJson,"memo_builds":$memo,"queries":$headline,"failed":$failedCompact,$streamJson${if (StreamBench.activeKnobs.nonEmpty) s""","stream_knobs":$streamKnobsJson""" else ""},"full":"${fullPath.toString}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","bench_protocol":"min-of-$Passes",$canaryJson,$memoGateJson,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"store_builds":$buildsJson,"memo_builds":$memo,"queries":$headline,"failed":$failedCompact,$streamJson${if (StreamBench.activeKnobs.nonEmpty) s""","stream_knobs":$streamKnobsJson""" else ""},"full":"${fullPath.toString}","sf":"$sfDir"}"""
     // The driver's capture window is ~2000 chars of tail; the parse
     // target must be well inside it. If the named memo map ever makes
     // the line too long, collapse it to its total (detail stays in
