@@ -16,25 +16,43 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   * longs (the first qualifying timestamp of each stage) — O(1),
   * unlike a collect-the-events approach. A COMPLETED funnel keeps its
   * pUs marker as a terminal state so later events can NEVER re-enter
-  * the funnel — that is what keeps the stream convergent with the
-  * batch twin's single-journey min-chaining (removing the state
-  * instead would let a post-completion signup restart stage 1, a
-  * divergence the hourly-rate parity spec catches). The budget is a
-  * MEASURED number, not a comment: StreamingFunnelSpec asserts
-  * `stateOperators.numRowsTotal` equals distinct-users and stays flat
-  * across batches and replays. Each row is one UnsafeRow key (8-byte
-  * user_id) plus a 3-long value ≈ 80 bytes in the store — 1e9
-  * lifetime users ≈ 80 GB spread over the cluster's state stores,
-  * which is why NoTimeout (lifetime funnels, matching the reference's
-  * lifetime aggregates) is affordable; a deployment that wants
-  * eviction instead sets the standard GroupStateTimeout/TTL — a
-  * capacity dial, not a correctness lever, because the terminal
-  * marker already blocks re-entry. Events are
-  * folded in event-time order within each batch (the grantChanges
-  * discipline); cross-batch late data follows the streaming contract
-  * everywhere else in this engine — in-order delivery per user up to
-  * the micro-batch boundary, convergence-to-batch asserted by
-  * StreamingFunnelSpec.
+  * the funnel within the retention horizon — that is what keeps the
+  * stream convergent with the batch twin's single-journey
+  * min-chaining (removing the state immediately would let a
+  * post-completion signup restart stage 1, a divergence the
+  * hourly-rate parity spec catches).
+  *
+  * Completed-state reclamation (VERDICT r18 #5): a completed
+  * funnel's row is removed [[CompletedReclaimDelayUs]] of EVENT TIME
+  * after the completion emit, via the standard event-time timeout
+  * (the input carries a [[WatermarkDelay]] watermark). Two
+  * properties make the removal safe rather than a correctness leak:
+  * (1) the watermark at reclaim time has passed pUs + delay, and
+  * flatMapGroupsWithState drops input older than the watermark, so
+  * no event belonging to the reclaimed journey's era can ever be
+  * processed after its state is gone — the completed journey cannot
+  * be retro-mutated or double-emitted; (2) the only event type that
+  * can CREATE state is a signup, so the one post-reclaim behavior
+  * change is deliberate, documented re-engagement semantics: a
+  * signup arriving more than the 90-day horizon after a completed
+  * journey starts a NEW journey (stage-1 emit). Within any window
+  * shorter than the horizon — including every fixture feed (30-day
+  * span) — the stream is row-identical to the lifetime-state
+  * behavior, which StreamingFunnelSpec's parity tests continue to
+  * pin; the reclaim test plants a >90-day feed and asserts
+  * `numRowsTotal` drops to the ACTIVE (incomplete) users.
+  *
+  * The state budget is a MEASURED number, not a comment:
+  * StreamingFunnelSpec asserts `stateOperators.numRowsTotal` equals
+  * distinct-users within the horizon and stays flat across batches
+  * and replays. Each row is one UnsafeRow key (8-byte user_id) plus
+  * a 3-long value ≈ 80 bytes in the store — and with reclamation the
+  * resident set is active-plus-recently-completed users, not
+  * lifetime users. Events are folded in event-time order within each
+  * batch (the grantChanges discipline); cross-batch late data
+  * follows the streaming contract everywhere else in this engine —
+  * in-order delivery per user up to the micro-batch boundary,
+  * convergence-to-batch asserted by StreamingFunnelSpec.
   *
   * The batch twin [[batchStages]] is THE parity target: identical
   * min-chaining join logic to the oracled query, exposed per-user so
@@ -46,6 +64,20 @@ object FunnelStream {
     * redeclared) so stream/batch parity cannot drift silently. */
   val StepWindowUs: Long = graft.queries.AnalyticsQueries.StepWindowUs
 
+  /** Event-time retention of a COMPLETED funnel's terminal marker
+    * before its state row is reclaimed: 90 days — two orders beyond
+    * the 24 h step window (no continuation event can still qualify)
+    * and comfortably past the 30-day fixture horizon (every parity
+    * feed behaves exactly as lifetime state). A signup beyond this
+    * horizon is re-engagement: it starts a new journey. */
+  val CompletedReclaimDelayUs: Long = 90L * 86400000000L
+
+  /** Watermark delay on the event feed — the engine's standard late
+    * tolerance, one step window: feeds are in-order per user, so a
+    * row later than this against the global max is data-contract
+    * noise, not signal. */
+  val WatermarkDelay = "24 hours"
+
   /** Per-user funnel state: first qualifying ts (µs) per stage;
     * 0 = unset (event-time µs of the fixtures are all > 0). */
   final case class FunnelState(sUs: Long, cUs: Long, pUs: Long)
@@ -55,6 +87,11 @@ object FunnelStream {
 
   private def fold(userId: Long, events: Iterator[EventRow],
                    state: GroupState[FunnelState]): Iterator[FunnelTransition] = {
+    // the reclaim fire: only completed states arm a timeout, so this
+    // is always the removal of a journey whose event-time era is
+    // entirely below the watermark (nothing of it can be processed
+    // again — the late-row filter guarantees it)
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
     val out = scala.collection.mutable.ArrayBuffer[FunnelTransition]()
     // full µs: getTime carries integral millis, getNanos the sub-ms
@@ -75,6 +112,11 @@ object FunnelStream {
       }
     }
     state.update(st)
+    // arm (or re-arm — Spark clears a pending timer on every function
+    // call for the key) the reclaim timer once the funnel completes;
+    // active in-progress funnels carry no timeout and are retained
+    if (st.pUs != 0L)
+      state.setTimeoutTimestamp((st.pUs + CompletedReclaimDelayUs) / 1000L)
     out.iterator
   }
 
@@ -82,8 +124,10 @@ object FunnelStream {
   def transitions(spark: SparkSession,
                   events: Dataset[EventRow]): Dataset[FunnelTransition] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+    events.withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
   }
 
   // ---- hourly stage-reach rates (the funnel dashboard series) ------

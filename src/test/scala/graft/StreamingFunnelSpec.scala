@@ -123,13 +123,65 @@ class StreamingFunnelSpec extends AnyFunSuite {
       // post-completion events from u1 must NOT re-emit — not a
       // purchase (stage already terminal) and not even a fresh signup
       // (the terminal marker blocks re-entry, keeping the stream
-      // convergent with the batch twin's single-journey semantics)
-      ms.addData(Seq(ev(11, 1, "purchase", 12), ev(12, 1, "signup", 13)))
+      // convergent with the batch twin's single-journey semantics).
+      // Day 2 noon: ABOVE the watermark (day-3 max event - 24 h), so
+      // the rows reach the fold and it is the marker doing the
+      // blocking, not the late-row filter; and far inside the 90-day
+      // reclaim horizon, so the state still exists.
+      ms.addData(Seq(ev(11, 1, "purchase", 12, 0, 2), ev(12, 1, "signup", 13, 0, 2)))
       q.processAllAvailable()
     } finally q.stop()
     val emitted = spark.table("funnel_state").as[FunnelTransition].collect()
     assert(emitted.count(t => t.user_id == 1L) == 3,
       "exactly stages 1..3, nothing after completion")
+  }
+
+  test("completed-funnel state is reclaimed after the event-time horizon; active users stay") {
+    import spark.implicits._
+    def at(id: Long, user: Long, typ: String, ts: String): EventRow =
+      EventRow(id, java.sql.Timestamp.valueOf(ts), user, typ, 1.0, "{}")
+    val ms = MemoryStream[EventRow](spark)
+    val q = FunnelStream.transitions(spark, ms.toDS())
+      .writeStream.format("memory").queryName("funnel_reclaim")
+      .outputMode("append").start()
+    try {
+      // batch 1: TWENTY completed funnels on day 1, two stage-1-only
+      // (ACTIVE) users
+      val completed = (1L to 20L).flatMap { u =>
+        Seq(at(u * 10 + 1, u, "signup", "2024-01-01 10:00:00"),
+          at(u * 10 + 2, u, "click", "2024-01-01 10:30:00"),
+          at(u * 10 + 3, u, "purchase", "2024-01-01 11:00:00"))
+      }
+      ms.addData(completed ++ Seq(
+        at(901, 100L, "signup", "2024-01-01 10:00:00"),
+        at(902, 101L, "signup", "2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 22L)
+      // batch 2: event time advances past completion + 90 d + the
+      // 24 h watermark delay (2024-01-01 + 90 d = 2024-03-31) — the
+      // twenty completed rows are reclaimed; the two ACTIVE users and
+      // the new arrival are retained. numRowsTotal is bounded by
+      // active users, not lifetime users.
+      ms.addData(Seq(at(903, 102L, "signup", "2024-04-15 10:00:00")))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 3L,
+        s"completed state must be reclaimed: " +
+          s"${q.lastProgress.stateOperators(0).numRowsTotal} rows")
+      // re-engagement semantics (documented in the scaladoc): a
+      // signup beyond the horizon starts a NEW journey for u1 —
+      // stage-1 emit, state row re-created
+      ms.addData(Seq(at(904, 1L, "signup", "2024-04-15 11:00:00")))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 4L)
+    } finally q.stop()
+    val got = spark.table("funnel_reclaim").as[FunnelTransition].collect()
+    // every completed journey emitted exactly its three stages before
+    // reclamation — removal is an act of storage, not of output
+    (2L to 20L).foreach { u =>
+      assert(got.filter(_.user_id == u).map(_.stage).sorted.toSeq == Seq(1, 2, 3))
+    }
+    assert(got.filter(_.user_id == 1L).map(_.stage).sorted.toSeq == Seq(1, 1, 2, 3),
+      "a post-horizon signup is a new journey (re-engagement), emitting stage 1 once")
   }
 
   test("state bound MEASURED on the driver corpus: one row per distinct user, flat across batches") {
