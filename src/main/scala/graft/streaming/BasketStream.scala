@@ -86,7 +86,21 @@ object BasketStream {
     * (the caller contract above) the stream keeps EXACTLY the items
     * the batch memo keeps — including for delete deltas, which
     * replay the same basket rows and therefore cancel the same
-    * capped subset. */
+    * capped subset.
+    *
+    * Contract-violation blast radius (ADVICE r18): if a caller splits
+    * one ORDER KEY across micro-batches, the cap amplifies the
+    * violation rather than merely under-counting — each fragment is
+    * capped independently, so an over-cap basket can contribute up to
+    * 64 items PER FRAGMENT (a different, larger item subset than the
+    * batch memo's 64-of-the-union) and its cross-fragment pairs are
+    * never formed. Re-ingesting an already-seen order key therefore
+    * silently invalidates the stream==batch parity under the cap; the
+    * parity guarantee is conditional on whole-basket batching, which
+    * StreamingBasketSpec's feeds honor and any new caller must too.
+    * There is deliberately no seen-order assertion here: it would
+    * need a per-order-key state table touched by every batch — a
+    * second keyed exchange per micro-batch purely for diagnostics. */
   private def deltas(batch: DataFrame, sign: Int):
       (DataFrame, DataFrame, DataFrame) = {
     val bi = AnalyticsQueries.capBasketItems(batch)

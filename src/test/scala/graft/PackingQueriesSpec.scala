@@ -137,14 +137,18 @@ class PackingQueriesSpec extends AnyFunSuite {
     // window/join would dodge a name check while still shipping
     // corpus bytes. Taint starts at the leaf relations' text attrs
     // and propagates through IDENTITY carries only (Alias of a
-    // tainted attribute, bare or cast) — computed projections
+    // tainted attribute, bare or cast, and — ADVICE r18 — an
+    // identity-carrying aggregate or window alias: min/max/first/last
+    // of a tainted attribute, or a lead/lag/window carry of one,
+    // through Aggregate/Window/Expand output) — computed projections
     // (md5(text), size(...)) CONSUME text map-side and stay clean,
     // which is exactly the design being guarded. The live-text plan
     // to anchor on is withScoreH itself (the registered queries'
     // leaves are post-TwoPhase fixed-width LogicalRDDs — no text
     // anywhere, which the same walk verifies as seed = ∅ plus the
     // name backstop).
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, ExprId}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, ExprId, Expression, FrameLessOffsetWindowFunction, NamedExpression, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last, Max, Min}
     import org.apache.spark.sql.catalyst.plans.logical
     def checkTextFree(name: String, plan: logical.LogicalPlan,
                       requireTextLeaf: Boolean): Unit = {
@@ -153,20 +157,39 @@ class PackingQueriesSpec extends AnyFunSuite {
       if (requireTextLeaf)
         assert(seed.nonEmpty, s"$name: expected a raw-text scan to anchor on")
       var tainted: Set[ExprId] = seed
+      // identity carry: the expression's VALUE is (some row's) tainted
+      // column verbatim — bare/cast attribute, min/max/first/last of
+      // one, or a window/offset carry of one. Computed consumptions
+      // (md5, size, substring) are not identities.
+      def identity(e: Expression): Boolean = e match {
+        case ar: AttributeReference => tainted.contains(ar.exprId)
+        case c: Cast => identity(c.child)
+        case agg: AggregateExpression => agg.aggregateFunction match {
+          case f: Min => identity(f.child)
+          case f: Max => identity(f.child)
+          case f: First => identity(f.child)
+          case f: Last => identity(f.child)
+          case _ => false
+        }
+        case we: WindowExpression => identity(we.windowFunction)
+        case o: FrameLessOffsetWindowFunction => identity(o.input)
+        case _ => false
+      }
+      def taintFrom(exprs: Seq[NamedExpression]): Unit = exprs.foreach {
+        case a: Alias if identity(a.child) => tainted += a.exprId
+        case _ =>
+      }
       plan.foreachUp {
-        case proj: logical.Project =>
-          proj.projectList.foreach {
-            case a: Alias => a.child match {
-              case ar: AttributeReference if tainted.contains(ar.exprId) =>
-                tainted += a.exprId
-              case c: Cast => c.child match {
-                case ar: AttributeReference if tainted.contains(ar.exprId) =>
-                  tainted += a.exprId
-                case _ =>
-              }
-              case _ =>
+        case proj: logical.Project => taintFrom(proj.projectList)
+        case agg: logical.Aggregate => taintFrom(agg.aggregateExpressions)
+        case w: logical.Window => taintFrom(w.windowExpressions)
+        case ex: logical.Expand =>
+          // output attr i is tainted if ANY projection row carries an
+          // identity of a tainted attribute at position i
+          ex.projections.foreach { row =>
+            row.zip(ex.output).foreach { case (e, out) =>
+              if (identity(e)) tainted += out.exprId
             }
-            case _ =>
           }
         case _ =>
       }
@@ -197,6 +220,20 @@ class PackingQueriesSpec extends AnyFunSuite {
       checkTextFree(name,
         SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan,
         requireTextLeaf = false)
+    }
+    // regression (ADVICE r18): an identity carry of raw text through
+    // an AGGREGATE alias into a window input must be caught — the
+    // shape that used to evade the Project-only walk and fall back to
+    // the weaker name-only backstop
+    val sneaky = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("doc_id")).agg(first(col("text")).as("payload"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("payload"))))
+      .select(col("doc_id"), col("rk"))
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      checkTextFree("sneaky_first_text",
+        sneaky.queryExecution.optimizedPlan, requireTextLeaf = true)
     }
   }
 
