@@ -13,6 +13,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * mirrors the oracled funnel_conversion query), transitions are
   * strictly increasing per user, and completed funnels free state.
   */
+object StreamingFunnelSpec {
+  /** (batchId, transition) log shared across query incarnations in
+    * the recovery test — foreachBatch output survives a restart,
+    * unlike a memory sink, which recovery recreates empty (the
+    * StreamingRecoverySpec pattern). */
+  val transitionLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, FunnelStream.FunnelTransition)]()
+}
+
 class StreamingFunnelSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
@@ -182,6 +191,62 @@ class StreamingFunnelSpec extends AnyFunSuite {
     }
     assert(got.filter(_.user_id == 1L).map(_.stage).sorted.toSeq == Seq(1, 1, 2, 3),
       "a post-horizon signup is a new journey (re-engagement), emitting stage 1 once")
+  }
+
+  test("checkpoint restart: terminal markers and the reclaim timer survive recovery") {
+    import spark.implicits._
+    def at(id: Long, user: Long, typ: String, ts: String): EventRow =
+      EventRow(id, java.sql.Timestamp.valueOf(ts), user, typ, 1.0, "{}")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt_").toString
+    StreamingFunnelSpec.transitionLog.clear()
+    val ms = MemoryStream[EventRow](spark)
+    def startQ() = FunnelStream.transitions(spark, ms.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelTransition], id: Long) =>
+        b.collect().foreach(t => StreamingFunnelSpec.transitionLog.add((id, t)))
+        ()
+      }
+      .queryName("funnel_rec").start()
+    try {
+      // incarnation 1: u1 completes on day 1 (arming its reclaim
+      // timer), u2 stays active at stage 1 — then STOP
+      val q1 = startQ()
+      try {
+        ms.addData(Seq(
+          at(1, 1L, "signup", "2024-01-01 10:00:00"),
+          at(2, 1L, "click", "2024-01-01 10:30:00"),
+          at(3, 1L, "purchase", "2024-01-01 11:00:00"),
+          at(4, 2L, "signup", "2024-01-01 10:00:00")))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      // incarnation 2, same checkpoint: the RESTORED terminal marker
+      // must still block an in-horizon signup, and the RESTORED timer
+      // must still fire once event time passes the horizon
+      val q2 = startQ()
+      try {
+        ms.addData(Seq(at(5, 1L, "signup", "2024-01-02 12:00:00")))
+        q2.processAllAvailable() // blocked by the restored marker
+        ms.addData(Seq(at(6, 3L, "signup", "2024-04-15 10:00:00")))
+        q2.processAllAvailable() // watermark passes u1's horizon
+        assert(q2.lastProgress.stateOperators(0).numRowsTotal == 2L,
+          "restored reclaim timer must fire: expected only u2 (active) + u3")
+      } finally q2.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+    import scala.jdk.CollectionConverters._
+    val log = StreamingFunnelSpec.transitionLog.asScala.toSeq
+    // batch ids continue across the restart (resumed, not replayed)
+    val ids1 = log.filter(_._2.user_id == 1L).map(_._1)
+    val ids3 = log.filter(_._2.user_id == 3L).map(_._1)
+    assert(ids1.nonEmpty && ids3.nonEmpty && ids1.max < ids3.min,
+      "restart did not resume from the checkpoint")
+    // exactly one journey per user, nothing lost, nothing re-emitted
+    def stages(u: Long) = log.filter(_._2.user_id == u).map(_._2.stage).sorted
+    assert(stages(1L) == Seq(1, 2, 3), s"u1: ${stages(1L)}")
+    assert(stages(2L) == Seq(1) && stages(3L) == Seq(1))
   }
 
   test("state bound MEASURED on the driver corpus: one row per distinct user, flat across batches") {
