@@ -10,7 +10,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * independence, rerun determinism, and stage/selection consistency
   * with `corpus_assemble`.
   */
-class CorpusShardSpec extends AnyFunSuite {
+class CorpusShardSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  // the shared cached frame is unpersisted when the suite ends — a
+  // leaked cache of a REGISTERED query's result would make every
+  // later identically-planned build resolve to an InMemoryRelation
+  // leaf and blind PlanAuditSpec's logical-plan checks (the
+  // EmbeddingAnnSpec order-dependent flake, fixed round 19)
+  override def afterAll(): Unit = { shards.unpersist(); super.afterAll() }
 
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
@@ -62,17 +70,19 @@ class CorpusShardSpec extends AnyFunSuite {
 
   test("provenance 'selected' set IS corpus_assemble's output; one verdict per doc") {
     val prov = SparkEntry.queries("assemble_provenance")(spark, sf).cache()
-    val nDocs = graft.sources.Tables.documents(spark, sf).count()
-    assert(prov.count() == nDocs, "exactly one verdict per document")
-    val selected = prov.filter(col("stage") === "selected").select(col("doc_id"))
-    val assembled = SparkEntry.queries("corpus_assemble")(spark, sf).select(col("doc_id"))
-    assert(selected.exceptAll(assembled).isEmpty && assembled.exceptAll(selected).isEmpty,
-      "provenance must agree doc-for-doc with the assembled corpus")
-    val stages = prov.select(col("stage")).distinct().collect().map(_.getString(0)).toSet
-    assert(stages.subsetOf(Set("duplicate", "eval_split", "contaminated",
-      "low_quality", "source_capped", "over_budget", "selected")))
-    // the chain's early gates all fire on the fixture
-    assert(Set("eval_split", "low_quality", "selected").subsetOf(stages),
-      s"expected the main gates to bite at sf0.001: $stages")
+    try {
+      val nDocs = graft.sources.Tables.documents(spark, sf).count()
+      assert(prov.count() == nDocs, "exactly one verdict per document")
+      val selected = prov.filter(col("stage") === "selected").select(col("doc_id"))
+      val assembled = SparkEntry.queries("corpus_assemble")(spark, sf).select(col("doc_id"))
+      assert(selected.exceptAll(assembled).isEmpty && assembled.exceptAll(selected).isEmpty,
+        "provenance must agree doc-for-doc with the assembled corpus")
+      val stages = prov.select(col("stage")).distinct().collect().map(_.getString(0)).toSet
+      assert(stages.subsetOf(Set("duplicate", "eval_split", "contaminated",
+        "low_quality", "source_capped", "over_budget", "selected")))
+      // the chain's early gates all fire on the fixture
+      assert(Set("eval_split", "low_quality", "selected").subsetOf(stages),
+        s"expected the main gates to bite at sf0.001: $stages")
+    } finally prov.unpersist()
   }
 }

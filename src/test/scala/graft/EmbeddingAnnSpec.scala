@@ -73,18 +73,20 @@ class EmbeddingAnnSpec extends AnyFunSuite {
 
   test("k-means-trained IVF: recall measured against pivot IVF and exact") {
     val d = data.cache()
-    val exact = pairs(exactTopK(d, 3))
-    val pivot = pairs(EmbeddingQueries.ivfTopK(d, col("vec_id") < 20, 3, nProbe = 2))
-    val trained = pairs(EmbeddingQueries.ivfTopKWith(d,
-      EmbeddingQueries.kmeansPivots(d, k = 8, iters = 2),
-      col("vec_id") < 20, 3, nProbe = 2))
-    val rp = (pivot intersect exact).size.toDouble / exact.size
-    val rt = (trained intersect exact).size.toDouble / exact.size
-    info(f"IVF recall pivot=$rp%.3f kmeans-trained=$rt%.3f (k=8 on 8 true clusters)")
-    // 8 trained centroids on 8 planted clusters must carve cells that
-    // rank well; the id-ordered pivots have no such guarantee
-    assert(rt >= 0.5, s"trained-IVF recall $rt unexpectedly low")
-    assert(rt >= rp - 0.05, s"training made recall worse: $rt < $rp")
+    try {
+      val exact = pairs(exactTopK(d, 3))
+      val pivot = pairs(EmbeddingQueries.ivfTopK(d, col("vec_id") < 20, 3, nProbe = 2))
+      val trained = pairs(EmbeddingQueries.ivfTopKWith(d,
+        EmbeddingQueries.kmeansPivots(d, k = 8, iters = 2),
+        col("vec_id") < 20, 3, nProbe = 2))
+      val rp = (pivot intersect exact).size.toDouble / exact.size
+      val rt = (trained intersect exact).size.toDouble / exact.size
+      info(f"IVF recall pivot=$rp%.3f kmeans-trained=$rt%.3f (k=8 on 8 true clusters)")
+      // 8 trained centroids on 8 planted clusters must carve cells that
+      // rank well; the id-ordered pivots have no such guarantee
+      assert(rt >= 0.5, s"trained-IVF recall $rt unexpectedly low")
+      assert(rt >= rp - 0.05, s"training made recall worse: $rt < $rp")
+    } finally d.unpersist()
   }
 
   test("PQ: exact re-rank of the ADC shortlist recovers the recall ADC alone loses") {
@@ -227,21 +229,29 @@ class EmbeddingAnnSpec extends AnyFunSuite {
   }
 
   test("semantic dedup: kept/dropped partition the corpus; dominators precede") {
+    // unpersist in finally: a LEAKED cache of a registered query's
+    // result makes a later identically-planned build of that query
+    // resolve to an InMemoryRelation leaf — which blinded
+    // PlanAuditSpec's logical-plan walks (grants-live read List() for
+    // dedup_semantic) whenever this suite ran first: an
+    // order-dependent flake, reproduced and fixed round 19
     val out = SparkEntry.queries("dedup_semantic")(
       spark, "/root/testdata/sf0.001").cache()
-    val total = graft.sources.Tables.embeddings(
-      spark, "/root/testdata/sf0.001").count()
-    assert(out.count() == total, "one verdict per vector")
-    // kept ⇔ no dominator recorded; a dominator is always a LOWER id
-    // in the SAME cell (checked via self-join on the output)
-    assert(out.filter(col("kept") =!= col("dup_of").isNull).count() == 0)
-    val dropped = out.filter(!col("kept"))
-    assert(dropped.count() > 0, "fixture must contain semantic near-dups")
-    assert(dropped.filter(col("dup_of") >= col("vec_id")).count() == 0)
-    val cellOf = out.select(col("vec_id").as("dup_of"), col("cell").as("dom_cell"))
-    assert(dropped.join(cellOf, Seq("dup_of"))
-      .filter(col("cell") =!= col("dom_cell")).count() == 0,
-      "dominators must share the dropped vector's cell")
+    try {
+      val total = graft.sources.Tables.embeddings(
+        spark, "/root/testdata/sf0.001").count()
+      assert(out.count() == total, "one verdict per vector")
+      // kept ⇔ no dominator recorded; a dominator is always a LOWER id
+      // in the SAME cell (checked via self-join on the output)
+      assert(out.filter(col("kept") =!= col("dup_of").isNull).count() == 0)
+      val dropped = out.filter(!col("kept"))
+      assert(dropped.count() > 0, "fixture must contain semantic near-dups")
+      assert(dropped.filter(col("dup_of") >= col("vec_id")).count() == 0)
+      val cellOf = out.select(col("vec_id").as("dup_of"), col("cell").as("dom_cell"))
+      assert(dropped.join(cellOf, Seq("dup_of"))
+        .filter(col("cell") =!= col("dom_cell")).count() == 0,
+        "dominators must share the dropped vector's cell")
+    } finally out.unpersist()
   }
 
   test("kNN labeling: planted clusters vote unanimously and correctly") {
@@ -327,8 +337,10 @@ class EmbeddingAnnSpec extends AnyFunSuite {
   test("kNN labeling on the driver corpus: one verdict per query, votes within k") {
     val out = SparkEntry.queries("embed_knn_label_fp")(
       spark, "/root/testdata/sf0.01").cache()
-    assert(out.count() == 50, "one row per held-out vec_id % 10 == 0")
-    assert(out.filter(col("n_votes") < 1 || col("n_votes") > 5).count() == 0)
-    assert(out.select(col("query_id")).distinct().count() == 50)
+    try {
+      assert(out.count() == 50, "one row per held-out vec_id % 10 == 0")
+      assert(out.filter(col("n_votes") < 1 || col("n_votes") > 5).count() == 0)
+      assert(out.select(col("query_id")).distinct().count() == 50)
+    } finally out.unpersist()
   }
 }

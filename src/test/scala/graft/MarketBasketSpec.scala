@@ -20,6 +20,7 @@ class MarketBasketSpec extends AnyFunSuite {
 
   test("basket_rules: lift is symmetric across rule direction, confidence in (0, 1]") {
     val r = SparkEntry.queries("basket_rules")(spark, sf).cache()
+    try {
     assert(r.filter(col("confidence") <= 0 || col("confidence") > 1).count() == 0)
     // lift(i→j) = c·N/(n_i·n_j) is direction-free: the reversed rule
     // must carry the identical value
@@ -32,6 +33,6 @@ class MarketBasketSpec extends AnyFunSuite {
     // every pair appears in both directions
     assert(r.count() ==
       2 * SparkEntry.queries("copurchase_cosine")(spark, sf).count())
-    r.unpersist()
+    } finally r.unpersist()
   }
 }

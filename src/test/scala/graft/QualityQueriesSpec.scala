@@ -36,6 +36,7 @@ class QualityQueriesSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.01"
     val sample = SparkEntry.queries("corpus_sample_es")(spark, sf).cache()
+    try {
     assert(sample.count() == 100, "exact-k draw")
     assert(sample.select(col("doc_id")).distinct().count() == 100,
       "without replacement")
@@ -48,6 +49,7 @@ class QualityQueriesSpec extends AnyFunSuite {
       .agg(avg(col("n"))).head().getDouble(0)
     assert(sMean > cMean * 1.1,
       s"weighted draw must skew long: sample $sMean vs corpus $cMean")
+    } finally sample.unpersist()
   }
 
   test("driver corpus: the 4-bit cut keeps most docs but filters a real tail") {
