@@ -292,6 +292,15 @@ object EmbeddingQueries extends QueryModule {
   private val KmeansIvfRecallFloor = 0.5
   private val PqRecallFloor = 0.25
 
+  /** Expected anchor count for embed_hard_negatives' constant-budget
+    * carve (per-mille rate = least(1000, this·1000 div n_vecs), the
+    * corpus_cluster_balance recipe applied globally). A constant
+    * anchor budget is what makes triplet-mining work LINEAR in corpus
+    * size — the r19 sf10 sweep measured the former fixed-fraction
+    * carve at 14.2×/decade (O(N²/160) candidate rows). Interpolated
+    * verbatim into the oracle so both engines carve identically. */
+  private[queries] val AnchorTarget = 200
+
   /** Exact brute-force top-3 cosine pairs for the `vec_id < 20` query
     * sample — the ground-truth side of every recall gate (the
     * embed_ann_recall exact block, factored). Deterministic: one
@@ -649,16 +658,28 @@ object EmbeddingQueries extends QueryModule {
     // their cell, and drop any vector semantically dominated (cosine ≥
     // τ) by a lower-id cellmate — keep-best canonical selection, the
     // embedding-space analogue of dedup_keep_best. The cluster scoping
-    // is the technique's point at 100 TB: the quadratic pair term is
-    // capped at cell size (corpus/nCells on balanced cells), never
-    // corpus². Same deterministic pivots and assignment plan as
-    // embed_ann_ivf (bounded BNLJ against ≤16 broadcast pivots), and
-    // the fused sequential cosine loop is IEEE-identical in both
-    // engines, so the ≥ τ gate and the exact output hash-match.
+    // is the technique's point at 100 TB — and since r19/r20 the cell
+    // COUNT scales with the corpus, √(N/4) floored at 16 (the classic
+    // IVF nlist ~ √N rule): a FIXED cell count made within-cell pairs
+    // O(N²/32) asymptotically (the embed_hard_negatives cliff class;
+    // benign constants at test scales, wrong shape at 100 TB), while
+    // √N cells balance the N×nCells assignment and the N×cellSize
+    // pair term at N^1.5. The count rides a ONE-ROW broadcast (the
+    // tfidf scalar shape), the formula is interpolated verbatim into
+    // the oracle (count/4.0, IEEE sqrt, floor — all correctly-rounded
+    // in both engines), and the pivot carve stays the deterministic
+    // lowest-ids rule. The fused sequential cosine loop is
+    // IEEE-identical in both engines, so the ≥ τ gate and the exact
+    // output hash-match.
     Q("dedup_semantic",
       (s, dir) => {
         val v = vecs(s, dir)
-        val piv = v.filter(col("vec_id") < 16)
+        val nc = Tables.embeddings(s, dir).agg(
+          greatest(lit(16L),
+            expr("cast(floor(sqrt(count(1) / 4.0)) as bigint)"))
+            .as("ncells"))
+        val piv = v.crossJoin(broadcast(nc))
+          .filter(col("vec_id") < col("ncells"))
           .select(col("vec_id").as("pid"), col("emb").as("pemb"))
         val cells = v.crossJoin(broadcast(piv))
           .withColumn("psim", cosine(col("emb"), col("pemb")))
@@ -680,7 +701,10 @@ object EmbeddingQueries extends QueryModule {
             col("dup_of").isNull.as("kept"))
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-             |piv AS (SELECT vec_id AS pid, emb AS pemb FROM e WHERE vec_id < 16),
+             |nc AS (SELECT greatest(16, CAST(floor(sqrt(count(*) / 4.0)) AS BIGINT)) AS ncells
+             |       FROM embeddings),
+             |piv AS (SELECT vec_id AS pid, emb AS pemb FROM e, nc
+             |        WHERE vec_id < nc.ncells),
              |a AS (SELECT e.vec_id, e.emb, p.pid,
              |             list_dot_product(e.emb, p.pemb)
              |               / (sqrt(list_dot_product(e.emb, e.emb))
@@ -1188,11 +1212,19 @@ object EmbeddingQueries extends QueryModule {
     // `hard` marks margin violations d_neg < d_pos — the pairs a
     // contrastive fine-tune learns most from). Candidates come from
     // the anchor's 2 probed fp-quantizer cells — the ANN-scoped
-    // mining shape: per-anchor work is bounded by probed cell sizes,
-    // never corpus², and at 100 TB the cells are the persisted
+    // mining shape, and at 100 TB the cells are the persisted
     // IvfIndexStore so mining never rescans the corpus. Anchors are a
-    // deterministic 5% id carve (every 20th vector) — mining runs on
-    // a sample by design. Integer L2 end to end ⇒ exact hash gate;
+    // CONSTANT-COUNT portable-hash carve (~[[AnchorTarget]] expected,
+    // the corpus_cluster_balance per-mille rate recipe applied
+    // globally; rate rides the ONE-ROW broadcast count frame — the
+    // tfidf scalar shape): the r19 sf10 sweep measured the former
+    // fixed-FRACTION carve (vec_id % 20) at 14.2×/decade — anchors
+    // ~N and cell size ~N/16 made candidates O(N²/160) — while a
+    // constant anchor budget bounds candidates to
+    // AnchorTarget × 2 probed cell sizes, linear in N. Mining a
+    // budgeted sample is also the product semantics: a contrastive
+    // fine-tune consumes a fixed-size triplet set, not 5% of a
+    // 100 TB corpus. Integer L2 end to end ⇒ exact hash gate;
     // anchors missing a same- or different-label candidate in their
     // probed cells drop out (inner join on both legs, replayed by the
     // oracle).
@@ -1204,8 +1236,14 @@ object EmbeddingQueries extends QueryModule {
         val (c1, cells) = fpLloydCells(e)
         val lab = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("label"))
+        val nv = Tables.embeddings(s, dir)
+          .agg(count(lit(1)).as("n_vecs"))
         val anch = cells.join(lab, Seq("vec_id"))
-          .filter(col("vec_id") % 20 === 0)
+          .crossJoin(broadcast(nv))
+          .withColumn("rate_pm",
+            least(lit(1000L), expr(s"($AnchorTarget * 1000) div n_vecs")))
+          .filter(graft.functions.TextOps.portableHash(
+            col("vec_id").cast("string")) % 1000 < col("rate_pm"))
           .select(col("vec_id").as("anchor_id"), col("q").as("aq"),
             col("label").as("albl"))
         val acells = anch.crossJoin(broadcast(c1))
@@ -1242,9 +1280,12 @@ object EmbeddingQueries extends QueryModule {
             s" + list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
         s"""WITH $fpCellsCte,
            |lab AS (SELECT vec_id, label FROM embeddings),
+           |nv AS (SELECT least(1000, ($AnchorTarget * 1000) // count(*)) AS rate_pm
+           |       FROM embeddings),
            |anch AS (SELECT c.vec_id AS anchor_id, c.q AS aq, l.label AS albl
-           |         FROM cells c JOIN lab l ON c.vec_id = l.vec_id
-           |         WHERE c.vec_id % 20 = 0),
+           |         FROM cells c JOIN lab l ON c.vec_id = l.vec_id, nv
+           |         WHERE ('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15))::BIGINT
+           |                 % 1000 < nv.rate_pm),
            |ad AS (SELECT a.anchor_id, a.aq, a.albl, c.pid,
            |              ${l2sql("a.aq", "c.cq")} AS d
            |       FROM anch a CROSS JOIN c1 c),

@@ -229,12 +229,11 @@ class EmbeddingAnnSpec extends AnyFunSuite {
   }
 
   test("semantic dedup: kept/dropped partition the corpus; dominators precede") {
-    // unpersist in finally: a LEAKED cache of a registered query's
-    // result makes a later identically-planned build of that query
-    // resolve to an InMemoryRelation leaf — which blinded
-    // PlanAuditSpec's logical-plan walks (grants-live read List() for
-    // dedup_semantic) whenever this suite ran first: an
-    // order-dependent flake, reproduced and fixed round 19
+    // unpersist in finally: a leaked cache of a REGISTERED query's
+    // result makes every later identically-planned build of that
+    // query resolve to an InMemoryRelation leaf — which blinded
+    // PlanAuditSpec's logical-plan checks to the join tree whenever
+    // this suite happened to run first (order-dependent flake)
     val out = SparkEntry.queries("dedup_semantic")(
       spark, "/root/testdata/sf0.001").cache()
     try {

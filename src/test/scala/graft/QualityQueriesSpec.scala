@@ -37,18 +37,18 @@ class QualityQueriesSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.01"
     val sample = SparkEntry.queries("corpus_sample_es")(spark, sf).cache()
     try {
-    assert(sample.count() == 100, "exact-k draw")
-    assert(sample.select(col("doc_id")).distinct().count() == 100,
-      "without replacement")
-    // probability ∝ token count ⇒ the sample's mean length must
-    // exceed the corpus mean (weights span ~5-60 tokens, k=100 of
-    // 500 — far outside noise for a correct weighted draw)
-    val sMean = sample.agg(avg(col("n_tokens"))).head().getDouble(0)
-    val cMean = graft.sources.Tables.documents(spark, sf)
-      .select(size(split(trim(col("text")), " ")).cast("double").as("n"))
-      .agg(avg(col("n"))).head().getDouble(0)
-    assert(sMean > cMean * 1.1,
-      s"weighted draw must skew long: sample $sMean vs corpus $cMean")
+      assert(sample.count() == 100, "exact-k draw")
+      assert(sample.select(col("doc_id")).distinct().count() == 100,
+        "without replacement")
+      // probability ∝ token count ⇒ the sample's mean length must
+      // exceed the corpus mean (weights span ~5-60 tokens, k=100 of
+      // 500 — far outside noise for a correct weighted draw)
+      val sMean = sample.agg(avg(col("n_tokens"))).head().getDouble(0)
+      val cMean = graft.sources.Tables.documents(spark, sf)
+        .select(size(split(trim(col("text")), " ")).cast("double").as("n"))
+        .agg(avg(col("n"))).head().getDouble(0)
+      assert(sMean > cMean * 1.1,
+        s"weighted draw must skew long: sample $sMean vs corpus $cMean")
     } finally sample.unpersist()
   }
 
