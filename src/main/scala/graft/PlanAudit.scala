@@ -196,6 +196,54 @@ object PlanAudit {
       "winnowing-fingerprint bucket join — per-key candidates = docs " +
       "sharing one selected fingerprint, df-capped like the gram " +
       "joins"),
+    // ---- the r20 cold-plan additions: these five ride module memos
+    // (the minhash banded-pair frame / the ngram shared-shingle
+    // frame), so a WARM audit saw an InMemoryRelation leaf instead of
+    // the join — the cold sweep (cache cleared inside audit()) sees
+    // the real tree. Same canonical-pair class as above.
+    "dedup_minhash_lsh" -> ("d1 < d2 orients pairs from the banded-" +
+      "LSH candidate join (minhashPairsCached) — the equi key is the " +
+      "(band, 4-minhash signature) bucket, per-key candidates = " +
+      "bucket membership, never corpus-sized; exact-Jaccard verify " +
+      "only touches collision pairs"),
+    "dedup_clusters" -> ("connected components over the banded-LSH " +
+      "verified pairs — the d1 < d2 residual is the memoized " +
+      "minhashPairsCached band-bucket join (dedup_minhash_lsh's " +
+      "bound); per-round CC joins are plain equi-joins on the label"),
+    "dedup_keep_best" -> ("composes dedup_clusters' labels with a " +
+      "per-cluster quality window — the flagged residual is the same " +
+      "memoized band-bucket pair join, bounded by bucket membership"),
+    "dedup_rate_by_source" -> ("per-source rate over the banded-LSH " +
+      "verified pairs — the flagged residual is the same memoized " +
+      "band-bucket pair join; everything above it is source-keyed " +
+      "aggregates against a ≤#sources frame"),
+    "dedup_ngram_jaccard" -> ("a.doc_id < b.doc_id orients pairs " +
+      "from the shingle inverted-index join — shingles df-capped at " +
+      "50 ablate boilerplate, so any shingle contributes ≤ C(50,2) " +
+      "pairs (the ngramShared memo; same bound the prefix-filter " +
+      "twin carries)"),
+    "dedup_threshold_sweep" -> ("the decile histogram over the SAME " +
+      "df≤50-capped shingle pair frame as dedup_ngram_jaccard " +
+      "(third consumer of the ngramShared memo) — identical bound"),
+    "basket_rules" -> ("i1 < i2 orients item pairs inside ONE " +
+      "order's basket — the equi key is the order key and " +
+      "capBasketItems hard-caps any basket at 64 items before the " +
+      "join, so per-key candidates ≤ C(64,2) (BasketCapSpec plants " +
+      "a mega-basket and asserts the carve)"),
+    "copurchase_cosine" -> ("same memoized basket self-join as " +
+      "basket_rules (basketPairs) — per-order pair fan-out hard-" +
+      "capped at C(64,2) by the capBasketItems hash-rank carve"),
+    "basket_rec_recall" -> ("leave-one-out recall over the SAME " +
+      "memoized capped basket self-join (basketPairs) — C(64,2) " +
+      "per-order bound; the held-out probe joins are plain " +
+      "equi-joins on the item"),
+    "dedup_containment" -> ("containment metric over the SAME " +
+      "df≤50-capped shingle pair frame as dedup_ngram_jaccard " +
+      "(ngramShared memo) — any shingle contributes ≤ C(50,2) pairs"),
+    "corpus_split_leakage_safe" -> ("splits keyed by dedup_clusters' " +
+      "canonical labels — the flagged residual is the same memoized " +
+      "band-bucket pair join (dedup_minhash_lsh's bound); the split " +
+      "itself is one left equi-join of docs against the label frame"),
     // ---- tiny-frame and order-bounded residuals
     "source_overlap_kmv" -> ("source_a < source_b pairs the #sources-" +
       "row sketch frame against itself — O(sources²) over a frame of " +
@@ -293,10 +341,28 @@ object PlanAudit {
       else None
     }
     val plan = df.queryExecution.optimizedPlan
-    plan.collect {
-      case Filter(cond, j: Join) => flag(j, conjuncts(cond)).toSeq
-      case Filter(cond, Project(_, j: Join)) => flag(j, conjuncts(cond)).toSeq
-      case j: Join => flag(j, Nil).toSeq
+    // One verdict per Join NODE (identity-keyed): a Filter-over-Join
+    // used to hit both the Filter arm and the bare-Join arm of the
+    // collect, double-reporting near-duplicate flag strings whenever
+    // both the filter and the join condition carried range conjuncts
+    // (ADVICE r19). Conjuncts gathered above an intervening Project
+    // are translated through its alias map first — a range residual
+    // expressed over RENAMED join outputs used to fail the sidedness
+    // test and slip through (same ADVICE item).
+    val extras = new java.util.IdentityHashMap[Join, Seq[Expression]]()
+    plan.foreach {
+      case Filter(cond, j: Join) => extras.put(j, conjuncts(cond))
+      case Filter(cond, Project(pl, j: Join)) =>
+        val aliases = AttributeMap(pl.collect {
+          case a: Alias => (a.toAttribute, a.child)
+        })
+        extras.put(j, conjuncts(cond).map(_.transform {
+          case at: Attribute => aliases.getOrElse(at, at)
+        }))
+      case _ =>
+    }
+    plan.collect { case j: Join =>
+      flag(j, Option(extras.get(j)).getOrElse(Nil)).toSeq
     }.flatten.distinct
   }
 
@@ -332,10 +398,33 @@ object PlanAudit {
     }
   }
 
-  /** Run `name` at `sfDir`, return (formatted plan, smells). */
+  /** Build `name`'s frame with a guaranteed-cold plan. Audited plans
+    * are COLD plans by contract: a registered cache — a module memo,
+    * or a leak from an earlier caller — substitutes an
+    * InMemoryRelation leaf for the whole join/window subtree it
+    * covers and blinds every structural walk below it (the r19
+    * order-dependent PlanAuditSpec flake, generalized). The clear
+    * runs AFTER construction, immediately before plans are forced:
+    * module memos register their cache() at CONSTRUCTION time, so a
+    * clear-then-construct order leaves the audit order-dependent —
+    * the one query that happens to CREATE a memo sees an
+    * InMemoryRelation where every later consumer sees the real tree
+    * (observed live: the cold-sweep flag set changed with Map
+    * iteration order until the clear moved here). Costs a memo
+    * recompute at audit scale (sf0.001); correctness unaffected. */
+  def coldPlan(spark: SparkSession, sfDir: String,
+               name: String): org.apache.spark.sql.DataFrame = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    spark.catalog.clearCache()
+    df
+  }
+
+  /** Run `name` at `sfDir`, return (formatted plan, smells) — over
+    * the [[coldPlan]], so the sweep is deterministic and
+    * authoritative. */
   def audit(spark: SparkSession, sfDir: String,
             name: String): (String, Seq[String]) = {
-    val df = SparkEntry.queries(name)(spark, sfDir)
+    val df = coldPlan(spark, sfDir, name)
     df.collect() // materialize so AQE finalizes and codegen stages appear
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)

@@ -114,9 +114,22 @@ object FunnelStream {
     state.update(st)
     // arm (or re-arm — Spark clears a pending timer on every function
     // call for the key) the reclaim timer once the funnel completes;
-    // active in-progress funnels carry no timeout and are retained
+    // active in-progress funnels carry no timeout and are retained.
+    // The re-arm is clamped above the CURRENT watermark:
+    // setTimeoutTimestamp throws IllegalArgumentException for a
+    // timestamp at/below the watermark, and a fresh event for a
+    // long-completed user can arrive in the very batch whose
+    // watermark first passes pUs + delay (idle gap, backfill,
+    // restart catch-up) — new-data processing runs before timeout
+    // eviction, so an unclamped re-arm would kill the query and
+    // poison the checkpoint (ADVICE r19). Clamped to watermark + 1 ms
+    // the timer fires on the next watermark advance — the reclaim
+    // instant has already passed, so "evict at the next opportunity"
+    // is exactly the intended semantics.
     if (st.pUs != 0L)
-      state.setTimeoutTimestamp((st.pUs + CompletedReclaimDelayUs) / 1000L)
+      state.setTimeoutTimestamp(
+        math.max((st.pUs + CompletedReclaimDelayUs) / 1000L,
+          state.getCurrentWatermarkMs() + 1L))
     out.iterator
   }
 

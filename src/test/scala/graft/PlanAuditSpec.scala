@@ -11,14 +11,16 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
-  /** Plan-shape checks must see the REAL logical tree: a cached
-    * result of an identically-planned query (a leak from another
-    * suite, or a legitimate shared fixture) substitutes an
-    * InMemoryRelation leaf for the whole join/window tree and blinds
-    * every structural walk — an order-dependent flake, not a plan
-    * regression. Clear the cache (module memos recompute, correctness
-    * unaffected) before any plan inspection. */
-  private def freshPlans(): Unit = spark.catalog.clearCache()
+  /** Plan-shape checks must see the REAL logical tree: a registered
+    * cache (a leak from another suite, or a module memo registered at
+    * query-CONSTRUCTION time) substitutes an InMemoryRelation leaf
+    * for the whole join/window tree and blinds every structural walk
+    * — an order-dependent flake, not a plan regression. PlanAudit
+    * .coldPlan constructs the frame and THEN clears the cache, so
+    * even the query that creates a memo is inspected cold (module
+    * memos recompute, correctness unaffected). */
+  private def cold(name: String) =
+    PlanAudit.coldPlan(spark, "/root/testdata/sf0.001", name)
 
   test("audited ∪ excluded covers the registry exactly, disjointly") {
     val audited = PlanAudit.DefaultNames.toSet
@@ -50,10 +52,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // a grant for a query whose join no longer carries a cross-side
     // range residual is stale noise — drop it so the smell check
     // covers a future reintroduction
-    freshPlans()
     PlanAudit.BoundedRangeResidual.keys.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-      assert(PlanAudit.crossSideRangeResidualJoins(df).nonEmpty,
+      assert(PlanAudit.crossSideRangeResidualJoins(cold(name)).nonEmpty,
         s"$name no longer plans a cross-side range residual — drop its grant")
     }
   }
@@ -96,16 +96,13 @@ class PlanAuditSpec extends AnyFunSuite {
   test("bounded-bare-window grants are live (the window still exists)") {
     // a grant for a query that no longer plans a bare window is stale
     // noise — the smell check would silently cover a future regression
-    freshPlans()
     PlanAudit.BoundedBareWindow.keys.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-      assert(PlanAudit.unboundedBareWindows(df).nonEmpty,
+      assert(PlanAudit.unboundedBareWindows(cold(name)).nonEmpty,
         s"$name no longer plans a partition-less window — drop its grant")
     }
   }
 
   test("representative query plans are smell-free at sf0.001") {
-    freshPlans()
     val bad = PlanAudit.DefaultNames.flatMap { name =>
       val (_, smells) = PlanAudit.audit(spark, "/root/testdata/sf0.001", name)
       if (smells.isEmpty) None else Some(name -> smells)
@@ -116,7 +113,6 @@ class PlanAuditSpec extends AnyFunSuite {
   test("the documented bounded-BNLJ plans still broadcast a bounded side") {
     // these MAY contain a BNLJ by design — but must still be
     // codegen'd and cartesian-free
-    freshPlans()
     PlanAudit.ExpectedBnlj.foreach { name =>
       val (plan, smells) = PlanAudit.audit(spark, "/root/testdata/sf0.001", name)
       assert(smells.isEmpty, s"$name: $smells")

@@ -193,6 +193,69 @@ class StreamingFunnelSpec extends AnyFunSuite {
       "a post-horizon signup is a new journey (re-engagement), emitting stage 1 once")
   }
 
+  test("fresh event for a long-completed user in the batch whose watermark passed the horizon: no crash") {
+    // ADVICE r19 (high): the re-arm at pUs + 90 d used to be
+    // unconditional, and GroupStateImpl.setTimeoutTimestamp throws
+    // IllegalArgumentException for a timestamp BELOW the current
+    // watermark (verified in the shipped 4.1.2 bytecode). New data is
+    // processed before timeout eviction within a batch, so a fresh
+    // event for a completed user arriving in a batch whose watermark
+    // already passed pUs + horizon would kill the query — and since
+    // the batch replays from the checkpoint, a poison-pill crash
+    // loop. processAllAvailable() normally hides the race by running
+    // the no-data timeout batch (which evicts the state) right after
+    // every watermark advance; disabling no-data micro-batches models
+    // the production schedule where data batches run back-to-back
+    // and eviction hasn't happened yet.
+    import spark.implicits._
+    def at(id: Long, user: Long, typ: String, ts: String): EventRow =
+      EventRow(id, java.sql.Timestamp.valueOf(ts), user, typ, 1.0, "{}")
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val ms = MemoryStream[EventRow](spark)
+    val q = FunnelStream.transitions(spark, ms.toDS())
+      .writeStream.format("memory").queryName("funnel_rearm_clamp")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 completes on day 1 — reclaim timer armed at
+      // 2024-01-01 11:00 + 90 d = 2024-03-31 11:00
+      ms.addData(Seq(
+        at(1, 1L, "signup", "2024-01-01 10:00:00"),
+        at(2, 1L, "click", "2024-01-01 10:30:00"),
+        at(3, 1L, "purchase", "2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // batch 2: an unrelated feed jumps max event time to 2024-04-15
+      // — after this batch the watermark (max − 24 h = 2024-04-14) is
+      // past u1's horizon, but with no-data batches off the timer has
+      // NOT fired
+      ms.addData(Seq(at(4, 99L, "signup", "2024-04-15 10:00:00")))
+      q.processAllAvailable()
+      // batch 3: the poison pill — new data for u1 processed with the
+      // advanced watermark while the terminal state still exists; the
+      // signup is blocked by the marker, and the re-arm must clamp to
+      // watermark + 1 instead of throwing
+      ms.addData(Seq(at(5, 1L, "signup", "2024-04-15 12:00:00")))
+      q.processAllAvailable()
+      assert(q.isActive && q.exception.isEmpty,
+        s"unclamped re-arm killed the query: ${q.exception}")
+      // the clamped timer fires on the next watermark advance: the
+      // reclaim is deferred to the first opportunity, never lost
+      ms.addData(Seq(at(6, 99L, "click", "2024-04-16 10:00:00")))
+      q.processAllAvailable()
+      ms.addData(Seq(at(7, 99L, "purchase", "2024-04-16 11:00:00")))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 2L,
+        "deferred reclaim must still evict u1's terminal marker")
+    } finally {
+      q.stop()
+      spark.conf.set(key, prev)
+    }
+    val got = spark.table("funnel_rearm_clamp").as[FunnelTransition].collect()
+    assert(got.filter(_.user_id == 1L).map(_.stage).sorted.toSeq == Seq(1, 2, 3),
+      "the in-horizon post-completion signup must stay blocked by the marker")
+  }
+
   test("checkpoint restart: terminal markers and the reclaim timer survive recovery") {
     import spark.implicits._
     def at(id: Long, user: Long, typ: String, ts: String): EventRow =
