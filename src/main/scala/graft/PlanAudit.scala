@@ -366,6 +366,180 @@ object PlanAudit {
     }.flatten.distinct
   }
 
+  /** Equi-joins whose key domain is a COMPILE-TIME constant while
+    * BOTH sides are corpus-sized — the structural form of the r19
+    * sf10 cliff (embed_hard_negatives at its fixed-16-cell quantizer:
+    * anchors ~N joined to cell members ~N/16 on a 16-value key ⇒
+    * O(N²/16) candidate rows; "bounded by cell size" silently becomes
+    * "bounded by N/K" whenever K doesn't scale with the corpus). The
+    * smell the cliff diagnosis itself prescribed: catch the CLASS at
+    * plan time instead of sweeping decades of scale factors per
+    * query.
+    *
+    * A key's domain is constant when the key attribute traces (through
+    * Project aliases, order-insensitive aggregates min/max/first/
+    * any_value/min_by/max_by — their output domain is a subset of the
+    * traced input's — join sides, and cardinality-preserving unaries)
+    * to an attribute that some Filter on the path bounds against
+    * foldable values (`k < lit`, `k <= lit`, `k = lit`, `k IN
+    * (lits)`), or that a LocalRelation / GlobalLimit produces (≤ k
+    * rows ⇒ ≤ k values). The pivot-carve idiom `vec_id < 16` is
+    * exactly the first case; a data-derived cell count (the
+    * dedup_semantic √N rewrite) is a non-foldable bound and does NOT
+    * match — scaling the domain with the corpus is the fix, and the
+    * detector sees it.
+    *
+    * Suppressed when EITHER side is row-bounded: rooted in a
+    * LocalRelation or GlobalLimit, or a per-key singleton (an
+    * Aggregate grouping by a subset of that side's equi keys — the
+    * centroid/pivot frame itself, or any K-row dimension built by
+    * grouping on the constant key). A corpus-sized probe against the
+    * ≤K-row centroid frame is the bounded O(N·K) assignment shape,
+    * not this smell. Everything else flagged must be rewritten
+    * (scale the domain with N) or carry a [[BoundedConstDomainJoin]]
+    * grant naming the out-of-band row bound. */
+  def constDomainKeyJoins(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // does `cond` bound attribute `a`'s value domain to a finite
+    // literal set? (an upper bound alone suffices for the carve idiom
+    // only because ids are non-negative by construction — accept
+    // both-directional anyway: <, <=, =, IN against foldables)
+    def litBounds(cond: Expression, a: Attribute): Boolean =
+      conjuncts(cond).exists {
+        case LessThan(x: Attribute, v) => x.exprId == a.exprId && v.foldable
+        case LessThanOrEqual(x: Attribute, v) => x.exprId == a.exprId && v.foldable
+        case GreaterThan(v, x: Attribute) => x.exprId == a.exprId && v.foldable
+        case GreaterThanOrEqual(v, x: Attribute) => x.exprId == a.exprId && v.foldable
+        case EqualTo(x: Attribute, v) => x.exprId == a.exprId && v.foldable
+        case EqualTo(v, x: Attribute) => x.exprId == a.exprId && v.foldable
+        case In(x: Attribute, vs) => x.exprId == a.exprId && vs.forall(_.foldable)
+        case InSet(x: Attribute, _) => x.exprId == a.exprId
+        case _ => false
+      }
+    // the traced input an order-insensitive aggregate's output domain
+    // is a subset of (min_by(pid, d) emits SOME pid — never a value
+    // outside pid's domain)
+    def domainSource(e: Expression): Option[Attribute] = e match {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case Min(c: Attribute) => Some(c)
+        case Max(c: Attribute) => Some(c)
+        case First(c: Attribute, _) => Some(c)
+        case Last(c: Attribute, _) => Some(c)
+        case AnyValue(c: Attribute, _) => Some(c)
+        case mb: MinBy => mb.valueExpr match { case c: Attribute => Some(c); case _ => None }
+        case mb: MaxBy => mb.valueExpr match { case c: Attribute => Some(c); case _ => None }
+        case _ => None
+      }
+      case _ => None
+    }
+    def constDomain(p: LogicalPlan, a: Attribute): Boolean = p match {
+      case _ if !p.outputSet.contains(a) => false
+      case Filter(cond, child) =>
+        litBounds(cond, a) || constDomain(child, a)
+      case Project(pl, child) =>
+        pl.collectFirst { case al: Alias if al.toAttribute.exprId == a.exprId => al.child } match {
+          case Some(c: Attribute) => constDomain(child, c)
+          case Some(_) => false // computed expression — untraceable
+          case None => constDomain(child, a)
+        }
+      case ag: Aggregate =>
+        ag.aggregateExpressions.collectFirst {
+          case al: Alias if al.toAttribute.exprId == a.exprId => al.child
+        } match {
+          case Some(e) => domainSource(e).exists(constDomain(ag.child, _))
+          case None => constDomain(ag.child, a) // grouping passthrough
+        }
+      case _: LocalRelation => true
+      case _: GlobalLimit => true
+      case j: Join => j.children.exists(constDomain(_, a))
+      case n @ (_: SubqueryAlias | _: Sort | _: RepartitionOperation |
+                _: Window | _: Deduplicate) => constDomain(n.children.head, a)
+      case _ => false
+    }
+    // row-bounded side: LocalRelation/GlobalLimit-rooted, or an
+    // Aggregate grouping by ⊆ equi keys (≤ one row per key) — keys
+    // translated through Project aliases on the way down
+    def rowBounded(p: LogicalPlan, keys: AttributeSet): Boolean = p match {
+      case _: GlobalLimit | _: LocalRelation => true
+      case ag: Aggregate => ag.groupingExpressions.forall {
+        case at: Attribute => keys.contains(at)
+        case _ => false
+      }
+      case pr: Project =>
+        val mapped = pr.projectList.collect {
+          case al @ Alias(c: Attribute, _) if keys.contains(al.toAttribute) => c
+          case at: Attribute if keys.contains(at) => at
+        }
+        rowBounded(pr.child, AttributeSet(mapped))
+      case n @ (_: Filter | _: SubqueryAlias | _: Sort |
+                _: RepartitionOperation | _: Window | _: Deduplicate) =>
+        rowBounded(n.children.head, keys)
+      case _ => false
+    }
+    df.queryExecution.optimizedPlan.collect { case j: Join =>
+      val cs = j.condition.toSeq.flatMap(conjuncts)
+      val equiPairs = cs.collect {
+        case EqualTo(l: Attribute, r: Attribute)
+          if (j.left.outputSet.contains(l) && j.right.outputSet.contains(r)) =>
+          (l, r)
+        case EqualTo(r: Attribute, l: Attribute)
+          if (j.left.outputSet.contains(l) && j.right.outputSet.contains(r)) =>
+          (l, r)
+      }
+      val lKeys = AttributeSet(equiPairs.map(_._1))
+      val rKeys = AttributeSet(equiPairs.map(_._2))
+      val constKey = equiPairs.collectFirst {
+        case (l, r) if constDomain(j.left, l) || constDomain(j.right, r) =>
+          s"${l.name} = ${r.name}"
+      }
+      constKey match {
+        case Some(k) if equiPairs.nonEmpty &&
+          !rowBounded(j.left, lKeys) && !rowBounded(j.right, rKeys) =>
+          Seq(s"const-domain equi key [$k] with both sides unbounded")
+        case _ => Nil
+      }
+    }.flatten.distinct
+  }
+
+  /** Joins whose constant-domain equi key is safe for a reason the
+    * plan cannot show, each with the row bound that protects it. The
+    * dominant family: ANN/retrieval serving paths whose probe side is
+    * the fixed 20-query sample carve (`vec_id < 20`) or the literal
+    * query-term set — a ROW bound through id uniqueness / the query
+    * contract, which the plan walk cannot prove (it sees only a
+    * filtered corpus scan). Candidate work in all of them is
+    * (#queries × per-key group), with #queries fixed by the serving
+    * request, never a second corpus. */
+  val BoundedConstDomainJoin: Map[String, String] = Map(
+    "embed_ann_pq" -> ("the ADC join keys on the constant (subvector," +
+      " centroid-code) domain, but one side is the 20-query distance " +
+      "table (20 × m × 256 rows — the query sample carve); per-query " +
+      "cost is one linear ADC scan of the code frame, the PQ serving " +
+      "contract (recall gated in-query)"),
+    "embed_ann_pq_fp" -> ("fixed-point twin of embed_ann_pq — same " +
+      "20-query distance-table side on the constant code domain, " +
+      "same linear-per-query ADC bound"),
+    "embed_ann_pq_indexed" -> ("store-served PQ: codes read from the " +
+      "persisted probed cells only (IvfIndexStore bucket files), " +
+      "joined to the 20-query ADC table on the constant code domain " +
+      "— candidates = probed-cell membership × 20 queries"),
+    "bm25_indexed" -> ("the term join keys on the literal query-term " +
+      "set (constant by the query contract); the postings side reads " +
+      "ONLY those terms' buckets from the persisted PostingsStore " +
+      "(file-pruning asserted in PostingsStoreSpec) — candidates = " +
+      "Σ df(query terms), the BM25 serving bound"),
+    "hybrid_rrf_indexed" -> ("composes bm25_indexed's literal-term " +
+      "probe (its grant) with embed_ann_indexed's 20-query pivot " +
+      "ranking — both legs query-bounded, fused by a rank join on " +
+      "doc id"))
+
   /** Partition-less Window nodes in the optimized logical plan whose
     * INPUT cardinality is not bounded by a LIMIT — each one is a
     * whole-frame single-partition sort at scale. The bound must sit on
@@ -436,7 +610,9 @@ object PlanAudit {
       "unbounded-bare-window" -> (!BoundedBareWindow.contains(name)
         && unboundedBareWindows(df).nonEmpty),
       "cross-side-range-residual" -> (!BoundedRangeResidual.contains(name)
-        && crossSideRangeResidualJoins(df).nonEmpty)
+        && crossSideRangeResidualJoins(df).nonEmpty),
+      "const-domain-key-join" -> (!BoundedConstDomainJoin.contains(name)
+        && constDomainKeyJoins(df).nonEmpty)
     ).collect { case (s, true) => s }
     (plan, smells)
   }

@@ -46,6 +46,10 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(registry.contains(n), s"stale BoundedRangeResidual grant: $n")
       assert(why.trim.length > 20, s"grant $n needs a real bound statement")
     }
+    PlanAudit.BoundedConstDomainJoin.foreach { case (n, why) =>
+      assert(registry.contains(n), s"stale BoundedConstDomainJoin grant: $n")
+      assert(why.trim.length > 20, s"grant $n needs a real bound statement")
+    }
   }
 
   test("bounded-range-residual grants are live (the residual still plans)") {
@@ -91,6 +95,59 @@ class PlanAuditSpec extends AnyFunSuite {
       .filter(col("c_us") <= col("p_us"))
     assert(PlanAudit.crossSideRangeResidualJoins(stillFans).nonEmpty,
       "grouping finer than the equi key must not suppress the smell")
+  }
+
+  test("the planted fixed-cell mining shape is flagged; the scaled-domain and assignment shapes are not") {
+    // the r19 sf10 cliff class made structural (VERDICT r19 #3): an
+    // equi-join on a key whose domain is literal-bounded (the
+    // `vec_id < 16` pivot carve) while both sides are corpus-sized is
+    // O(N²/K) candidate rows no matter what per-cell bound the code
+    // comments claim — K doesn't scale with N.
+    import org.apache.spark.sql.functions._
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").getItem(0).as("x"))
+    val piv = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("pid"), col("x").as("px"))
+    val cells = e.crossJoin(broadcast(piv))
+      .withColumn("d", abs(col("x") - col("px")))
+      .groupBy(col("vec_id")).agg(min_by(col("pid"), col("d")).as("cell"))
+    val a = cells.select(col("vec_id").as("v1"), col("cell"))
+    val b = cells.select(col("vec_id").as("v2"), col("cell"))
+    val mined = a.join(b, Seq("cell")).filter(col("v1") < col("v2"))
+    assert(PlanAudit.constDomainKeyJoins(mined).nonEmpty,
+      "the planted fixed-16-cell all-pairs mining shape must be flagged")
+
+    // the FIX shape: a data-derived cell count (√N pivots) is a
+    // non-foldable bound — the domain scales with the corpus and the
+    // same join is clean
+    val nc = e.agg(greatest(lit(4L),
+      expr("cast(floor(sqrt(count(1))) as bigint)")).as("ncells"))
+    val pivN = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncells"))
+      .select(col("vec_id").as("pid"), col("x").as("px"))
+    val cellsN = e.crossJoin(broadcast(pivN))
+      .withColumn("d", abs(col("x") - col("px")))
+      .groupBy(col("vec_id")).agg(min_by(col("pid"), col("d")).as("cell"))
+    val minedN = cellsN.select(col("vec_id").as("v1"), col("cell"))
+      .join(cellsN.select(col("vec_id").as("v2"), col("cell")), Seq("cell"))
+      .filter(col("v1") < col("v2"))
+    assert(PlanAudit.constDomainKeyJoins(minedN).isEmpty,
+      "a corpus-scaled cell domain must not be flagged")
+
+    // the ASSIGNMENT shape: corpus joined on the constant key against
+    // a frame grouped BY that key (≤K rows — the centroid/stats
+    // dimension) is the bounded O(N·K) probe, suppressed
+    val perCell = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val assign = cells.join(perCell, Seq("cell"))
+    assert(PlanAudit.constDomainKeyJoins(assign).isEmpty,
+      "a per-key singleton side must suppress the smell")
+  }
+
+  test("const-domain-join grants are live (the constant-key join still plans)") {
+    PlanAudit.BoundedConstDomainJoin.keys.foreach { name =>
+      assert(PlanAudit.constDomainKeyJoins(cold(name)).nonEmpty,
+        s"$name no longer plans a const-domain equi key — drop its grant")
+    }
   }
 
   test("bounded-bare-window grants are live (the window still exists)") {
