@@ -299,7 +299,7 @@ object EmbeddingQueries extends QueryModule {
     * size — the r19 sf10 sweep measured the former fixed-fraction
     * carve at 14.2×/decade (O(N²/160) candidate rows). Interpolated
     * verbatim into the oracle so both engines carve identically. */
-  private[queries] val AnchorTarget = 200
+  private[graft] val AnchorTarget = 200
 
   /** Exact brute-force top-3 cosine pairs for the `vec_id < 20` query
     * sample — the ground-truth side of every recall gate (the

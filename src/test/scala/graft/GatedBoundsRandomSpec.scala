@@ -150,4 +150,34 @@ class GatedBoundsRandomSpec extends AnyFunSuite {
       .collect()
     gotA.foreach(r => assert(r.getBoolean(0), s"approx_percentile bound violated: $r"))
   }
+
+  test("constant-count anchor carve (embed_hard_negatives shape) concentrates at AnchorTarget across corpus decades") {
+    // the r20 rewrite's statistical contract: anchors = rows whose
+    // portable hash lands under rate_pm = least(1000, T·1000 div N)
+    // per mille. Below the target the carve must keep EVERYTHING
+    // (rate saturates at 1000); above it the count is Binomial(N,
+    // ~T/N) — mean ≤ T with std ≈ √T, so a [T/2, 2T] window is ≈ 7σ:
+    // a pin, not a flake. Random SPARSE id sets (not the fixtures'
+    // contiguous 0..N-1) so the md5 carve is validated on id shapes
+    // the corpus never has. What this pins at 100 TB: the anchor set
+    // — and with it the mining join's candidate side — stays O(T),
+    // never O(N), for ANY corpus size.
+    import spark.implicits._
+    val rnd = new Random(2007)
+    val T = graft.queries.EmbeddingQueries.AnchorTarget
+    for (n <- Seq(50, T, 1000, 10000, 60000)) {
+      val ids = Iterator.continually(math.abs(rnd.nextLong()))
+        .distinct.take(n).toSeq
+      val carved = ids.toDF("vec_id")
+        .select(graft.functions.TextOps.portableHash(
+          col("vec_id").cast("string")).as("h"))
+        // verbatim carve: integer per-mille rate over the corpus count
+        .filter(col("h") % 1000 < least(lit(1000L), lit((T * 1000L) / n)))
+        .count()
+      if (n <= T) assert(carved == n,
+        s"below the target the carve must keep all $n rows, kept $carved")
+      else assert(carved >= T / 2 && carved <= 2L * T,
+        s"n=$n: carve kept $carved, expected ~$T (O(T), never O(N))")
+    }
+  }
 }
