@@ -681,13 +681,25 @@ object EmbeddingQueries extends QueryModule {
         val piv = v.crossJoin(broadcast(nc))
           .filter(col("vec_id") < col("ncells"))
           .select(col("vec_id").as("pid"), col("emb").as("pemb"))
+        // assignment = max_by over the exploded (vector, pivot) frame:
+        // the winner maximizes (psim, -pid) — EXACTLY row_number() over
+        // (psim DESC, pid ASC) = 1, as the oracle replays — but as an
+        // AGGREGATE it map-side-combines instead of shuffling all
+        // N×ncells rows into a per-key sort (the r20 sf10 profile put
+        // ~3× the pair join's cost in that window). first(emb) is
+        // value-deterministic: every exploded row of a vec_id carries
+        // the same emb. The eager localCheckpoint then pins the
+        // assignment so the three consumers (both pair-join sides and
+        // the verdict frame) don't re-run the N×ncells explode —
+        // the Triangles edge-lineage recipe; the checkpoint is
+        // corpus-proportional (one row per vector).
         val cells = v.crossJoin(broadcast(piv))
           .withColumn("psim", cosine(col("emb"), col("pemb")))
-          .withColumn("prn", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("psim").desc, col("pid"))))
-          .filter(col("prn") === 1)
-          .select(col("vec_id"), col("emb"), col("pid").as("cell"))
+          .groupBy(col("vec_id"))
+          .agg(expr("max_by(pid, struct(psim, -pid))").as("cell"),
+            first(col("emb")).as("emb"))
+          .select(col("vec_id"), col("emb"), col("cell"))
+          .localCheckpoint(true)
         val a = cells.select(col("cell"), col("vec_id").as("v1"), col("emb").as("e1"))
         val b = cells.select(col("cell"), col("vec_id").as("v2"), col("emb").as("e2"))
         val dom = a.join(b, Seq("cell")).filter(col("v1") < col("v2"))
