@@ -253,6 +253,57 @@ class EmbeddingAnnSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("semantic dedup assignment tie-break: equal pivot cosines resolve to the LOWER pid") {
+    import spark.implicits._
+    // The r20 rewrite replaced the assignment's row_number() over
+    // (psim DESC, pid ASC) with max_by(pid, struct(psim, -pid)) —
+    // equivalence rests on the tie-break resolving identically. This
+    // plants the hardest case: pivots 3 and 7 are the SAME vector
+    // (e3), so every vector's cosine to them is bitwise-equal and the
+    // (psim, pid) tie actually fires — the winner must be pid 3 for
+    // pivot 7 itself and for the four e3-adjacent vectors, and the
+    // dominance verdicts must follow cell 3 (dup_of = 3), exactly the
+    // derivation the oracle's row_number CTE replays.
+    val dim = 16
+    def basis(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    val pivots = (0L until 16L).map { i =>
+      (i, basis(if (i == 7L) 3 else i.toInt), 0)
+    }
+    val near = (16L until 20L).map { i =>
+      val e = basis(3)
+      // distinct tiny off-axis components (indices 4..7, never 3)
+      // keep the four vectors distinct while e3 stays their dominant
+      // direction
+      e((i - 12).toInt) = 0.01f * (i - 14)
+      (i, e, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("semtie_fix")
+    dir.toFile.deleteOnExit()
+    (pivots ++ near).toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(dir.resolve("embeddings.parquet").toString)
+    val out = SparkEntry.queries("dedup_semantic")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // pivot 7 ties (psim = 1.0 to pids 3 and 7) -> cell 3, dominated
+    // by pivot 3 (cosine exactly 1.0 >= tau)
+    assert(out(7L) == ((3L, 3L, false)), s"pivot 7: ${out(7L)}")
+    // the e3-adjacent vectors tie the same way and take the same
+    // dominator (3 is the minimum qualifying cellmate)
+    (16L until 20L).foreach { i =>
+      assert(out(i) == ((3L, 3L, false)), s"vec $i: ${out(i)}")
+    }
+    // pivot 3 keeps its cell and survives (no lower-id cellmate)
+    assert(out(3L) == ((3L, -1L, true)), s"pivot 3: ${out(3L)}")
+    // every other pivot sits alone in its own cell, kept
+    (0L until 16L).filter(i => i != 3L && i != 7L).foreach { i =>
+      assert(out(i) == ((i, -1L, true)), s"pivot $i: ${out(i)}")
+    }
+    graft.Caches.clearAll()
+  }
+
   test("kNN labeling: planted clusters vote unanimously and correctly") {
     import spark.implicits._
     // two well-separated dim-64 clusters; labels follow the cluster.
