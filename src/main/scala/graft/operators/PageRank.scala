@@ -37,27 +37,45 @@ object PageRank {
     * N·(Scale div N)). */
   val Scale = 1000000000000L
 
+  /** Materialize the caller's edge frame once, HASH-PARTITIONED by
+    * `src`. An input that already carries that partitioning (the
+    * memoized trade-edge frame goes through
+    * [[graft.PlanUtil.partitionedCheckpoint]]) is reused as-is —
+    * re-checkpointing it would throw the partitioning away (under AQE
+    * a checkpoint snapshots UnknownPartitioning) and put one exchange
+    * per Jacobi round back into every consumer. */
+  private def materializeEdges(edges: DataFrame): DataFrame = {
+    val proj = edges.select(col("src"), col("dst"))
+    if (graft.PlanUtil.isHashPartitionedBy(edges, "src")) proj
+    else graft.PlanUtil.partitionedCheckpoint(proj, col("src"))
+  }
+
   /** Run `iters` rounds over directed `edges` with columns (src, dst).
     * For an undirected graph pass both directions. Returns
     * (node, rank_fp). */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
-    // eager: cut the caller's edge-derivation lineage once; every round
-    // then rescans a materialized LogicalRDD, not the upstream joins
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // eager: cut the caller's edge-derivation lineage once (keeping —
+    // or establishing — the src hash partitioning); every round then
+    // rescans a materialized LogicalRDD, not the upstream joins
+    val e = materializeEdges(edges)
     // node set and out-degrees are loop constants — materialize each
     // ONCE instead of leaving their union/distinct/groupBy subtrees to
     // be re-planned (and re-executed unless ReusedExchange happens to
     // fire) inside every round's plan. The degree column is folded
     // into the edge frame, so each Jacobi round pays exactly one join
-    // against the rank frame plus the groupBy(dst) shuffle.
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // against the rank frame plus the groupBy(dst) shuffle. Both loop
+    // constants keep their natural hash partitioning through the
+    // checkpoint (nodes by `node` from the distinct, ed by `src` from
+    // e): the per-round contribution join and the rank rebuild join
+    // then need NO exchange on these sides — only the groupBy(dst)
+    // vote shuffle remains, which is fundamental to the operation.
+    val nodes = graft.PlanUtil.checkpointKeepPartitioning(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val ed = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
-      .localCheckpoint(true)
+    val ed = graft.PlanUtil.checkpointKeepPartitioning(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src")))
     var rank = nodes.crossJoin(nn)
       .select(col("node"), expr(s"$Scale div n").as("r"))
     for (_ <- 1 to iters) {
@@ -87,26 +105,25 @@ object PageRank {
     * (computed once, localCheckpointed alongside the edges). */
   def personalized(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = materializeEdges(edges)
     // same loop-constant treatment as [[run]]: nodes and the
-    // degree-carrying edge frame materialize once
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // degree-carrying edge frame materialize once, keeping their
+    // natural hash partitioning (node / src) through the checkpoint
+    val nodes = graft.PlanUtil.checkpointKeepPartitioning(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     val sd = nodes.join(seeds.select(col("node")), Seq("node"), "left_semi")
     val ns = broadcast(sd.agg(count(lit(1)).as("n")))
     // restart vector: Scale div |S| on seeds, 0 elsewhere — one
     // nodes-sized frame reused every round, so cut its lineage once
-    val base = nodes
+    val base = graft.PlanUtil.checkpointKeepPartitioning(nodes
       .join(sd.withColumn("is_seed", lit(1L)), Seq("node"), "left")
       .crossJoin(ns)
       .select(col("node"),
         when(col("is_seed").isNotNull, expr(s"$Scale div n"))
-          .otherwise(lit(0L)).as("b"))
-      .localCheckpoint(true)
-    val ed = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
-      .localCheckpoint(true)
+          .otherwise(lit(0L)).as("b")))
+    val ed = graft.PlanUtil.checkpointKeepPartitioning(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src")))
     var rank = base.select(col("node"), col("b").as("r"))
     for (_ <- 1 to iters) {
       val contrib = ed

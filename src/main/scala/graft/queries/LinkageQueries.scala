@@ -3,7 +3,6 @@ package graft.queries
 import graft.functions.TextOps._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Record-linkage / graph-community operators rounding out the
@@ -38,10 +37,15 @@ object LinkageQueries extends QueryModule {
       .join(labels.withColumnRenamed("node", "src"), Seq("src"))
       .groupBy(col("dst").as("node"), col("lbl"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))
-    votes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("node"), col("lbl"))
+    // winner = min_by over (-c, lbl) — EXACTLY row_number() over
+    // (c DESC, lbl ASC) = 1 (most votes, ties to the least label; no
+    // struct ties exist: lbl is distinct within a node's votes), but
+    // as an AGGREGATE it map-side-combines and streams instead of
+    // shuffling every (node, lbl, c) row into a per-node sort (the
+    // r20 dedup_semantic argmin recipe; equivalence pinned in
+    // LinkageSpec's tie fixture).
+    votes.groupBy(col("node"))
+      .agg(expr("min_by(lbl, struct(-c, lbl))").as("lbl"))
   }
 
   private[graft] def lpa(edges: DataFrame, rounds: Int): DataFrame = {

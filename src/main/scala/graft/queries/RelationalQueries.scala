@@ -34,11 +34,15 @@ object RelationalQueries extends QueryModule {
 
   /** Session-scoped memo of the customer⇄supplier trade-graph edge
     * list (both directions, distinct) — the most expensive join of the
-    * graph family, shared by pagerank_suppliers AND ppr_suppliers.
-    * localCheckpoint(true) materializes it once; both consumers' 3
-    * Jacobi rounds then rescan a LogicalRDD (PageRank re-checkpoints
-    * its input, which on an already-checkpointed frame is one cheap
-    * RDD scan, not a join replay). See [[graft.Caches]]. */
+    * graph family, shared by pagerank_suppliers, ppr_suppliers AND
+    * community_lpa. Materialized HASH-PARTITIONED BY `src`
+    * ([[graft.PlanUtil.partitionedCheckpoint]]): every consumer's
+    * per-round contribution/vote join and `groupBy(src)` degree
+    * aggregate is keyed on `src`, so the one repartition here makes
+    * all 9 Jacobi/LPA rounds across the three queries read the edge
+    * side exchange-free (guide §2.4 — two operations keyed the same
+    * way share one exchange) instead of re-shuffling the same frame
+    * every round. See [[graft.Caches]]. */
   private val tradeEdgeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private[queries] def tradeEdges(s: SparkSession, dir: String): DataFrame =
@@ -50,8 +54,9 @@ object RelationalQueries extends QueryModule {
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
         .distinct()
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
+      graft.PlanUtil.partitionedCheckpoint(
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+        col("src"))
     })
 
   /** Drop this module's session memos (see [[graft.Caches]]): the

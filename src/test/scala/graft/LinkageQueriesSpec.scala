@@ -72,6 +72,35 @@ class LinkageQueriesSpec extends AnyFunSuite {
       s"the bridge must not merge the cliques in 3 rounds: $labels")
   }
 
+  test("lpaRound min_by vote equals the window argmax on a planted exact tie") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // node x hears each of lz/la twice — an EXACT vote tie, so the
+    // winner is decided purely by the (c DESC, lbl ASC) tie-break the
+    // r21 min_by(lbl, struct(-c, lbl)) rewrite must reproduce; node y
+    // has a strict majority to pin the non-tie path too.
+    val edges = Seq(
+      ("n1", "x"), ("n2", "x"), ("n3", "x"), ("n4", "x"),
+      ("m1", "y"), ("m2", "y"), ("m3", "y")).toDF("src", "dst")
+    val labels = Seq(
+      ("n1", "lz"), ("n2", "lz"), ("n3", "la"), ("n4", "la"),
+      ("m1", "lb"), ("m2", "lb"), ("m3", "lc")).toDF("node", "lbl")
+    val got = queries.LinkageQueries.lpaRound(edges, labels)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("x" -> "la", "y" -> "lb"),
+      s"tie must break to the LEAST label, majority must win: $got")
+    // and bit-for-bit against the pre-r21 window formulation
+    val votes = edges
+      .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("dst").as("node"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))
+    val legacy = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("node"), col("lbl"))
+      .as[(String, String)].collect().toMap
+    assert(got == legacy, "min_by vote must equal the window argmax")
+  }
+
   test("community_lpa is deterministic across runs on the trade graph") {
     val r1 = SparkEntry.queries("community_lpa")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
