@@ -137,6 +137,12 @@ object PlanAudit {
     "monthly_revenue" -> ("cumulative revenue over the month-granularity " +
       "aggregate — the window input is #months rows, bounded by the " +
       "calendar horizon, not the data volume"),
+    "a6_circuit_breaker_ref" -> ("the r21 range-decomposition's running " +
+      "sum rides the per-window-start DELTA frame (endpoint deltas " +
+      "pre-aggregated by win_us): #window-starts ≈ time-horizon/slide " +
+      "rows — the breaker's own output cardinality, bounded by the " +
+      "event-time horizon, never by event volume (GrantBoundsSpec " +
+      "measures it)"),
     "corpus_mix" -> ("the feasible-total/quota windows ride the per-" +
       "language count frame (#langs rows — the mixture spec's own " +
       "cardinality, 5 here); the per-doc stratum rank is the two-phase " +
@@ -180,8 +186,10 @@ object PlanAudit {
       "banded-LSH candidate join — per-key candidates = band-bucket " +
       "size, never corpus-sized"),
     "dedup_semantic" -> ("v1 < v2 orients pairs inside one Voronoi " +
-      "cell (dominance is cell-scoped by construction — ≤16 cells, " +
-      "per-cell candidates bounded by cell membership)"),
+      "cell (dominance is cell-scoped by construction — ncells = " +
+      "⌊∛(N/4)⌋² scales WITH the corpus since r21, so per-cell " +
+      "candidates ~ N^(1/3)-sized cell membership, never corpus-" +
+      "sized)"),
     "dedup_title_edit" -> ("d1 < d2 orients pairs from the multi-pass " +
       "token-block join (block keys df-capped at 1000) before the " +
       "thresholded edit-distance verify"),

@@ -58,36 +58,35 @@ object Windowed {
     * out (state is per (window,gid) — no driver-side collection).
     *
     * At a high-replica cadence (size/slide ≥ 8, e.g. the reference's
-    * 10 min / 15 s = 40 windows per event) the sliding `window()`
-    * expand multiplies RAW events; since every stat here is per
-    * (window, user), the events are first collapsed to one row per
-    * (slide-aligned tumble, user) — window membership is a function of
-    * the tumble alone (every slide-aligned window either contains a
-    * whole tumble or none of it) — so the 40× expand multiplies
-    * distinct pairs, not events. Low-replica cadences (2 at the
-    * default 5-minute slide) keep the direct plan: there the extra
-    * shuffle costs more than the expand saves. */
+    * 10 min / 15 s = 40 windows per event) the sliding window replica
+    * multiplier is removed OUTRIGHT by an exact range decomposition
+    * (r21; guide §2.3 "shuffle fewer bytes" taken to its limit —
+    * shuffle NO replicated rows): events first collapse to one row
+    * per (slide-aligned tumble, user) — window membership is a
+    * function of the tumble alone, since every slide-aligned window
+    * either contains a whole tumble or none of it — and then, instead
+    * of exploding each row into its R member windows (the r20 plan:
+    * R·|TU| rows through TWO full aggregations), each (user, tumble)
+    * run contributes a WINDOW-RANGE [max(tum−(R−1)·s, prev+s), tum]
+    * computed from lag(tum) per user: +1 at the range start, −1 one
+    * slide past its end. Disjoint by construction, so summing range
+    * deltas in window order — one tiny single-partition running sum
+    * over ~#tumbles·R window starts, NOT corpus-sized — reproduces
+    * the exact distinct-user count per window; per-tumble event/denial
+    * totals ride the same endpoint frame with their full [tum−span,
+    * tum] range. The heavy data crosses the wire exactly twice (the
+    * (tumble,user) collapse and the per-user lag sort), both at
+    * |TU| rows with zero replication; output is value-identical to
+    * the expand plan (the oracle's 40-way unnest replays it
+    * unchanged). Low-replica cadences (2 at the default 5-minute
+    * slide) keep the direct plan: there the extra shuffle costs more
+    * than the expand saves. */
   def slidingStats(events: DataFrame, size: String = "10 minutes",
                    slide: String = "5 minutes"): DataFrame = {
     val replicas = durationSec(size) / durationSec(slide)
+    if (replicas >= 8)
+      return slidingStatsRange(events, durationSec(slide) * 1000000L, replicas)
     val perWindowUser =
-      if (replicas >= 8)
-        events
-          .select(window(col("ts"), slide).as("tumble"), col("user_id"),
-            col("event_type"))
-          .groupBy(col("tumble"), col("user_id"))
-          .agg(
-            max(when(col("event_type") === "error", lit(1)).otherwise(lit(0)))
-              .as("denied"),
-            count(lit(1)).as("n"),
-            count(when(col("event_type") === "error", lit(1))).as("nd"))
-          // the tumble start inherits TimestampType, so the sliding
-          // window assignment is the same expression the direct plan
-          // applies to raw event times
-          .groupBy(window(col("tumble.start"), size, slide), col("user_id"))
-          .agg(max(col("denied")).as("denied"), sum(col("n")).as("n"),
-            sum(col("nd")).as("nd"))
-      else
         events
           // two-phase distinct (see featureStats): per-(window, user)
           // partial counts first — no Expand, and the second shuffle is
@@ -111,6 +110,89 @@ object Windowed {
       .select(
         col("window.start").as("win_start"),
         col("n_users"), col("n_denied_users"), col("n_events"), col("n_denials"))
+  }
+
+  /** The high-replica plan behind [[slidingStats]] (doc there): exact
+    * sliding-window distinct-user stats with ZERO row replication.
+    * `slideUs` is the slide in µs, `replicas` = size/slide (windows
+    * per tumble). Window starts are handled as epoch-µs longs and
+    * converted back to TimestampType only in the final projection —
+    * identical values to `window(ts, size, slide).start` for the
+    * epoch-aligned cadences the breaker uses. */
+  private def slidingStatsRange(events: DataFrame, slideUs: Long,
+                                replicas: Long): DataFrame = {
+    val spanUs = (replicas - 1) * slideUs
+    // one row per (slide-aligned tumble, user): the only corpus-sized
+    // aggregation, map-side combinable
+    val tu = events
+      .groupBy(expr(s"(unix_micros(ts) div $slideUs) * $slideUs").as("tum"),
+        col("user_id"))
+      .agg(
+        max(when(col("event_type") === "error", lit(1)).otherwise(lit(0)))
+          .as("denied"),
+        count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", lit(1))).as("nd"))
+    // per-tumble event/denial totals (NULL users included, as count(*)
+    // did) — contribute over the full window range [tum-span, tum]
+    val byTumble = tu.groupBy(col("tum"))
+      .agg(sum(col("n")).as("n_t"), sum(col("nd")).as("nd_t"))
+    val zero = lit(0L)
+    val evDeltas = byTumble.select(explode(array(
+        struct((col("tum") - spanUs).as("win_us"), zero.as("du"),
+          zero.as("dd"), col("n_t").as("dn"), col("nd_t").as("dnd")),
+        struct((col("tum") + slideUs).as("win_us"), zero.as("du"),
+          zero.as("dd"), (-col("n_t")).as("dn"), (-col("nd_t")).as("dnd"))))
+        .as("e"))
+      .select(col("e.*"))
+    // distinct-user ranges: consecutive active tumbles of a user yield
+    // DISJOINT new-window ranges [max(tum-span, prev+slide), tum], so
+    // the +1/-1 deltas sum to exactly "is this user visible in w".
+    // NULL users are excluded (countDistinct semantics).
+    def userDeltas(active: DataFrame, field: String): DataFrame = {
+      val uw = Window.partitionBy(col("user_id")).orderBy(col("tum"))
+      val one = lit(1L)
+      active
+        .withColumn("lo", greatest(col("tum") - spanUs,
+          coalesce(lag(col("tum"), 1).over(uw) + slideUs,
+            col("tum") - spanUs)))
+        .select(explode(array(
+            struct(col("lo").as("win_us"), one.as("d")),
+            struct((col("tum") + slideUs).as("win_us"),
+              (-one).as("d")))).as("e"))
+        .select(col("e.win_us"),
+          (if (field == "du") col("e.d") else zero).as("du"),
+          (if (field == "dd") col("e.d") else zero).as("dd"),
+          zero.as("dn"), zero.as("dnd"))
+    }
+    val presence = userDeltas(tu.filter(col("user_id").isNotNull), "du")
+    val denials = userDeltas(
+      tu.filter(col("user_id").isNotNull && col("denied") === 1), "dd")
+    // the windows that EXIST in the output: exactly the replica set of
+    // every event-bearing tumble — what window(ts, size, slide) emits
+    val wins = byTumble.select(explode(
+        sequence(col("tum") - spanUs, col("tum"), lit(slideUs)))
+        .as("win_us"))
+      .distinct()
+    // collapse deltas per window start FIRST (map-side combinable,
+    // result is window-count-sized), THEN one running sum in window
+    // order — single-partition by design, over thousands of rows, not
+    // the corpus
+    val deltas = evDeltas.unionByName(presence).unionByName(denials)
+      .groupBy(col("win_us"))
+      .agg(sum(col("du")).as("du"), sum(col("dd")).as("dd"),
+        sum(col("dn")).as("dn"), sum(col("dnd")).as("dnd"))
+    val cw = Window.orderBy(col("win_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .join(wins.withColumn("w_exists", lit(1)), Seq("win_us"), "full_outer")
+      .withColumn("n_users", coalesce(sum(col("du")).over(cw), zero))
+      .withColumn("n_denied_users", coalesce(sum(col("dd")).over(cw), zero))
+      .withColumn("n_events", coalesce(sum(col("dn")).over(cw), zero))
+      .withColumn("n_denials", coalesce(sum(col("dnd")).over(cw), zero))
+      .filter(col("w_exists") === 1)
+      .select(timestamp_micros(col("win_us")).as("win_start"),
+        col("n_users"), col("n_denied_users"), col("n_events"),
+        col("n_denials"))
   }
 
   /** Circuit breaker (A6): DISTINCT-USER denial rate > threshold opens

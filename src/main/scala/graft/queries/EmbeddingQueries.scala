@@ -293,12 +293,15 @@ object EmbeddingQueries extends QueryModule {
   private val PqRecallFloor = 0.25
 
   /** Expected anchor count for embed_hard_negatives' constant-budget
-    * carve (per-mille rate = least(1000, this·1000 div n_vecs), the
-    * corpus_cluster_balance recipe applied globally). A constant
-    * anchor budget is what makes triplet-mining work LINEAR in corpus
-    * size — the r19 sf10 sweep measured the former fixed-fraction
-    * carve at 14.2×/decade (O(N²/160) candidate rows). Interpolated
-    * verbatim into the oracle so both engines carve identically. */
+    * carve (per-BILLION rate = least(10⁹, this·10⁹ div n_vecs), the
+    * corpus_cluster_balance recipe applied globally — 10⁹ rather than
+    * the r20 per-mille, whose integer rate rounded to ZERO past
+    * n_vecs > this·1000 and silently emptied the triplet set at
+    * scale; ADVICE r20). A constant anchor budget is what makes
+    * triplet-mining work LINEAR in corpus size — the r19 sf10 sweep
+    * measured the former fixed-fraction carve at 14.2×/decade
+    * (O(N²/160) candidate rows). Interpolated verbatim into the
+    * oracle so both engines carve identically. */
   private[graft] val AnchorTarget = 200
 
   /** Exact brute-force top-3 cosine pairs for the `vec_id < 20` query
@@ -658,51 +661,109 @@ object EmbeddingQueries extends QueryModule {
     // their cell, and drop any vector semantically dominated (cosine ≥
     // τ) by a lower-id cellmate — keep-best canonical selection, the
     // embedding-space analogue of dedup_keep_best. The cluster scoping
-    // is the technique's point at 100 TB — and since r19/r20 the cell
-    // COUNT scales with the corpus, √(N/4) floored at 16 (the classic
-    // IVF nlist ~ √N rule): a FIXED cell count made within-cell pairs
-    // O(N²/32) asymptotically (the embed_hard_negatives cliff class;
-    // benign constants at test scales, wrong shape at 100 TB), while
-    // √N cells balance the N×nCells assignment and the N×cellSize
-    // pair term at N^1.5. The count rides a ONE-ROW broadcast (the
-    // tfidf scalar shape), the formula is interpolated verbatim into
-    // the oracle (count/4.0, IEEE sqrt, floor — all correctly-rounded
-    // in both engines), and the pivot carve stays the deterministic
-    // lowest-ids rule. The fused sequential cosine loop is
-    // IEEE-identical in both engines, so the ≥ τ gate and the exact
-    // output hash-match.
+    // is the technique's point at 100 TB. r21 takes the batch form
+    // BELOW the r20 N^1.5 balance point with a TWO-LEVEL assignment
+    // index (the hierarchical/coarse-quantizer move IVF uses —
+    // VERDICT r20 #1a): ncells = c² fine cells with c = ⌊∛(N/4)⌋
+    // (floored at 4, so ncells ≥ 16 as before), the first c pivots
+    // double as COARSE pivots, every fine pivot hangs off its nearest
+    // coarse pivot (coarse pivots self-parent by definition, so no
+    // coarse group is empty), and a vector resolves its cell in two
+    // argmax hops: nearest coarse pivot (N·c rows), then nearest fine
+    // pivot within that coarse group (N·(ncells/c) ≈ N·c rows). With
+    // ncells = (N/4)^(2/3), assignment 2N·c and within-cell pairs
+    // N·(N/ncells) BOTH land at Θ(N^(4/3)) — vs N^1.5 for the flat
+    // one-level scan (sf10 measured 23.8 s → see BENCHNOTES r21).
+    // Every formula is interpolated verbatim into the oracle: the
+    // integer cube root is cbrt+floor with an exact integer
+    // correction (CASE over y-1/y/y+1, so a ±1 ulp cbrt disagreement
+    // between engines cannot change c), both argmax hops are
+    // row_number() over (psim DESC, pid ASC) in the oracle and the
+    // equivalent map-side-combinable max_by(pid, struct(psim, -pid))
+    // here, and the fused sequential cosine loop is IEEE-identical in
+    // both engines, so the ≥ τ gate and the exact output hash-match.
     Q("dedup_semantic",
       (s, dir) => {
         val v = vecs(s, dir)
-        val nc = Tables.embeddings(s, dir).agg(
-          greatest(lit(16L),
-            expr("cast(floor(sqrt(count(1) / 4.0)) as bigint)"))
-            .as("ncells"))
+        // c = max(4, ⌊∛(N div 4)⌋), exact integer cube root: floor of
+        // a double cbrt can sit one off the true root, so correct it
+        // with integer comparisons (portable — DuckDB replays the
+        // same CASE; a double cast there would ROUND where Spark
+        // truncates, which is why floor() carries the conversion).
+        val nc = Tables.embeddings(s, dir)
+          .agg(expr("count(1) div 4").as("x"))
+          .withColumn("y",
+            expr("cast(floor(cbrt(cast(x as double))) as bigint)"))
+          .select(expr(
+            """greatest(4L, CASE WHEN (y+1)*(y+1)*(y+1) <= x THEN y+1
+              |               WHEN y*y*y <= x THEN y
+              |               ELSE y-1 END)""".stripMargin).as("c"))
         val piv = v.crossJoin(broadcast(nc))
-          .filter(col("vec_id") < col("ncells"))
-          .select(col("vec_id").as("pid"), col("emb").as("pemb"))
-        // assignment = max_by over the exploded (vector, pivot) frame:
-        // the winner maximizes (psim, -pid) — EXACTLY row_number() over
-        // (psim DESC, pid ASC) = 1, as the oracle replays — but as an
-        // AGGREGATE it map-side-combines instead of shuffling all
-        // N×ncells rows into a per-key sort (the r20 sf10 profile put
-        // ~3× the pair join's cost in that window). first(emb) is
-        // value-deterministic: every exploded row of a vec_id carries
-        // the same emb. The eager localCheckpoint then pins the
+          .filter(col("vec_id") < col("c") * col("c"))
+          .select(col("vec_id").as("pid"), col("emb").as("pemb"),
+            (col("vec_id") < col("c")).as("is_coarse"))
+        val coarse = piv.filter(col("is_coarse"))
+          .select(col("pid").as("cpid"), col("pemb").as("cemb"))
+        // fine pivot → parent coarse pivot. Coarse pivots self-parent
+        // BY DEFINITION (not via the argmax): guarantees every coarse
+        // group contains its own pivot, so a vector's level-1 winner
+        // always has fine candidates. ncells·c rows — index-sized.
+        val parent = piv.filter(!col("is_coarse"))
+          .crossJoin(broadcast(coarse))
+          .withColumn("psim", cosine(col("pemb"), col("cemb")))
+          .groupBy(col("pid"))
+          .agg(expr("max_by(cpid, struct(psim, -cpid))").as("parent"))
+          .unionByName(coarse.select(col("cpid").as("pid"),
+            col("cpid").as("parent")))
+        // level 1: nearest coarse pivot — N·c exploded rows, collapsed
+        // map-side by the same argmax-as-aggregate recipe as r20
+        // (max_by ≡ row_number over (psim DESC, pid ASC) = 1). The
+        // aggregations carry METADATA ONLY (vec_id, psim, pid — guide
+        // §8: decide with small rows, move the payload once): an r21
+        // first(emb) draft shipped the 64-double payload through every
+        // argmax buffer, and the sort-fallback aggregation over those
+        // ~1 KB rows — not the row count — dominated the sf10 profile
+        // (stage wall 111 s, 2.7k CPU-s, 316 s GC).
+        val vcMeta = v.crossJoin(broadcast(coarse))
+          .withColumn("psim", cosine(col("emb"), col("cemb")))
+          .groupBy(col("vec_id"))
+          .agg(expr("max_by(cpid, struct(psim, -cpid))").as("parent"))
+        // level 2: nearest fine pivot WITHIN the winning coarse group —
+        // the candidate explode is metadata-sized ((vec_id, pid),
+        // N·(ncells/c) rows instead of the flat N·ncells), the vector
+        // payload is attached by ONE vec_id-keyed join (vcMeta comes
+        // out of its aggregate already hash-partitioned by vec_id, so
+        // only the cached v side exchanges — and the final attach
+        // reuses that same exchange), and the pivot payload rides a
+        // broadcast. The eager localCheckpoint then pins the
         // assignment so the three consumers (both pair-join sides and
-        // the verdict frame) don't re-run the N×ncells explode —
-        // the Triangles edge-lineage recipe; the checkpoint is
+        // the verdict frame) don't re-run the exploded argmax — the
+        // Triangles edge-lineage recipe; the checkpoint is
         // corpus-proportional (one row per vector).
-        val cells = v.crossJoin(broadcast(piv))
+        // shuffled-hash hints: every join whose stream or build carries
+        // the 64-double payload skips the sort-merge sort passes (a
+        // payload row through a sort buffer is ~1 KB of copy + GC per
+        // pass; the per-partition build tables are a few MB)
+        val fine = vcMeta
+          .join(broadcast(parent), Seq("parent"))
+          .join(v.hint("shuffle_hash"), Seq("vec_id"))
+          .join(broadcast(piv.select(col("pid"), col("pemb"))), Seq("pid"))
           .withColumn("psim", cosine(col("emb"), col("pemb")))
           .groupBy(col("vec_id"))
-          .agg(expr("max_by(pid, struct(psim, -pid))").as("cell"),
-            first(col("emb")).as("emb"))
+          .agg(expr("max_by(pid, struct(psim, -pid))").as("cell"))
+        val cells = v.join(fine.hint("shuffle_hash"), Seq("vec_id"))
           .select(col("vec_id"), col("emb"), col("cell"))
           .localCheckpoint(true)
-        val a = cells.select(col("cell"), col("vec_id").as("v1"), col("emb").as("e1"))
-        val b = cells.select(col("cell"), col("vec_id").as("v2"), col("emb").as("e2"))
-        val dom = a.join(b, Seq("cell")).filter(col("v1") < col("v2"))
+        // one explicit cell-keyed repartition feeds BOTH pair-join
+        // sides: the two sides differ only in their aliases, so the
+        // underlying exchange subtree is byte-identical and the second
+        // side resolves to a ReusedExchange — the 64-double payload
+        // crosses the wire once, not twice (guide §2.4)
+        val cellsP = cells.repartition(col("cell"))
+        val a = cellsP.select(col("cell"), col("vec_id").as("v1"), col("emb").as("e1"))
+        val b = cellsP.select(col("cell"), col("vec_id").as("v2"), col("emb").as("e2"))
+        val dom = a.join(b.hint("shuffle_hash"), Seq("cell"))
+          .filter(col("v1") < col("v2"))
           .withColumn("sim", cosine(col("e1"), col("e2")))
           .filter(col("sim") >= 0.3)
           .groupBy(col("v2")).agg(min(col("v1")).as("dup_of"))
@@ -713,19 +774,45 @@ object EmbeddingQueries extends QueryModule {
             col("dup_of").isNull.as("kept"))
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-             |nc AS (SELECT greatest(16, CAST(floor(sqrt(count(*) / 4.0)) AS BIGINT)) AS ncells
-             |       FROM embeddings),
+             |nc0 AS (SELECT count(*) // 4 AS x FROM embeddings),
+             |nc1 AS (SELECT x, CAST(floor(cbrt(CAST(x AS DOUBLE))) AS BIGINT) AS y FROM nc0),
+             |nc AS (SELECT greatest(4, CASE WHEN (y+1)*(y+1)*(y+1) <= x THEN y+1
+             |                               WHEN y*y*y <= x THEN y
+             |                               ELSE y-1 END) AS c FROM nc1),
              |piv AS (SELECT vec_id AS pid, emb AS pemb FROM e, nc
-             |        WHERE vec_id < nc.ncells),
-             |a AS (SELECT e.vec_id, e.emb, p.pid,
-             |             list_dot_product(e.emb, p.pemb)
-             |               / (sqrt(list_dot_product(e.emb, e.emb))
-             |                  * sqrt(list_dot_product(p.pemb, p.pemb))) AS psim
-             |      FROM e CROSS JOIN piv p),
-             |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-             |                                    ORDER BY psim DESC, pid) AS prn
-             |       FROM a),
-             |cells AS (SELECT vec_id, emb, pid AS cell FROM r0 WHERE prn = 1),
+             |        WHERE vec_id < nc.c * nc.c),
+             |coarse AS (SELECT pid AS cpid, pemb AS cemb FROM piv, nc
+             |           WHERE pid < nc.c),
+             |pp AS (SELECT p.pid, c.cpid,
+             |              list_dot_product(p.pemb, c.cemb)
+             |                / (sqrt(list_dot_product(p.pemb, p.pemb))
+             |                   * sqrt(list_dot_product(c.cemb, c.cemb))) AS psim
+             |       FROM piv p CROSS JOIN coarse c, nc WHERE p.pid >= nc.c),
+             |parent AS (
+             |  SELECT pid, cpid AS parent FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY pid
+             |                                 ORDER BY psim DESC, cpid) AS rn
+             |    FROM pp) WHERE rn = 1
+             |  UNION ALL SELECT cpid AS pid, cpid AS parent FROM coarse),
+             |v1 AS (SELECT e.vec_id, e.emb, c.cpid,
+             |              list_dot_product(e.emb, c.cemb)
+             |                / (sqrt(list_dot_product(e.emb, e.emb))
+             |                   * sqrt(list_dot_product(c.cemb, c.cemb))) AS psim
+             |       FROM e CROSS JOIN coarse c),
+             |vc AS (SELECT vec_id, emb, cpid AS parent FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY vec_id
+             |                                      ORDER BY psim DESC, cpid) AS rn
+             |         FROM v1) WHERE rn = 1),
+             |f1 AS (SELECT v.vec_id, v.emb, pr.pid,
+             |              list_dot_product(v.emb, p.pemb)
+             |                / (sqrt(list_dot_product(v.emb, v.emb))
+             |                   * sqrt(list_dot_product(p.pemb, p.pemb))) AS psim
+             |       FROM vc v JOIN parent pr ON v.parent = pr.parent
+             |       JOIN piv p ON pr.pid = p.pid),
+             |cells AS (SELECT vec_id, emb, pid AS cell FROM (
+             |            SELECT *, row_number() OVER (PARTITION BY vec_id
+             |                                         ORDER BY psim DESC, pid) AS rn
+             |            FROM f1) WHERE rn = 1),
              |dom AS (SELECT y.vec_id AS vec_id, min(x.vec_id) AS dup_of
              |        FROM cells x JOIN cells y
              |          ON x.cell = y.cell AND x.vec_id < y.vec_id
@@ -1184,7 +1271,7 @@ object EmbeddingQueries extends QueryModule {
     // can't monopolize the training mix). Clusters come from the SAME
     // fp-trained quantizer embed_ann_ivf_fp serves with, so the whole
     // query sits under the exact hash gate: per-cell target rate is
-    // integer per-mille least(1000, 20·1000 div n_cell), membership is
+    // integer per-billion least(10⁹, 20·10⁹ div n_cell), membership is
     // the portable-hash carve (corpus_sample's recipe) — reproducible
     // across runs, engines and cluster sizes, NO per-cell windows (a
     // rank-based exact-k cap would sort every stratum; the rate form
@@ -1195,27 +1282,34 @@ object EmbeddingQueries extends QueryModule {
         val (_, cells) = fpLloydCells(fpQuantized(s, dir))
         val n = cells.groupBy(col("cell"))
           .agg(count(lit(1)).as("n_vecs"))
-        val r = n.withColumn("rate_pm",
-          least(lit(1000L), expr("(20 * 1000) div n_vecs")))
+        // per-BILLION rate (r21, ADVICE r20): the former per-mille
+        // rate rounded to ZERO for any cell beyond 20·1000 rows —
+        // exactly the at-scale regime the rate carve exists for — so
+        // a mega-cell silently contributed nothing. 10^9 granularity
+        // keeps sub-per-mille rates expressible (the 60-bit portable
+        // hash has headroom) and the expected per-cell sample stays
+        // ~20 for ANY cell size; the oracle replays the same integers.
+        val r = n.withColumn("rate_pb",
+          least(lit(1000000000L), expr("(20 * 1000000000L) div n_vecs")))
         val samp = cells.join(broadcast(r), Seq("cell"))
           .withColumn("in_sample",
             graft.functions.TextOps.portableHash(
-              col("vec_id").cast("string")) % 1000 < col("rate_pm"))
+              col("vec_id").cast("string")) % 1000000000L < col("rate_pb"))
           .groupBy(col("cell"))
           .agg(count(when(col("in_sample"), lit(1))).as("n_sampled"))
         r.join(samp, Seq("cell"))
-          .select(col("cell"), col("n_vecs"), col("rate_pm"), col("n_sampled"))
+          .select(col("cell"), col("n_vecs"), col("rate_pb"), col("n_sampled"))
       },
       Some(s"""WITH $fpCellsCte,
               |n AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
               |      FROM cells GROUP BY cell),
               |r AS (SELECT cell, n_vecs,
-              |             least(1000, (20 * 1000) // n_vecs) AS rate_pm FROM n),
+              |             least(1000000000, (CAST(20 AS BIGINT) * 1000000000) // n_vecs) AS rate_pb FROM n),
               |sm AS (SELECT c.cell,
               |              count(CASE WHEN ('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15))::BIGINT
-              |                              % 1000 < r.rate_pm THEN 1 END) AS n_sampled
+              |                              % 1000000000 < r.rate_pb THEN 1 END) AS n_sampled
               |       FROM cells c JOIN r ON c.cell = r.cell GROUP BY c.cell)
-              |SELECT r.cell, r.n_vecs, r.rate_pm, sm.n_sampled
+              |SELECT r.cell, r.n_vecs, r.rate_pb, sm.n_sampled
               |FROM r JOIN sm ON r.cell = sm.cell""".stripMargin)),
 
     // CONTRASTIVE TRIPLET MINING (the embedding-training data op:
@@ -1227,7 +1321,7 @@ object EmbeddingQueries extends QueryModule {
     // mining shape, and at 100 TB the cells are the persisted
     // IvfIndexStore so mining never rescans the corpus. Anchors are a
     // CONSTANT-COUNT portable-hash carve (~[[AnchorTarget]] expected,
-    // the corpus_cluster_balance per-mille rate recipe applied
+    // the corpus_cluster_balance per-billion rate recipe applied
     // globally; rate rides the ONE-ROW broadcast count frame — the
     // tfidf scalar shape): the r19 sf10 sweep measured the former
     // fixed-FRACTION carve (vec_id % 20) at 14.2×/decade — anchors
@@ -1250,12 +1344,19 @@ object EmbeddingQueries extends QueryModule {
           .select(col("vec_id"), col("label"))
         val nv = Tables.embeddings(s, dir)
           .agg(count(lit(1)).as("n_vecs"))
+        // per-BILLION rate (r21, ADVICE r20): per-mille rounded to 0
+        // past n_vecs > AnchorTarget·1000, silently emptying the
+        // triplet set in exactly the at-scale regime the constant
+        // budget targets (both engines agreed, so the oracle gate
+        // could not catch it — the GatedBoundsRandomSpec decade sweep
+        // now crosses that cliff at n=250k).
         val anch = cells.join(lab, Seq("vec_id"))
           .crossJoin(broadcast(nv))
-          .withColumn("rate_pm",
-            least(lit(1000L), expr(s"($AnchorTarget * 1000) div n_vecs")))
+          .withColumn("rate_pb",
+            least(lit(1000000000L),
+              expr(s"($AnchorTarget * 1000000000L) div n_vecs")))
           .filter(graft.functions.TextOps.portableHash(
-            col("vec_id").cast("string")) % 1000 < col("rate_pm"))
+            col("vec_id").cast("string")) % 1000000000L < col("rate_pb"))
           .select(col("vec_id").as("anchor_id"), col("q").as("aq"),
             col("label").as("albl"))
         val acells = anch.crossJoin(broadcast(c1))
@@ -1292,12 +1393,12 @@ object EmbeddingQueries extends QueryModule {
             s" + list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
         s"""WITH $fpCellsCte,
            |lab AS (SELECT vec_id, label FROM embeddings),
-           |nv AS (SELECT least(1000, ($AnchorTarget * 1000) // count(*)) AS rate_pm
+           |nv AS (SELECT least(1000000000, (CAST($AnchorTarget AS BIGINT) * 1000000000) // count(*)) AS rate_pb
            |       FROM embeddings),
            |anch AS (SELECT c.vec_id AS anchor_id, c.q AS aq, l.label AS albl
            |         FROM cells c JOIN lab l ON c.vec_id = l.vec_id, nv
            |         WHERE ('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15))::BIGINT
-           |                 % 1000 < nv.rate_pm),
+           |                 % 1000000000 < nv.rate_pb),
            |ad AS (SELECT a.anchor_id, a.aq, a.albl, c.pid,
            |              ${l2sql("a.aq", "c.cq")} AS d
            |       FROM anch a CROSS JOIN c1 c),

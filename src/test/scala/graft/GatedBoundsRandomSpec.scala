@@ -153,26 +153,29 @@ class GatedBoundsRandomSpec extends AnyFunSuite {
 
   test("constant-count anchor carve (embed_hard_negatives shape) concentrates at AnchorTarget across corpus decades") {
     // the r20 rewrite's statistical contract: anchors = rows whose
-    // portable hash lands under rate_pm = least(1000, T·1000 div N)
-    // per mille. Below the target the carve must keep EVERYTHING
-    // (rate saturates at 1000); above it the count is Binomial(N,
-    // ~T/N) — mean ≤ T with std ≈ √T, so a [T/2, 2T] window is ≈ 7σ:
-    // a pin, not a flake. Random SPARSE id sets (not the fixtures'
-    // contiguous 0..N-1) so the md5 carve is validated on id shapes
-    // the corpus never has. What this pins at 100 TB: the anchor set
-    // — and with it the mining join's candidate side — stays O(T),
-    // never O(N), for ANY corpus size.
+    // portable hash lands under rate_pb = least(10⁹, T·10⁹ div N)
+    // per BILLION (r21: per-mille rounded to ZERO past n > T·1000 —
+    // the sweep now crosses that cliff at n=250k, which the old rate
+    // failed with carved=0). Below the target the carve must keep
+    // EVERYTHING (rate saturates at 10⁹); above it the count is
+    // Binomial(N, ~T/N) — mean ≤ T with std ≈ √T, so a [T/2, 2T]
+    // window is ≈ 7σ: a pin, not a flake. Random SPARSE id sets (not
+    // the fixtures' contiguous 0..N-1) so the md5 carve is validated
+    // on id shapes the corpus never has. What this pins at 100 TB:
+    // the anchor set — and with it the mining join's candidate side —
+    // stays O(T), never O(N), for ANY corpus size.
     import spark.implicits._
     val rnd = new Random(2007)
     val T = graft.queries.EmbeddingQueries.AnchorTarget
-    for (n <- Seq(50, T, 1000, 10000, 60000)) {
+    for (n <- Seq(50, T, 1000, 10000, 60000, 250000)) {
       val ids = Iterator.continually(math.abs(rnd.nextLong()))
         .distinct.take(n).toSeq
       val carved = ids.toDF("vec_id")
         .select(graft.functions.TextOps.portableHash(
           col("vec_id").cast("string")).as("h"))
-        // verbatim carve: integer per-mille rate over the corpus count
-        .filter(col("h") % 1000 < least(lit(1000L), lit((T * 1000L) / n)))
+        // verbatim carve: integer per-billion rate over the corpus count
+        .filter(col("h") % 1000000000L <
+          least(lit(1000000000L), lit((T * 1000000000L) / n)))
         .count()
       if (n <= T) assert(carved == n,
         s"below the target the carve must keep all $n rows, kept $carved")

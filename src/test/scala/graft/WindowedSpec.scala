@@ -173,10 +173,12 @@ class WindowedSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).sorted.toSeq
     assert(key(got) == key(want))
-    // and the pre-dedup path was actually taken: the plan carries the
-    // slide-sized tumble pre-aggregate under the window expand
-    assert(got.queryExecution.analyzed.toString.contains("AS tumble"))
-    assert(!want.queryExecution.analyzed.toString.contains("AS tumble"))
+    // and the range-decomposition path was actually taken: the plan
+    // carries the endpoint-delta frame (win_us running sum), which the
+    // direct expand formulation never builds (r21; pre-r21 this pinned
+    // the "AS tumble" pre-dedup marker)
+    assert(got.queryExecution.analyzed.toString.contains("win_us"))
+    assert(!want.queryExecution.analyzed.toString.contains("win_us"))
 
     // featureStats takes the same pre-dedup at high replica counts —
     // pin it against the direct formulation on a two-feature fixture
