@@ -131,13 +131,23 @@ object TextQueries extends QueryModule {
                                         plan: Option[String] = None): DataFrame = {
     val sh = shingleRowsCached(s, dir)
     val maxDf = 50
-    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    val ab = sh.join(dfs, Seq("s"))
-      .select(col("doc_id"), col("s"), col("df"))
-    val abPlain = ab.select(col("doc_id"), col("s"))
-    val shared = plan.getOrElse(jaccardRegime(dfs)) match {
+    // r21 (guide §2.4): the df-capped posting frame and its inverted-
+    // index shared-counts are EXACTLY the [[ngramShared]] memo (same
+    // df ≤ 50 cap, same distinct shingle base) — before this, the
+    // inverted pick re-ran the full self-join + aggregate the memo
+    // already holds (measured 6.8 s steady at sf1_scaled vs the
+    // memo'd siblings' ~1.4 s). Both plan branches now read the memo:
+    // the inverted branch IS the memo'd shared frame; the prefix
+    // branch recomputes only its df-annotated prefix selection (the
+    // part the memo doesn't hold) and verifies candidates against the
+    // memo'd postings.
+    val (abMemo, sharedMemo) = ngramShared(s, dir)
+    val shared = plan.getOrElse(jaccardRegimeCached(s, dir)) match {
       case "prefix" =>
+        val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+        val ab = sh.join(dfs, Seq("s"))
+          .select(col("doc_id"), col("s"), col("df"))
         // Set size and prefix rank from ONE window partition: the
         // per-doc count rides the same (doc_id)-keyed sort as the
         // rank (full-partition frame), so the groupBy + join-back of
@@ -155,13 +165,26 @@ object TextQueries extends QueryModule {
           .join(prefix.select(col("doc_id").as("d2"), col("s")), Seq("s"))
           .filter(col("d1") < col("d2"))
           .select(col("d1"), col("d2")).distinct()
-        sharedCounts(abPlain, Some(cand))
-      case _ => sharedCounts(abPlain, None)
+        sharedCounts(abMemo, Some(cand))
+      case _ => sharedMemo
     }
-    jaccardOf(shared, abPlain)
+    jaccardOf(shared, abMemo)
       .filter(col("jaccard") >= 0.8)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Session memo of the [[jaccardRegime]] pick — a per-corpus plan
+    * statistic (one map-side aggregate over the cached shingle frame,
+    * but EAGER at query construction: the bench's min-of-3 paid it
+    * three times, and PlanAudit's cold sweep once more). */
+  private val regimeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def jaccardRegimeCached(s: SparkSession, dir: String): String =
+    regimeCache.getOrElseUpdate((s, dir), {
+      val sh = shingleRowsCached(s, dir)
+      jaccardRegime(sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50))
+    })
 
   /** DISTINCT `(doc_id, s, h)` shingle rows — base of the minhash +
     * Jaccard pipelines. Built with a PER-DOC `array_distinct` before
@@ -439,6 +462,7 @@ object TextQueries extends QueryModule {
       c.clear()
     }
     ngramSharedCache.clear() // frames themselves drain via auxCached
+    regimeCache.clear()
     bpeCache.keys.foreach { case (s, dir) =>
       graft.sources.StoreSentinel.drop(s, bpePrefixName(dir))
       graft.sources.BucketedUpsert.drop(s, bpePrefixName(dir) + "merges") }
@@ -2273,20 +2297,33 @@ object TextQueries extends QueryModule {
     // Repetition quality signals (the Gopher-report family, adapted to
     // the single-line corpus): duplicate-token fraction and the share
     // of the text covered by its single most frequent word 2-gram.
-    // Both are per-doc projections + one groupBy(doc_id, gram) — the
-    // max-share reduction rides a count aggregate, not a sort; rounded
+    // r21: ALL of a doc's bigrams live in its own row pre-explode, so
+    // the top-bigram count is a per-row reduction — sort the bigram
+    // array and take the longest equal-run (max run length over a
+    // sorted multiset ≡ the max group count the former explode +
+    // groupBy(doc_id, gram) + max(c) computed, exact integers both
+    // ways). The rewrite deletes BOTH exchanges: the former plan
+    // shuffled the full exploded bigram frame twice (4-col composite
+    // key, then the per-doc max); this one is a single map-side scan,
+    // zero Exchange (plans/r21/repetition_stats_*.txt). Rounded
     // ratios of exact integer counts keep the gate bit-stable.
     Q("repetition_stats",
       (s, dir) => {
         val t = tokens(col("text"))
-        val base = docs(s, dir).filter(size(t) >= 2)
+        val sorted = array_sort(orderedShingles(t, 2))
+        val topC = aggregate(
+          sorted,
+          struct(lit(null).cast("string").as("prev"),
+            lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"))
+          },
+          acc => acc("best"))
+        docs(s, dir).filter(size(t) >= 2)
           .select(col("doc_id"), size(t).as("n_tok"),
-            size(array_distinct(t)).as("n_distinct"),
-            explode(orderedShingles(t, 2)).as("g"))
-        base.groupBy(col("doc_id"), col("n_tok"), col("n_distinct"), col("g"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"), col("n_tok"), col("n_distinct"))
-          .agg(max(col("c")).as("top_c"))
+            size(array_distinct(t)).as("n_distinct"), topC.as("top_c"))
           .select(col("doc_id"),
             round(lit(1) - col("n_distinct").cast("double") / col("n_tok").cast("double"), 6)
               .as("dup_token_frac"),
@@ -2633,14 +2670,24 @@ object TextQueries extends QueryModule {
         // oracle feasible at sf1_scaled, so the census stays
         // hash-gated at 10× instead of skipped. Unset (production/
         // driver gate) = full graph, unchanged.
-        val sh0 = shingleRowsCached(s, dir)
-        val sh = TriSampleMod.fold(sh0)(k =>
-          sh0.filter(portableHash(col("doc_id").cast("string")) % k === 0))
-        val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 50)
-        val ab = sh.join(keep, Seq("s")).select(col("doc_id"), col("s"))
+        // r21 (guide §2.4): the UNSAMPLED graph's df-capped postings
+        // and shared-counts are exactly the [[ngramShared]] memo —
+        // recomputing them here re-ran the full inverted self-join per
+        // sweep. The sampled sweep shape (GRAFT_TRI_SAMPLE_MOD set)
+        // must recompute on the induced subgraph (df caps and degrees
+        // change under sampling) and is untouched.
+        val (ab, shared) = TriSampleMod match {
+          case None => ngramShared(s, dir)
+          case Some(k) =>
+            val sh = shingleRowsCached(s, dir)
+              .filter(portableHash(col("doc_id").cast("string")) % k === 0)
+            val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+              .filter(col("df") <= 50)
+            val abS = sh.join(keep, Seq("s")).select(col("doc_id"), col("s"))
+            (abS, sharedCounts(abS, None))
+        }
         val sizes = ab.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val e = sharedCounts(ab, None)
+        val e = shared
           .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
           .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
           .filter(col("shared") * 5 >= col("n1") + col("n2") - col("shared"))
