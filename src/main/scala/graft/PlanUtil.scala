@@ -27,14 +27,37 @@ import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
   * sized by GraftSession, never a hard-coded local constant. */
 private[graft] object PlanUtil {
 
+  /** Per-session locks for the AQE toggle below (a global lock would
+    * serialize unrelated sessions' memo builds). */
+  private val toggleLocks = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.SparkSession, Object]
+
   /** Eager localCheckpoint that PRESERVES the child plan's output
-    * partitioning (AQE disabled for the materialization job only). */
+    * partitioning (AQE disabled for the materialization job only).
+    *
+    * Concurrency (VERDICT r21 #4): the toggle mutates session-global
+    * conf, so two concurrent calls could interleave set/restore and
+    * leave AQE permanently off (t2 snapshots t1's "false" as its
+    * restore value). The per-session lock makes toggle → materialize →
+    * restore atomic, so the conf is ALWAYS restored correctly and two
+    * memo builds can't corrupt each other. Residual, documented: an
+    * unrelated query planned in the SAME session inside the window
+    * still plans with AQE off — memo builds run in the bench's
+    * sequential memo phase, and streaming micro-batches run in CLONED
+    * sessions (own conf), so the residual is not exercised by any
+    * in-repo path; full isolation needs a cloned session for the
+    * materialization job, which Spark's public API cannot re-bind an
+    * existing Dataset to. */
   def checkpointKeepPartitioning(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.conf
-    val prev = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try df.localCheckpoint(true)
-    finally conf.set("spark.sql.adaptive.enabled", prev)
+    val session = df.sparkSession
+    val lock = toggleLocks.getOrElseUpdate(session, new Object)
+    lock.synchronized {
+      val conf = session.conf
+      val prev = conf.get("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      try df.localCheckpoint(true)
+      finally conf.set("spark.sql.adaptive.enabled", prev)
+    }
   }
 
   /** Hash-partition `df` by `key` and materialize it (eager local

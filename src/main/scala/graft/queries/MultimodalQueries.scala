@@ -186,9 +186,21 @@ object MultimodalQueries extends QueryModule {
     // exactly. MediaPipelineSpec keeps ImageIO parity for both.
     Q("image_dedup_ahash",
       (s, dir) => {
+        // Decode ONCE: the (doc_id, ahash) frame feeds FOUR separate
+        // plan branches (both sides of the banded self-join via dh,
+        // ConnectedComponents' node set, and docComp), and CC's
+        // iterative rounds re-derive their input lineage — without a
+        // materialization the zlib/IDCT decode of every image re-ran
+        // per branch (the before-plan holds 28 decode MapPartitions
+        // nodes over 20 corpus scans). An eager localCheckpoint of the
+        // two-column hash frame cuts that to exactly one decode pass;
+        // at 100 TB this is the §8 rule — decide on a lightweight
+        // proxy (64-bit hashes), never re-touch the heavy payload.
         val hashes = MediaPipeline.imageHashes(s,
           MediaPipeline.attachPixelImages(Tables.documents(s, dir)))
           .filter(col("decode_ok"))
+          .select(col("doc_id"), col("ahash"))
+          .localCheckpoint(true)
         // Collapse to DISTINCT hash values before the candidate join.
         // Docs sharing an identical ahash are dups at Hamming 0, so
         // the verified near-dup graph over docs is exactly the blow-up

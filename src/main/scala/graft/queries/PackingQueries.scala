@@ -743,13 +743,25 @@ object PackingQueries extends QueryModule {
           .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
           .filter(col("shared") >= 3)
           .select(col("doc_id"), lit(true).as("contam"))
+        // The scored+dedup-windowed+contamination-joined base feeds
+        // TWO consumers (the survivor chain and the final verdict
+        // select); without a materialization the whole
+        // scan→score→md5-window→contamination-join subtree ran once
+        // per consumer (before-plan: 13 corpus scans / 46 Exchanges).
+        // One eager checkpoint of the NARROW proxy frame (~50 B/row,
+        // no text) is the §8 move: every downstream decision reads
+        // fixed-width rows, the corpus is scanned exactly once.
         val base = withScoreH(docs(s, dir)).drop("h")
           .join(contaminated, Seq("doc_id"), "left")
+          .localCheckpoint(true)
         val survivors = base.filter(col("doc_id") === col("cid") &&
             col("doc_id") % 10 =!= 0 && col("contam").isNull &&
             col("score") >= QMin)
           .select(col("doc_id"), col("source"), col("score"), col("n_tok"))
-        val cap = capPerSource(survivors).drop("rk")
+        // cap feeds capIds AND budgetSelect — checkpoint the
+        // budget-bounded (≤ sources×cap rows) frame instead of
+        // re-running the two-phase top-K windows per consumer
+        val cap = capPerSource(survivors).drop("rk").localCheckpoint(true)
         val capIds = cap.select(col("doc_id"), lit(true).as("in_cap"))
         val budIds = budgetSelect(cap)
           .select(col("doc_id"), lit(true).as("in_bud"))

@@ -60,6 +60,18 @@ object TextQueries extends QueryModule {
       |                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
       |       FROM tok WHERE len(t) >= 3)""".stripMargin
 
+  /** The shingle-df boilerplate cap shared by EVERY consumer of the
+    * df-capped posting frame: [[jaccardStrongPairs]]' prefix branch,
+    * [[jaccardRegimeCached]]'s profile aggregate, the [[ngramShared]]
+    * memo, and similarity_triangles' sampled branch. These four MUST
+    * agree — the r21 memo substitution is row-identical only because
+    * they do; a drifted copy would silently desync the prefix branch's
+    * candidate set / regime pick from the memo'd postings (ADVICE
+    * r21). The oracle SQL texts carry the same value as a literal
+    * (`HAVING count(*) <= 50`) — changing this constant means
+    * changing those texts in lockstep. */
+  private[graft] val JaccardMaxDf = 50
+
   /** The exact df-capped Jaccard join oracle. dedup_ngram_jaccard
     * uses it verbatim (t = 0.2); dedup_jaccard_prefix swaps the final
     * threshold to its t = 0.8 regime — everything upstream of the
@@ -130,7 +142,7 @@ object TextQueries extends QueryModule {
   private[graft] def jaccardStrongPairs(s: SparkSession, dir: String,
                                         plan: Option[String] = None): DataFrame = {
     val sh = shingleRowsCached(s, dir)
-    val maxDf = 50
+    val maxDf = JaccardMaxDf
     // r21 (guide §2.4): the df-capped posting frame and its inverted-
     // index shared-counts are EXACTLY the [[ngramShared]] memo (same
     // df ≤ 50 cap, same distinct shingle base) — before this, the
@@ -176,14 +188,19 @@ object TextQueries extends QueryModule {
   /** Session memo of the [[jaccardRegime]] pick — a per-corpus plan
     * statistic (one map-side aggregate over the cached shingle frame,
     * but EAGER at query construction: the bench's min-of-3 paid it
-    * three times, and PlanAudit's cold sweep once more). */
+    * three times, and PlanAudit's cold sweep once more). Invalidation
+    * contract (ADVICE r21): like every other (session, dir) memo here,
+    * this is invalidated ONLY via [[clearCaches]] — a corpus mutated
+    * in place within a session without clearCaches is profiled against
+    * the stale cached shingle frame (perf-only: both regime plans
+    * return identical rows). */
   private val regimeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   private def jaccardRegimeCached(s: SparkSession, dir: String): String =
     regimeCache.getOrElseUpdate((s, dir), {
       val sh = shingleRowsCached(s, dir)
       jaccardRegime(sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50))
+        .filter(col("df") <= JaccardMaxDf))
     })
 
   /** DISTINCT `(doc_id, s, h)` shingle rows — base of the minhash +
@@ -440,7 +457,7 @@ object TextQueries extends QueryModule {
     ngramSharedCache.getOrElseUpdate((s, dir), {
       val sh = shingleRowsCached(s, dir)
       val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50)
+        .filter(col("df") <= JaccardMaxDf)
       val ab = sh.join(keep, Seq("s")).select(col("doc_id"), col("s")).cache()
       val shared = sharedCounts(ab, None).cache()
       auxCached.add(ab)
@@ -601,29 +618,42 @@ object TextQueries extends QueryModule {
   private val Bm25IdfFp =
     "((2 * n_docs - 2 * df + 1) * 1048576) div (2 * df + 1)"
 
-  /** The fp-BM25 base frames — per-doc lengths, one-row corpus stats,
-    * per-(doc, token) tf, per-token df — shared by bm25_prf_fp and
-    * bm25_known_item_fp (one tokenize pass per consumer; the frames
-    * are cheap enough that a memo would buy little). */
-  private def bm25FpFrames(s: SparkSession, dir: String):
-      (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val d = docs(s, dir)
-    val t = tokens(col("text"))
-    val dl = d.select(col("doc_id"), size(t).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tfa = d.select(col("doc_id"), explode(t).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfa = tfa.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    (dl, stats, tfa, dfa)
+  /** The fp-BM25 base frames, STORE-SERVED (round 22): the persisted
+    * postings index ([[postingsPrefix]]) already holds exactly the
+    * frames the per-query formulation re-derived on every run —
+    * `postings (term, doc_id, tf, dl)` IS the (doc, token) tf frame
+    * with dl denormalized on, and the one-row stats table IS
+    * (n_docs, sum_dl), all exact BIGINTs. The former inline
+    * `bm25FpFrames` tokenized the corpus and shuffled the full
+    * (doc, token) frame once per consumer — bm25_prf_fp's before-plan
+    * held 23 corpus scans / 72 Exchanges (plans/r22). Now a consumer
+    * reads pre-aggregated postings rows: global df is ONE
+    * term-keyed aggregation over the store (localCheckpointed —
+    * vocab-sized — because every consumer uses it 2-3 times), and
+    * scoring reads only its terms' bucket files via the
+    * [[graft.sources.PostingsStore.postingsForTerms]] pruned probe.
+    * Returns (posts `(token, doc_id, tf, dl)`, dfa `(token, df)`,
+    * stats `(n_docs, sum_dl)` one-row). Row parity with the inline
+    * frames is the store's ingest invariant (the bm25_indexed ≡
+    * bm25_search precedent), pinned in Bm25FpStoreSpec. */
+  private def bm25FpStoreFrames(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    val p = postingsPrefix(s, dir)
+    val posts = graft.sources.PostingsStore.postings(s, p)
+      .withColumnRenamed("term", "token")
+    val dfa = posts.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val stats = graft.sources.PostingsStore.stats(s, p)
+    (posts, dfa, stats)
   }
 
   /** Per-(doc, token) fp-BM25 contribution (bm25_search_fp's integer
-    * algebra) over an already-pruned tf frame; extra columns (query
-    * ids, weights) ride through untouched. */
-  private def bm25FpContrib(tf: DataFrame, dfa: DataFrame, dl: DataFrame,
+    * algebra) over a pruned tf frame that already carries `dl` (the
+    * postings denormalization); extra columns (query ids, weights)
+    * ride through untouched. */
+  private def bm25FpContrib(tf: DataFrame, dfa: DataFrame,
                             stats: DataFrame): DataFrame = tf
     .join(broadcast(dfa), Seq("token"))
-    .join(dl, Seq("doc_id"))
     .crossJoin(broadcast(stats))
     .withColumn("idf_fp", expr(Bm25IdfFp))
     .withColumn("tfc_fp", expr("(22 * tf * sum_dl * 1048576) div " +
@@ -1532,16 +1562,26 @@ object TextQueries extends QueryModule {
     // pruned to the ≤60 signature terms before any shuffle.
     Q("bm25_known_item_fp",
       (s, dir) => {
-        val (dl, stats, tfa, dfa) = bm25FpFrames(s, dir)
-        val qterms = tfa.filter(col("doc_id") < 20)
+        val (posts, dfa, stats) = bm25FpStoreFrames(s, dir)
+        // signature terms of the 20 sample docs: one filtered pass
+        // over pre-aggregated postings (no tokenize); checkpointed
+        // because the pruned probe below evaluates its key frame twice
+        val qterms = posts.filter(col("doc_id") < 20)
           .join(broadcast(dfa), Seq("token"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("doc_id"))
               .orderBy(col("tf").desc, col("df"), col("token"))))
           .filter(col("rn") <= 3)
           .select(col("doc_id").as("qid"), col("token"))
-        val rk = bm25FpContrib(
-            tfa.join(broadcast(qterms), Seq("token")), dfa, dl, stats)
+          .localCheckpoint(true)
+        // scoring reads ONLY the ≤60 signature terms' bucket files;
+        // the qterms join drops same-bucket ride-alongs and attaches
+        // the query id; dl rides on the postings rows
+        val tfq = graft.sources.PostingsStore.postingsForTerms(s,
+            qterms.select(col("token").as("term")), postingsPrefix(s, dir))
+          .withColumnRenamed("term", "token")
+          .join(broadcast(qterms), Seq("token"))
+        val rk = bm25FpContrib(tfq, dfa, stats)
           .groupBy(col("qid"), col("doc_id"))
           .agg(sum(col("contrib")).as("s2"))
           .withColumn("rnk", row_number().over(
@@ -1595,14 +1635,20 @@ object TextQueries extends QueryModule {
     Q("bm25_prf_fp",
       (s, dir) => {
         import s.implicits._
-        val (dl, stats, tfa, dfa) = bm25FpFrames(s, dir)
+        val (posts, dfa, stats) = bm25FpStoreFrames(s, dir)
         def scored(tf: DataFrame): DataFrame =
-          bm25FpContrib(tf, dfa, dl, stats)
-        val r1 = scored(tfa.filter(col("token").isin(Bm25Terms: _*)))
+          bm25FpContrib(tf, dfa, stats)
+        // pass 1: only the 3 literal query terms' bucket files
+        val pf1 = graft.sources.PostingsStore
+          .postingsFor(s, Bm25Terms, postingsPrefix(s, dir))
+          .withColumnRenamed("term", "token")
+        val r1 = scored(pf1)
           .groupBy(col("doc_id")).agg(sum(col("contrib")).as("s1"))
           .orderBy(col("s1").desc, col("doc_id")).limit(10)
           .select(col("doc_id"))
-        val exp3 = tfa.join(broadcast(r1), Seq("doc_id"))
+        // expansion terms: all tokens of the 10 pseudo-relevant docs —
+        // one postings scan (pre-aggregated rows, no tokenize)
+        val exp3 = posts.join(broadcast(r1), Seq("doc_id"))
           .filter(!col("token").isin(Bm25Terms: _*))
           .join(broadcast(dfa), Seq("token"))
           .crossJoin(broadcast(stats))
@@ -1610,9 +1656,17 @@ object TextQueries extends QueryModule {
           .groupBy(col("token")).agg(sum(col("tf") * col("idf_fp")).as("w"))
           .orderBy(col("w").desc, col("token")).limit(3)
           .select(col("token"))
+        // checkpointed: the pruned probe collects its key frame for
+        // bucket pruning and re-reads it in the ride-along join
         val terms2 = Bm25Terms.map(q0 => (q0, 2L)).toDF("token", "wt")
           .union(exp3.withColumn("wt", lit(1L)))
-        scored(tfa.join(broadcast(terms2), Seq("token")))
+          .localCheckpoint(true)
+        // pass 2: only the ≤6 weighted terms' bucket files
+        val tf2 = graft.sources.PostingsStore.postingsForTerms(s,
+            terms2.select(col("token").as("term")), postingsPrefix(s, dir))
+          .withColumnRenamed("term", "token")
+          .join(broadcast(terms2), Seq("token"))
+        scored(tf2)
           .withColumn("wc", col("contrib") * col("wt"))
           .groupBy(col("doc_id")).agg(sum(col("wc")).as("score_fp"))
           .orderBy(col("score_fp").desc, col("doc_id")).limit(20)
@@ -2682,7 +2736,7 @@ object TextQueries extends QueryModule {
             val sh = shingleRowsCached(s, dir)
               .filter(portableHash(col("doc_id").cast("string")) % k === 0)
             val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-              .filter(col("df") <= 50)
+              .filter(col("df") <= JaccardMaxDf)
             val abS = sh.join(keep, Seq("s")).select(col("doc_id"), col("s"))
             (abS, sharedCounts(abS, None))
         }

@@ -16,9 +16,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketed {
 
   /** Write `df` bucketed (and sorted) by `key` into catalog table
-    * `table`. */
+    * `table`.
+    *
+    * The repartition matters: `bucketBy` assigns rows to bucket FILES
+    * by value, but each WRITE TASK emits its own file per bucket it
+    * holds, so a 32-task upsert into 16 buckets leaves up to 512
+    * fragments per generation (measured: 318 files / 3 MB on the sf0.1
+    * cell store) and every bucket-pruned probe then opens
+    * files-per-bucket × probed-buckets tiny parquet files — the probe
+    * stage ran 128 tasks whose cost was almost pure task
+    * deserialization. Pre-partitioning by the bucket expression —
+    * Spark's repartition hash IS the bucketing hash
+    * (pmod(murmur3(key), n)) — lands each bucket in exactly one task,
+    * so a generation is exactly `buckets` files and a probe opens one
+    * file per probed bucket (guide §6: small files hurt twice). */
   def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, df(key))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -193,4 +193,25 @@ object PostingsStore {
   def stats(spark: SparkSession, prefix: String): DataFrame =
     BucketedUpsert.read(spark, statsTable(prefix))
       .select(col("n_docs"), col("sum_dl"))
+
+  /** The FULL postings view `(term, doc_id, tf, dl)` — the
+    * already-aggregated (term, doc) frame, for consumers that need
+    * corpus-wide term statistics (global df, per-doc signature terms).
+    * One bucketed-parquet scan of pre-aggregated rows where the
+    * per-query formulation re-tokenized the corpus and re-shuffled the
+    * (doc, token) pairs on every run. */
+  def postings(spark: SparkSession, prefix: String): DataFrame =
+    BucketedUpsert.read(spark, postingsTable(prefix))
+
+  /** [[postingsFor]] with a DATA-DEPENDENT term frame (one `term`
+    * column): same bucket-pruned read, for term sets computed by the
+    * query itself (signature terms, PRF expansions). Same superset
+    * contract as [[BucketedUpsert.readKeys]] — same-bucket ride-alongs
+    * come back, the caller's equi-join against its term set drops
+    * them. Pass a small, materialized frame: the keys are collected
+    * once for bucket pruning and re-read by the join. */
+  def postingsForTerms(spark: SparkSession, terms: DataFrame, prefix: String,
+                       buckets: Int = DefaultBuckets): DataFrame =
+    BucketedUpsert.readKeys(spark, postingsTable(prefix),
+      terms.select(col("term")), "term", buckets)
 }
