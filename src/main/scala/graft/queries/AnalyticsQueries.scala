@@ -287,24 +287,22 @@ object AnalyticsQueries extends QueryModule {
         sqrt(col("n1") * col("n2"))).cast("long"))
     val sim0 = half.select(col("i1").as("a"), col("i2").as("b"), col("s"))
       .union(half.select(col("i2"), col("i1"), col("s")))
-    // sim (≤ items×M rows by the neighbor cap), ord (one row per
-    // eval basket) and ctx (context items) each feed 2-3 consumers
-    // below; materializing the narrow frames once stops the
-    // window/aggregation subtrees re-running per consumer (the
-    // before-plan re-derived them: 82 Exchanges)
+    // r22 note: an eager-checkpoint variant of sim/ord/ctx was
+    // measured and REVERTED — steady-state was flat (the ctx × sim
+    // candidate aggregation dominates, and bi/pairs already ride the
+    // basketPairs cache), and the LogicalRDD leaves truncated the
+    // granted basketPairs residual join out of the audited plan
+    // (PlanAuditSpec grant-liveness).
     val sim = sim0.withColumn("nrk", row_number().over(
         Window.partitionBy(col("a"))
           .orderBy(col("s").desc, col("b"))))
       .filter(col("nrk") <= m)
       .select(col("a"), col("b"), col("s"))
-      .localCheckpoint(true)
     val ord = bi.groupBy(col("o"))
       .agg(max(col("i")).as("held"), count(lit(1)).as("sz"))
       .filter(col("sz") >= 2)
-      .localCheckpoint(true)
     val ctx = bi.join(ord, Seq("o")).filter(col("i") =!= col("held"))
       .select(col("o"), col("i"))
-      .localCheckpoint(true)
     val cand = ctx.join(sim, ctx("i") === sim("a"))
       .groupBy(col("o"), col("b").as("cand"))
       .agg(sum(col("s")).as("score"))

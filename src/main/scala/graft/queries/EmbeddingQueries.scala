@@ -462,6 +462,12 @@ object EmbeddingQueries extends QueryModule {
       // the bench logged "broadcasting large task binary 2.1 MiB" per
       // ADC stage — pure scheduler overhead shipped to every executor.
       .localCheckpoint(true)
+    // r22 note: an explicit repartition(defaultParallelism) of the
+    // checkpointed code frame (to spread the ADC join off the single
+    // AQE-coalesced partition) was measured ~1 s SLOWER steady-state
+    // at sf0.1 and reverted — the extra exchange + 32-task scheduling
+    // outweighs the small ADC work here, and at scale the frame
+    // arrives multi-partition anyway.
     // query LUT: exact subvector · every codeword, plus exact |q|
     val qnorm = data.filter(queryPred)
       .select(col("vec_id").as("query_id"),

@@ -279,4 +279,72 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
         s"decay credits must sum to value: ${r.getDouble(2)} vs $v")
     }
   }
+
+  test("randomized interleavings: funnel and cohort match an independent reference") {
+    // VERDICT r20 #5 / r21 #7: the funnel/cohort semantics were pinned
+    // on handcrafted fixtures; these trials generate random event
+    // interleavings (pre-step events, out-of-window steps, repeated
+    // steps, funnel-less users) and compare against a straightforward
+    // per-user Scala reference. Fixed seed: failures reproduce.
+    val rnd = new scala.util.Random(20260819L)
+    val types = Vector("signup", "click", "purchase", "view")
+    for (trial <- 1 to 6) {
+      val base = (3000L + trial * 10) * WeekUs
+      var eid = 0L
+      val rows = (1L to (6 + rnd.nextInt(10))).flatMap { u =>
+        (1 to (2 + rnd.nextInt(10))).map { _ =>
+          eid += 1
+          // spread across ~3 weeks at minute granularity so windows
+          // and week boundaries are both exercised
+          val us = base + rnd.nextLong(21L * DayUs / 60000000L) * 60000000L
+          (eid, us, u, types(rnd.nextInt(types.size)), 0.0)
+        }
+      }
+      val dir = eventsDir(rows)
+
+      // ---- funnel reference: min-timestamp chaining, 24h per step
+      val byUser = rows.groupBy(_._3)
+      val stages = byUser.toSeq.flatMap { case (_, evs) =>
+        val s = evs.filter(_._4 == "signup").map(_._2).sorted.headOption
+        s.map { sUs =>
+          val c = evs.filter(e => e._4 == "click" && e._2 >= sUs &&
+            e._2 < sUs + DayUs).map(_._2).sorted.headOption
+          val p = c.flatMap(cUs => evs.filter(e => e._4 == "purchase" &&
+            e._2 >= cUs && e._2 < cUs + DayUs).map(_._2).sorted.headOption)
+          (p, c) match {
+            case (Some(pUs), _) => (3L, pUs - sUs)
+            case (None, Some(_)) => (2L, 0L)
+            case _ => (1L, 0L)
+          }
+        }
+      }
+      val wantFunnel = stages.groupBy(_._1).map { case (st, xs) =>
+        (st, xs.size.toLong, xs.map(_._2).sum)
+      }.toSet
+      val gotFunnel = SparkEntry.queries("funnel_conversion")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotFunnel == wantFunnel,
+        s"trial $trial funnel diverged: got $gotFunnel want $wantFunnel")
+
+      // ---- cohort reference: first-event week, distinct users per
+      // (cohort, offset), rate vs the offset-0 cohort size
+      val weeks = rows.map(r => (r._3, r._2 / WeekUs))
+      val cohortOf = weeks.groupBy(_._1).map { case (u, ws) =>
+        (u, ws.map(_._2).min) }
+      val tri = weeks.map { case (u, w) => (cohortOf(u), w - cohortOf(u), u) }
+        .distinct.groupBy(t => (t._1, t._2)).map { case ((cw, off), xs) =>
+          (cw, off, xs.map(_._3).distinct.size.toLong) }
+      val size0 = tri.filter(_._2 == 0L).map(t => (t._1, t._3)).toMap
+      val wantCohort = tri.map { case (cw, off, n) =>
+        val rate = BigDecimal(n) / BigDecimal(size0(cw))
+        (cw, off, n, rate.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      val gotCohort = SparkEntry.queries("cohort_retention")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(gotCohort == wantCohort,
+        s"trial $trial cohort diverged: got $gotCohort want $wantCohort")
+    }
+  }
 }

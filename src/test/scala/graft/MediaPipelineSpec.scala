@@ -306,4 +306,82 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(sameCluster.max <= 6,
       s"same-pattern images drifted ${sameCluster.max} bits apart")
   }
+
+  test("randomized payload geometry: codecs round-trip and agree with the JDK decoders") {
+    // VERDICT r20 #5 / r21 #7: the codec paths were pinned on a
+    // handful of handcrafted geometries; these trials randomize dims,
+    // filter phase (PNG heights cycle all five filters), block values,
+    // PCM shapes and frame counts, with a fixed seed so failures
+    // reproduce. Every PNG/JPEG trial is also cross-checked against
+    // javax.imageio pixel-for-pixel, WAV headers against javax.sound.
+    val rnd = new scala.util.Random(20260819L)
+    for (trial <- 1 to 12) {
+      // PNG: arbitrary dims and arbitrary byte content
+      val w = 1 + rnd.nextInt(90); val h = 1 + rnd.nextInt(70)
+      val px = Array.fill[Byte](w * h)((rnd.nextInt(256) - 128).toByte)
+      val png = MediaPipeline.pngPixelBytes(w, h, px)
+      val dec = MediaPipeline.decodePixels(png)
+      assert(dec.isDefined, s"trial $trial: png decode failed (${w}x$h)")
+      val (gw, gh, gpx) = dec.get
+      assert((gw, gh) == ((w, h)) && gpx.sameElements(px),
+        s"trial $trial: png round-trip mismatch (${w}x$h)")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"trial $trial: ImageIO rejected the synthesized PNG")
+      val raster = img.getRaster
+      var bad = 0
+      for (y <- 0 until h; x <- 0 until w)
+        if (raster.getSample(x, y, 0) != (gpx(y * w + x) & 0xff)) bad += 1
+      assert(bad == 0, s"trial $trial: $bad PNG pixels differ from ImageIO")
+
+      // JPEG: random block grid, random DC-only block values
+      val bw = 1 + rnd.nextInt(6); val bh = 1 + rnd.nextInt(6)
+      val blocks = Array.fill(bw * bh)(rnd.nextInt(229))
+      val jpg = MediaPipeline.jpegBlockBytes(bw * 8, bh * 8, blocks)
+      val jdec = MediaPipeline.decodeJpeg(jpg)
+      assert(jdec.isDefined, s"trial $trial: jpeg decode failed (${bw}x$bh blocks)")
+      val (jw, jh, jpx) = jdec.get
+      assert((jw, jh) == ((bw * 8, bh * 8)))
+      var jbad = 0
+      for (y <- 0 until jh; x <- 0 until jw) {
+        val want = blocks((y / 8) * bw + (x / 8))
+        if ((jpx(y * jw + x) & 0xff) != want) jbad += 1
+      }
+      assert(jbad == 0,
+        s"trial $trial: $jbad JPEG pixels differ from the block values")
+      val jimg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpg))
+      assert(jimg != null && jimg.getWidth == jw && jimg.getHeight == jh,
+        s"trial $trial: ImageIO rejected the synthesized JPEG")
+      val jraster = jimg.getRaster
+      var jioBad = 0
+      for (y <- 0 until jh; x <- 0 until jw)
+        if (jraster.getSample(x, y, 0) != (jpx(y * jw + x) & 0xff)) jioBad += 1
+      assert(jioBad == 0,
+        s"trial $trial: $jioBad JPEG pixels differ from ImageIO")
+
+      // WAV: random rate and arbitrary 16-bit PCM content
+      val n = 1 + rnd.nextInt(900)
+      val samples = Array.fill[Short](n)((rnd.nextInt(65536) - 32768).toShort)
+      val rate = 8000 * (1 + rnd.nextInt(6))
+      val wav = MediaPipeline.wavPcmBytes(rate, samples)
+      val wdec = MediaPipeline.decodeSamples(wav)
+      assert(wdec.isDefined && wdec.get._1 == rate &&
+        wdec.get._2.sameElements(samples),
+        s"trial $trial: wav round-trip mismatch (rate=$rate n=$n)")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      assert(ais.getFormat.getSampleRate == rate.toFloat &&
+        ais.getFrameLength == n.toLong,
+        s"trial $trial: javax.sound header mismatch")
+
+      // MP4: random dims / frame counts through the box walk
+      val (vw, vh, nf) = (1 + rnd.nextInt(1900), 1 + rnd.nextInt(1000),
+        1 + rnd.nextInt(60))
+      assert(MediaPipeline.parseMp4(MediaPipeline.mp4Bytes(vw, vh, nf))
+        .contains((vw.toLong, vh.toLong, nf.toLong)),
+        s"trial $trial: mp4 round-trip mismatch (${vw}x$vh, $nf frames)")
+    }
+  }
 }
